@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-10 over sf0.001 documents.
+``queries()``   — one entry per implemented operator (SURVEY.md §2);
+                  each builds (cached per session+sf_dir) the inverted index
+                  and runs the operator through the real engine.
+``oracle_sql()`` — DuckDB SQL reimplementing the same pipeline end-to-end
+                  (tokenize → stop filter → quantized lengths → BM25 → op),
+                  generated from the same config constants.
+
+Scores are rounded to 6 dp on BOTH sides and ordering is applied on the
+rounded value with doc_id ASC tie-break, so rank and values are engine-stable.
 """
 
 from __future__ import annotations
@@ -12,27 +17,160 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_spark.execution.evaluate import Evaluator
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.oracle import sql as OSQL
+from whoosh_spark.query import ast as Q
+from whoosh_spark.search import Searcher
+
+_CACHE: dict = {}
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _CACHE[key] = Searcher(InvertedIndex.build(docs))
+    return _CACHE[key]
+
+
+def _topk(scores: DataFrame, k: int = 10) -> DataFrame:
+    return (
+        scores.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _q(query: Q.Query, k: int = 10, **search_kw) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _searcher(spark, sf_dir)
+        if search_kw:
+            res = s.search(query, limit=None, **search_kw)
+            return _topk(res.select("doc_id", "score"), k)
+        return _topk(s.ev.evaluate(query), k)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for And(data, query) on sf0.001."""
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    return _topk(s.ev.evaluate(Q.And([Q.Term("data"), Q.Term("query")])))
 
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "term_hot": _q(Q.Term("data")),
+        "term_rare": _q(Q.Term("vector")),
+        "and_hot_rare": _q(Q.And([Q.Term("data"), Q.Term("vector")])),
+        "and_hot_hot": _q(Q.And([Q.Term("data"), Q.Term("query")])),
+        "or_hot_rare": _q(Q.Or([Q.Term("data"), Q.Term("vector")])),
+        "or_minmatch": _q(Q.Or([Q.Term("vector"), Q.Term("window"), Q.Term("hash")], minmatch=2)),
+        "andnot_hot_rare": _q(Q.AndNot(Q.Term("data"), Q.Term("vector"))),
+        "andmaybe": _q(Q.AndMaybe(Q.Term("data"), Q.Term("vector"))),
+        "dismax": _q(Q.DisMax([Q.Term("data"), Q.Term("vector")], tiebreak=0.5)),
+        "phrase_2": _q(Q.Phrase(["big", "data"])),
+        "phrase_slop2": _q(Q.Phrase(["big", "data"], slop=2)),
+        "prefix": _q(Q.Prefix("qu")),
+        "wildcard": _q(Q.Wildcard("d*a")),
+        "fuzzy": _q(Q.Fuzzy("dat", maxdist=1, prefixlength=1)),
+        "term_range": _q(Q.TermRange("da", "dz")),
+        "filtered_and": _q(Q.And([Q.Term("data"), Q.Term("query")]),
+                           filter=Q.Filter("lang = 'en'")),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def collapse_source(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.search(Q.Term("data"), limit=None, collapse="source", collapse_limit=1)
+        return _topk(res.select("doc_id", "score"))
+
+    def facet_count_source(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facet_counts(Q.Term("data"), "source").select("source", "n")
+
+    def sortedby_nchars(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.search(Q.Term("data"), limit=10, sortedby="n_chars")
+            .select("doc_id", "n_chars")
+        )
+
+    def term_stats_top20(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.ix.term_stats.select(
+                "term", "df", "cf", F.col("max_weight").cast("double").alias("max_weight"))
+            .orderBy(F.col("cf").desc(), F.col("term").asc())
+            .limit(20)
+        )
+
+    def field_stats_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.ix.field_stats.select("doc_count", "total_len", "min_len", "max_len")
+
+    def doc_lengths_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.ix.doc_lengths.select("doc_id", F.col("len_raw").cast("int").alias("len_raw"),
+                                    F.col("dl").cast("int").alias("dl"))
+            .orderBy("doc_id").limit(100)
+        )
+
+    def spelling_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        terms = s.correct_term("dat", maxdist=2, top=3)
+        return spark.createDataFrame([(t,) for t in terms], "term string")
+
+    def key_terms_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        kt = s.key_terms([0, 1, 2, 3, 4], top=5)
+        return (
+            kt.select("term", F.round("keyness", 6).alias("keyness"))
+            .orderBy(F.col("keyness").desc(), F.col("term").asc())
+        )
+
+    out.update(
+        collapse_source=collapse_source,
+        facet_count_source=facet_count_source,
+        sortedby_nchars=sortedby_nchars,
+        term_stats_top20=term_stats_top20,
+        field_stats=field_stats_q,
+        doc_lengths=doc_lengths_q,
+        spelling=spelling_q,
+        key_terms=key_terms_q,
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_hot": OSQL.term_sql("data"),
+        "term_rare": OSQL.term_sql("vector"),
+        "and_hot_rare": OSQL.and_sql(["data", "vector"]),
+        "and_hot_hot": OSQL.and_sql(["data", "query"]),
+        "or_hot_rare": OSQL.or_sql(["data", "vector"]),
+        "or_minmatch": OSQL.or_sql(["vector", "window", "hash"], minmatch=2),
+        "andnot_hot_rare": OSQL.andnot_sql("data", "vector"),
+        "andmaybe": OSQL.andmaybe_sql("data", "vector"),
+        "dismax": OSQL.dismax_sql(["data", "vector"], tiebreak=0.5),
+        "phrase_2": OSQL.phrase_sql(["big", "data"]),
+        "phrase_slop2": OSQL.phrase_sql(["big", "data"], slop=2),
+        "prefix": OSQL.prefix_sql("qu"),
+        "wildcard": OSQL.wildcard_sql("d%a"),
+        "fuzzy": OSQL.fuzzy_sql("dat", maxdist=1, prefixlength=1),
+        "term_range": OSQL.term_range_sql("da", "dz"),
+        "filtered_and": OSQL.filtered_and_sql(["data", "query"], "lang = 'en'"),
+        "collapse_source": OSQL.collapse_sql("data", "source"),
+        "facet_count_source": OSQL.facet_count_sql("data", "source"),
+        "sortedby_nchars": OSQL.sortedby_sql("data", "n_chars"),
+        "term_stats_top20": OSQL.term_stats_sql(20),
+        "field_stats": OSQL.field_stats_sql(),
+        "doc_lengths": OSQL.doc_lengths_sql(100),
+        "spelling": OSQL.spelling_sql("dat", 2, 3),
+        "key_terms": OSQL.key_terms_sql([0, 1, 2, 3, 4], 5),
+    }

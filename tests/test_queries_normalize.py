@@ -1,0 +1,95 @@
+"""Query.normalize() identities (reference tests/test_queries.py style)."""
+
+from __future__ import annotations
+
+from whoosh_spark.query import ast as Q
+from whoosh_spark.query.parser import parse_query
+
+
+def test_flatten_same_class():
+    q = Q.And([Q.And([Q.Term("a1"), Q.Term("b1")]), Q.Term("c1")]).normalize()
+    assert isinstance(q, Q.And) and len(q.children) == 3
+
+
+def test_dedupe_children():
+    q = Q.Or([Q.Term("xx"), Q.Term("xx"), Q.Term("yy")]).normalize()
+    assert len(q.children) == 2
+
+
+def test_null_elimination_and_unwrap():
+    assert Q.And([Q.Term("the")]).normalize() is Q.NullQuery  # stopword term
+    q = Q.And([Q.Term("data"), Q.Term("the")]).normalize()
+    assert q == Q.Term("data")
+    assert Q.Or([]).normalize() is Q.NullQuery
+
+
+def test_every_absorption():
+    q = Q.And([Q.Every(), Q.Term("data")]).normalize()
+    assert q == Q.Term("data")
+
+
+def test_query_time_analysis():
+    assert Q.Term("DATA").normalize() == Q.Term("data")
+    # multi-token term text behaves like implicit And (parser semantics)
+    q = Q.Term("big data").normalize()
+    assert isinstance(q, Q.And)
+
+
+def test_phrase_normalize_drops_stops():
+    q = Q.Phrase(["big", "the", "data"]).normalize()
+    assert isinstance(q, Q.Phrase) and list(q.words) == ["big", "data"]
+    assert Q.Phrase(["the"]).normalize() is Q.NullQuery
+    assert Q.Phrase(["Data"]).normalize() == Q.Term("data")
+
+
+def test_andnot_null_b():
+    q = Q.AndNot(Q.Term("data"), Q.Term("the")).normalize()
+    assert q == Q.Term("data")
+
+
+# ---------------------------------------------------------------------------
+# parser → expected query tree (reference tests/test_parsing.py style)
+# ---------------------------------------------------------------------------
+
+def test_parse_simple_word():
+    assert parse_query("Data") == Q.Term("data")
+
+
+def test_parse_implicit_and():
+    q = parse_query("big data")
+    assert isinstance(q, Q.And)
+    assert q.children == (Q.Term("big"), Q.Term("data"))
+
+
+def test_parse_or_and_precedence():
+    q = parse_query("big OR data AND query")
+    assert isinstance(q, Q.Or)
+
+
+def test_parse_phrase_with_slop():
+    q = parse_query('"big data"~2')
+    assert isinstance(q, Q.Phrase) and q.slop == 2
+
+
+def test_parse_not():
+    q = parse_query("data NOT vector")
+    assert isinstance(q, Q.And)
+    assert any(isinstance(c, Q.Not) for c in q.children)
+
+
+def test_parse_boost_prefix_fuzzy_range():
+    assert parse_query("data^2.5") == Q.Term("data", boost=2.5)
+    assert parse_query("quer*") == Q.Prefix("quer")
+    assert isinstance(parse_query("wi?ld"), Q.Wildcard)
+    f = parse_query("data~1")
+    assert isinstance(f, Q.Fuzzy) and f.maxdist == 1
+    r = parse_query("[da TO dz]")
+    assert isinstance(r, Q.TermRange) and r.incl_lo and r.incl_hi
+    r2 = parse_query("{da TO dz}")
+    assert not r2.incl_lo and not r2.incl_hi
+
+
+def test_parse_parens_and_field_strip():
+    q = parse_query("(big OR data) query")
+    assert isinstance(q, Q.And)
+    assert parse_query("text:data") == Q.Term("data")

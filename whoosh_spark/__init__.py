@@ -1,0 +1,11 @@
+"""whoosh_spark — a PySpark-native inverted-index build + BM25 query engine
+with the capabilities of Whoosh (sdelements/whoosh), re-expressed as columnar
+shuffle-based dataflow.  See SURVEY.md for the structural blueprint and
+README.md for architecture.
+"""
+
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.search import Searcher
+
+__all__ = ["InvertedIndex", "Searcher"]
+__version__ = "0.1.0"

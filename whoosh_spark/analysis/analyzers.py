@@ -1,0 +1,55 @@
+"""Pure-Python StandardAnalyzer-equivalent chain.
+
+Semantics (SURVEY.md §2.2, citing upstream whoosh
+``src/whoosh/analysis/analyzers.py::StandardAnalyzer (≈L110)``):
+
+    RegexTokenizer(r"\\w+(\\.?\\w+)*", re.UNICODE)
+      | LowercaseFilter            (CPython str.lower)
+      | StopFilter(STOP_WORDS, minsize=2)
+
+Load-bearing details:
+
+* **positions are the tokenizer match ordinals** — StopFilter removes tokens
+  WITHOUT renumbering, so position gaps remain (Phrase adjacency must respect
+  them; ``src/whoosh/analysis/filters.py::StopFilter ≈L260``).
+* lowercase happens BEFORE the stop/minsize check (chain order), and the
+  minsize test applies to the lowered text.
+* CPython ``re`` (Unicode ``\\w``) and CPython ``str.lower()`` are the
+  byte-identity contract (input_hint); the Spark UDF in ``udfs.py`` calls
+  THIS function per document so the two can never diverge.
+
+This module is also the analysis half of the pytest oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS, TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
+
+
+def tokenize_raw(text: str) -> list[str]:
+    """RegexTokenizer output only (no lowercase/stop) — match ordinal = index."""
+    if not text:
+        return []
+    return [m.group(0) for m in _TOKEN_RE.finditer(text)]
+
+
+def analyze_text(text: str) -> tuple[list[str], list[int]]:
+    """Full chain: returns (tokens, positions) with stop-gap position semantics.
+
+    ``len(tokens)`` is the document's field length (post-stop token count),
+    exactly what Whoosh writes per doc (SURVEY.md §2.3 field lengths).
+    """
+    if not text:
+        return [], []
+    tokens: list[str] = []
+    positions: list[int] = []
+    for pos, m in enumerate(_TOKEN_RE.finditer(text)):
+        t = m.group(0).lower()
+        if len(t) >= MIN_WORD_SIZE and t not in STOP_WORDS:
+            tokens.append(t)
+            positions.append(pos)
+    return tokens, positions

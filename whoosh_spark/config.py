@@ -1,0 +1,109 @@
+"""Engine-wide constants shared by the Spark engine, the pure-Python oracle,
+and the DuckDB oracle-SQL generator.
+
+Semantics follow the public Whoosh 2.7.x line (see SURVEY.md §2.2/§2.3/§2.6;
+reference paths cited there, e.g. ``src/whoosh/analysis/filters.py::STOP_WORDS``
+and ``src/whoosh/scoring.py::BM25F``). The reference checkout at
+/root/reference was empty, so these constants ARE the contract: every
+component (Spark build, query engine, pytest oracle, DuckDB SQL) derives from
+this single module so they can never drift apart.
+"""
+
+from __future__ import annotations
+
+import math
+
+# ---------------------------------------------------------------------------
+# Analysis chain (StandardAnalyzer = RegexTokenizer | Lowercase | Stop)
+# ---------------------------------------------------------------------------
+
+# Whoosh default_pattern: src/whoosh/analysis/tokenizers.py (≈L35)
+TOKEN_PATTERN = r"\w+(\.?\w+)*"
+# RE2 (DuckDB) cannot express backrefs but this pattern is RE2-safe once the
+# group is non-capturing; group 0 (the full match) is what we extract.
+TOKEN_PATTERN_RE2 = r"\w+(?:\.?\w+)*"
+
+# src/whoosh/analysis/filters.py::STOP_WORDS (≈L40) — includes the infamous
+# "tbd"; minsize=2 drops single-character tokens.
+STOP_WORDS = frozenset(
+    """a an and are as at be by can for from have if in is it may not of on
+    or tbd that the this to us we when will with yet you your""".split()
+)
+MIN_WORD_SIZE = 2
+
+# ---------------------------------------------------------------------------
+# Scoring (BM25F defaults — src/whoosh/scoring.py::BM25F ≈L140)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# ---------------------------------------------------------------------------
+# Posting blocks (src/whoosh/codec/whoosh3.py::W3PostingsWriter ≈L520)
+# ---------------------------------------------------------------------------
+
+BLOCK_SIZE = 128  # max postings per encoded block
+
+# Deterministic doc-range bucketing: a posting-build group is
+# (field, term, doc_id >> DOC_BUCKET_BITS).  Group size is bounded by the
+# bucket width regardless of term hotness, which is our skew/salting strategy
+# (north_rule: explicit hot-term handling), and block boundaries depend only
+# on doc ids so the build is invariant under input partitioning
+# (reference tests/test_mpwriter.py semantics).
+DOC_BUCKET_BITS = 12  # 4096 docs per bucket
+
+# ---------------------------------------------------------------------------
+# Field-length byte quantization (src/whoosh/util/numeric.py::length_to_byte
+# ≈L380).  Whoosh stores per-doc field lengths as a single byte on a log scale
+# and BM25 consumes the de-quantized value.  We reproduce the *scheme*
+# (log-scale byte code, max length 1486 pins byte 255) with a table
+# precomputed here in pure Python so that Spark (numpy searchsorted), the
+# Python oracle and DuckDB (embedded lookup) quantize identically with no
+# cross-engine float-rounding hazard.
+# ---------------------------------------------------------------------------
+
+_LEN_MAX = 1486
+
+
+def _length_to_byte_py(n: int) -> int:
+    if n <= 0:
+        return 0
+    if n >= _LEN_MAX:
+        return 255
+    return max(1, min(255, int(round(255.0 * math.log(n) / math.log(_LEN_MAX)))))
+
+
+def _byte_to_length_py(b: int) -> int:
+    if b <= 0:
+        return 0
+    return int(round(_LEN_MAX ** (b / 255.0)))
+
+
+# BYTE_TO_LENGTH[b] = de-quantized length for byte code b.
+BYTE_TO_LENGTH: tuple[int, ...] = tuple(_byte_to_length_py(b) for b in range(256))
+
+# LENGTH_BOUNDARIES[i] = smallest raw length whose byte code is >= i+1;
+# quantize(n) = BYTE_TO_LENGTH[bisect_right(LENGTH_BOUNDARIES, n)].
+_bytes_for_n = [_length_to_byte_py(n) for n in range(0, _LEN_MAX + 1)]
+LENGTH_BOUNDARIES: tuple[int, ...] = tuple(
+    next(n for n in range(1, _LEN_MAX + 1) if _bytes_for_n[n] >= b)
+    for b in range(1, 256)
+)
+del _bytes_for_n
+
+
+def length_to_byte(n: int) -> int:
+    """Raw token count → byte code 0..255 (pure-Python reference)."""
+    return _length_to_byte_py(int(n))
+
+
+def quantize_length(n: int) -> int:
+    """Raw token count → byte-quantized length as BM25 sees it."""
+    return BYTE_TO_LENGTH[_length_to_byte_py(int(n))]
+
+
+# ---------------------------------------------------------------------------
+# Default field name for the single-text-field corpus tables.
+# ---------------------------------------------------------------------------
+
+TEXT_FIELD = "text"

@@ -1,0 +1,252 @@
+"""Query AST → Spark dataflow (SURVEY.md §2.4/§2.5 Spark mappings).
+
+Every node evaluates to a ``(doc_id long, score double)`` DataFrame:
+
+    Term        filter+decode posting blocks → BM25 column expr
+    And         inner joins on doc_id (smallest estimated df first,
+                the And._matcher ≈L350 selectivity ordering), score=sum
+    Or          unionByName → groupBy(doc_id).sum, minmatch = HAVING cnt≥m
+    DisMax      groupBy max + tiebreak·(sum−max)
+    Not         all-docs anti-join child
+    AndNot      left anti;  AndMaybe  left outer;  Require  left semi
+    Phrase      positional join: per-word position arrays joined on doc_id,
+                adjacency folded via array_intersect/transform (JVM-side)
+    MultiTerm   (Prefix/Wildcard/Fuzzy/TermRange) driver-side expansion
+                against term_stats (LIMIT-guarded) → Or of Terms
+    Every/Filter/NumericRange   docs-table scans, constant score
+
+Boolean joins are left to Catalyst/AQE for physical strategy (broadcast vs
+shuffled hash); we contribute the selectivity ordering Catalyst cannot know
+(posting-list lengths live in term_stats).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_spark.execution.score import idf_value, score_postings
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.query import ast as Q
+
+
+def _glob_to_rlike(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(ch if ch.isalnum() else "\\" + ch)
+    return "^" + "".join(out) + "$"
+
+
+class Evaluator:
+    def __init__(self, ix: InvertedIndex):
+        self.ix = ix
+
+    # ------------------------------------------------------------------
+    def evaluate(self, q: Q.Query) -> DataFrame:
+        """Normalize, expand multi-terms, evaluate → (doc_id, score)."""
+        q = q.normalize()
+        q = self._expand(q)
+        if q is Q.NullQuery:
+            return self._empty()
+        terms = set(q.terms())
+        self._stats = self.ix.stats_for_terms(list(terms))
+        self._n, self._avgdl = self.ix.global_stats()
+        return self._eval(q)
+
+    def _empty(self) -> DataFrame:
+        return self.ix.spark.createDataFrame([], "doc_id long, score double")
+
+    # -- multi-term expansion (driver-side, term dict is term_stats) ----
+    def _expand(self, q: Q.Query) -> Q.Query:
+        if isinstance(q, Q.Prefix):
+            return self._or_terms(self.ix.expand_terms(F.col("term").startswith(q.text)), q.boost)
+        if isinstance(q, Q.Wildcard):
+            return self._or_terms(
+                self.ix.expand_terms(F.col("term").rlike(_glob_to_rlike(q.pattern))), q.boost)
+        if isinstance(q, Q.Fuzzy):
+            pred = F.levenshtein(F.col("term"), F.lit(q.text)) <= q.maxdist
+            if q.prefixlength:
+                pred = pred & F.col("term").startswith(q.text[: q.prefixlength])
+            return self._or_terms(self.ix.expand_terms(pred), q.boost)
+        if isinstance(q, Q.TermRange):
+            pred = F.lit(True)
+            if q.lo is not None:
+                pred = pred & (F.col("term") >= q.lo if q.incl_lo else F.col("term") > q.lo)
+            if q.hi is not None:
+                pred = pred & (F.col("term") <= q.hi if q.incl_hi else F.col("term") < q.hi)
+            return self._or_terms(self.ix.expand_terms(pred), q.boost)
+        for attr in ("children",):
+            if hasattr(q, attr):
+                kids = tuple(self._expand(c) for c in getattr(q, attr))
+                kids = tuple(k for k in kids if k is not Q.NullQuery)
+                if not kids:
+                    return Q.NullQuery
+                q = type(q)(kids, **{k: getattr(q, k) for k in ("boost", "minmatch", "tiebreak")
+                                     if hasattr(q, k)})
+        if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require)):
+            a, b = self._expand(q.a), self._expand(q.b)
+            if a is Q.NullQuery:
+                return Q.NullQuery
+            if b is Q.NullQuery:
+                return a
+            return type(q)(a, b, q.boost)
+        if isinstance(q, Q.Not):
+            c = self._expand(q.child)
+            return Q.NullQuery if c is Q.NullQuery else Q.Not(c, q.boost)
+        return q
+
+    def _or_terms(self, terms: list[str], boost: float) -> Q.Query:
+        if not terms:
+            return Q.NullQuery
+        if len(terms) == 1:
+            return Q.Term(terms[0], boost)
+        return Q.Or([Q.Term(t) for t in terms], boost=boost)
+
+    # -- selectivity estimates (estimate_size analog, qcore.py ≈L260) ---
+    def _estimate(self, q: Q.Query) -> int:
+        if isinstance(q, Q.Term):
+            return self._stats.get(q.text, {"df": 0})["df"]
+        if isinstance(q, Q.Phrase):
+            return min((self._stats.get(w, {"df": 0})["df"] for w in q.words), default=0)
+        if isinstance(q, Q.And):
+            return min(self._estimate(c) for c in q.children)
+        if isinstance(q, (Q.Or, Q.DisMax)):
+            return sum(self._estimate(c) for c in q.children)
+        if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require)):
+            return self._estimate(q.a)
+        return self._n
+
+    # -- node dispatch ---------------------------------------------------
+    def _eval(self, q: Q.Query) -> DataFrame:
+        if q is Q.NullQuery:
+            return self._empty()
+        name = type(q).__name__
+        return getattr(self, f"_eval_{name.lower()}")(q)
+
+    def _scored_terms(self, terms: list[str]) -> DataFrame:
+        """Decode + BM25-score postings for a set of exact terms (one scan)."""
+        present = [t for t in set(terms) if t in self._stats]
+        if not present:
+            return self.ix.spark.createDataFrame([], "term string, doc_id long, score double")
+        idf_map = {t: idf_value(self._n, self._stats[t]["df"]) for t in present}
+        posts = self.ix.postings(present)
+        return score_postings(posts, idf_map, self._avgdl).select("term", "doc_id", "score")
+
+    def _eval_term(self, q: Q.Term) -> DataFrame:
+        df = self._scored_terms([q.text]).select("doc_id", "score")
+        if q.boost != 1.0:
+            df = df.withColumn("score", F.col("score") * q.boost)
+        return df
+
+    def _eval_and(self, q: Q.And) -> DataFrame:
+        kids = sorted(q.children, key=self._estimate)
+        dfs = [self._eval(c).withColumnRenamed("score", f"_s{i}") for i, c in enumerate(kids)]
+        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), dfs)
+        total = reduce(lambda a, b: a + b, [F.col(f"_s{i}") for i in range(len(dfs))])
+        return joined.select("doc_id", (total * q.boost).alias("score"))
+
+    def _eval_or(self, q: Q.Or) -> DataFrame:
+        dfs = [self._eval(c) for c in q.children]
+        u = reduce(lambda a, b: a.unionByName(b), dfs)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.count("*").alias("_m"))
+        if q.minmatch > 1:
+            agg = agg.where(F.col("_m") >= q.minmatch)
+        return agg.select("doc_id", (F.col("score") * q.boost).alias("score"))
+
+    def _eval_dismax(self, q: Q.DisMax) -> DataFrame:
+        dfs = [self._eval(c) for c in q.children]
+        u = reduce(lambda a, b: a.unionByName(b), dfs)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+        score = (F.col("_mx") + q.tiebreak * (F.col("_sm") - F.col("_mx"))) * q.boost
+        return agg.select("doc_id", score.alias("score"))
+
+    def _eval_not(self, q: Q.Not) -> DataFrame:
+        child = self._eval(q.child).select("doc_id")
+        return (
+            self.ix.all_doc_ids()
+            .join(child, "doc_id", "left_anti")
+            .select("doc_id", (F.lit(1.0) * q.boost).alias("score"))
+        )
+
+    def _eval_andnot(self, q: Q.AndNot) -> DataFrame:
+        a = self._eval(q.a)
+        b = self._eval(q.b).select("doc_id")
+        out = a.join(b, "doc_id", "left_anti")
+        return out.select("doc_id", (F.col("score") * q.boost).alias("score"))
+
+    def _eval_andmaybe(self, q: Q.AndMaybe) -> DataFrame:
+        a = self._eval(q.a)
+        b = self._eval(q.b).withColumnRenamed("score", "_bs")
+        out = a.join(b, "doc_id", "left")
+        score = (F.col("score") + F.coalesce(F.col("_bs"), F.lit(0.0))) * q.boost
+        return out.select("doc_id", score.alias("score"))
+
+    def _eval_require(self, q: Q.Require) -> DataFrame:
+        a = self._eval(q.a)
+        b = self._eval(q.b).select("doc_id")
+        out = a.join(b, "doc_id", "left_semi")
+        return out.select("doc_id", (F.col("score") * q.boost).alias("score"))
+
+    def _eval_every(self, q: Q.Every) -> DataFrame:
+        return self.ix.all_doc_ids().select(
+            "doc_id", (F.lit(1.0) * q.boost).alias("score"))
+
+    def _eval_filter(self, q: Q.Filter) -> DataFrame:
+        return (
+            self.ix.docs.where(F.expr(q.predicate))
+            .select("doc_id", (F.lit(1.0) * q.boost).alias("score"))
+        )
+
+    def _eval_numericrange(self, q: Q.NumericRange) -> DataFrame:
+        c = F.col(q.column)
+        pred = F.lit(True)
+        if q.lo is not None:
+            pred = pred & (c >= q.lo if q.incl_lo else c > q.lo)
+        if q.hi is not None:
+            pred = pred & (c <= q.hi if q.incl_hi else c < q.hi)
+        return self.ix.docs.where(pred).select(
+            "doc_id", (F.lit(1.0) * q.boost).alias("score"))
+
+    # -- Phrase: positional join (SURVEY.md §2.4 Phrase row) -------------
+    def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
+        words = list(q.words)
+        uniq = sorted(set(words))
+        if any(w not in self._stats for w in uniq):
+            return self._empty()
+        pos = self.ix.postings(uniq, with_positions=True).select("term", "doc_id", "positions")
+        # one (doc_id, p_i) frame per phrase slot, joined smallest-df-first
+        slot_dfs = []
+        for i, w in enumerate(words):
+            slot_dfs.append(
+                (self._stats[w]["df"], i,
+                 pos.where(F.col("term") == w).select("doc_id", F.col("positions").alias(f"_p{i}")))
+            )
+        ordered = sorted(slot_dfs, key=lambda t: t[0])
+        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), [d for _, _, d in ordered])
+        # adjacency fold in phrase order: C_{i+1} = (C_i ⊕ [1..slop]) ∩ P_{i+1}
+        cur = F.col("_p0")
+        for i in range(1, len(words)):
+            if q.slop <= 1:
+                cand = F.transform(cur, lambda c: c + 1)
+            else:
+                cand = F.flatten(F.transform(cur, lambda c: F.sequence(c + 1, c + q.slop)))
+            cur = F.array_intersect(cand, F.col(f"_p{i}"))
+        matched = joined.where(F.size(cur) > 0).select("doc_id")
+        # score = sum of constituent term BM25 over matching docs (And semantics)
+        scored = (
+            self._scored_terms(uniq)
+            .groupBy("doc_id").agg(F.sum("score").alias("score"))
+            .join(matched, "doc_id", "left_semi")
+        )
+        if q.boost != 1.0:
+            scored = scored.withColumn("score", F.col("score") * q.boost)
+        return scored

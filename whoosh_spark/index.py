@@ -1,0 +1,161 @@
+"""InvertedIndex: the queryable handle over the four index tables.
+
+Tables (FIXTURES.md "Derived index tables"):
+  blocks      — encoded posting blocks (codec.BLOCKS_SCHEMA), sorted by term
+  term_stats  — (field, term, df, cf, max_weight, min_id, max_id)
+  field_stats — (field, doc_count, total_len, min_len, max_len)
+  doc_lengths — (doc_id, len_raw, dl)
+  docs        — caller's stored-fields table (doc_id + stored columns)
+
+Read path per SURVEY.md §3.3: term lookups are predicate-pushdown filters on
+the blocks table (persisted sorted by (field, term) ⇒ parquet row-group
+pruning); stats lookups are driver-side collects of a handful of rows.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whoosh_spark import build as B
+from whoosh_spark.codec.blocks import decode_blocks_pdf
+from whoosh_spark.config import TEXT_FIELD
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.DoubleType()),
+        T.StructField("dl", T.LongType()),
+    ]
+)
+_DECODE_POS_SCHEMA = T.StructType(
+    _DECODE_SCHEMA.fields + [T.StructField("positions", T.ArrayType(T.LongType()))]
+)
+
+
+class InvertedIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        blocks: DataFrame,
+        term_stats: DataFrame,
+        field_stats: DataFrame,
+        doc_lengths: DataFrame,
+        docs: DataFrame | None = None,
+        field: str = TEXT_FIELD,
+    ):
+        self.spark = spark
+        self.blocks = blocks
+        self.term_stats = term_stats
+        self.field_stats = field_stats
+        self.doc_lengths = doc_lengths
+        self.docs = docs
+        self.field = field
+        self._global = None  # (N, avgdl) cache
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        field: str = TEXT_FIELD,
+        cache: bool = True,
+    ) -> "InvertedIndex":
+        analyzed = B.analyzed_docs(docs, id_col, text_col)
+        lengths = B.doc_lengths(analyzed)
+        postings = B.flat_postings(analyzed, field)
+        if cache:
+            postings = postings.cache()
+        blocks = B.posting_blocks(postings)
+        tstats = B.term_stats(postings)
+        fstats = B.field_stats(lengths, field)
+        ix = cls(
+            docs.sparkSession,
+            blocks.cache() if cache else blocks,
+            tstats.cache() if cache else tstats,
+            fstats,
+            lengths.cache() if cache else lengths,
+            docs=docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs,
+            field=field,
+        )
+        ix._flat_postings = postings  # kept for build-invariance tests
+        return ix
+
+    # ------------------------------------------------------------------
+    def global_stats(self) -> tuple[int, float]:
+        """(N, avgdl) — collected once, O(1) rows."""
+        if self._global is None:
+            row = self.field_stats.collect()[0]
+            n = int(row["doc_count"])
+            avgdl = (row["total_len"] / n) if n else 0.0
+            self._global = (n, float(avgdl))
+        return self._global
+
+    def stats_for_terms(self, terms: list[str]) -> dict[str, dict]:
+        """term -> {df, cf, max_weight} for the query's terms (tiny collect)."""
+        if not terms:
+            return {}
+        rows = (
+            self.term_stats.where(
+                (F.col("field") == self.field) & F.col("term").isin(list(set(terms)))
+            )
+            .select("term", "df", "cf", "max_weight")
+            .collect()
+        )
+        return {r["term"]: {"df": int(r["df"]), "cf": int(r["cf"]), "max_weight": float(r["max_weight"])} for r in rows}
+
+    def expand_terms(self, predicate: Column, limit: int = 1024) -> list[str]:
+        """MultiTerm expansion against the term dictionary with a guard LIMIT
+        (``src/whoosh/query/terms.py::MultiTerm.matcher ≈L180``)."""
+        rows = (
+            self.term_stats.where((F.col("field") == self.field) & predicate)
+            .select("term")
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(rows) > limit:
+            raise ValueError(f"term expansion exceeds limit={limit}")
+        return sorted(r["term"] for r in rows)
+
+    # ------------------------------------------------------------------
+    def postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        """Decode posting blocks for the given terms → flat postings DF.
+
+        The term filter is applied on the blocks table BEFORE decode (pushed
+        to the parquet scan when the index is loaded from disk).
+        """
+        blk = self.blocks.where(
+            (F.col("field") == self.field) & F.col("term").isin(list(set(terms)))
+        )
+        return self._decode(blk, with_positions)
+
+    def postings_where(self, block_pred: Column, with_positions: bool = False) -> DataFrame:
+        blk = self.blocks.where((F.col("field") == self.field) & block_pred)
+        return self._decode(blk, with_positions)
+
+    def _decode(self, blk: DataFrame, with_positions: bool) -> DataFrame:
+        schema = _DECODE_POS_SCHEMA if with_positions else _DECODE_SCHEMA
+
+        def dec(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield decode_blocks_pdf(pdf, want_positions=with_positions)
+
+        return blk.mapInPandas(dec, schema=schema)
+
+    # ------------------------------------------------------------------
+    def all_doc_ids(self) -> DataFrame:
+        return self.doc_lengths.select("doc_id")
+
+    def idf(self, df: int) -> float:
+        """Whoosh idf: log(N/(df+1)) + 1 (``src/whoosh/scoring.py ≈L70``)."""
+        n, _ = self.global_stats()
+        return math.log(n / (df + 1)) + 1.0

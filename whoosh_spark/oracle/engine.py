@@ -1,0 +1,201 @@
+"""Pure-Python mini-index + BM25 oracle (SURVEY.md §5 item 2).
+
+A few hundred lines implementing the SAME semantics as the Spark engine —
+analysis chain, quantized lengths, BM25 (idf = ln(N/(df+1))+1), boolean
+algebra, stop-gap phrase positions, tie-break (score DESC, doc_id ASC) —
+entirely with dicts and floats, independent of Spark.  Tests assert
+rank-identity (doc ids AND float64 scores) between the two.
+
+The reference checkout at /root/reference was empty (see SURVEY provenance
+caveat), so this oracle — derived from the published Whoosh 2.7.x formulas —
+is the executable ground truth; if a real Whoosh checkout ever appears,
+swap it in here.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from whoosh_spark.analysis.analyzers import analyze_text
+from whoosh_spark.config import BM25_B, BM25_K1, quantize_length
+from whoosh_spark.query import ast as Q
+
+
+class PyIndex:
+    def __init__(self, docs: list[tuple[int, str]], stored: dict[int, dict] | None = None):
+        """docs: [(doc_id, text)]; stored: optional doc_id -> stored fields."""
+        self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        self.len_raw: dict[int, int] = {}
+        self.dl: dict[int, int] = {}
+        self.stored = stored or {}
+        for doc_id, text in docs:
+            toks, poss = analyze_text(text or "")
+            self.len_raw[doc_id] = len(toks)
+            self.dl[doc_id] = quantize_length(len(toks))
+            for t, p in zip(toks, poss):
+                self.postings[t].setdefault(doc_id, []).append(p)
+        self.n = len(self.len_raw)
+        total = sum(self.len_raw.values())
+        self.avgdl = total / self.n if self.n else 0.0
+
+    # ------------------------------------------------------------------
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def idf(self, term: str) -> float:
+        return math.log(self.n / (self.df(term) + 1)) + 1.0
+
+    def bm25(self, term: str, doc_id: int) -> float:
+        tf = float(len(self.postings[term][doc_id]))
+        dl = float(self.dl[doc_id])
+        comp = (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
+        )
+        return self.idf(term) * comp
+
+    # ------------------------------------------------------------------
+    def eval(self, q: Q.Query) -> dict[int, float]:
+        q = q.normalize()
+        return self._eval(q)
+
+    def _eval(self, q: Q.Query) -> dict[int, float]:
+        if q is Q.NullQuery:
+            return {}
+        m = getattr(self, f"_eval_{type(q).__name__.lower()}")
+        return m(q)
+
+    def _eval_term(self, q: Q.Term) -> dict[int, float]:
+        if q.text not in self.postings:
+            return {}
+        return {d: self.bm25(q.text, d) * q.boost for d in self.postings[q.text]}
+
+    def _eval_and(self, q: Q.And) -> dict[int, float]:
+        sets = [self._eval(c) for c in q.children]
+        common = set(sets[0])
+        for s in sets[1:]:
+            common &= set(s)
+        return {d: sum(s[d] for s in sets) * q.boost for d in common}
+
+    def _eval_or(self, q: Q.Or) -> dict[int, float]:
+        acc: dict[int, float] = defaultdict(float)
+        cnt: dict[int, int] = defaultdict(int)
+        for c in q.children:
+            for d, s in self._eval(c).items():
+                acc[d] += s
+                cnt[d] += 1
+        mm = max(1, q.minmatch)
+        return {d: s * q.boost for d, s in acc.items() if cnt[d] >= mm}
+
+    def _eval_dismax(self, q: Q.DisMax) -> dict[int, float]:
+        per: dict[int, list[float]] = defaultdict(list)
+        for c in q.children:
+            for d, s in self._eval(c).items():
+                per[d].append(s)
+        return {
+            d: (max(v) + q.tiebreak * (sum(v) - max(v))) * q.boost for d, v in per.items()
+        }
+
+    def _eval_not(self, q: Q.Not) -> dict[int, float]:
+        inner = set(self._eval(q.child))
+        return {d: 1.0 * q.boost for d in self.len_raw if d not in inner}
+
+    def _eval_andnot(self, q: Q.AndNot) -> dict[int, float]:
+        a = self._eval(q.a)
+        b = set(self._eval(q.b))
+        return {d: s * q.boost for d, s in a.items() if d not in b}
+
+    def _eval_andmaybe(self, q: Q.AndMaybe) -> dict[int, float]:
+        a = self._eval(q.a)
+        b = self._eval(q.b)
+        return {d: (s + b.get(d, 0.0)) * q.boost for d, s in a.items()}
+
+    def _eval_require(self, q: Q.Require) -> dict[int, float]:
+        a = self._eval(q.a)
+        b = set(self._eval(q.b))
+        return {d: s * q.boost for d, s in a.items() if d in b}
+
+    def _eval_every(self, q: Q.Every) -> dict[int, float]:
+        return {d: 1.0 * q.boost for d in self.len_raw}
+
+    def _eval_phrase(self, q: Q.Phrase) -> dict[int, float]:
+        words = list(q.words)
+        if any(w not in self.postings for w in set(words)):
+            return {}
+        docs = set(self.postings[words[0]])
+        for w in words[1:]:
+            docs &= set(self.postings[w])
+        out: dict[int, float] = {}
+        for d in docs:
+            cur = set(self.postings[words[0]][d])
+            for w in words[1:]:
+                nxt = set(self.postings[w][d])
+                cur = {p for c in cur for p in range(c + 1, c + q.slop + 1) if p in nxt}
+                if not cur:
+                    break
+            if cur:
+                out[d] = sum(self.bm25(w, d) for w in sorted(set(words))) * q.boost
+        return out
+
+    def _eval_prefix(self, q: Q.Prefix) -> dict[int, float]:
+        terms = sorted(t for t in self.postings if t.startswith(q.text))
+        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
+
+    def _eval_wildcard(self, q: Q.Wildcard) -> dict[int, float]:
+        import fnmatch
+
+        terms = sorted(t for t in self.postings if fnmatch.fnmatchcase(t, q.pattern))
+        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
+
+    def _eval_fuzzy(self, q: Q.Fuzzy) -> dict[int, float]:
+        terms = sorted(
+            t
+            for t in self.postings
+            if t.startswith(q.text[: q.prefixlength]) and _lev(t, q.text) <= q.maxdist
+        )
+        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
+
+    def _eval_termrange(self, q: Q.TermRange) -> dict[int, float]:
+        def ok(t: str) -> bool:
+            if q.lo is not None and (t < q.lo or (t == q.lo and not q.incl_lo)):
+                return False
+            if q.hi is not None and (t > q.hi or (t == q.hi and not q.incl_hi)):
+                return False
+            return True
+
+        terms = sorted(t for t in self.postings if ok(t))
+        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
+
+    def _eval_filter(self, q: Q.Filter) -> dict[int, float]:
+        raise NotImplementedError("PyIndex.eval(Filter) — use stored-field predicates in tests")
+
+    def _eval_numericrange(self, q: Q.NumericRange) -> dict[int, float]:
+        out = {}
+        for d, fields in self.stored.items():
+            v = fields.get(q.column)
+            if v is None:
+                continue
+            if q.lo is not None and (v < q.lo or (v == q.lo and not q.incl_lo)):
+                continue
+            if q.hi is not None and (v > q.hi or (v == q.hi and not q.incl_hi)):
+                continue
+            out[d] = 1.0 * q.boost
+        return out
+
+    # ------------------------------------------------------------------
+    def search(self, q: Q.Query, limit: int = 10) -> list[tuple[int, float]]:
+        scores = self.eval(q)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:limit] if limit is not None else ranked
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -1,0 +1,274 @@
+"""DuckDB oracle-SQL generator for the driver correctness gate.
+
+Each SQL string reimplements the full pipeline — tokenize (RE2 regex),
+lowercase, stop/minsize filter, tf/df aggregation, byte-quantized lengths
+(embedded 256-bucket lookup from config — no cross-engine float rounding),
+BM25 with the exact operation order of execution/score.py — over the shared
+``documents`` parquet view, then the query-specific dataflow.
+
+Scores are rounded to 6 dp in BOTH engines; the unrounded float64 pipelines
+are operation-order-identical so rank and rounded values agree.
+"""
+
+from __future__ import annotations
+
+from whoosh_spark.config import (
+    BM25_B,
+    BM25_K1,
+    BYTE_TO_LENGTH,
+    LENGTH_BOUNDARIES,
+    STOP_WORDS,
+    TOKEN_PATTERN_RE2,
+)
+
+_STOPS = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+
+def _quant_values() -> str:
+    """(lo, hi, qlen) rows covering every raw length, from the shared table."""
+    bounds = list(LENGTH_BOUNDARIES)
+    rows = []
+    for code in range(256):
+        lo = 0 if code == 0 else bounds[code - 1]
+        hi = (bounds[code] - 1) if code < 255 else 9_223_372_036_854_775_807
+        if lo <= hi:
+            rows.append(f"({lo},{hi},{BYTE_TO_LENGTH[code]})")
+    return ",".join(rows)
+
+
+def base_ctes(extra: str = "") -> str:
+    """Shared CTE prefix: tokf (analyzed tokens w/ stop-gap positions),
+    dlq (quantized lengths), nn/ad (N, avgdl), tfs/dfs, sc (scored postings)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lower(toks[i]) AS term, i - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2}') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+tokf AS (
+  SELECT * FROM tok WHERE length(term) >= 2 AND term NOT IN ({_STOPS})
+),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len_raw
+  FROM documents d LEFT JOIN tokf t USING (doc_id) GROUP BY d.doc_id
+),
+quant(lo, hi, qlen) AS (SELECT * FROM (VALUES {_quant_values()}) v(lo, hi, qlen)),
+dlq AS (
+  SELECT dl.doc_id, dl.len_raw, q.qlen::DOUBLE AS dl
+  FROM dl JOIN quant q ON dl.len_raw BETWEEN q.lo AND q.hi
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ad AS (SELECT sum(len_raw)::DOUBLE / count(*) AS avgdl FROM dl),
+tfs AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokf GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id, t.term,
+         (ln((SELECT n FROM nn) / (d.df + 1)) + 1)
+         * ((t.tf * ({BM25_K1} + 1.0))
+            / (t.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * q.dl / (SELECT avgdl FROM ad)))) AS score
+  FROM tfs t JOIN dfs d USING (term) JOIN dlq q USING (doc_id)
+){"," if extra else ""}{extra}
+"""
+
+
+def _terms_in(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def topk(inner_select: str, k: int = 10) -> str:
+    return (
+        f"SELECT doc_id, round(score, 6) AS score FROM ({inner_select}) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def term_sql(term: str, k: int = 10) -> str:
+    return base_ctes() + topk(f"SELECT doc_id, score FROM sc WHERE term = '{term}'", k)
+
+
+def and_sql(terms: list[str], k: int = 10) -> str:
+    """Inner join of children; sum in ascending-df order (engine join order).
+    Two-term sums are FP-commutative so order only matters for 3+ terms."""
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc WHERE term IN ({_terms_in(terms)}) "
+        f"GROUP BY doc_id HAVING count(*) = {len(set(terms))}"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def or_sql(terms: list[str], minmatch: int = 0, k: int = 10) -> str:
+    having = f"HAVING count(*) >= {minmatch}" if minmatch > 1 else ""
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc WHERE term IN ({_terms_in(terms)}) "
+        f"GROUP BY doc_id {having}"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def andnot_sql(a: str, b: str, k: int = 10) -> str:
+    sel = (
+        f"SELECT doc_id, score FROM sc WHERE term = '{a}' AND doc_id NOT IN "
+        f"(SELECT doc_id FROM sc WHERE term = '{b}')"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def andmaybe_sql(a: str, b: str, k: int = 10) -> str:
+    sel = f"""
+      SELECT x.doc_id, x.score + coalesce(y.score, 0.0) AS score
+      FROM (SELECT doc_id, score FROM sc WHERE term = '{a}') x
+      LEFT JOIN (SELECT doc_id, score FROM sc WHERE term = '{b}') y USING (doc_id)
+    """
+    return base_ctes() + topk(sel, k)
+
+
+def dismax_sql(terms: list[str], tiebreak: float, k: int = 10) -> str:
+    sel = (
+        f"SELECT doc_id, max(score) + {tiebreak} * (sum(score) - max(score)) AS score "
+        f"FROM sc WHERE term IN ({_terms_in(terms)}) GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def phrase_sql(words: list[str], slop: int = 1, k: int = 10) -> str:
+    """Consecutive-position join (gap in [1, slop] per step), scored as the
+    sum of constituent term scores (engine Phrase semantics)."""
+    joins = []
+    for i in range(len(words)):
+        joins.append(f"(SELECT doc_id, pos FROM tokf WHERE term = '{words[i]}') p{i}")
+    cond = []
+    for i in range(1, len(words)):
+        cond.append(
+            f"p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i-1}.pos AND p{i}.pos <= p{i-1}.pos + {slop}"
+        )
+    match = (
+        "pm AS (SELECT DISTINCT p0.doc_id FROM "
+        + " , ".join(joins)
+        + " WHERE "
+        + " AND ".join(cond)
+        + ")"
+    )
+    uniq = sorted(set(words))
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ({_terms_in(uniq)}) GROUP BY s.doc_id"
+    )
+    return base_ctes(match) + topk(sel, k)
+
+
+def prefix_sql(prefix: str, k: int = 10) -> str:
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc WHERE term LIKE '{prefix}%' "
+        f"GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def term_range_sql(lo: str, hi: str, k: int = 10) -> str:
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc "
+        f"WHERE term >= '{lo}' AND term <= '{hi}' GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def wildcard_sql(like_pattern: str, k: int = 10) -> str:
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc WHERE term LIKE '{like_pattern}' "
+        f"GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def fuzzy_sql(word: str, maxdist: int, prefixlength: int, k: int = 10) -> str:
+    sel = f"""
+      SELECT doc_id, sum(score) AS score FROM sc
+      WHERE term IN (SELECT term FROM dfs
+                     WHERE levenshtein(term, '{word}') <= {maxdist}
+                       AND term LIKE '{word[:prefixlength]}%')
+      GROUP BY doc_id
+    """
+    return base_ctes() + topk(sel, k)
+
+
+def filtered_and_sql(terms: list[str], pred: str, k: int = 10) -> str:
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc WHERE term IN ({_terms_in(terms)}) "
+        f"AND doc_id IN (SELECT doc_id FROM documents WHERE {pred}) "
+        f"GROUP BY doc_id HAVING count(*) = {len(set(terms))}"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def facet_count_sql(term: str, facet: str) -> str:
+    return base_ctes() + f"""
+      SELECT d.{facet} AS {facet}, count(*)::BIGINT AS n
+      FROM sc JOIN documents d USING (doc_id)
+      WHERE sc.term = '{term}' GROUP BY d.{facet}
+    """
+
+
+def collapse_sql(term: str, key: str, k: int = 10) -> str:
+    sel = f"""
+      SELECT doc_id, score FROM (
+        SELECT sc.doc_id, sc.score,
+               row_number() OVER (PARTITION BY d.{key}
+                                  ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+        FROM sc JOIN documents d USING (doc_id) WHERE sc.term = '{term}') t
+      WHERE rn <= 1
+    """
+    return base_ctes() + topk(sel, k)
+
+
+def sortedby_sql(term: str, col: str, k: int = 10) -> str:
+    return base_ctes() + f"""
+      SELECT sc.doc_id AS doc_id, d.{col} AS {col}
+      FROM sc JOIN documents d USING (doc_id)
+      WHERE sc.term = '{term}'
+      ORDER BY d.{col} ASC, sc.doc_id ASC LIMIT {k}
+    """
+
+
+def term_stats_sql(top: int = 20) -> str:
+    return base_ctes() + f"""
+      SELECT t.term AS term, count(*)::BIGINT AS df, sum(t.tf)::BIGINT AS cf,
+             max(t.tf)::DOUBLE AS max_weight
+      FROM tfs t GROUP BY t.term
+      ORDER BY cf DESC, term ASC LIMIT {top}
+    """
+
+
+def field_stats_sql() -> str:
+    return base_ctes() + """
+      SELECT count(*)::BIGINT AS doc_count, sum(len_raw)::BIGINT AS total_len,
+             min(len_raw)::INT AS min_len, max(len_raw)::INT AS max_len
+      FROM dl
+    """
+
+
+def doc_lengths_sql(limit: int = 100) -> str:
+    return base_ctes() + f"""
+      SELECT doc_id, len_raw::INT AS len_raw, dl::INT AS dl FROM dlq
+      ORDER BY doc_id LIMIT {limit}
+    """
+
+
+def spelling_sql(word: str, maxdist: int = 2, top: int = 3) -> str:
+    return base_ctes() + f"""
+      SELECT t.term AS term FROM
+        (SELECT term, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term) t
+      WHERE levenshtein(t.term, '{word}') <= {maxdist} AND t.term LIKE '{word[:1]}%'
+      ORDER BY t.cf DESC, t.term ASC LIMIT {top}
+    """
+
+
+def key_terms_sql(doc_ids: list[int], top: int = 5) -> str:
+    ids = ", ".join(str(d) for d in doc_ids)
+    return base_ctes() + f"""
+      SELECT t.term AS term,
+             round(sum(t.tf) * (ln((SELECT n FROM nn) / (d.df + 1)) + 1), 6) AS keyness
+      FROM tfs t JOIN dfs d USING (term)
+      WHERE t.doc_id IN ({ids})
+      GROUP BY t.term, d.df
+      ORDER BY keyness DESC, term ASC LIMIT {top}
+    """

@@ -1,0 +1,27 @@
+from whoosh_spark.query.ast import (
+    And,
+    AndMaybe,
+    AndNot,
+    DisMax,
+    Every,
+    Filter,
+    Fuzzy,
+    Not,
+    NullQuery,
+    NumericRange,
+    Or,
+    Phrase,
+    Prefix,
+    Query,
+    Require,
+    Term,
+    TermRange,
+    Wildcard,
+)
+from whoosh_spark.query.parser import parse_query
+
+__all__ = [
+    "And", "AndMaybe", "AndNot", "DisMax", "Every", "Filter", "Fuzzy", "Not",
+    "NullQuery", "NumericRange", "Or", "Phrase", "Prefix", "Query", "Require",
+    "Term", "TermRange", "Wildcard", "parse_query",
+]

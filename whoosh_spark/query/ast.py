@@ -1,0 +1,359 @@
+"""Query AST mirroring Whoosh's query algebra (SURVEY.md §2.4).
+
+Each class documents its Whoosh counterpart
+(``src/whoosh/query/*.py``, ≈ line anchors per SURVEY provenance caveat) and
+its Spark dataflow mapping.  ``normalize()`` reproduces
+``qcore.py::Query.normalize (≈L300)`` / ``compound.py::CompoundQuery.normalize
+(≈L120)``: flatten same-class nesting, dedupe children, drop NullQuery,
+unwrap single children, Every absorption.
+
+Scoring conventions (single ``text`` field engine):
+* Term score  = BM25 (config.K1/B, quantized dl) × ``boost``.
+* And/Or      = sum of child scores; DisMax = max + tiebreak·rest.
+* Phrase      = matches docs where the analyzed words occur at consecutive
+  tokenizer positions (gap ≤ slop, default 1 — stop-gap semantics: a removed
+  stopword leaves a hole that defeats slop=1); score = sum of the constituent
+  term scores over matching docs (And semantics).
+* MultiTerm (Prefix/Wildcard/Fuzzy/TermRange) = Or over expanded terms.
+* Every / Filter / NumericRange = constant score 1.0 × boost.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from whoosh_spark.analysis.analyzers import analyze_text
+
+
+class Query:
+    boost: float = 1.0
+
+    def normalize(self) -> "Query":
+        return self
+
+    def terms(self) -> list[str]:
+        """Exact leaf term texts needed to evaluate this query (post-analysis)."""
+        return []
+
+    def phrase_terms(self) -> list[str]:
+        return []
+
+
+class _Null(Query):
+    def __repr__(self):
+        return "NullQuery"
+
+
+NullQuery = _Null()
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    """``src/whoosh/query/terms.py::Term (≈L40)`` → filter+decode on blocks."""
+
+    text: str
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        toks, _ = analyze_text(self.text)
+        if not toks:
+            return NullQuery
+        if len(toks) == 1:
+            return self if toks[0] == self.text else replace(self, text=toks[0])
+        # multi-token input behaves like the parser: implicit And
+        return And([Term(t, self.boost) for t in toks]).normalize()
+
+    def terms(self):
+        return [self.text]
+
+
+def _norm_compound(cls, children, **kw):
+    flat: list[Query] = []
+    for c in children:
+        c = c.normalize()
+        if c is NullQuery:
+            continue
+        if isinstance(c, cls) and type(c) is cls and c.boost == 1.0 and not kw.get("keep_nested"):
+            flat.extend(c.children)
+        else:
+            flat.append(c)
+    seen, out = set(), []
+    for c in flat:
+        k = repr(c)
+        if k not in seen:
+            seen.add(k)
+            out.append(c)
+    return out
+
+
+@dataclass(frozen=True)
+class And(Query):
+    """``compound.py::And (≈L330)`` → n-way inner join on doc_id, score=sum;
+    children joined smallest-estimated-df first (And._matcher ≈L350)."""
+
+    children: tuple
+    boost: float = 1.0
+
+    def __init__(self, children, boost=1.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        out = _norm_compound(And, self.children)
+        evs = [c for c in out if isinstance(c, Every)]
+        if evs and len(out) > len(evs):  # Every absorption inside And
+            out = [c for c in out if not isinstance(c, Every)]
+        if not out:
+            return NullQuery
+        if len(out) == 1 and self.boost == 1.0:
+            return out[0]
+        return And(out, self.boost)
+
+    def terms(self):
+        return [t for c in self.children for t in c.terms()]
+
+    def phrase_terms(self):
+        return [t for c in self.children for t in c.phrase_terms()]
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    """``compound.py::Or (≈L380)`` → union + groupBy(doc_id).sum;
+    minmatch → HAVING count >= m."""
+
+    children: tuple
+    boost: float = 1.0
+    minmatch: int = 0
+
+    def __init__(self, children, boost=1.0, minmatch=0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "minmatch", minmatch)
+
+    def normalize(self) -> Query:
+        out = _norm_compound(Or, self.children, keep_nested=self.minmatch > 0)
+        if not out:
+            return NullQuery
+        if len(out) == 1 and self.boost == 1.0 and self.minmatch <= 1:
+            return out[0]
+        return Or(out, self.boost, self.minmatch)
+
+    def terms(self):
+        return [t for c in self.children for t in c.terms()]
+
+    def phrase_terms(self):
+        return [t for c in self.children for t in c.phrase_terms()]
+
+
+@dataclass(frozen=True)
+class DisMax(Query):
+    """``compound.py::DisjunctionMax (≈L560)`` → groupBy max + tiebreak·(sum−max)."""
+
+    children: tuple
+    boost: float = 1.0
+    tiebreak: float = 0.0
+
+    def __init__(self, children, boost=1.0, tiebreak=0.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "tiebreak", tiebreak)
+
+    def normalize(self) -> Query:
+        out = [c.normalize() for c in self.children]
+        out = [c for c in out if c is not NullQuery]
+        if not out:
+            return NullQuery
+        if len(out) == 1 and self.boost == 1.0:
+            return out[0]
+        return DisMax(out, self.boost, self.tiebreak)
+
+    def terms(self):
+        return [t for c in self.children for t in c.terms()]
+
+    def phrase_terms(self):
+        return [t for c in self.children for t in c.phrase_terms()]
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    """``wrappers.py::Not (≈L60)`` → Every anti-join child."""
+
+    child: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if c is NullQuery:
+            return NullQuery
+        return Not(c, self.boost)
+
+    def terms(self):
+        return self.child.terms()
+
+
+@dataclass(frozen=True)
+class AndNot(Query):
+    """``compound.py::AndNot (≈L690)`` → left anti join, scores from a."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if a is NullQuery:
+            return NullQuery
+        if b is NullQuery:
+            return a
+        return AndNot(a, b, self.boost)
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def phrase_terms(self):
+        return self.a.phrase_terms() + self.b.phrase_terms()
+
+
+@dataclass(frozen=True)
+class AndMaybe(Query):
+    """``compound.py::AndMaybe (≈L720)`` → left outer join, a + coalesce(b,0)."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if a is NullQuery:
+            return NullQuery
+        if b is NullQuery:
+            return a
+        return AndMaybe(a, b, self.boost)
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def phrase_terms(self):
+        return self.a.phrase_terms() + self.b.phrase_terms()
+
+
+@dataclass(frozen=True)
+class Require(Query):
+    """``compound.py::Require (≈L660)`` → left semi join, score from a only."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if a is NullQuery or b is NullQuery:
+            return NullQuery
+        return Require(a, b, self.boost)
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def phrase_terms(self):
+        return self.a.phrase_terms() + self.b.phrase_terms()
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    """``src/whoosh/query/positional.py::Phrase (≈L170)`` → positional join.
+
+    ``words`` may be given raw; normalize() runs query-time analysis and drops
+    stopwords (the doc-side position GAP remains, so a phrase across a removed
+    stopword does not match at slop=1 — the classic Whoosh gotcha)."""
+
+    words: tuple
+    slop: int = 1
+    boost: float = 1.0
+
+    def __init__(self, words, slop=1, boost=1.0):
+        object.__setattr__(self, "words", tuple(words))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        toks: list[str] = []
+        for w in self.words:
+            t, _ = analyze_text(w)
+            toks.extend(t)
+        if not toks:
+            return NullQuery
+        if len(toks) == 1:
+            return Term(toks[0], self.boost)
+        return Phrase(toks, self.slop, self.boost)
+
+    def terms(self):
+        return list(self.words)
+
+    def phrase_terms(self):
+        return list(self.words)
+
+
+@dataclass(frozen=True)
+class Every(Query):
+    """``qcore.py::Every (≈L540)`` → all doc ids, score 1.0."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Prefix(Query):
+    """``terms.py::Prefix (≈L330)`` → term LIKE 'p%' expansion → Or."""
+
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    """``terms.py::Wildcard (≈L350)`` — glob pattern (* ?) over term dict."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Fuzzy(Query):
+    """``terms.py::FuzzyTerm (≈L440)`` — levenshtein ≤ maxdist, shared prefix."""
+
+    text: str
+    maxdist: int = 1
+    prefixlength: int = 1
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange(Query):
+    """``ranges.py::TermRange (≈L60)`` — lexicographic term BETWEEN."""
+
+    lo: str | None
+    hi: str | None
+    incl_lo: bool = True
+    incl_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class NumericRange(Query):
+    """``ranges.py::NumericRange (≈L220)`` — native column predicate on the
+    docs table (tiered term expansion obsolete under Parquet min/max)."""
+
+    column: str
+    lo: object = None
+    hi: object = None
+    incl_lo: bool = True
+    incl_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Filter(Query):
+    """Arbitrary SQL predicate over the stored docs table (facet filters like
+    ``lang = 'en'``) — constant score 1.0."""
+
+    predicate: str
+    boost: float = 1.0

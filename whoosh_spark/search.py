@@ -1,0 +1,138 @@
+"""Searcher: collection layer (SURVEY.md §2.7).
+
+``search()`` mirrors ``src/whoosh/searching.py::Searcher.search (≈L700)``:
+top-k with the reference tie-break (score DESC, doc_id ASC — TopCollector
+heap key, ``collectors.py ≈L400``), filter/mask doc-set restriction,
+sortedby (SortingCollector), groupedby facet counts, collapse (window
+row_number), and offset pagination (search_page ≈L760).
+
+Top-k is Spark's distributed ``TakeOrderedAndProject`` (ORDER BY + LIMIT) —
+no driver-side heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from whoosh_spark.execution.evaluate import Evaluator
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.query import ast as Q
+
+
+class Searcher:
+    def __init__(self, ix: InvertedIndex):
+        self.ix = ix
+        self.ev = Evaluator(ix)
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        q: Q.Query,
+        limit: int | None = 10,
+        filter: Q.Query | None = None,
+        mask: Q.Query | None = None,
+        sortedby: str | None = None,
+        reverse: bool = False,
+        collapse: str | None = None,
+        collapse_limit: int = 1,
+        offset: int = 0,
+        with_stored: list[str] | None = None,
+    ) -> DataFrame:
+        scores = self.ev.evaluate(q)
+        if filter is not None:
+            scores = scores.join(self.ev.evaluate(filter).select("doc_id"), "doc_id", "left_semi")
+        if mask is not None:
+            scores = scores.join(self.ev.evaluate(mask).select("doc_id"), "doc_id", "left_anti")
+
+        if collapse is not None:
+            scores = self._collapse(scores, collapse, collapse_limit)
+
+        if sortedby is not None:
+            scores = scores.join(self.ix.docs.select("doc_id", sortedby), "doc_id")
+            key = F.col(sortedby).desc() if reverse else F.col(sortedby).asc()
+            ordered = scores.orderBy(key, F.col("doc_id").asc())
+        else:
+            ordered = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+        if offset:
+            # search_page semantics: collect top (offset+limit) then slice.
+            w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            if sortedby is not None:
+                key = F.col(sortedby).desc() if reverse else F.col(sortedby).asc()
+                w = Window.orderBy(key, F.col("doc_id").asc())
+            ordered = (
+                ordered.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > offset)
+                .drop("_rn")
+            )
+        if limit is not None:
+            ordered = ordered.limit(limit)
+        if with_stored:
+            ordered = ordered.join(
+                self.ix.docs.select("doc_id", *with_stored), "doc_id", "left"
+            ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return ordered
+
+    # ------------------------------------------------------------------
+    def _collapse(self, scores: DataFrame, key: str, keep: int) -> DataFrame:
+        """``collectors.py::CollapseCollector (≈L650)`` → window row_number."""
+        with_key = scores.join(self.ix.docs.select("doc_id", key), "doc_id")
+        w = Window.partitionBy(key).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            with_key.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= keep)
+            .select("doc_id", "score")
+        )
+
+    # ------------------------------------------------------------------
+    def facet_counts(self, q: Q.Query, facet: str) -> DataFrame:
+        """groupedby=FieldFacet with Count maptype (``sorting.py ≈L150``)."""
+        scores = self.ev.evaluate(q)
+        return (
+            scores.join(self.ix.docs.select("doc_id", facet), "doc_id")
+            .groupBy(facet)
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def facet_best(self, q: Q.Query, facet: str) -> DataFrame:
+        """groupedby with Best maptype — max_by(doc_id, (score, -doc_id))."""
+        scores = self.ev.evaluate(q)
+        with_f = scores.join(self.ix.docs.select("doc_id", facet), "doc_id")
+        w = Window.partitionBy(facet).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            with_f.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(facet, "doc_id", "score")
+        )
+
+    # ------------------------------------------------------------------
+    def key_terms(self, doc_ids: list[int], top: int = 5) -> DataFrame:
+        """more_like/key-term extraction (``src/whoosh/classify.py::Expander
+        ≈L60``): rank a doc-set's terms by tf·idf against the corpus."""
+        n, _ = self.ix.global_stats()
+        posts = self.ix.postings_where(
+            (F.col("min_id") <= max(doc_ids)) & (F.col("max_id") >= min(doc_ids))
+        ).where(F.col("doc_id").isin(doc_ids))
+        ts = self.ix.term_stats.select("term", "df")
+        scored = (
+            posts.groupBy("term").agg(F.sum("tf").alias("tf"))
+            .join(F.broadcast(ts), "term")
+            .withColumn("keyness", F.col("tf") * (F.log(F.lit(float(n)) / (F.col("df") + 1)) + 1.0))
+        )
+        return scored.orderBy(F.col("keyness").desc(), F.col("term").asc()).limit(top)
+
+    def correct_term(self, word: str, maxdist: int = 2, top: int = 3) -> list[str]:
+        """Spelling corrector (``src/whoosh/spelling.py::ReaderCorrector ≈L80``):
+        most-frequent terms within levenshtein distance, prefix-sharing."""
+        rows = (
+            self.ix.term_stats.where(
+                (F.levenshtein(F.col("term"), F.lit(word)) <= maxdist)
+                & F.col("term").startswith(word[:1])
+            )
+            .orderBy(F.col("cf").desc(), F.col("term").asc())
+            .limit(top)
+            .collect()
+        )
+        return [r["term"] for r in rows]

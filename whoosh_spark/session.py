@@ -1,0 +1,37 @@
+"""SparkSession factory with the engine's recommended configs.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting), Arrow enabled
+for the analysis/codec UDF hot paths, UTC session TZ (DuckDB-oracle parity),
+shuffle partitions sized to cores for local runs (production: set to
+~2-3× total executor cores via spark-submit conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(master: str | None = None, shuffle_partitions: int | None = None,
+              app: str = "whoosh_spark") -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+    cores = master.split("[")[-1].rstrip("]") if "[" in master else "8"
+    try:
+        ncores = int(cores.replace("*", str(os.cpu_count() or 8)))
+    except ValueError:
+        ncores = 8
+    sp = shuffle_partitions or max(4, ncores)
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

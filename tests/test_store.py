@@ -1,0 +1,98 @@
+"""Persisted index store: write → load parity, resumability, lineage log.
+
+Reference semantics: Whoosh TOC/segment commit (``src/whoosh/index.py::TOC``,
+``writing.py::SegmentWriter.commit ≈L900``) and the north_rule resumable-build
+requirement (BASELINE.md "resumability" row).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark import store
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.query import ast as Q
+from whoosh_spark.search import Searcher
+
+
+def _table_hash(df, cols):
+    """Order-insensitive content hash of selected columns."""
+    h = (
+        df.select(F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
+    return h
+
+
+@pytest.fixture(scope="module")
+def store_path(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ixstore"))
+
+
+def test_write_load_query_parity(spark, sf0001_documents, store_path):
+    path = store_path + "/full"
+    manifest = store.write_index(sf0001_documents, path, chunk_bits=7,
+                                 chunks_per_commit=2)
+    assert manifest["n_docs"] == sf0001_documents.count()
+    assert manifest["n_terms"] > 0
+
+    mem = Searcher(InvertedIndex.build(sf0001_documents, cache=False))
+    disk = Searcher(store.load_index(spark, path))
+    q = Q.And([Q.Term("data"), Q.Term("query")])
+    a = [(r["doc_id"], round(r["score"], 9)) for r in mem.search(q, limit=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in disk.search(q, limit=10).collect()]
+    assert a == b
+
+
+def test_resume_after_kill_identical(spark, sf0001_documents, store_path):
+    full = store_path + "/oneshot"
+    part = store_path + "/resumed"
+    store.write_index(sf0001_documents, full, chunk_bits=7, chunks_per_commit=2)
+
+    # simulate kill: only 1 analyze batch commits
+    r = store.write_index(sf0001_documents, part, chunk_bits=7,
+                          chunks_per_commit=2, max_batches=1)
+    assert r["status"] == "partial"
+    assert len(store.completed_chunks(part)) == 2
+
+    # resume to completion
+    store.write_index(sf0001_documents, part, chunk_bits=7, chunks_per_commit=2)
+
+    for tbl, cols in [
+        ("blocks", ["field", "term", "bucket", "blk", "n", "min_id", "max_id",
+                    "max_weight", "sum_tf", "min_len"]),
+        ("term_stats", ["field", "term", "df", "cf", "max_weight", "min_id", "max_id"]),
+        ("doc_lengths", ["doc_id", "len_raw", "dl"]),
+    ]:
+        h1 = _table_hash(spark.read.parquet(f"{full}/{tbl}"), cols)
+        h2 = _table_hash(spark.read.parquet(f"{part}/{tbl}"), cols)
+        assert h1 == h2, tbl
+
+    # resumed build skipped completed chunks (lineage shows no re-analysis)
+    analyzed_chunks = [c for rec in store.build_log(part)
+                       if rec["phase"] == "analyze" for c in rec["chunks"]]
+    assert len(analyzed_chunks) == len(set(analyzed_chunks))
+
+
+def test_build_log_counters(spark, sf0001_documents, store_path):
+    path = store_path + "/full"  # written by first test
+    log = store.build_log(path)
+    analyze_recs = [r for r in log if r["phase"] == "analyze"]
+    assert analyze_recs and all(r["wall_ms"] >= 0 for r in log)
+    n_docs = sum(c["n_docs"] for r in analyze_recs for c in r["counters"].values())
+    assert n_docs == sf0001_documents.count()
+    n_tokens = sum(c["n_tokens"] for r in analyze_recs for c in r["counters"].values())
+    total_len = spark.read.parquet(path + "/field_stats").collect()[0]["total_len"]
+    assert n_tokens == total_len
+    assert [r["phase"] for r in log][-1] == "merge"
+
+
+def test_blocks_parquet_sorted_for_pruning(spark, sf0001_documents, store_path):
+    """Persisted blocks are sorted by term ⇒ parquet min/max stats prune term
+    lookups (SURVEY.md §2.1 OrderedHashWriter analog)."""
+    path = store_path + "/full"
+    ix = store.load_index(spark, path)
+    plan = ix.blocks.where(F.col("term") == "data")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term" in plan

@@ -58,6 +58,133 @@ def quantize_len_udf(raw: pd.Series) -> pd.Series:
     return pd.Series(_B2L[codes].astype(np.int32))
 
 
+def quantize_len_np(raw: np.ndarray) -> np.ndarray:
+    """Vectorized quantization over a numpy int array (same table)."""
+    codes = np.searchsorted(_BOUNDS, np.asarray(raw, dtype=np.int64), side="right")
+    return _B2L[codes]
+
+
+# ---------------------------------------------------------------------------
+# One-pass analyze + per-doc posting aggregation (mapInArrow).
+#
+# Tokens of a document are doc-local, so the (term, doc) tf/position
+# aggregation needs NO shuffle — it happens in the same CPython loop that the
+# tokenizer already runs (SURVEY.md §3.1 Spark restatement).  The output is
+# one compact row per document; pyarrow arrays are assembled from flat
+# buffers + offsets (no per-row Python list construction on the Arrow side).
+# ---------------------------------------------------------------------------
+
+ANALYZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("len_raw", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.LongType()), False),
+        # per term-entry varint stream: varint(count) + delta-varint positions.
+        # Pre-encoded in the analyzer so the build shuffle moves ~1 byte per
+        # position instead of 8 (this is the same byte format the posting
+        # block stores, so the block encoder just concatenates).
+        T.StructField("pos_blobs", T.ArrayType(T.BinaryType()), False),
+    ]
+)
+
+
+def analyze_batches_arrow(batches):
+    """mapInArrow fn: (doc_id, _text) batches → ANALYZED_SCHEMA batches."""
+    import pyarrow as pa
+
+    from whoosh_spark.analysis.analyzers import _TOKEN_RE
+    from whoosh_spark.codec.blocks import varint_encode
+    from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
+
+    stop = STOP_WORDS
+    minsize = MIN_WORD_SIZE
+    finditer = _TOKEN_RE.finditer
+
+    for batch in batches:
+        doc_ids = batch.column(0).to_pylist()
+        texts = batch.column(1).to_pylist()
+
+        len_raws: list[int] = []
+        all_terms: list[str] = []
+        all_tfs: list[int] = []
+        flat_pos: list[int] = []
+        entry_counts: list[int] = []  # positions per term-entry
+        term_offsets = [0]            # per doc → into all_terms
+
+        for text in texts:
+            d: dict[str, list[int]] = {}
+            if text:
+                for pos, m in enumerate(finditer(text)):
+                    t = m.group(0).lower()
+                    if len(t) >= minsize and t not in stop:
+                        lst = d.get(t)
+                        if lst is None:
+                            d[t] = [pos]
+                        else:
+                            lst.append(pos)
+            n = 0
+            for t, plist in d.items():
+                all_terms.append(t)
+                all_tfs.append(len(plist))
+                entry_counts.append(len(plist))
+                flat_pos.extend(plist)
+                n += len(plist)
+            term_offsets.append(len(all_terms))
+            len_raws.append(n)
+
+        # ---- vectorized varint encode of ALL entries at once ----
+        counts = np.asarray(entry_counts, dtype=np.int64)
+        flat = np.asarray(flat_pos, dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        deltas = np.diff(flat, prepend=0)
+        nz = counts > 0
+        deltas[starts[nz]] = flat[starts[nz]]
+        # interleave: [count, d1..dk] per entry
+        n_ent = counts.size
+        stream = np.empty(n_ent + flat.size, dtype=np.uint64)
+        cnt_idx = np.arange(n_ent) + starts
+        stream[cnt_idx] = counts.astype(np.uint64)
+        mask = np.ones(stream.size, dtype=bool)
+        mask[cnt_idx] = False
+        stream[mask] = deltas.astype(np.uint64)
+        data = varint_encode(stream)
+        # per-value byte widths → per-entry blob byte lengths → offsets
+        nb = (
+            np.ones(stream.size, dtype=np.int64)
+            + (stream >= np.uint64(1 << 7))
+            + (stream >= np.uint64(1 << 14))
+            + (stream >= np.uint64(1 << 21))
+            + (stream >= np.uint64(1 << 28))
+            + (stream >= np.uint64(1 << 35))
+        )
+        val_bounds = np.concatenate(([0], np.cumsum(nb)))
+        ent_val_starts = cnt_idx  # index of each entry's first value (its count)
+        ent_byte_off = np.empty(n_ent + 1, dtype=np.int32)
+        ent_byte_off[:-1] = val_bounds[ent_val_starts]
+        ent_byte_off[-1] = val_bounds[-1]
+        blobs = pa.BinaryArray.from_buffers(
+            pa.binary(), n_ent,
+            [None, pa.py_buffer(ent_byte_off.tobytes()), pa.py_buffer(data)],
+        )
+
+        len_arr = np.asarray(len_raws, dtype=np.int32)
+        dl_arr = quantize_len_np(len_arr).astype(np.int32)
+        t_off = pa.array(term_offsets, type=pa.int32())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(len_arr),
+                pa.array(dl_arr),
+                pa.ListArray.from_arrays(t_off, pa.array(all_terms, type=pa.string())),
+                pa.ListArray.from_arrays(t_off, pa.array(all_tfs, type=pa.int64())),
+                pa.ListArray.from_arrays(t_off, blobs),
+            ],
+            names=["doc_id", "len_raw", "dl", "terms", "tfs", "pos_blobs"],
+        )
+
+
 def quantize_length_py(n: int) -> int:
     """Driver-side helper mirroring quantize_len_udf exactly."""
     return int(_B2L[bisect.bisect_right(LENGTH_BOUNDARIES, int(n))])

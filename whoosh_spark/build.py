@@ -1,13 +1,19 @@
-"""Index-build dataflow: docs → analyze → explode → (term,doc) agg → blocks + stats.
+"""Index-build dataflow: docs → analyze(+per-doc agg) → explode → blocks + stats.
 
 Spark restatement of Whoosh's write path (SURVEY.md §3.1):
 
     [scan docs]                                  (parquet, column-pruned)
-    → [analyze_udf + explode]                    (narrow, Arrow-batched)
-    → [groupBy(term, doc_id) agg tf/positions]   (partial+final hash agg)
-    → [groupBy(term, doc_id >> bucket_bits)]     (the ONE wide shuffle)
-    → [applyInPandas block encode]               (numpy kernels, ≤4096 rows/group)
-    + [term_stats / field_stats aggregates]      (partial+final agg, skew-free)
+    → [mapInArrow analyze + per-doc (term,tf,positions) agg]   (narrow)
+    → [explode arrays_zip]                       (narrow, JVM columnar)
+    → [groupBy(term, doc_id >> bucket_bits) applyInArrow encode]
+                                                 (the ONE wide shuffle)
+    → [term_stats from block metadata]           (tiny agg over blocks)
+
+Tokens of a document are doc-local, so the per-(term, doc) tf/position
+aggregation happens inside the SAME CPython tokenizer loop — there is no
+``groupBy(term, doc_id)`` shuffle at all (Whoosh's PostingPool sort becomes
+a dict insert; the only network data movement is term-partitioning the
+already-aggregated postings).
 
 Skew strategy (north_rule): the block-build group key includes the doc-range
 bucket, so a hot term's postings land in many bounded-size groups instead of
@@ -23,24 +29,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from whoosh_spark.analysis.udfs import analyze_udf, quantize_len_udf
-from whoosh_spark.codec.blocks import BLOCKS_SCHEMA, encode_term_bucket
+from whoosh_spark.analysis.udfs import ANALYZED_SCHEMA, analyze_batches_arrow
+from whoosh_spark.codec.blocks import (
+    BLOCKS_SCHEMA,
+    encode_group_arrow,
+    encode_sorted_stream,
+)
 from whoosh_spark.config import DOC_BUCKET_BITS, TEXT_FIELD
 
 
 def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, tokens, positions, len_raw, dl) — one row per input doc."""
-    return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text"))
-        .withColumn("a", analyze_udf(F.col("_text")))
-        .select(
-            "doc_id",
-            F.col("a.tokens").alias("tokens"),
-            F.col("a.positions").alias("positions"),
-            F.size("a.tokens").alias("len_raw"),
-        )
-        .withColumn("dl", quantize_len_udf(F.col("len_raw")))
+    """(doc_id, len_raw, dl, terms, tfs, positions) — one row per input doc.
+
+    ``terms`` are the doc's distinct post-analysis tokens (first-occurrence
+    order), ``tfs``/``positions`` parallel arrays; positions keep tokenizer
+    ordinals (stop gaps preserved — Phrase semantics, SURVEY.md §2.2).
+    """
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
     )
+    return src.mapInArrow(analyze_batches_arrow, schema=ANALYZED_SCHEMA)
 
 
 def doc_lengths(analyzed: DataFrame) -> DataFrame:
@@ -50,66 +58,71 @@ def doc_lengths(analyzed: DataFrame) -> DataFrame:
 def flat_postings(analyzed: DataFrame, field: str = TEXT_FIELD) -> DataFrame:
     """(field, term, doc_id, tf, positions, dl) — the logical posting list.
 
-    Positions keep tokenizer ordinals (stop gaps preserved).  dl is carried
-    through from analysis so the block encoder never needs a doc-side join
-    (SURVEY.md §2.3 — BM25 per-block min_len metadata).
+    Pure JVM columnar explode of the per-doc aggregated arrays — narrow, no
+    shuffle, no Python.
     """
-    tok = analyzed.select(
-        "doc_id",
-        "dl",
-        F.explode(F.arrays_zip("tokens", "positions")).alias("tp"),
-    ).select(
-        "doc_id",
-        "dl",
-        F.col("tp.tokens").alias("term"),
-        F.col("tp.positions").alias("pos"),
-    )
     return (
-        tok.groupBy("term", "doc_id")
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-            F.first("dl").alias("dl"),
+        analyzed.select(
+            "doc_id",
+            "dl",
+            F.explode(F.arrays_zip("terms", "tfs", "pos_blobs")).alias("tp"),
         )
-        .withColumn("field", F.lit(field))
-        .select("field", "term", "doc_id", "tf", "positions", "dl")
+        .select(
+            F.lit(field).alias("field"),
+            F.col("tp.terms").alias("term"),
+            "doc_id",
+            F.col("tp.tfs").alias("tf"),
+            F.col("tp.pos_blobs").alias("pos_blob"),
+            "dl",
+        )
     )
-
-
-def _encode_group(key, pdf):
-    import pandas as pd
-
-    field, term, bucket = key
-    rows = encode_term_bucket(
-        field,
-        term,
-        bucket,
-        pdf["doc_id"].to_numpy(),
-        pdf["tf"].to_numpy(),
-        pdf["dl"].to_numpy(),
-        [list(p) for p in pdf["positions"]],
-    )
-    return pd.DataFrame(rows)
 
 
 def posting_blocks(postings: DataFrame) -> DataFrame:
-    """Encode flat postings into the persisted block table (BLOCKS_SCHEMA)."""
+    """Encode flat postings into the persisted block table (BLOCKS_SCHEMA).
+
+    One wide shuffle on (field, term, doc-bucket); Arrow-native encode
+    (numpy kernels over the ListArray buffers — no Python list per row).
+    """
     bucketed = postings.withColumn(
         "bucket", F.shiftright(F.col("doc_id"), DOC_BUCKET_BITS)
     )
-    return bucketed.groupBy("field", "term", "bucket").applyInPandas(
-        _encode_group, schema=BLOCKS_SCHEMA
+    # Explicit partition count: an unnumbered repartition is AQE-coalescible
+    # down to ~64MB partitions, which serializes the encode on a handful of
+    # cores (observed: 4x anti-scaling).  Pin it to the session's shuffle
+    # parallelism so the encode stage always uses the full cluster.
+    n_part = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        bucketed.repartition(n_part, "field", "term", "bucket")
+        .sortWithinPartitions("field", "term", "bucket", "doc_id")
+        .mapInArrow(encode_sorted_stream, schema=BLOCKS_SCHEMA)
     )
 
 
-def term_stats(postings: DataFrame) -> DataFrame:
-    """TermInfo analog (``src/whoosh/reading.py::TermInfo ≈L40``)."""
-    return postings.groupBy("field", "term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-        F.max("tf").cast("double").alias("max_weight"),
-        F.min("doc_id").alias("min_id"),
-        F.max("doc_id").alias("max_id"),
+def posting_blocks_grouped(postings: DataFrame) -> DataFrame:
+    """Reference formulation: per-group applyInArrow (same output, slower —
+    Spark pays a UDF invocation per (term, bucket) group)."""
+    bucketed = postings.withColumn(
+        "bucket", F.shiftright(F.col("doc_id"), DOC_BUCKET_BITS)
+    )
+    return bucketed.groupBy("field", "term", "bucket").applyInArrow(
+        encode_group_arrow, schema=BLOCKS_SCHEMA
+    )
+
+
+def term_stats(blocks: DataFrame) -> DataFrame:
+    """TermInfo analog (``src/whoosh/reading.py::TermInfo ≈L40``).
+
+    Derived from block metadata (one row per ≤128-posting block), so this agg
+    touches ~1/128th of the posting rows and needs no extra shuffle over raw
+    postings.
+    """
+    return blocks.groupBy("field", "term").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+        F.max("max_weight").cast("double").alias("max_weight"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
     )
 
 

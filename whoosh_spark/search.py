@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from whoosh_spark.execution.evaluate import Evaluator
+from whoosh_spark.execution.wand import wand_topk
 from whoosh_spark.index import InvertedIndex
 from whoosh_spark.query import ast as Q
 
@@ -27,6 +28,23 @@ class Searcher:
         self.ev = Evaluator(ix)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _wand_terms(q: Q.Query) -> list[str] | None:
+        """Term texts if q is WAND-eligible (Term / flat Or of unboosted
+        Terms) — mirrors Whoosh's optimized TopCollector applicability
+        (``collectors.py::TopCollector, optimize=True``)."""
+        qn = q.normalize()
+        if isinstance(qn, Q.Term) and qn.boost == 1.0:
+            return [qn.text]
+        if (
+            isinstance(qn, Q.Or)
+            and qn.minmatch <= 1
+            and qn.boost == 1.0
+            and all(isinstance(c, Q.Term) and c.boost == 1.0 for c in qn.children)
+        ):
+            return [c.text for c in qn.children]
+        return None
+
     def search(
         self,
         q: Q.Query,
@@ -39,7 +57,31 @@ class Searcher:
         collapse_limit: int = 1,
         offset: int = 0,
         with_stored: list[str] | None = None,
+        optimize: bool = True,
     ) -> DataFrame:
+        wand = (
+            self._wand_terms(q)
+            if (
+                optimize
+                and limit is not None
+                and filter is None
+                and mask is None
+                and sortedby is None
+                and collapse is None
+                and not offset
+            )
+            else None
+        )
+        if wand is not None:
+            scores = wand_topk(self.ix, wand, limit)
+            ordered = scores.orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            ).limit(limit)
+            if with_stored:
+                ordered = ordered.join(
+                    self.ix.docs.select("doc_id", *with_stored), "doc_id", "left"
+                ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            return ordered
         scores = self.ev.evaluate(q)
         if filter is not None:
             scores = scores.join(self.ev.evaluate(filter).select("doc_id"), "doc_id", "left_semi")

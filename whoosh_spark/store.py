@@ -102,29 +102,33 @@ def write_index(
     all_chunks = sorted(
         r["_chunk"] for r in src.select("_chunk").distinct().collect()
     )
+    log = _read_log(path)
     done = completed_chunks(path)
     pending = [c for c in all_chunks if c not in done]
+    next_batch = 1 + max(
+        (rec.get("batch", -1) for rec in log if rec.get("phase") == "analyze"),
+        default=-1,
+    )
 
     # ---- phase 1: analyze, committed in chunk batches --------------------
+    # Each batch lands in its own analyzed/batch=N directory (a plain write;
+    # dynamic partitionBy costs ~3.5x) and is logged only after the write
+    # completes — the batch directory IS the checkpoint.
     n_batches = 0
     for i in range(0, len(pending), chunks_per_commit):
         if max_batches is not None and n_batches >= max_batches:
             break
         batch = pending[i : i + chunks_per_commit]
+        bid = next_batch + n_batches
         t0 = time.perf_counter()
         part = src.where(F.col("_chunk").isin(batch))
         analyzed = B.analyzed_docs(part, id_col, text_col).withColumn(
             "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
         )
-        (
-            analyzed.write.mode("append")
-            .partitionBy("chunk")
-            .parquet(os.path.join(path, "analyzed"))
-        )
+        batch_dir = os.path.join(path, "analyzed", f"batch={bid}")
+        analyzed.write.mode("overwrite").parquet(batch_dir)
         # per-chunk counters from what was just written (parquet-stat cheap)
-        just = spark.read.parquet(os.path.join(path, "analyzed")).where(
-            F.col("chunk").isin(batch)
-        )
+        just = spark.read.parquet(batch_dir)
         counters = {
             int(r["chunk"]): {"n_docs": int(r["n"]), "n_tokens": int(r["t"])}
             for r in just.groupBy("chunk")
@@ -135,6 +139,7 @@ def write_index(
             path,
             {
                 "phase": "analyze",
+                "batch": bid,
                 "chunks": [int(c) for c in batch],
                 "counters": counters,
                 "wall_ms": int(1000 * (time.perf_counter() - t0)),
@@ -148,23 +153,27 @@ def write_index(
 
     # ---- phase 2: shuffle merge → blocks + stats + manifest --------------
     t0 = time.perf_counter()
-    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk")
+    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
     postings = B.flat_postings(analyzed, field)
     blocks = B.posting_blocks(postings)
-    (
-        blocks.sortWithinPartitions("field", "term", "bucket", "blk")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "blocks"))
-    )
+    # already sorted by (field, term, bucket, blk) within partitions by
+    # construction (encode_sorted_stream preserves its input sort), so the
+    # parquet row-group min/max stats give term-pruning for free
+    blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
     blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
     tstats = B.term_stats(blocks_r)
     tstats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
     lengths = B.doc_lengths(analyzed)
     lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
-    B.field_stats(lengths, field).write.mode("overwrite").parquet(
+    lengths_r = spark.read.parquet(os.path.join(path, "doc_lengths"))
+    B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
         os.path.join(path, "field_stats")
     )
+    # stored fields: analyzed text and raw binary (e.g. html) excluded by
+    # default — Whoosh stores only declared stored fields (fields.py STORED)
     stored = docs if store_text else docs.drop(text_col)
+    stored = stored.drop(*[f.name for f in stored.schema.fields
+                           if f.dataType.typeName() == "binary"])
     if id_col != "doc_id":
         stored = stored.withColumnRenamed(id_col, "doc_id")
     stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))

@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from whoosh_spark.execution.evaluate import Evaluator
 from whoosh_spark.index import InvertedIndex
+from whoosh_spark.oracle import pipeline_sql as PSQL
 from whoosh_spark.oracle import sql as OSQL
+from whoosh_spark.pipeline import dedup, multimodal, similarity, textstats
 from whoosh_spark.query import ast as Q
 from whoosh_spark.search import Searcher
 
@@ -144,6 +146,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spelling=spelling_q,
         key_terms=key_terms_q,
     )
+
+    # ---- training-data pipeline operators (SURVEY.md + driver brief) ----
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out.update(
+        dedup_exact=lambda s, d: dedup.exact_duplicates(_docs(s, d)).orderBy("doc_id"),
+        dedup_ngram_jaccard=lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), n=3, tau=0.5).orderBy("a", "b"),
+        dedup_minhash_lsh=lambda s, d: dedup.minhash_near_dups(
+            _docs(s, d), tau=0.5, num_perm=128, bands=32, rows=4, n=3).orderBy("a", "b"),
+        dedup_simhash=lambda s, d: dedup.simhash_near_dups(
+            _docs(s, d), max_hamming=6).orderBy("a", "b"),
+        dedup_embedding=lambda s, d: similarity.embedding_near_dups_exact(
+            _emb(s, d), tau=0.3).orderBy("a", "b"),
+        text_token_counts=lambda s, d: textstats.token_counts(_docs(s, d)).orderBy("doc_id"),
+        text_quality=lambda s, d: textstats.quality_features(_docs(s, d)).orderBy("doc_id"),
+        text_lang_id=lambda s, d: textstats.lang_id(_docs(s, d)).orderBy("doc_id"),
+        text_fingerprint=lambda s, d: textstats.content_fingerprint(_docs(s, d)).orderBy("doc_id"),
+        text_winnow=lambda s, d: textstats.winnow_fingerprints(
+            _docs(s, d)).select("doc_id", F.size("fingerprints").alias("n_fp")).orderBy("doc_id"),
+        sim_cosine_topk=lambda s, d: similarity.cosine_topk(
+            _emb(s, d), similarity.query_vector(_emb(s, d), 0), k=10),
+        sim_ann_lsh=lambda s, d: similarity.ann_topk(
+            _emb(s, d), similarity.query_vector(_emb(s, d), 0), k=10, bits=8),
+        multimodal_meta=lambda s, d: multimodal.media_metadata(
+            __import__("whoosh_spark.corpus", fromlist=["pages_df"]).pages_df(s, 100, partitions=4),
+            "html").orderBy("doc_id"),
+        multimodal_decode=lambda s, d: multimodal.decode_image(
+            __import__("whoosh_spark.corpus", fromlist=["pages_df"]).pages_df(s, 100, partitions=4),
+            "html", impl=multimodal.fake_decode).orderBy("doc_id"),
+    )
     return out
 
 
@@ -173,4 +210,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": OSQL.doc_lengths_sql(100),
         "spelling": OSQL.spelling_sql("dat", 2, 3),
         "key_terms": OSQL.key_terms_sql([0, 1, 2, 3, 4], 5),
+        # pipeline ops (hash-based ops — simhash, winnow, ann, multimodal —
+        # are intentionally omitted: rows-only driver check)
+        "dedup_exact": PSQL.exact_duplicates_sql(),
+        "dedup_ngram_jaccard": PSQL.ngram_jaccard_sql(3, 0.5),
+        "dedup_minhash_lsh": PSQL.minhash_near_dups_sql(3, 0.5),
+        "dedup_embedding": PSQL.embedding_near_dups_sql(0.3),
+        "text_token_counts": PSQL.token_counts_sql(),
+        "text_quality": PSQL.quality_sql(),
+        "text_lang_id": PSQL.lang_id_sql(),
+        "text_fingerprint": PSQL.content_fingerprint_sql(),
+        "sim_cosine_topk": PSQL.cosine_topk_sql(0, 10),
     }

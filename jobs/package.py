@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Zip the whoosh_spark package for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    out_dir = os.path.join(REPO, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "whoosh_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "whoosh_spark")):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""spark-submit entry: query a persisted index.
+
+    spark-submit --py-files dist/whoosh_spark.zip jobs/search_index.py \\
+        --index s3://ix/v1 --query 'web "index merge"~2 lang:en' --limit 10
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--no-wand", action="store_true",
+                    help="disable block-max pruning (debug)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("whoosh-spark-search").getOrCreate()
+    from whoosh_spark import store
+    from whoosh_spark.query import parse_query
+    from whoosh_spark.search import Searcher
+
+    s = Searcher(store.load_index(spark, args.index))
+    q = parse_query(args.query)
+    res = s.search(q, limit=args.limit, optimize=not args.no_wand)
+    for row in res.collect():
+        print(row["doc_id"], round(row["score"], 6))
+
+
+if __name__ == "__main__":
+    main()

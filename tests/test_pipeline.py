@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: semantics tests on hand-built fixtures
+(reference style: tiny corpora, inline expected values) plus scale-shape
+assertions (bounded groups, no cross joins where promised)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark.pipeline import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (3, "completely different content about spark engines"),
+        (4, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),          # case-variant
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(tiny):
+    out = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in dedup.exact_duplicates(tiny).collect()}
+    assert out == {0: (0, 2), 1: (0, 2)}  # case-variant is NOT byte-identical
+
+
+def test_content_fingerprint_case_insensitive(tiny):
+    fps = {r["doc_id"]: r["fp"] for r in textstats.content_fingerprint(tiny).collect()}
+    assert fps[0] == fps[1] == fps[4]
+    assert fps[0] != fps[2]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert dedup.shingles(df, n=3).count() == 0
+
+
+def test_ngram_jaccard_values(tiny):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(tiny, n=3, tau=0.1).collect()}
+    # docs 0/1 identical → J=1; 0/2 share 6 of 8 distinct 3-grams → 0.75
+    assert pairs[(0, 1)] == 1.0
+    assert abs(pairs[(0, 2)] - 0.75) < 1e-6
+    assert (0, 3) not in pairs
+
+
+def test_minhash_matches_exact_jaccard(tiny):
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(tiny, n=3, tau=0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           dedup.minhash_near_dups(tiny, tau=0.5, n=3).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_distance_zero(tiny):
+    out = {(r["a"], r["b"]): r["hamming"]
+           for r in dedup.simhash_near_dups(tiny, max_hamming=16).collect()}
+    assert out[(0, 1)] == 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "ab cd.ef 12 x!")], "doc_id long, text string")
+    r = textstats.token_counts(df).collect()[0]
+    assert (r["n_ws"], r["n_word"], r["n_bpeish"]) == (4, 4, 7)
+    # analyzer regex keeps 'cd.ef' whole; bpe-ish splits it into
+    # 'cd', '.', 'ef' and separates '!' (ab, cd, ., ef, 12, x, ! = 7)
+
+
+def test_quality_monotone(spark):
+    good = "the data engine writes many words " * 5
+    bad = "!!! ??? ### @@@"
+    df = spark.createDataFrame([(0, good), (1, bad)], "doc_id long, text string")
+    q = {r["doc_id"]: r["quality"] for r in textstats.quality_features(df).collect()}
+    assert q[0] > q[1]
+
+
+def test_lang_id_profiles(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat in the house with a friend"),
+            (1, "le chat et la maison les amis de la ville est une"),
+            (2, "der hund und die katze von dem haus mit den freunden"),
+            (3, "東京 大阪 京都 名古屋 札幌 神戸 福岡 広島 仙台 千葉"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(df).collect()}
+    assert out == {0: "en", 1: "fr", 2: "de", 3: "zh"}
+
+
+def test_winnow_overlap_detection(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "XX " + a + " YY"  # contains a as substring-token run
+    c = "unrelated words entirely different from the others here now"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fingerprints"])
+           for r in textstats.winnow_fingerprints(df, k=3, w=2).collect()}
+    assert fps[0] & fps[1]          # shared fingerprints from the overlap
+    assert not (fps[0] & fps[2])
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == 1.0
+
+
+def test_ann_contains_self(spark):
+    import numpy as np
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in rows[5][1]]
+    top = similarity.ann_topk(df, q, k=3, bits=6)
+    assert top.collect()[0]["vec_id"] == 5
+
+
+def test_embedding_near_dups_exact_vs_lsh_recall(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["a"], r["b"]) for r in
+             similarity.embedding_near_dups_exact(df, tau=0.99).collect()}
+    assert exact == {(0, 1)}
+    lsh = {(r["a"], r["b"]) for r in
+           similarity.embedding_near_dups(df, tau=0.99, bits=4).collect()}
+    assert lsh <= exact  # LSH may miss, never invents
+
+
+def test_multimodal_shapes(spark):
+    from whoosh_spark.corpus import pages_df
+
+    pages = pages_df(spark, 20, partitions=2)
+    meta = multimodal.media_metadata(pages)
+    assert meta.columns == ["doc_id", "n_bytes", "sha", "magic"]
+    assert meta.count() == 20
+    assert meta.where(F.col("magic") == "3C68746D").count() == 20  # '<htm'
+
+    dec = multimodal.decode_image(pages, impl=multimodal.fake_decode, feat_dim=8)
+    rows = dec.collect()
+    assert len(rows) == 20 and all(len(r["features"]) == 8 for r in rows)
+
+    with pytest.raises(Exception):  # stub path raises NotImplementedError
+        multimodal.decode_image(pages).collect()
+
+    frames = multimodal.frame_sample(pages, every_n_bytes=128, max_frames=3)
+    assert frames.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] <= 3

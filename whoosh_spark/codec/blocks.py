@@ -361,7 +361,9 @@ def encode_sorted_stream(batches):
         """Split off the trailing (possibly incomplete) group."""
         n = tbl.num_rows
         # groups are bounded (≤ 2^DOC_BUCKET_BITS docs); scan a bounded suffix
-        win = min(n, 4097)
+        from whoosh_spark.config import DOC_BUCKET_BITS
+
+        win = min(n, (1 << DOC_BUCKET_BITS) + 1)
         terms = tbl.column("term").slice(n - win).to_pylist()
         buckets = tbl.column("bucket").slice(n - win).to_pylist()
         last_t, last_b = terms[-1], buckets[-1]

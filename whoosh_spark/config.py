@@ -50,7 +50,12 @@ BLOCK_SIZE = 128  # max postings per encoded block
 # (north_rule: explicit hot-term handling), and block boundaries depend only
 # on doc ids so the build is invariant under input partitioning
 # (reference tests/test_mpwriter.py semantics).
-DOC_BUCKET_BITS = 12  # 4096 docs per bucket
+#
+# Width trade-off: small buckets fragment rare terms' postings into many
+# underfull blocks (measured 473MB of block rows for 1M docs at 2^12 —
+# metadata dominated); 2^16 keeps the hottest group ≤65536 postings (a few
+# MB in a numpy kernel) while rare terms stay in one block.
+DOC_BUCKET_BITS = 16  # 65536 docs per bucket
 
 # ---------------------------------------------------------------------------
 # Field-length byte quantization (src/whoosh/util/numeric.py::length_to_byte

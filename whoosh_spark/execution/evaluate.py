@@ -58,7 +58,9 @@ class Evaluator:
         terms = set(q.terms())
         self._stats = self.ix.stats_for_terms(list(terms))
         self._n, self._avgdl = self.ix.global_stats()
-        return self._eval(q)
+        # soft-delete overlay: drop deleted docs from the match set (stats
+        # still count them — Whoosh deleted-but-unpurged semantics)
+        return self.ix.not_deleted(self._eval(q))
 
     def _empty(self) -> DataFrame:
         return self.ix.spark.createDataFrame([], "doc_id long, score double")

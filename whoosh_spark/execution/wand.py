@@ -69,7 +69,7 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
 
     def _score(blocks_df) -> DataFrame:
         posts = ix._decode(blocks_df, False)
-        return (
+        return ix.not_deleted(
             score_postings(posts, idf_map, avgdl)
             .groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
@@ -121,8 +121,10 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
         return _score(survivors)
 
     # ---- completion: cover candidates' contributions in dropped blocks ---
-    cand = ix._decode(survivors, False).select("doc_id").distinct()
+    cand = ix.not_deleted(ix._decode(survivors, False).select("doc_id").distinct())
     rng = cand.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    if rng["lo"] is None:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
     overlap = dropped.where(
         (F.col("max_id") >= int(rng["lo"])) & (F.col("min_id") <= int(rng["hi"]))
     )

@@ -1,0 +1,91 @@
+"""Hit highlighting (``src/whoosh/highlight.py ≈L60-900``, SURVEY.md §2.7).
+
+Whoosh pipeline: analyze stored text → fragmenter picks windows around
+matched terms → BasicFragmentScorer ranks fragments → formatter marks hits.
+Our k result rows are already on the driver, so this runs as plain Python
+over (text, matched terms) — no Spark stage for a 10-row highlight, exactly
+like Whoosh highlights lazily per Hit.
+
+Implemented: ContextFragmenter (maxchars=200, surround=20 defaults),
+WholeFragmenter, BasicFragmentScorer (hit count + distinct-term bonus),
+HtmlFormatter (``<b class="match term0">…``-style) and UppercaseFormatter.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from whoosh_spark.analysis.analyzers import _TOKEN_RE
+
+
+@dataclass
+class Fragment:
+    startchar: int
+    endchar: int
+    hits: list[tuple[int, int, str]]  # (startchar, endchar, term)
+
+    def score(self) -> float:
+        """BasicFragmentScorer: hit count + distinct-term bonus."""
+        return len(self.hits) + 2.0 * len({t for _, _, t in self.hits})
+
+
+def _token_spans(text: str) -> list[tuple[int, int, str]]:
+    """Analyzer-consistent token spans: (start, end, lowered_text)."""
+    return [(m.start(), m.end(), m.group(0).lower()) for m in _TOKEN_RE.finditer(text)]
+
+
+def context_fragments(text: str, terms: set[str], maxchars: int = 200,
+                      surround: int = 20) -> list[Fragment]:
+    """ContextFragmenter: a window of ±surround chars around each run of
+    hits, merged while under maxchars (``highlight.py::ContextFragmenter``)."""
+    spans = _token_spans(text)
+    hits = [(s, e, t) for s, e, t in spans if t in terms]
+    frags: list[Fragment] = []
+    for s, e, t in hits:
+        ws, we = max(0, s - surround), min(len(text), e + surround)
+        if frags and ws <= frags[-1].endchar and (we - frags[-1].startchar) <= maxchars:
+            frags[-1].endchar = we
+            frags[-1].hits.append((s, e, t))
+        else:
+            frags.append(Fragment(ws, we, [(s, e, t)]))
+    return frags
+
+
+def whole_fragment(text: str, terms: set[str]) -> list[Fragment]:
+    spans = _token_spans(text)
+    return [Fragment(0, len(text), [(s, e, t) for s, e, t in spans if t in terms])]
+
+
+def html_format(text: str, frag: Fragment, tagname: str = "b",
+                classname: str = "match") -> str:
+    """HtmlFormatter analog: wrap each hit, term-indexed css class."""
+    order: dict[str, int] = {}
+    out, pos = [], frag.startchar
+    for s, e, t in frag.hits:
+        idx = order.setdefault(t, len(order))
+        out.append(text[pos:s])
+        out.append(f'<{tagname} class="{classname} term{idx}">{text[s:e]}</{tagname}>')
+        pos = e
+    out.append(text[pos:frag.endchar])
+    return "".join(out)
+
+
+def uppercase_format(text: str, frag: Fragment) -> str:
+    out, pos = [], frag.startchar
+    for s, e, _t in frag.hits:
+        out.append(text[pos:s])
+        out.append(text[s:e].upper())
+        pos = e
+    out.append(text[pos:frag.endchar])
+    return "".join(out)
+
+
+def highlight(text: str, terms: set[str], top: int = 3, maxchars: int = 200,
+              surround: int = 20, formatter=html_format,
+              sep: str = "...") -> str:
+    """Top-scoring fragments joined — the ``Hit.highlights()`` surface."""
+    frags = context_fragments(text, {t.lower() for t in terms}, maxchars, surround)
+    frags.sort(key=lambda f: (-f.score(), f.startchar))
+    chosen = sorted(frags[:top], key=lambda f: f.startchar)
+    return sep.join(formatter(text, f) for f in chosen)

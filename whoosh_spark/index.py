@@ -49,6 +49,7 @@ class InvertedIndex:
         doc_lengths: DataFrame,
         docs: DataFrame | None = None,
         field: str = TEXT_FIELD,
+        deleted: DataFrame | None = None,
     ):
         self.spark = spark
         self.blocks = blocks
@@ -57,6 +58,7 @@ class InvertedIndex:
         self.doc_lengths = doc_lengths
         self.docs = docs
         self.field = field
+        self.deleted = deleted  # (doc_id) soft-delete overlay, or None
         self._global = None  # (N, avgdl) cache
 
     # ------------------------------------------------------------------
@@ -154,8 +156,27 @@ class InvertedIndex:
         return blk.mapInPandas(dec, schema=schema)
 
     # ------------------------------------------------------------------
+    def with_deleted(self, deleted: DataFrame) -> "InvertedIndex":
+        """Soft-delete overlay (``codec/base.py::Segment.delete_document
+        ≈L550`` bitset analog): matches are anti-joined against ``deleted``
+        at query time; stats keep counting deleted docs until a rewrite —
+        exactly Whoosh's deleted-but-unpurged semantics (BM25 N includes
+        them, SURVEY.md §2.6)."""
+        new = self.deleted.unionByName(deleted) if self.deleted is not None else deleted
+        ix = InvertedIndex(self.spark, self.blocks, self.term_stats,
+                           self.field_stats, self.doc_lengths, self.docs,
+                           self.field, deleted=new.select("doc_id").distinct())
+        ix._global = self._global
+        return ix
+
+    def not_deleted(self, df: DataFrame) -> DataFrame:
+        """Filter a (doc_id, ...) frame through the deletion overlay."""
+        if self.deleted is None:
+            return df
+        return df.join(self.deleted, "doc_id", "left_anti")
+
     def all_doc_ids(self) -> DataFrame:
-        return self.doc_lengths.select("doc_id")
+        return self.not_deleted(self.doc_lengths.select("doc_id"))
 
     def idf(self, df: int) -> float:
         """Whoosh idf: log(N/(df+1)) + 1 (``src/whoosh/scoring.py ≈L70``)."""

@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the whole point of these formulations):
+
+* exact: one hash-groupBy — Spark's partial+final agg, no skew (md5 keys).
+* n-gram Jaccard: inverted shingle index + pair-count join.  The classic
+  quadratic blowup is bounded by ``max_shingle_df`` — a shingle occurring in
+  more than that many docs is dropped on BOTH sides of the pair join (hot
+  shingles are stop-phrase-like and carry no dedup signal; this is the
+  standard frequency cut used by web-dedup pipelines).
+* MinHash: signatures are p column aggregates over the shingle explode (one
+  shuffle); LSH banding turns candidate generation into an equi-join on
+  (band, band_hash) — bucket sizes are bounded w.h.p., no cross join ever.
+* SimHash: 64 bit-majority aggregates per doc; near-dup candidates via
+  4x16-bit band buckets (a Hamming-distance<=3 pair must agree on >=1 band,
+  pigeonhole), verified with bit_count(xor) — all JVM bit ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs whose text is byte-identical to another doc.
+
+    Returns (doc_id, canonical_id, group_size): canonical = min doc_id of the
+    group (deterministic survivor), one row per member of a dup group.
+    """
+    h = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.md5(F.col(text_col)).alias("h"))
+    groups = h.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        h.join(F.broadcast(groups.where(F.col("group_size") > 1)), "h")
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams over whitespace tokens.
+
+    Tokenization is plain split-on-space (not the index analyzer): dedup
+    operates on raw surface text, and the simple rule is reproducible in any
+    engine (the DuckDB oracle uses string_split).
+    """
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    grams = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", F.explode(grams).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (a, b, jaccard) with a < b.
+
+    |A ∩ B| from the inverted shingle join, |A ∪ B| = |A| + |B| − |A ∩ B|.
+    """
+    sh = shingles(docs, n, text_col)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+            F.col("df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sza"})), "a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "b", "sz": "szb"})), "b")
+        .withColumn("jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<long>) — p permutation minima in ONE aggregation.
+
+    Permutation i is ``xxhash64(shingle, seed=i)`` (Spark's 64-bit xxHash with
+    a per-perm seed column); min over the doc's shingles per perm.
+    """
+    sh = shingles(docs, n, text_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32,
+                        rows: int = 4) -> DataFrame:
+    """(a, b) candidate pairs sharing at least one LSH band bucket."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice("sig", bidx * rows + 1, rows),
+                            lambda v: v.cast("string"))),
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    l = banded.select(F.col("doc_id").alias("a"), "band", "bh")
+    r = banded.select(F.col("doc_id").alias("b"), "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, tau: float = 0.8, num_perm: int = 128,
+                      bands: int = 32, rows: int = 4, n: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """LSH-accelerated near-dup pairs VERIFIED by exact Jaccard ≥ tau.
+
+    Candidate recall at tau=0.8 with 32 bands × 4 rows is
+    1−(1−0.8⁴)³² ≈ 1−6e−8 — the verify step makes survivors exact, so the
+    result equals the brute-force Jaccard output w.o.p. while the join is
+    linear in bucket sizes instead of quadratic in docs.
+    """
+    cand = lsh_candidate_pairs(minhash_signatures(docs, num_perm, n, text_col),
+                               bands, rows)
+    sh = shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .join(
+            sh.withColumnsRenamed({"doc_id": "b"}),
+            ["b", "shingle"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sza"})), "a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "b", "sz": "szb"})), "b")
+        .withColumn("jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — 64 tf-weighted bit-majority votes per doc."""
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0,
+               F.shiftleft(F.lit(1).cast("long"), i)
+               ).otherwise(F.lit(0).cast("long"))
+        for i in range(63)  # bit 63 excluded: keep values non-negative longs
+    ]
+    out = agg.withColumn("simhash", sum(bit_terms[1:], bit_terms[0]))
+    return out.select("doc_id", "simhash")
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding: split 64 bits into 4 16-bit keys; any pair within Hamming ≤ 3
+    agrees on ≥ 1 band (pigeonhole) — candidate join is an equi-join."""
+    sh = simhash64(docs, text_col)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    l = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    r = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,175 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot paths are JVM column expressions (regexp / array ops inside
+whole-stage codegen); the winnowing fingerprint — inherently sequential per
+doc — is an Arrow-batched pandas UDF with vectorized numpy rolling hashes.
+Every SQL-expressible op has a DuckDB twin in oracle/sql.py built from the
+same constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whoosh_spark.config import TOKEN_PATTERN_RE2
+
+# BPE-ish word/number/punct splitter (GPT-2 style, simplified, RE2-safe —
+# identical pattern string runs in Spark (Java regex) and DuckDB (RE2)).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+# tiny per-language stopword profiles for the n-gram/stopword-hit heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es": ("el", "la", "los", "de", "y", "que", "un", "una", "es", "en"),
+    "de": ("der", "die", "das", "und", "von", "zu", "mit", "ist", "den", "ein"),
+}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws, n_word, n_bpeish): whitespace tokens, analyzer-regex
+    words, BPE-ish pieces — all regexp counts in codegen."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(t), " ")).alias("n_ws"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN_RE2), F.lit(0))).alias("n_word"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0))).alias("n_bpeish"),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals + a deterministic composite score in [0, 1].
+
+    Signals follow the usual web-text filters (Gopher/C4-style rules):
+    length, mean word length, punctuation density, stopword ratio.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.regexp_extract_all(t, F.lit(TOKEN_PATTERN_RE2), F.lit(0))
+    n_words = F.size(words)
+    mean_wlen = F.when(n_words > 0,
+                       F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+                       .cast("double") / n_words).otherwise(0.0)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    en_stops = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(en_stops, F.lower(w))))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    score = (
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.1
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): stopword-profile hit-rate heuristic
+    + CJK codepoint detection.  Pure column expressions; argmax via
+    sort_array over (score, lang) structs (deterministic tie-break: the
+    lexicographically LARGEST lang among equals — fixed rule both engines).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-zà-ÿ]+"), F.lit(0))
+    n_words = F.size(words)
+    scores = []
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in profile])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        scores.append(
+            F.struct(
+                F.when(n_words > 0, F.round(hits.cast("double") / n_words, 6))
+                .otherwise(0.0).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    n_cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[\x{4E00}-\x{9FFF}]"), F.lit(0)))
+    cjk_ratio = F.when(F.length(F.col(text_col)) > 0,
+                       n_cjk.cast("double") / F.length(F.col(text_col))).otherwise(0.0)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(cjk_ratio > 0.05, F.lit("zh")).otherwise(best["lang"]).alias("lang_pred"),
+        F.when(cjk_ratio > 0.05, F.round(cjk_ratio, 6)).otherwise(best["score"]).alias("lang_score"),
+    )
+
+
+def content_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): md5 over the normalized (lowercased, space-joined
+    analyzer-regex) token stream — whitespace/case-insensitive exact dedup key."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN_RE2), F.lit(0))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat_ws(" ", words)).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash) — pandas UDF (sequential per doc)
+# ---------------------------------------------------------------------------
+
+_WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprints", T.ArrayType(T.LongType())),
+    ]
+)
+
+_B = np.uint64(1_000_003)          # polynomial base
+_MASK = np.uint64((1 << 61) - 1)   # keep hashes positive in int64 range
+
+
+def _winnow_batch(k: int, w: int):
+    def fn(batches):
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").lower().split()
+                h = np.array([hash(t) & 0x7FFFFFFF for t in toks], dtype=np.uint64)
+                if h.size < k:
+                    out_ids.append(int(did)); out_fps.append([])
+                    continue
+                # k-gram rolling (polynomial) hash, vectorized via cumulative
+                # products is numerically unstable; use the standard windowed
+                # recompute with numpy strides over the token-hash array
+                n = h.size - k + 1
+                kg = np.zeros(n, dtype=np.uint64)
+                for j in range(k):
+                    kg = (kg * _B + h[j:j + n]) & _MASK
+                # winnowing: min hash of each w-window of k-gram hashes
+                if kg.size <= w:
+                    fps = np.array([kg.min()])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(kg, w)
+                    fps = np.unique(win.min(axis=1))
+                out_ids.append(int(did))
+                out_fps.append([int(x) for x in fps])
+            yield pd.DataFrame({"doc_id": out_ids, "fingerprints": out_fps})
+    return fn
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): per-doc selected minima of
+    rolling k-gram hashes — robust partial-overlap fingerprints.
+
+    NOTE: uses Python ``hash`` of tokens → deterministic only with
+    PYTHONHASHSEED pinned (Spark pins it for workers); oracle is rows-only.
+    """
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    return src.mapInPandas(_winnow_batch(k, w), schema=_WINNOW_SCHEMA)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+from whoosh_spark.analysis.analyzers import analyze_text
 from whoosh_spark.query.ast import (
     And, AndMaybe, AndNot, Fuzzy, Not, NullQuery, Or, Phrase, Prefix, Query,
     Term, TermRange, Wildcard,
@@ -64,8 +65,14 @@ def _leaf(text: str) -> Query:
         return Fuzzy(text[: m.start()].lower(), maxdist=dist, boost=boost)
     if text.startswith('"'):
         pm = re.match(r'"([^"]*)"(?:~(\d+))?$', text)
-        words = pm.group(1).split()
+        # query text runs through the SAME analyzer as index time
+        # (fields.py::FieldType.process_text ≈L200): lowercase + stop removal
+        words, _ = analyze_text(pm.group(1))
         slop = int(pm.group(2)) if pm.group(2) else 1
+        if not words:
+            return NullQuery
+        if len(words) == 1:
+            return Term(words[0], boost=boost)
         return Phrase(words, slop=slop, boost=boost)
     if re.match(r"^[\[{].*[\]}]$", text, re.S):
         incl_lo = text[0] == "["
@@ -79,7 +86,10 @@ def _leaf(text: str) -> Query:
         return Prefix(text[:-1].lower(), boost=boost)
     if "*" in text or "?" in text:
         return Wildcard(text.lower(), boost=boost)
-    return Term(text, boost=boost)
+    toks, _ = analyze_text(text)  # query-time analysis (lowercase + stop)
+    if not toks:
+        return NullQuery  # stopword / too-short term vanishes (Whoosh §3.2)
+    return Term(toks[0], boost=boost)
 
 
 class _Parser:

@@ -165,6 +165,22 @@ class Searcher:
         )
         return scored.orderBy(F.col("keyness").desc(), F.col("term").asc()).limit(top)
 
+    def highlights(self, q: Q.Query, limit: int = 10, text_col: str = "text",
+                   top: int = 3, **fmt_kw) -> list[tuple[int, float, str]]:
+        """Top-k hits with highlighted context fragments
+        (``searching.py::Hit.highlights ≈L1300``).  Driver-side over the k
+        result rows only — requires the docs table to carry ``text_col``."""
+        from whoosh_spark.highlight import highlight as _hl
+
+        terms = {t for t in q.normalize().terms()} | {
+            w for w in q.normalize().phrase_terms()}
+        rows = self.search(q, limit=limit, with_stored=[text_col]).collect()
+        return [
+            (int(r["doc_id"]), float(r["score"]),
+             _hl(r[text_col] or "", terms, top=top, **fmt_kw))
+            for r in rows
+        ]
+
     def correct_term(self, word: str, maxdist: int = 2, top: int = 3) -> list[str]:
         """Spelling corrector (``src/whoosh/spelling.py::ReaderCorrector ≈L80``):
         most-frequent terms within levenshtein distance, prefix-sharing."""

@@ -31,6 +31,15 @@ def get_spark(master: str | None = None, shuffle_partitions: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # split compact parquet inputs finely enough that map stages use the
+        # whole cluster even when a table is only tens of MB (the analyzed
+        # and blocks tables compress ~10x; the default 128m split would run
+        # their scans on 1-2 cores).  Harmless at real scale.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # zstd: ~35% smaller index/analyzed files than snappy — trades CPU
+        # (which scales with executors) for disk bandwidth (which doesn't)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -154,6 +154,13 @@ def write_index(
     # ---- phase 2: shuffle merge → blocks + stats + manifest --------------
     t0 = time.perf_counter()
     analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
+    # the analyzed table compresses ~10x, so its scan may yield far fewer
+    # splits than the cluster has cores — the explode + shuffle-map of the
+    # merge would then run nearly serial.  Rebalance first (cheap: compact
+    # per-doc rows), keyed round-robin.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if analyzed.rdd.getNumPartitions() < n_part:
+        analyzed = analyzed.repartition(n_part)
     postings = B.flat_postings(analyzed, field)
     blocks = B.posting_blocks(postings)
     # already sorted by (field, term, bucket, blk) within partitions by
@@ -208,6 +215,12 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Open a persisted index (manifest-gated, like ``open_dir``)."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
+    deleted_dir = os.path.join(path, "deleted")
+    deleted = (
+        spark.read.parquet(deleted_dir).select("doc_id").distinct()
+        if os.path.isdir(deleted_dir) and os.listdir(deleted_dir)
+        else None
+    )
     ix = InvertedIndex(
         spark,
         blocks=spark.read.parquet(os.path.join(path, "blocks")),
@@ -216,9 +229,29 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         doc_lengths=spark.read.parquet(os.path.join(path, "doc_lengths")),
         docs=spark.read.parquet(os.path.join(path, "docs")),
         field=manifest["field"],
+        deleted=deleted,
     )
     ix.manifest = manifest
     return ix
+
+
+def delete_documents(spark: SparkSession, path: str,
+                     doc_ids: list[int] | None = None,
+                     where: str | None = None) -> int:
+    """Soft delete (``writing.py::delete_by_term/query ≈L480``): append doc
+    ids to the ``deleted`` overlay table (Iceberg delete-file analog).
+    ``where`` is a SQL predicate over the stored docs table.  Postings stay
+    until the next full rewrite; readers anti-join the overlay."""
+    if doc_ids is not None:
+        df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    elif where is not None:
+        df = spark.read.parquet(os.path.join(path, "docs")).where(where).select("doc_id")
+    else:
+        raise ValueError("need doc_ids or where")
+    n = df.count()
+    df.write.mode("append").parquet(os.path.join(path, "deleted"))
+    _append_log(path, {"phase": "delete", "n_docs": int(n), "ts": time.time()})
+    return int(n)
 
 
 def build_log(path: str) -> list[dict]:

@@ -1,0 +1,125 @@
+"""Structured-Streaming ingestion: micro-segments + compaction.
+
+Whoosh's nearest analog is ``BufferedWriter``/``AsyncWriter``
+(``src/whoosh/writing.py ≈L950-1100``): buffer incoming docs in a RAM
+segment, searchable before commit, merged into real segments later.  The
+Spark-native restatement:
+
+    readStream(pages) → foreachBatch:
+        analyze batch → append analyzed/batch=stream-<epoch>  (micro-segment)
+        log lineage to _build_log.jsonl
+    … periodically …
+    compact_index(path): re-run the merge phase over ALL micro-segments →
+        fresh blocks/term_stats/doc_lengths/field_stats + manifest swap
+        (MERGE_SMALL / OPTIMIZE policy analog, ``writing.py ≈L60``)
+
+Queries against the last manifest generation see the last compaction —
+snapshot-isolation semantics exactly like Whoosh readers see the last TOC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoosh_spark import build as B
+from whoosh_spark import store
+from whoosh_spark.config import TEXT_FIELD
+
+
+def _ingest_batch(path: str, id_col: str, text_col: str):
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.perf_counter()
+        analyzed = B.analyzed_docs(batch_df, id_col, text_col).withColumn(
+            "chunk", F.lit(-1)
+        )
+        out = os.path.join(path, "analyzed", f"batch=stream-{epoch_id}")
+        analyzed.write.mode("overwrite").parquet(out)
+        n = batch_df.sparkSession.read.parquet(out).count()
+        store._append_log(
+            path,
+            {
+                "phase": "analyze",
+                "batch": f"stream-{epoch_id}",
+                "chunks": [],
+                "counters": {"stream": {"n_docs": int(n), "n_tokens": -1}},
+                "wall_ms": int(1000 * (time.perf_counter() - t0)),
+                "ts": time.time(),
+            },
+        )
+
+    return fn
+
+
+def stream_index(stream_df: DataFrame, path: str, checkpoint: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 trigger_once: bool = False):
+    """Start (or run-once) the micro-segment ingestion stream.
+
+    ``stream_df`` is any streaming DataFrame with (id_col, text_col) — e.g.
+    a file source over landing parquet, or Kafka bytes mapped to pages.
+    Returns the StreamingQuery.
+    """
+    writer = (
+        stream_df.writeStream.foreachBatch(_ingest_batch(path, id_col, text_col))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
+                  store_docs: DataFrame | None = None,
+                  text_col: str = "text") -> dict:
+    """Merge every analyzed micro-segment into fresh query tables + manifest.
+
+    Equivalent to Whoosh's OPTIMIZE merge policy: read all segments, rewrite
+    blocks/stats, atomically swap the manifest generation.
+    """
+    t0 = time.perf_counter()
+    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if analyzed.rdd.getNumPartitions() < n_part:
+        analyzed = analyzed.repartition(n_part)
+    postings = B.flat_postings(analyzed, field)
+    blocks = B.posting_blocks(postings)
+    blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
+    blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
+    B.term_stats(blocks_r).write.mode("overwrite").parquet(
+        os.path.join(path, "term_stats"))
+    lengths = B.doc_lengths(analyzed)
+    lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
+    lengths_r = spark.read.parquet(os.path.join(path, "doc_lengths"))
+    B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
+        os.path.join(path, "field_stats"))
+    if store_docs is not None:
+        stored = store_docs.drop(text_col)
+        stored = stored.drop(*[f.name for f in stored.schema.fields
+                               if f.dataType.typeName() == "binary"])
+        stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    store._append_log(
+        path, {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
+               "ts": time.time()})
+    fs_row = spark.read.parquet(os.path.join(path, "field_stats")).collect()[0]
+    manifest = {
+        "format": "whoosh-spark/1",
+        "generation": int(time.time()),
+        "field": field,
+        "chunk_bits": None,
+        "n_docs": int(fs_row["doc_count"]),
+        "total_len": int(fs_row["total_len"]),
+        "n_terms": blocks_r.select("term").distinct().count(),
+        "n_blocks": blocks_r.count(),
+        "store_text": False,
+        "build_wall_s": round(time.perf_counter() - t0, 3),
+    }
+    tmp = os.path.join(path, store.MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, store.MANIFEST))
+    return manifest

@@ -30,12 +30,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from whoosh_spark.analysis.udfs import ANALYZED_SCHEMA, analyze_batches_arrow
+from pyspark.sql import types as T
+
 from whoosh_spark.codec.blocks import (
     BLOCKS_SCHEMA,
+    RUNS_SCHEMA_PA,
+    build_runs_arrow,
     encode_group_arrow,
     encode_sorted_stream,
+    merge_runs_stream,
 )
 from whoosh_spark.config import DOC_BUCKET_BITS, TEXT_FIELD
+
+_PA_TO_SPARK = {"string": T.StringType(), "int64": T.LongType(),
+                "int32": T.IntegerType(), "binary": T.BinaryType()}
+RUNS_SCHEMA = T.StructType(
+    [T.StructField(n, _PA_TO_SPARK[t]) for n, t in RUNS_SCHEMA_PA]
+)
 
 
 def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -96,6 +107,31 @@ def posting_blocks(postings: DataFrame) -> DataFrame:
         bucketed.repartition(n_part, "field", "term", "bucket")
         .sortWithinPartitions("field", "term", "bucket", "doc_id")
         .mapInArrow(encode_sorted_stream, schema=BLOCKS_SCHEMA)
+    )
+
+
+def posting_blocks_from_analyzed(analyzed: DataFrame, field: str = TEXT_FIELD) -> DataFrame:
+    """Two-level build (the scale path; Whoosh MpWriter algebra):
+
+        analyzed → [per-partition RUN build: dict-encode + lexsort +
+                    whole-stream varint, one row per (term, bucket)]
+                 → shuffle runs on (term, bucket)   ← ~200x fewer rows,
+                                                      ~6x fewer bytes than
+                                                      shuffling postings
+                 → [merge runs per group by doc_id → 128-posting blocks]
+
+    Output is byte-identical to ``posting_blocks(flat_postings(analyzed))``
+    (invariance tests assert it): block carving depends only on the sorted
+    (term, bucket, doc_id) content, not on partitioning.
+    """
+    runs = analyzed.mapInArrow(
+        build_runs_arrow(field, DOC_BUCKET_BITS), schema=RUNS_SCHEMA
+    )
+    n_part = int(analyzed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        runs.repartition(n_part, "term", "bucket")
+        .sortWithinPartitions("term", "bucket")
+        .mapInArrow(merge_runs_stream(field), schema=BLOCKS_SCHEMA)
     )
 
 

@@ -283,7 +283,7 @@ def _binary_column_buffers(col) -> tuple[np.ndarray, np.ndarray]:
 
     Normalizes arbitrary slicing/chunking with one vectorized ragged gather.
     """
-    arr = col.combine_chunks()
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
                             count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
@@ -328,27 +328,39 @@ def encode_sorted_stream(batches):
     carry: "pa.Table | None" = None
     out_schema = pa.schema([(n, getattr(pa, t)()) for n, t in _ARROW_FIELDS])
 
+    def _group_change_mask(tbl: "pa.Table") -> np.ndarray:
+        """bool[n-1]: True where row i+1 starts a new (field, term, bucket)
+        group — vectorized in Arrow C kernels, no Python string loop."""
+        import pyarrow.compute as pc
+
+        n = tbl.num_rows
+        out = np.zeros(n - 1, dtype=bool) if n else np.zeros(0, dtype=bool)
+        for colname in ("field", "term", "bucket"):
+            col = tbl.column(colname).combine_chunks()
+            neq = pc.invert(pc.equal(col.slice(1), col.slice(0, n - 1)))
+            out |= neq.to_numpy(zero_copy_only=False)
+        return out
+
     def _encode_table(tbl: "pa.Table") -> "pa.RecordBatch | None":
         if tbl.num_rows == 0:
             return None
-        fields = np.asarray(tbl.column("field").to_pylist(), dtype=object)
-        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        term_col = tbl.column("term")
+        field_col = tbl.column("field")
         buckets = tbl.column("bucket").to_numpy(zero_copy_only=False)
         doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         tfs = tbl.column("tf").to_numpy(zero_copy_only=False)
         dls = tbl.column("dl").to_numpy(zero_copy_only=False)
         blob_flat, blob_lens = _binary_column_buffers(tbl.column("pos_blob"))
         bstarts = np.cumsum(blob_lens) - blob_lens
-        chg = np.nonzero((terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-                         | (fields[1:] != fields[:-1]))[0] + 1
-        bounds = np.concatenate(([0], chg, [terms.size]))
+        chg = np.nonzero(_group_change_mask(tbl))[0] + 1
+        bounds = np.concatenate(([0], chg, [tbl.num_rows]))
         rows: list[dict] = []
         for s, e in zip(bounds[:-1], bounds[1:]):
             bs = int(bstarts[s])
             be = int(bstarts[e - 1] + blob_lens[e - 1])
             rows.extend(
                 encode_term_bucket_blobs(
-                    fields[s], terms[s], int(buckets[s]),
+                    field_col[s].as_py(), term_col[s].as_py(), int(buckets[s]),
                     doc_ids[s:e], tfs[s:e], dls[s:e],
                     blob_flat[bs:be], blob_lens[s:e],
                 )
@@ -358,27 +370,12 @@ def encode_sorted_stream(batches):
         return pa.RecordBatch.from_arrays(arrays, names=[n for n, _ in _ARROW_FIELDS])
 
     def _split_tail(tbl: "pa.Table"):
-        """Split off the trailing (possibly incomplete) group."""
+        """Split off the trailing (possibly incomplete) group (vectorized)."""
         n = tbl.num_rows
-        # groups are bounded (≤ 2^DOC_BUCKET_BITS docs); scan a bounded suffix
-        from whoosh_spark.config import DOC_BUCKET_BITS
-
-        win = min(n, (1 << DOC_BUCKET_BITS) + 1)
-        terms = tbl.column("term").slice(n - win).to_pylist()
-        buckets = tbl.column("bucket").slice(n - win).to_pylist()
-        last_t, last_b = terms[-1], buckets[-1]
-        s = win - 1
-        while s > 0 and terms[s - 1] == last_t and buckets[s - 1] == last_b:
-            s -= 1
-        if s == 0 and win < n:
-            # pathological: group larger than window — fall back to full scan
-            terms = tbl.column("term").to_pylist()
-            buckets = tbl.column("bucket").to_pylist()
-            s = n - 1
-            while s > 0 and terms[s - 1] == last_t and buckets[s - 1] == last_b:
-                s -= 1
-            return tbl.slice(0, s), tbl.slice(s)
-        return tbl.slice(0, n - win + s), tbl.slice(n - win + s)
+        chg = _group_change_mask(tbl)
+        nz = np.nonzero(chg)[0]
+        s = int(nz[-1]) + 1 if nz.size else 0
+        return tbl.slice(0, s), tbl.slice(s)
 
     for batch in batches:
         tbl = pa.Table.from_batches([batch])
@@ -395,6 +392,240 @@ def encode_sorted_stream(batches):
     if carry is None:
         # empty partition: yield nothing (schema known to Spark)
         return
+
+
+# ---------------------------------------------------------------------------
+# Two-level build: per-partition RUNS → shuffle → merge into blocks.
+#
+# Whoosh's MpWriter has each subprocess build a sorted sub-segment and the
+# parent merge them (``src/whoosh/multiproc.py::MpWriter ≈L150``).  The Spark
+# restatement: each analyze partition emits ONE compressed run row per
+# (term, doc-bucket) — ids delta-varint, tfs varint, dls u2, position blobs
+# concatenated with a u2 length directory — so the wide shuffle moves
+# ~#partitions × #terms×buckets small rows instead of one row per posting
+# (measured ~6x fewer bytes, ~200x fewer rows at 1M docs).  The reduce side
+# k-way-merges runs per group by doc_id (vectorized argsort) and carves the
+# standard 128-posting blocks with the same kernels as the direct path.
+# ---------------------------------------------------------------------------
+
+RUNS_SCHEMA_PA = [
+    ("term", "string"), ("bucket", "int64"), ("n", "int32"),
+    ("min_id", "int64"), ("max_id", "int64"), ("sum_tf", "int64"),
+    ("max_tf", "int64"), ("min_dl", "int32"),
+    ("ids", "binary"), ("tfs", "binary"), ("dls", "binary"),
+    ("blobs", "binary"), ("blob_lens", "binary"),
+]
+
+
+def _varint_lens(values: np.ndarray) -> np.ndarray:
+    v = values.astype(np.uint64)
+    return (
+        np.ones(v.size, dtype=np.int64)
+        + (v >= np.uint64(1 << 7)) + (v >= np.uint64(1 << 14))
+        + (v >= np.uint64(1 << 21)) + (v >= np.uint64(1 << 28))
+        + (v >= np.uint64(1 << 35))
+    )
+
+
+def build_runs_arrow(field: str, bucket_bits: int):
+    """mapInArrow fn over ANALYZED rows → per-partition run rows.
+
+    Whole-partition vectorization: one dictionary-encode for terms, one
+    lexsort, whole-stream varint encodes sliced per run by byte prefix sums.
+    """
+    import pyarrow as pa
+
+    def fn(batches):
+        doc_ids_l, dls_l, term_chunks, tf_l, blob_v_l, blob_l_l = [], [], [], [], [], []
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            terms = t.column("terms").combine_chunks()
+            toff = terms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.diff(toff)
+            doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            dls = t.column("dl").to_numpy(zero_copy_only=False)
+            doc_ids_l.append(np.repeat(doc_ids, counts))
+            dls_l.append(np.repeat(dls, counts))
+            term_chunks.append(terms.values)  # flat string array
+            tfs = t.column("tfs").combine_chunks()
+            tf_l.append(tfs.values.to_numpy(zero_copy_only=False))
+            blobs = t.column("pos_blobs").combine_chunks()
+            bval, blens = _binary_column_buffers(blobs.values)
+            blob_v_l.append(bval)
+            blob_l_l.append(blens)
+        if not doc_ids_l:
+            return
+        doc_ids = np.concatenate(doc_ids_l)
+        if doc_ids.size == 0:
+            return
+        dls = np.concatenate(dls_l)
+        tfs = np.concatenate(tf_l)
+        blob_vals = np.concatenate(blob_v_l) if blob_v_l else np.zeros(0, np.uint8)
+        blob_lens = np.concatenate(blob_l_l)
+        term_arr = pa.concat_arrays(
+            [c.cast(pa.string()) for c in term_chunks]).dictionary_encode()
+        term_idx = term_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = term_arr.dictionary
+
+        buckets = doc_ids >> bucket_bits
+        order = np.lexsort((doc_ids, buckets, term_idx))
+        term_idx = term_idx[order]
+        buckets = buckets[order]
+        doc_ids = doc_ids[order]
+        dls = dls[order]
+        tfs = tfs[order]
+        bstarts = np.cumsum(blob_lens) - blob_lens
+        blob_vals, blob_lens = _ragged_gather(blob_vals, bstarts, blob_lens, order)
+
+        chg = np.nonzero((term_idx[1:] != term_idx[:-1]) | (buckets[1:] != buckets[:-1]))[0] + 1
+        bounds = np.concatenate(([0], chg, [term_idx.size]))
+        n_runs = bounds.size - 1
+        run_lens = np.diff(bounds)
+
+        # ids: delta within run (first = absolute), whole-stream varint
+        deltas = np.diff(doc_ids, prepend=0)
+        deltas[bounds[:-1]] = doc_ids[bounds[:-1]]
+        ids_stream = varint_encode(deltas.astype(np.uint64))
+        ids_b = np.cumsum(np.concatenate(([0], _varint_lens(deltas))))
+        tfs_stream = varint_encode(tfs.astype(np.uint64))
+        tfs_b = np.cumsum(np.concatenate(([0], _varint_lens(tfs))))
+        dls_u2 = dls.astype("<u2").tobytes()
+        blob_b = np.cumsum(np.concatenate(([0], blob_lens)))
+        ids_np = np.frombuffer(ids_stream, dtype=np.uint8)
+        tfs_np = np.frombuffer(tfs_stream, dtype=np.uint8)
+        dls_np = np.frombuffer(dls_u2, dtype=np.uint8)
+
+        # per-run aggregates (vectorized segment reductions)
+        min_ids = doc_ids[bounds[:-1]]
+        max_ids = doc_ids[bounds[1:] - 1]
+        sum_tf = np.add.reduceat(tfs, bounds[:-1])
+        max_tf = np.maximum.reduceat(tfs, bounds[:-1])
+        min_dl = np.minimum.reduceat(dls, bounds[:-1])
+
+        def _bin_col(flat: np.ndarray, prefix: np.ndarray, idx_bounds: np.ndarray):
+            offs = prefix[idx_bounds].astype(np.int64)
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), n_runs,
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(flat.tobytes())],
+            )
+
+        run_terms = dictionary.take(pa.array(term_idx[bounds[:-1]], type=pa.int64()))
+        bl_prefix = np.cumsum(np.concatenate(([0], _varint_lens(blob_lens))))
+        blob_lens_stream = np.frombuffer(varint_encode(blob_lens.astype(np.uint64)),
+                                         dtype=np.uint8)
+        arrays = [
+            run_terms.cast(pa.string()),
+            pa.array(buckets[bounds[:-1]], type=pa.int64()),
+            pa.array(run_lens.astype(np.int32)),
+            pa.array(min_ids, type=pa.int64()),
+            pa.array(max_ids, type=pa.int64()),
+            pa.array(sum_tf.astype(np.int64)),
+            pa.array(max_tf.astype(np.int64)),
+            pa.array(min_dl.astype(np.int32)),
+            _bin_col(ids_np, ids_b, bounds),
+            _bin_col(tfs_np, tfs_b, bounds),
+            _bin_col(dls_np, np.arange(doc_ids.size + 1) * 2, bounds),
+            _bin_col(np.frombuffer(blob_vals.tobytes(), dtype=np.uint8), blob_b, bounds),
+            _bin_col(blob_lens_stream, bl_prefix, bounds),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=[n for n, _ in RUNS_SCHEMA_PA])
+
+    return fn
+
+
+def merge_runs_stream(field: str):
+    """mapInArrow fn over (term, bucket)-partitioned+sorted RUN rows →
+    BLOCKS_SCHEMA rows.  Per group: decode each run, k-way merge by doc_id
+    (argsort over the concatenation), carve 128-posting blocks."""
+    import pyarrow as pa
+
+    out_schema_names = [n for n, _ in _ARROW_FIELDS]
+
+    def _mask(tbl):
+        import pyarrow.compute as pc
+
+        n = tbl.num_rows
+        out = np.zeros(max(n - 1, 0), dtype=bool)
+        for colname in ("term", "bucket"):
+            col = tbl.column(colname).combine_chunks()
+            neq = pc.invert(pc.equal(col.slice(1), col.slice(0, n - 1)))
+            out |= neq.to_numpy(zero_copy_only=False)
+        return out
+
+    def _encode(tbl):
+        if tbl.num_rows == 0:
+            return None
+        term_col = tbl.column("term")
+        buckets = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        ns = tbl.column("n").to_numpy(zero_copy_only=False)
+        ids_f, ids_l = _binary_column_buffers(tbl.column("ids"))
+        tfs_f, tfs_l = _binary_column_buffers(tbl.column("tfs"))
+        dls_f, dls_l = _binary_column_buffers(tbl.column("dls"))
+        blob_f, blob_l = _binary_column_buffers(tbl.column("blobs"))
+        bl_f, bl_l = _binary_column_buffers(tbl.column("blob_lens"))
+        ids_starts = np.cumsum(ids_l) - ids_l
+        tfs_starts = np.cumsum(tfs_l) - tfs_l
+        dls_starts = np.cumsum(dls_l) - dls_l
+        blob_starts = np.cumsum(blob_l) - blob_l
+        bl_starts = np.cumsum(bl_l) - bl_l
+        chg = np.nonzero(_mask(tbl))[0] + 1
+        bounds = np.concatenate(([0], chg, [tbl.num_rows]))
+        rows: list[dict] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ids_parts, tf_parts, dl_parts, blen_parts, bloblist = [], [], [], [], []
+            for r in range(s, e):
+                ids = np.cumsum(varint_decode(
+                    ids_f[ids_starts[r]:ids_starts[r] + ids_l[r]].tobytes()
+                ).astype(np.int64))
+                tfv = varint_decode(
+                    tfs_f[tfs_starts[r]:tfs_starts[r] + tfs_l[r]].tobytes()
+                ).astype(np.int64)
+                dlv = np.frombuffer(
+                    dls_f[dls_starts[r]:dls_starts[r] + dls_l[r]].tobytes(), "<u2"
+                ).astype(np.int64)
+                blv = varint_decode(
+                    bl_f[bl_starts[r]:bl_starts[r] + bl_l[r]].tobytes()
+                ).astype(np.int64)
+                ids_parts.append(ids)
+                tf_parts.append(tfv)
+                dl_parts.append(dlv)
+                blen_parts.append(blv)
+                bloblist.append(blob_f[blob_starts[r]:blob_starts[r] + blob_l[r]])
+            doc_ids = np.concatenate(ids_parts)
+            tfs_m = np.concatenate(tf_parts)
+            dls_m = np.concatenate(dl_parts)
+            blens = np.concatenate(blen_parts)
+            blobs = np.concatenate(bloblist)
+            rows.extend(
+                encode_term_bucket_blobs(
+                    field, term_col[s].as_py(), int(buckets[s]),
+                    doc_ids, tfs_m, dls_m, blobs, blens,
+                )
+            )
+        cols = {name: [r[name] for r in rows] for name, _ in _ARROW_FIELDS}
+        arrays = [pa.array(cols[n], type=getattr(pa, t)()) for n, t in _ARROW_FIELDS]
+        return pa.RecordBatch.from_arrays(arrays, names=out_schema_names)
+
+    def fn(batches):
+        carry = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            chg = _mask(tbl)
+            nz = np.nonzero(chg)[0]
+            split = int(nz[-1]) + 1 if nz.size else 0
+            head, carry = tbl.slice(0, split), tbl.slice(split)
+            rb = _encode(head)
+            if rb is not None and rb.num_rows:
+                yield rb
+        if carry is not None and carry.num_rows:
+            rb = _encode(carry.combine_chunks())
+            if rb is not None and rb.num_rows:
+                yield rb
+
+    return fn
 
 
 def decode_blocks_pdf(pdf: pd.DataFrame, want_positions: bool = False) -> pd.DataFrame:

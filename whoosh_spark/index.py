@@ -76,7 +76,7 @@ class InvertedIndex:
             analyzed = analyzed.cache()
         lengths = B.doc_lengths(analyzed)
         postings = B.flat_postings(analyzed, field)
-        blocks = B.posting_blocks(postings)
+        blocks = B.posting_blocks_from_analyzed(analyzed, field)
         if cache:
             blocks = blocks.cache()
         tstats = B.term_stats(blocks)

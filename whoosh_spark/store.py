@@ -86,7 +86,7 @@ def write_index(
     text_col: str = "text",
     field: str = TEXT_FIELD,
     chunk_bits: int = DEFAULT_CHUNK_BITS,
-    chunks_per_commit: int = 8,
+    chunks_per_commit: int = 16,
     store_text: bool = False,
     max_batches: int | None = None,
 ) -> dict:
@@ -121,13 +121,24 @@ def write_index(
         batch = pending[i : i + chunks_per_commit]
         bid = next_batch + n_batches
         t0 = time.perf_counter()
-        part = src.where(F.col("_chunk").isin(batch))
+        # express the chunk filter as doc_id RANGE predicates so the parquet
+        # scan prunes row groups (a predicate on the derived _chunk column
+        # would force a full corpus scan per batch)
+        id_col_l = F.col(id_col).cast("long")
+        rng_pred = F.lit(False)
+        for c in batch:
+            lo = c << chunk_bits
+            hi = ((c + 1) << chunk_bits) - 1
+            rng_pred = rng_pred | id_col_l.between(lo, hi)
+        part = src.where(rng_pred)
         analyzed = B.analyzed_docs(part, id_col, text_col).withColumn(
             "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
         )
         batch_dir = os.path.join(path, "analyzed", f"batch={bid}")
         analyzed.write.mode("overwrite").parquet(batch_dir)
-        # per-chunk counters from what was just written (parquet-stat cheap)
+        t_write = time.perf_counter() - t0
+        # per-chunk counters from what was just written (column-pruned scan
+        # of two int columns — parquet footer + tiny pages)
         just = spark.read.parquet(batch_dir)
         counters = {
             int(r["chunk"]): {"n_docs": int(r["n"]), "n_tokens": int(r["t"])}
@@ -143,6 +154,7 @@ def write_index(
                 "chunks": [int(c) for c in batch],
                 "counters": counters,
                 "wall_ms": int(1000 * (time.perf_counter() - t0)),
+                "write_ms": int(1000 * t_write),
                 "ts": time.time(),
             },
         )
@@ -153,29 +165,40 @@ def write_index(
 
     # ---- phase 2: shuffle merge → blocks + stats + manifest --------------
     t0 = time.perf_counter()
+    steps: dict[str, int] = {}
+
+    def _mark(name: str, since: float) -> float:
+        now = time.perf_counter()
+        steps[name] = int(1000 * (now - since))
+        return now
+
     analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
     # the analyzed table compresses ~10x, so its scan may yield far fewer
     # splits than the cluster has cores — the explode + shuffle-map of the
     # merge would then run nearly serial.  Rebalance first (cheap: compact
     # per-doc rows), keyed round-robin.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if analyzed.rdd.getNumPartitions() < n_part:
+    if analyzed.rdd.getNumPartitions() < max(4, n_part // 2):
+        # only worth an extra full shuffle when the scan is badly under-split
         analyzed = analyzed.repartition(n_part)
-    postings = B.flat_postings(analyzed, field)
-    blocks = B.posting_blocks(postings)
+    t = time.perf_counter()
+    blocks = B.posting_blocks_from_analyzed(analyzed, field)
     # already sorted by (field, term, bucket, blk) within partitions by
     # construction (encode_sorted_stream preserves its input sort), so the
     # parquet row-group min/max stats give term-pruning for free
     blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
+    t = _mark("blocks", t)
     blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
     tstats = B.term_stats(blocks_r)
     tstats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+    t = _mark("term_stats", t)
     lengths = B.doc_lengths(analyzed)
     lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
     lengths_r = spark.read.parquet(os.path.join(path, "doc_lengths"))
     B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
         os.path.join(path, "field_stats")
     )
+    t = _mark("lengths", t)
     # stored fields: analyzed text and raw binary (e.g. html) excluded by
     # default — Whoosh stores only declared stored fields (fields.py STORED)
     stored = docs if store_text else docs.drop(text_col)
@@ -184,10 +207,11 @@ def write_index(
     if id_col != "doc_id":
         stored = stored.withColumnRenamed(id_col, "doc_id")
     stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    t = _mark("docs", t)
     _append_log(
         path,
         {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
-         "ts": time.time()},
+         "steps_ms": steps, "ts": time.time()},
     )
 
     # ---- manifest (atomic tmp+rename = TOC generation swap) --------------

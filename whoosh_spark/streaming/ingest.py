@@ -86,8 +86,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if analyzed.rdd.getNumPartitions() < n_part:
         analyzed = analyzed.repartition(n_part)
-    postings = B.flat_postings(analyzed, field)
-    blocks = B.posting_blocks(postings)
+    blocks = B.posting_blocks_from_analyzed(analyzed, field)
     blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
     blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
     B.term_stats(blocks_r).write.mode("overwrite").parquet(

@@ -147,6 +147,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key_terms=key_terms_q,
     )
 
+    def range_facet_nchars(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facet_range(Q.Term("data"), "n_chars", 0.0, 1000.0, 250.0)
+
+    def query_facet_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facet_query(
+            Q.Term("data"),
+            {"has_vector": Q.Term("vector"), "has_window": Q.Term("window")},
+        )
+
+    def numeric_range_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.ev.evaluate(Q.NumericRange("n_chars", 100, 300))
+            .orderBy("doc_id").limit(100)
+        )
+
+    def paging_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.search(Q.Term("data"), limit=5, offset=5, optimize=False)
+        return res.select("doc_id", F.round("score", 6).alias("score"))
+
+    out.update(
+        range_facet_nchars=range_facet_nchars,
+        query_facet=query_facet_q,
+        numeric_range=numeric_range_q,
+        paging_page2=paging_q,
+    )
+
     # ---- training-data pipeline operators (SURVEY.md + driver brief) ----
     def _docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -210,6 +240,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": OSQL.doc_lengths_sql(100),
         "spelling": OSQL.spelling_sql("dat", 2, 3),
         "key_terms": OSQL.key_terms_sql([0, 1, 2, 3, 4], 5),
+        "range_facet_nchars": OSQL.range_facet_sql("data", "n_chars", 0.0, 1000.0, 250.0),
+        "query_facet": OSQL.query_facet_sql(
+            "data", {"has_vector": "vector", "has_window": "window"}),
+        "numeric_range": OSQL.numeric_range_sql("n_chars", 100, 300),
+        "paging_page2": OSQL.paging_sql("data", 5, 2),
         # pipeline ops (hash-based ops — simhash, winnow, ann, multimodal —
         # are intentionally omitted: rows-only driver check)
         "dedup_exact": PSQL.exact_duplicates_sql(),

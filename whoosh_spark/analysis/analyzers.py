@@ -37,6 +37,27 @@ def tokenize_raw(text: str) -> list[str]:
     return [m.group(0) for m in _TOKEN_RE.finditer(text)]
 
 
+def analyze_text_stemming(text: str) -> tuple[list[str], list[int]]:
+    """StemmingAnalyzer chain (``src/whoosh/analysis/analyzers.py::
+    StemmingAnalyzer``): RegexTokenizer | Lowercase | Stop | StemFilter
+    (Porter).  Same position semantics as the standard chain."""
+    from whoosh_spark.analysis.porter import stem
+
+    tokens, positions = analyze_text(text)
+    return [stem(t) for t in tokens], positions
+
+
+def fold_accents(token: str) -> str:
+    """CharsetFilter-style accent folding (``analysis/filters.py::
+    CharsetFilter ≈L300``): NFKD-decompose and drop combining marks."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", token)
+        if not unicodedata.combining(c)
+    )
+
+
 def analyze_text(text: str) -> tuple[list[str], list[int]]:
     """Full chain: returns (tokens, positions) with stop-gap position semantics.
 

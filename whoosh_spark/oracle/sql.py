@@ -253,6 +253,50 @@ def doc_lengths_sql(limit: int = 100) -> str:
     """
 
 
+def range_facet_sql(term: str, col: str, start: float, end: float, gap: float) -> str:
+    """RangeFacet over a stored numeric column for matches of ``term``."""
+    nbins = int((end - start) // gap)
+    sel = f"""
+SELECT CASE WHEN d.{col} < {start} THEN -1
+            WHEN d.{col} >= {end} THEN {nbins}
+            ELSE CAST(floor((d.{col} - {start}) / {gap}) AS INT) END AS bin,
+       count(*)::BIGINT AS n
+FROM (SELECT DISTINCT doc_id FROM sc WHERE term = '{term}') m
+JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+    return base_ctes() + sel
+
+
+def query_facet_sql(base_term: str, named: dict[str, str]) -> str:
+    """QueryFacet: each value is a term whose doc set defines the facet."""
+    parts = [
+        f"""SELECT '{name}' AS facet, count(*)::BIGINT AS n
+FROM (SELECT DISTINCT doc_id FROM sc WHERE term = '{base_term}') b
+WHERE b.doc_id IN (SELECT doc_id FROM sc WHERE term = '{t}')"""
+        for name, t in sorted(named.items())
+    ]
+    return base_ctes() + " UNION ALL ".join(parts)
+
+
+def numeric_range_sql(col: str, lo: float, hi: float, limit: int = 100) -> str:
+    """Native-predicate NumericRange (tiered terms obsolete, SURVEY.md §2.4)."""
+    return f"""
+SELECT doc_id, 1.0::DOUBLE AS score FROM documents
+WHERE {col} >= {lo} AND {col} <= {hi}
+ORDER BY doc_id LIMIT {limit}
+"""
+
+
+def paging_sql(term: str, pagelen: int, page: int) -> str:
+    """search_page(n, pagelen): OFFSET slice of the ranked list."""
+    sel = f"SELECT doc_id, score FROM sc WHERE term = '{term}'"
+    return base_ctes() + (
+        f"SELECT doc_id, round(score, 6) AS score FROM ({sel}) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {pagelen} OFFSET {(page - 1) * pagelen}"
+    )
+
+
 def spelling_sql(word: str, maxdist: int = 2, top: int = 3) -> str:
     return base_ctes() + f"""
       SELECT t.term AS term FROM

@@ -138,6 +138,39 @@ class Searcher:
             .agg(F.count("*").cast("long").alias("n"))
         )
 
+    def facet_range(self, q: Q.Query, col: str, start: float, end: float,
+                    gap: float) -> DataFrame:
+        """RangeFacet (``src/whoosh/sorting.py::RangeFacet ≈L300``): bucket a
+        numeric stored column into [start+i·gap, start+(i+1)·gap) bins —
+        width_bucket as a column expression; out-of-range → bin -1/overflow."""
+        scores = self.ev.evaluate(q)
+        c = F.col(col).cast("double")
+        bin_ = F.when(c < start, F.lit(-1)).when(
+            c >= end, F.lit(int((end - start) // gap))
+        ).otherwise(F.floor((c - start) / gap).cast("int"))
+        return (
+            scores.join(self.ix.docs.select("doc_id", col), "doc_id")
+            .withColumn("bin", bin_)
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def facet_query(self, base: Q.Query, named: dict[str, Q.Query]) -> DataFrame:
+        """QueryFacet (``sorting.py::QueryFacet ≈L380``): count base-query
+        matches falling in each named sub-query's doc set."""
+        scores = self.ev.evaluate(base).select("doc_id")
+        parts = []
+        for name, sub in sorted(named.items()):
+            member = self.ev.evaluate(sub).select("doc_id")
+            parts.append(
+                scores.join(member, "doc_id", "left_semi")
+                .agg(F.lit(name).alias("facet"), F.count("*").cast("long").alias("n"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def facet_best(self, q: Q.Query, facet: str) -> DataFrame:
         """groupedby with Best maptype — max_by(doc_id, (score, -doc_id))."""
         scores = self.ev.evaluate(q)

@@ -37,6 +37,28 @@ def tokenize_raw(text: str) -> list[str]:
     return [m.group(0) for m in _TOKEN_RE.finditer(text)]
 
 
+def ngram_tokens(text: str, minsize: int = 2, maxsize: int = 4,
+                 lower: bool = True) -> list[str]:
+    """NgramTokenizer (``src/whoosh/analysis/ngrams.py::NgramTokenizer
+    ≈L30``): character n-grams of the raw text, n in [minsize, maxsize] —
+    substring-search indexing (NGRAM field type)."""
+    if lower:
+        text = text.lower()
+    out: list[str] = []
+    n_ch = len(text)
+    for n in range(minsize, maxsize + 1):
+        out.extend(text[i:i + n] for i in range(0, n_ch - n + 1))
+    return out
+
+
+def ngram_words(text: str, minsize: int = 2, maxsize: int = 4) -> list[str]:
+    """NGRAMWORDS analog: tokenize first, then n-gram each token."""
+    out: list[str] = []
+    for tok in tokenize_raw(text):
+        out.extend(ngram_tokens(tok, minsize, maxsize))
+    return out
+
+
 def analyze_text_stemming(text: str) -> tuple[list[str], list[int]]:
     """StemmingAnalyzer chain (``src/whoosh/analysis/analyzers.py::
     StemmingAnalyzer``): RegexTokenizer | Lowercase | Stop | StemFilter

@@ -45,8 +45,9 @@ def _glob_to_rlike(pattern: str) -> str:
 
 
 class Evaluator:
-    def __init__(self, ix: InvertedIndex):
+    def __init__(self, ix: InvertedIndex, weighting: str = "bm25"):
         self.ix = ix
+        self.weighting = weighting  # bm25 | tfidf | frequency (§2.6)
 
     # ------------------------------------------------------------------
     def evaluate(self, q: Q.Query) -> DataFrame:
@@ -92,16 +93,19 @@ class Evaluator:
                     return Q.NullQuery
                 q = type(q)(kids, **{k: getattr(q, k) for k in ("boost", "minmatch", "tiebreak")
                                      if hasattr(q, k)})
-        if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require)):
+        if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require, Q.Otherwise)):
             a, b = self._expand(q.a), self._expand(q.b)
             if a is Q.NullQuery:
-                return Q.NullQuery
+                return b if isinstance(q, Q.Otherwise) else Q.NullQuery
             if b is Q.NullQuery:
-                return a
+                return Q.NullQuery if isinstance(q, Q.Require) else a
             return type(q)(a, b, q.boost)
         if isinstance(q, Q.Not):
             c = self._expand(q.child)
             return Q.NullQuery if c is Q.NullQuery else Q.Not(c, q.boost)
+        if isinstance(q, Q.Constant):
+            c = self._expand(q.child)
+            return Q.NullQuery if c is Q.NullQuery else Q.Constant(c, q.score, q.boost)
         return q
 
     def _or_terms(self, terms: list[str], boost: float) -> Q.Query:
@@ -121,7 +125,7 @@ class Evaluator:
             return min(self._estimate(c) for c in q.children)
         if isinstance(q, (Q.Or, Q.DisMax)):
             return sum(self._estimate(c) for c in q.children)
-        if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require)):
+        if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require, Q.Otherwise)):
             return self._estimate(q.a)
         return self._n
 
@@ -139,7 +143,9 @@ class Evaluator:
             return self.ix.spark.createDataFrame([], "term string, doc_id long, score double")
         idf_map = {t: idf_value(self._n, self._stats[t]["df"]) for t in present}
         posts = self.ix.postings(present)
-        return score_postings(posts, idf_map, self._avgdl).select("term", "doc_id", "score")
+        return score_postings(
+            posts, idf_map, self._avgdl, weighting=self.weighting
+        ).select("term", "doc_id", "score")
 
     def _eval_term(self, q: Q.Term) -> DataFrame:
         df = self._scored_terms([q.text]).select("doc_id", "score")
@@ -231,6 +237,22 @@ class Evaluator:
         b = self._eval(q.b).select("doc_id")
         out = a.join(b, "doc_id", "left_semi")
         return out.select("doc_id", (F.col("score") * q.boost).alias("score"))
+
+    def _eval_otherwise(self, q: Q.Otherwise) -> DataFrame:
+        a = self._eval(q.a)
+        # cheap existence probe (driver-side if/else, compound.py ≈L750)
+        if a.limit(1).count() > 0:
+            out = a
+        else:
+            out = self._eval(q.b)
+        if q.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * q.boost)
+        return out
+
+    def _eval_constant(self, q: Q.Constant) -> DataFrame:
+        child = self._eval(q.child).select("doc_id")
+        return child.select(
+            "doc_id", (F.lit(float(q.score)) * q.boost).alias("score"))
 
     def _eval_every(self, q: Q.Every) -> DataFrame:
         return self.ix.all_doc_ids().select(

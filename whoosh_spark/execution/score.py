@@ -43,15 +43,29 @@ def bm25_upper_bound(n_docs: int, df: int, max_weight: float, min_len: int,
 
 
 def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
-                   avgdl: float, boost_by_term: dict[str, float] | None = None) -> DataFrame:
+                   avgdl: float, boost_by_term: dict[str, float] | None = None,
+                   weighting: str = "bm25") -> DataFrame:
     """(field, term, doc_id, tf, dl, …) → + ``score`` column.
 
     idf (and optional per-term query boost) enter as a literal CASE map —
-    tiny per query, folded by Catalyst, no join or shuffle."""
+    tiny per query, folded by Catalyst, no join or shuffle.
+
+    ``weighting`` selects the model (``src/whoosh/scoring.py``):
+      bm25       BM25F (default; ≈L140)
+      tfidf      score = weight · idf            (::TF_IDF ≈L300)
+      frequency  score = raw weight              (::Frequency ≈L280)
+    """
     idf_col = F.lit(0.0)
     for t, v in idf_by_term.items():
         idf_col = F.when(F.col("term") == t, F.lit(float(v))).otherwise(idf_col)
-    score = idf_col * bm25_component(F.col("tf"), F.col("dl"), avgdl)
+    if weighting == "bm25":
+        score = idf_col * bm25_component(F.col("tf"), F.col("dl"), avgdl)
+    elif weighting == "tfidf":
+        score = F.col("tf").cast("double") * idf_col
+    elif weighting == "frequency":
+        score = F.col("tf").cast("double")
+    else:
+        raise ValueError(f"unknown weighting {weighting!r}")
     if boost_by_term:
         boost_col = F.lit(1.0)
         for t, v in boost_by_term.items():

@@ -1,5 +1,6 @@
 from whoosh_spark.query.ast import (
     And,
+    Constant,
     AndMaybe,
     AndNot,
     DisMax,
@@ -10,6 +11,7 @@ from whoosh_spark.query.ast import (
     NullQuery,
     NumericRange,
     Or,
+    Otherwise,
     Phrase,
     Prefix,
     Query,
@@ -21,7 +23,7 @@ from whoosh_spark.query.ast import (
 from whoosh_spark.query.parser import parse_query
 
 __all__ = [
-    "And", "AndMaybe", "AndNot", "DisMax", "Every", "Filter", "Fuzzy", "Not",
+    "And", "Constant", "Otherwise", "AndMaybe", "AndNot", "DisMax", "Every", "Filter", "Fuzzy", "Not",
     "NullQuery", "NumericRange", "Or", "Phrase", "Prefix", "Query", "Require",
     "Term", "TermRange", "Wildcard", "parse_query",
 ]

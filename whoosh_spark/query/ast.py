@@ -238,6 +238,52 @@ class AndMaybe(Query):
 
 
 @dataclass(frozen=True)
+class Otherwise(Query):
+    """``compound.py::Otherwise (≈L750)``: results of a if any, else b —
+    a driver-side conditional on a cheap count."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        a, b = self.a.normalize(), self.b.normalize()
+        if a is NullQuery:
+            return b
+        if b is NullQuery:
+            return a
+        return Otherwise(a, b, self.boost)
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def phrase_terms(self):
+        return self.a.phrase_terms() + self.b.phrase_terms()
+
+
+@dataclass(frozen=True)
+class Constant(Query):
+    """``wrappers.py::ConstantScoreQuery (≈L120)``: child's matches with a
+    fixed score."""
+
+    child: Query
+    score: float = 1.0
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if c is NullQuery:
+            return NullQuery
+        return Constant(c, self.score, self.boost)
+
+    def terms(self):
+        return self.child.terms()
+
+    def phrase_terms(self):
+        return self.child.phrase_terms()
+
+
+@dataclass(frozen=True)
 class Require(Query):
     """``compound.py::Require (≈L660)`` → left semi join, score from a only."""
 

@@ -23,9 +23,10 @@ from whoosh_spark.query import ast as Q
 
 
 class Searcher:
-    def __init__(self, ix: InvertedIndex):
+    def __init__(self, ix: InvertedIndex, weighting: str = "bm25"):
         self.ix = ix
-        self.ev = Evaluator(ix)
+        self.ev = Evaluator(ix, weighting=weighting)
+        self.weighting = weighting
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -63,6 +64,7 @@ class Searcher:
             self._wand_terms(q)
             if (
                 optimize
+                and self.weighting == "bm25"  # WAND bounds are BM25-specific
                 and limit is not None
                 and filter is None
                 and mask is None
@@ -213,6 +215,21 @@ class Searcher:
              _hl(r[text_col] or "", terms, top=top, **fmt_kw))
             for r in rows
         ]
+
+    def more_like(self, doc_ids: list[int], limit: int = 10,
+                  numterms: int = 5) -> DataFrame:
+        """``searching.py::Searcher.more_like (≈L500)``: expand the doc set's
+        top key terms (tf·idf ranking, classify.py Expander) into an Or
+        query, excluding the source docs."""
+        kt = [r["term"] for r in self.key_terms(doc_ids, top=numterms).collect()]
+        if not kt:
+            return self.ix.spark.createDataFrame([], "doc_id long, score double")
+        q = Q.Or([Q.Term(t) for t in kt])
+        res = self.search(q, limit=limit + len(doc_ids))
+        return (
+            res.where(~F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .limit(limit)
+        )
 
     def correct_term(self, word: str, maxdist: int = 2, top: int = 3) -> list[str]:
         """Spelling corrector (``src/whoosh/spelling.py::ReaderCorrector ≈L80``):

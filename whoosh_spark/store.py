@@ -281,3 +281,117 @@ def delete_documents(spark: SparkSession, path: str,
 def build_log(path: str) -> list[dict]:
     """Lineage records (public accessor for tests/ops)."""
     return _read_log(path)
+
+
+def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
+                  store_docs: DataFrame | None = None, text_col: str = "text",
+                  purge_deleted: bool = False) -> dict:
+    """Merge every analyzed segment into fresh query tables + manifest swap
+    (Whoosh OPTIMIZE merge policy, ``writing.py ≈L60``).
+
+    ``purge_deleted=True`` additionally drops soft-deleted docs from the
+    analyzed input, rewrites doc_lengths/field_stats without them, and clears
+    the overlay — the physical purge that deleted-doc bitsets defer.
+    """
+    t0 = time.perf_counter()
+    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if analyzed.rdd.getNumPartitions() < max(4, n_part // 2):
+        analyzed = analyzed.repartition(n_part)
+    deleted_dir = os.path.join(path, "deleted")
+    has_deleted = os.path.isdir(deleted_dir) and bool(os.listdir(deleted_dir))
+    if purge_deleted and has_deleted:
+        dd = spark.read.parquet(deleted_dir).select("doc_id").distinct()
+        analyzed = analyzed.join(F.broadcast(dd), "doc_id", "left_anti")
+    blocks = B.posting_blocks_from_analyzed(analyzed, field)
+    blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
+    blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
+    B.term_stats(blocks_r).write.mode("overwrite").parquet(
+        os.path.join(path, "term_stats"))
+    lengths = B.doc_lengths(analyzed)
+    lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
+    lengths_r = spark.read.parquet(os.path.join(path, "doc_lengths"))
+    B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
+        os.path.join(path, "field_stats"))
+    if store_docs is not None:
+        stored = store_docs.drop(text_col)
+        stored = stored.drop(*[f.name for f in stored.schema.fields
+                               if f.dataType.typeName() == "binary"])
+        stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    if purge_deleted and has_deleted:
+        import shutil
+
+        shutil.rmtree(deleted_dir, ignore_errors=True)
+    _append_log(
+        path, {"phase": "merge", "purge": bool(purge_deleted),
+               "wall_ms": int(1000 * (time.perf_counter() - t0)), "ts": time.time()})
+    fs_row = spark.read.parquet(os.path.join(path, "field_stats")).collect()[0]
+    manifest = {
+        "format": "whoosh-spark/1",
+        "generation": int(time.time()),
+        "field": field,
+        "chunk_bits": None,
+        "n_docs": int(fs_row["doc_count"]),
+        "total_len": int(fs_row["total_len"]),
+        "n_terms": blocks_r.select("term").distinct().count(),
+        "n_blocks": blocks_r.count(),
+        "store_text": False,
+        "build_wall_s": round(time.perf_counter() - t0, 3),
+    }
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return manifest
+
+
+def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
+                     key: str = "url", text_col: str = "text",
+                     field: str = TEXT_FIELD) -> dict:
+    """``writing.py::IndexWriter.update_document (≈L520)``: delete-by-unique-
+    key then add.  Old versions are soft-deleted (postings stay until a
+    purge compaction); new versions get fresh doc_ids above the current max
+    so the overlay can never hide them.
+    """
+    stored = spark.read.parquet(os.path.join(path, "docs"))
+    if key not in stored.columns:
+        raise ValueError(f"stored docs have no unique key column {key!r}")
+    victims = (
+        stored.join(F.broadcast(new_docs.select(key).distinct()), key, "left_semi")
+        .select("doc_id")
+    )
+    victim_ids = [int(r["doc_id"]) for r in victims.collect()]
+    if victim_ids:
+        delete_documents(spark, path, doc_ids=victim_ids)
+
+    max_id = spark.read.parquet(os.path.join(path, "doc_lengths")).agg(
+        F.max("doc_id")).collect()[0][0] or 0
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(key)
+    renumbered = new_docs.withColumn(
+        "doc_id", (F.lit(int(max_id)) + F.row_number().over(w)).cast("long"))
+    analyzed = B.analyzed_docs(renumbered, "doc_id", text_col).withColumn(
+        "chunk", F.lit(-1))
+    bid = f"upsert-{int(time.time() * 1000)}"
+    analyzed.write.mode("overwrite").parquet(
+        os.path.join(path, "analyzed", f"batch={bid}"))
+    _append_log(path, {"phase": "analyze", "batch": bid, "chunks": [],
+                       "counters": {}, "wall_ms": 0, "ts": time.time()})
+    # merge new segment + rewrite stored docs (old rows of updated keys out)
+    new_stored = stored.join(
+        F.broadcast(new_docs.select(key).distinct()), key, "left_anti")
+    add_stored = renumbered.drop(text_col)
+    add_stored = add_stored.drop(*[f.name for f in add_stored.schema.fields
+                                   if f.dataType.typeName() == "binary"])
+    merged_docs = new_stored.unionByName(add_stored, allowMissingColumns=True)
+    # materialize before the overwrite that reads from the same dir
+    tmp_docs = os.path.join(path, "docs_tmp")
+    merged_docs.write.mode("overwrite").parquet(tmp_docs)
+    merged_r = spark.read.parquet(tmp_docs)
+    manifest = compact_index(spark, path, field=field)
+    merged_r.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    import shutil
+
+    shutil.rmtree(tmp_docs, ignore_errors=True)
+    return manifest

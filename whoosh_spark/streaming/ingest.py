@@ -76,49 +76,8 @@ def stream_index(stream_df: DataFrame, path: str, checkpoint: str,
 def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
                   store_docs: DataFrame | None = None,
                   text_col: str = "text") -> dict:
-    """Merge every analyzed micro-segment into fresh query tables + manifest.
-
-    Equivalent to Whoosh's OPTIMIZE merge policy: read all segments, rewrite
-    blocks/stats, atomically swap the manifest generation.
-    """
-    t0 = time.perf_counter()
-    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if analyzed.rdd.getNumPartitions() < n_part:
-        analyzed = analyzed.repartition(n_part)
-    blocks = B.posting_blocks_from_analyzed(analyzed, field)
-    blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
-    blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
-    B.term_stats(blocks_r).write.mode("overwrite").parquet(
-        os.path.join(path, "term_stats"))
-    lengths = B.doc_lengths(analyzed)
-    lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
-    lengths_r = spark.read.parquet(os.path.join(path, "doc_lengths"))
-    B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
-        os.path.join(path, "field_stats"))
-    if store_docs is not None:
-        stored = store_docs.drop(text_col)
-        stored = stored.drop(*[f.name for f in stored.schema.fields
-                               if f.dataType.typeName() == "binary"])
-        stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    store._append_log(
-        path, {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
-               "ts": time.time()})
-    fs_row = spark.read.parquet(os.path.join(path, "field_stats")).collect()[0]
-    manifest = {
-        "format": "whoosh-spark/1",
-        "generation": int(time.time()),
-        "field": field,
-        "chunk_bits": None,
-        "n_docs": int(fs_row["doc_count"]),
-        "total_len": int(fs_row["total_len"]),
-        "n_terms": blocks_r.select("term").distinct().count(),
-        "n_blocks": blocks_r.count(),
-        "store_text": False,
-        "build_wall_s": round(time.perf_counter() - t0, 3),
-    }
-    tmp = os.path.join(path, store.MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, store.MANIFEST))
-    return manifest
+    """Merge every analyzed micro-segment into fresh query tables + manifest
+    (delegates to ``store.compact_index`` — same OPTIMIZE-policy merge the
+    batch writer uses)."""
+    return store.compact_index(spark, path, field=field, store_docs=store_docs,
+                               text_col=text_col)

@@ -147,6 +147,13 @@ class InvertedIndex:
 
     def _decode(self, blk: DataFrame, with_positions: bool) -> DataFrame:
         schema = _DECODE_POS_SCHEMA if with_positions else _DECODE_SCHEMA
+        # column-prune BEFORE the Python stage: the positions stream is the
+        # fat column — non-phrase queries never read it (ReadSchema shrinks
+        # at the parquet scan)
+        cols = ["field", "term", "n", "w_const", "ids", "weights", "lens"]
+        if with_positions:
+            cols.append("positions")
+        blk = blk.select(*cols)
 
         def dec(batches):
             for pdf in batches:

@@ -113,3 +113,29 @@ def test_upsert_and_purge(spark, tmp_path):
     s2 = Searcher(ix2)
     assert s2.search(Q.Term("doc5"), limit=None, optimize=False).count() == 0
     assert s2.search(Q.Term("zebra"), limit=None, optimize=False).count() == 2
+
+
+def test_sequence_matches_phrase_for_terms(ix):
+    s = Searcher(ix)
+    ph = {int(r["doc_id"]) for r in
+          s.ev.evaluate(Q.Phrase(["big", "data"])).collect()}
+    sq = {int(r["doc_id"]) for r in
+          s.ev.evaluate(Q.Sequence([Q.Term("big"), Q.Term("data")])).collect()}
+    assert sq == ph and ph
+
+
+def test_sequence_with_prefix_slot(ix):
+    s = Searcher(ix)
+    # prefix slot "da*" covers "data": superset of the exact phrase docs
+    ph = {int(r["doc_id"]) for r in
+          s.ev.evaluate(Q.Phrase(["big", "data"])).collect()}
+    sq = {int(r["doc_id"]) for r in
+          s.ev.evaluate(Q.Sequence([Q.Term("big"), Q.Prefix("da")])).collect()}
+    assert ph <= sq
+
+
+def test_sequence_slop(ix):
+    s = Searcher(ix)
+    tight = s.ev.evaluate(Q.Sequence([Q.Term("big"), Q.Term("data")], slop=1)).count()
+    loose = s.ev.evaluate(Q.Sequence([Q.Term("big"), Q.Term("data")], slop=3)).count()
+    assert loose >= tight

@@ -91,7 +91,8 @@ class Evaluator:
                 kids = tuple(k for k in kids if k is not Q.NullQuery)
                 if not kids:
                     return Q.NullQuery
-                q = type(q)(kids, **{k: getattr(q, k) for k in ("boost", "minmatch", "tiebreak")
+                q = type(q)(kids, **{k: getattr(q, k)
+                                     for k in ("boost", "minmatch", "tiebreak", "slop")
                                      if hasattr(q, k)})
         if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require, Q.Otherwise)):
             a, b = self._expand(q.a), self._expand(q.b)
@@ -273,6 +274,62 @@ class Evaluator:
             pred = pred & (c <= q.hi if q.incl_hi else c < q.hi)
         return self.ix.docs.where(pred).select(
             "doc_id", (F.lit(1.0) * q.boost).alias("score"))
+
+    # -- Sequence: ordered proximity of term-set slots -------------------
+    def _slot_terms(self, c: Q.Query) -> list[str] | None:
+        """Term texts a slot can match (post-expansion), or None if the
+        subquery isn't positional-capable."""
+        c = self._expand(c)
+        if isinstance(c, Q.Term):
+            return [c.text]
+        if isinstance(c, Q.Or) and all(isinstance(k, Q.Term) for k in c.children):
+            return [k.text for k in c.children]
+        return None
+
+    def _eval_sequence(self, q: Q.Sequence) -> DataFrame:
+        slots = []
+        for c in q.children:
+            ts = self._slot_terms(c)
+            if ts is None:
+                raise ValueError(f"Sequence slot not positional: {c!r}")
+            st = self.ix.stats_for_terms(ts)
+            present = [t for t in ts if t in st]
+            if not present:
+                return self._empty()
+            slots.append(present)
+        all_terms = sorted({t for s in slots for t in s})
+        self._stats.update(self.ix.stats_for_terms(all_terms))
+        pos = self.ix.postings(all_terms, with_positions=True).select(
+            "term", "doc_id", "positions")
+        # per-slot: union of its terms' position lists per doc, sorted
+        slot_dfs = []
+        for i, terms in enumerate(slots):
+            df_est = sum(self._stats.get(t, {"df": 0})["df"] for t in terms)
+            sdf = (
+                pos.where(F.col("term").isin(terms))
+                .groupBy("doc_id")
+                .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias(f"_p{i}"))
+            )
+            slot_dfs.append((df_est, i, sdf))
+        ordered = sorted(slot_dfs, key=lambda t: t[0])
+        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"),
+                        [d for _, _, d in ordered])
+        cur = F.col("_p0")
+        for i in range(1, len(slots)):
+            if q.slop <= 1:
+                cand = F.transform(cur, lambda c: c + 1)
+            else:
+                cand = F.flatten(F.transform(cur, lambda c: F.sequence(c + 1, c + q.slop)))
+            cur = F.array_intersect(cand, F.col(f"_p{i}"))
+        matched = joined.where(F.size(cur) > 0).select("doc_id")
+        scored = (
+            self._scored_terms(all_terms)
+            .groupBy("doc_id").agg(F.sum("score").alias("score"))
+            .join(matched, "doc_id", "left_semi")
+        )
+        if q.boost != 1.0:
+            scored = scored.withColumn("score", F.col("score") * q.boost)
+        return scored
 
     # -- Phrase: positional join (SURVEY.md §2.4 Phrase row) -------------
     def _eval_phrase(self, q: Q.Phrase) -> DataFrame:

@@ -253,6 +253,22 @@ def doc_lengths_sql(limit: int = 100) -> str:
     """
 
 
+def sequence_prefix_sql(first: str, prefix: str, slop: int = 1, k: int = 10) -> str:
+    """Sequence([Term(first), Prefix(prefix)], slop): ordered proximity where
+    slot 2 is the prefix expansion; scored as sum of all involved terms."""
+    match = f"""pm AS (
+  SELECT DISTINCT p0.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term = '{first}') p0
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term LIKE '{prefix}%') p1
+    ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos AND p1.pos <= p0.pos + {slop}
+)"""
+    sel = f"""
+SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id)
+WHERE s.term = '{first}' OR s.term LIKE '{prefix}%' GROUP BY s.doc_id
+"""
+    return base_ctes(match) + topk(sel, k)
+
+
 def range_facet_sql(term: str, col: str, start: float, end: float, gap: float) -> str:
     """RangeFacet over a stored numeric column for matches of ``term``."""
     nbins = int((end - start) // gap)

@@ -16,6 +16,7 @@ from whoosh_spark.query.ast import (
     Prefix,
     Query,
     Require,
+    Sequence,
     Term,
     TermRange,
     Wildcard,
@@ -25,5 +26,5 @@ from whoosh_spark.query.parser import parse_query
 __all__ = [
     "And", "Constant", "Otherwise", "AndMaybe", "AndNot", "DisMax", "Every", "Filter", "Fuzzy", "Not",
     "NullQuery", "NumericRange", "Or", "Phrase", "Prefix", "Query", "Require",
-    "Term", "TermRange", "Wildcard", "parse_query",
+    "Sequence", "Term", "TermRange", "Wildcard", "parse_query",
 ]

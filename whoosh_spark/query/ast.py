@@ -238,6 +238,37 @@ class AndMaybe(Query):
 
 
 @dataclass(frozen=True)
+class Sequence(Query):
+    """``src/whoosh/query/positional.py::Sequence (≈L40)`` / ``Ordered``:
+    ordered proximity of sub-queries — each slot may be any term-expanding
+    query (Term/Prefix/Wildcard/Fuzzy/Or-of-terms); slot i+1 must match at a
+    position in (p_i, p_i + slop].  Phrase is the all-Term special case."""
+
+    children: tuple
+    slop: int = 1
+    boost: float = 1.0
+
+    def __init__(self, children, slop: int = 1, boost: float = 1.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+    def normalize(self) -> Query:
+        kids = tuple(c.normalize() for c in self.children)
+        if any(k is NullQuery for k in kids):
+            return NullQuery
+        if len(kids) == 1:
+            return kids[0]
+        return Sequence(kids, self.slop, self.boost)
+
+    def terms(self):
+        return [t for c in self.children for t in c.terms()]
+
+    def phrase_terms(self):
+        return self.terms()
+
+
+@dataclass(frozen=True)
 class Otherwise(Query):
     """``compound.py::Otherwise (≈L750)``: results of a if any, else b —
     a driver-side conditional on a cheap count."""

@@ -19,6 +19,12 @@ committed in _build_log.jsonl (kill-safe; see whoosh_spark/store.py).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# local runs: make the repo importable (on a cluster, --py-files ships the
+# package zip and this is a no-op)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 

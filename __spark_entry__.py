@@ -185,32 +185,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _html_docs(spark, sf_dir):
+        # documents-derived binary media column: deterministic utf-8 page
+        # wrapper, reproducible byte-for-byte in the DuckDB oracle
+        return _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.encode(
+                F.concat(F.lit("<html><body>"), F.col("text"),
+                         F.lit("</body></html>")), "UTF-8").alias("html"),
+        )
+
+    def multimodal_decode_q(spark, sf_dir):
+        dec = multimodal.decode_image(_html_docs(spark, sf_dir), "html",
+                                      impl=multimodal.fake_decode)
+        # features (array<float>) projected to exact 0-255 byte ints — the
+        # driver canonicalizer sorts/hashes scalar columns only, and the
+        # round-trip round(f*255) is exact for f = byte/255 in float32
+        feat_cols = [
+            F.round(F.col("features").getItem(i) * 255.0).cast("int").alias(f"f{i}")
+            for i in range(8)
+        ]
+        return dec.select("doc_id", "width", "height", "channels",
+                          *feat_cols).orderBy("doc_id")
+
     out.update(
         dedup_exact=lambda s, d: dedup.exact_duplicates(_docs(s, d)).orderBy("doc_id"),
         dedup_ngram_jaccard=lambda s, d: dedup.ngram_jaccard_pairs(
-            _docs(s, d), n=3, tau=0.5).orderBy("a", "b"),
+            _docs(s, d), n=3, tau=0.5, max_shingle_df=1000).orderBy("a", "b"),
         dedup_minhash_lsh=lambda s, d: dedup.minhash_near_dups(
             _docs(s, d), tau=0.5, num_perm=128, bands=32, rows=4, n=3).orderBy("a", "b"),
         dedup_simhash=lambda s, d: dedup.simhash_near_dups(
             _docs(s, d), max_hamming=6).orderBy("a", "b"),
-        dedup_embedding=lambda s, d: similarity.embedding_near_dups_exact(
-            _emb(s, d), tau=0.3).orderBy("a", "b"),
+        # scale path: banded sign-bit LSH + exact verify — no all-pairs join
+        dedup_embedding=lambda s, d: similarity.embedding_near_dups(
+            _emb(s, d), tau=0.95, bits=128, bands=16).orderBy("a", "b"),
+        # exact baseline: block-pair grid (distributed O(n²), no cartesian)
+        dedup_embedding_exact=lambda s, d: similarity.embedding_near_dups_exact(
+            _emb(s, d), tau=0.3, grid=8).orderBy("a", "b"),
         text_token_counts=lambda s, d: textstats.token_counts(_docs(s, d)).orderBy("doc_id"),
         text_quality=lambda s, d: textstats.quality_features(_docs(s, d)).orderBy("doc_id"),
         text_lang_id=lambda s, d: textstats.lang_id(_docs(s, d)).orderBy("doc_id"),
         text_fingerprint=lambda s, d: textstats.content_fingerprint(_docs(s, d)).orderBy("doc_id"),
         text_winnow=lambda s, d: textstats.winnow_fingerprints(
-            _docs(s, d)).select("doc_id", F.size("fingerprints").alias("n_fp")).orderBy("doc_id"),
+            _docs(s, d)).select("doc_id", F.explode("fingerprints").alias("fp"))
+            .orderBy("doc_id", "fp"),
         sim_cosine_topk=lambda s, d: similarity.cosine_topk(
             _emb(s, d), similarity.query_vector(_emb(s, d), 0), k=10),
         sim_ann_lsh=lambda s, d: similarity.ann_topk(
             _emb(s, d), similarity.query_vector(_emb(s, d), 0), k=10, bits=8),
         multimodal_meta=lambda s, d: multimodal.media_metadata(
-            __import__("whoosh_spark.corpus", fromlist=["pages_df"]).pages_df(s, 100, partitions=4),
-            "html").orderBy("doc_id"),
-        multimodal_decode=lambda s, d: multimodal.decode_image(
-            __import__("whoosh_spark.corpus", fromlist=["pages_df"]).pages_df(s, 100, partitions=4),
-            "html", impl=multimodal.fake_decode).orderBy("doc_id"),
+            _html_docs(s, d), "html").orderBy("doc_id"),
+        multimodal_decode=multimodal_decode_q,
     )
     return out
 
@@ -247,15 +272,23 @@ def oracle_sql() -> dict[str, str]:
             "data", {"has_vector": "vector", "has_window": "window"}),
         "numeric_range": OSQL.numeric_range_sql("n_chars", 100, 300),
         "paging_page2": OSQL.paging_sql("data", 5, 2),
-        # pipeline ops (hash-based ops — simhash, winnow, ann, multimodal —
-        # are intentionally omitted: rows-only driver check)
+        # pipeline ops — every entry has a full value oracle (round 2: the
+        # md5-prefix hash rewrite made simhash/winnow engine-portable, the
+        # multimodal ops moved to a documents-derived binary column, and the
+        # ANN oracle re-derives the seeded hyperplanes as SQL literals)
         "dedup_exact": PSQL.exact_duplicates_sql(),
-        "dedup_ngram_jaccard": PSQL.ngram_jaccard_sql(3, 0.5),
+        "dedup_ngram_jaccard": PSQL.ngram_jaccard_sql(3, 0.5, max_df=1000),
         "dedup_minhash_lsh": PSQL.minhash_near_dups_sql(3, 0.5),
-        "dedup_embedding": PSQL.embedding_near_dups_sql(0.3),
+        "dedup_simhash": PSQL.simhash_near_dups_sql(6),
+        "dedup_embedding": PSQL.embedding_near_dups_sql(0.95),
+        "dedup_embedding_exact": PSQL.embedding_near_dups_sql(0.3),
         "text_token_counts": PSQL.token_counts_sql(),
         "text_quality": PSQL.quality_sql(),
         "text_lang_id": PSQL.lang_id_sql(),
         "text_fingerprint": PSQL.content_fingerprint_sql(),
+        "text_winnow": PSQL.winnow_sql(5, 4),
         "sim_cosine_topk": PSQL.cosine_topk_sql(0, 10),
+        "sim_ann_lsh": PSQL.ann_topk_sql(0, 10, bits=8, seed=42, dim=64),
+        "multimodal_meta": PSQL.multimodal_meta_sql(),
+        "multimodal_decode": PSQL.multimodal_decode_sql(8),
     }

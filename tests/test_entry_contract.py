@@ -15,7 +15,9 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as E
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -43,10 +45,10 @@ def _norm(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-# entries whose ops are hash-based (xxhash64 / python hash / generated
-# input) — no DuckDB twin exists; the driver records a rows-only check
-ROWS_ONLY = {"dedup_simhash", "text_winnow", "sim_ann_lsh",
-             "multimodal_meta", "multimodal_decode"}
+# round 2: every entry has a full value oracle (md5-prefix hashes are
+# engine-portable; multimodal ops derive their binary column from documents;
+# the ANN oracle re-derives the seeded hyperplanes as SQL literals)
+ROWS_ONLY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))

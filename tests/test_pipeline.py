@@ -122,18 +122,25 @@ def test_ann_contains_self(spark):
 
 
 def test_embedding_near_dups_exact_vs_lsh_recall(spark):
-    rows = [
-        (0, [1.0, 0.0, 0.0, 0.0]),
-        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
-        (2, [0.0, 1.0, 0.0, 0.0]),
-    ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    exact = {(r["a"], r["b"]) for r in
-             similarity.embedding_near_dups_exact(df, tau=0.99).collect()}
-    assert exact == {(0, 1)}
-    lsh = {(r["a"], r["b"]) for r in
-           similarity.embedding_near_dups(df, tau=0.99, bits=4).collect()}
-    assert lsh <= exact  # LSH may miss, never invents
+    """Planted near-dups: the banded LSH path must equal the exact grid join
+    at the operating point (deterministic: seeded data + seeded planes)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    base = rng.standard_normal((40, 16))
+    vecs = [(i, base[i]) for i in range(40)]
+    vecs += [(100 + i, base[i] + 0.02 * rng.standard_normal(16))
+             for i in range(10)]  # 10 planted near-dups, cos ≈ 0.997+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>")
+    exact = {(r["a"], r["b"]): r["cos"] for r in
+             similarity.embedding_near_dups_exact(df, tau=0.95, grid=4).collect()}
+    assert len(exact) >= 10  # all planted pairs found by the exact baseline
+    lsh = {(r["a"], r["b"]): r["cos"] for r in
+           similarity.embedding_near_dups(df, tau=0.95, bits=128, bands=16).collect()}
+    assert set(lsh) <= set(exact)  # LSH never invents pairs
+    assert lsh == exact            # full recall at the operating point
 
 
 def test_multimodal_shapes(spark):

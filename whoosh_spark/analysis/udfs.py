@@ -151,14 +151,10 @@ def analyze_batches_arrow(batches):
         stream[mask] = deltas.astype(np.uint64)
         data = varint_encode(stream)
         # per-value byte widths → per-entry blob byte lengths → offsets
-        nb = (
-            np.ones(stream.size, dtype=np.int64)
-            + (stream >= np.uint64(1 << 7))
-            + (stream >= np.uint64(1 << 14))
-            + (stream >= np.uint64(1 << 21))
-            + (stream >= np.uint64(1 << 28))
-            + (stream >= np.uint64(1 << 35))
-        )
+        # (full 10-byte width table, must mirror varint_encode / _varint_lens)
+        nb = np.ones(stream.size, dtype=np.int64)
+        for _shift in (7, 14, 21, 28, 35, 42, 49, 56, 63):
+            nb += stream >= np.uint64(1 << _shift)
         val_bounds = np.concatenate(([0], np.cumsum(nb)))
         ent_val_starts = cnt_idx  # index of each entry's first value (its count)
         ent_byte_off = np.empty(n_ent + 1, dtype=np.int32)

@@ -418,13 +418,15 @@ RUNS_SCHEMA_PA = [
 
 
 def _varint_lens(values: np.ndarray) -> np.ndarray:
+    # full 10-byte LEB128 width table — must match varint_encode exactly for
+    # every value (byte offsets of run slices are derived from these lens; a
+    # truncated table silently misaligns postings for ids >= 2^42, e.g.
+    # hashed 64-bit doc ids cast to long)
     v = values.astype(np.uint64)
-    return (
-        np.ones(v.size, dtype=np.int64)
-        + (v >= np.uint64(1 << 7)) + (v >= np.uint64(1 << 14))
-        + (v >= np.uint64(1 << 21)) + (v >= np.uint64(1 << 28))
-        + (v >= np.uint64(1 << 35))
-    )
+    lens = np.ones(v.size, dtype=np.int64)
+    for shift in (7, 14, 21, 28, 35, 42, 49, 56, 63):
+        lens += v >= np.uint64(1 << shift)
+    return lens
 
 
 def build_runs_arrow(field: str, bucket_bits: int):

@@ -11,10 +11,10 @@ There is no cursor in Spark, so the same math becomes a two-pass dataflow
                      ub(b) = idf_t · bound(max_weight_b, min_len_b),
                      exact-score only the top few, θ = kth best doc score.
   pass B (pruned):   keep block b of term t iff
-                     ub_t(b) > θ − Σ_{t'≠t} max_ub_{t'}
+                     ub_t(b) ≥ θ − Σ_{t'≠t} max_ub_{t'}
                      — any doc confined to dropped blocks satisfies
-                     score(d) ≤ Σ_t ub_t(block_t(d)) ≤ θ, so the exact top-k
-                     is preserved (proof in docstring of ``_survivor_pred``).
+                     score(d) < θ strictly, so the exact top-k including
+                     θ-ties under the doc_id ASC tie-break is preserved.
   completion:        docs surfaced by surviving blocks may still have
                      contributions inside dropped blocks of OTHER terms;
                      decode dropped blocks whose [min_id, max_id] overlaps
@@ -109,11 +109,16 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
         for r in withub.groupBy("term").agg(F.max("_ub").alias("mx")).collect()
     }
     total_max = sum(maxes.values())
-    # per-term survivor predicate: ub_t(b) > θ − Σ_{t'≠t} max_ub_{t'}
+    # per-term survivor predicate: ub_t(b) >= θ − Σ_{t'≠t} max_ub_{t'}.
+    # >= (not >): a dropped doc then has score < θ strictly, so it can never
+    # displace a θ-scoring doc under the (score DESC, doc_id ASC) tie-break —
+    # Whoosh's skip_to_quality likewise keeps quality == minquality blocks.
+    # With >, a uniform-score corpus (every block ub == θ) would prune
+    # everything and return empty instead of top-k.
     pred = F.lit(False)
     for t in present:
         rest = total_max - maxes[t]
-        pred = pred | ((F.col("term") == t) & (F.col("_ub") > theta - rest))
+        pred = pred | ((F.col("term") == t) & (F.col("_ub") >= theta - rest))
     survivors = withub.where(pred).drop("_ub")
     dropped = withub.where(~pred).drop("_ub")
 

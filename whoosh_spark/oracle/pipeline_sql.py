@@ -2,11 +2,12 @@
 
 Each generator mirrors the corresponding whoosh_spark.pipeline dataflow with
 identical tokenization rules, float64 operation shapes, and 6-dp rounding.
-Hash-based ops (MinHash perms, SimHash, winnowing) use Spark's xxhash64,
-which DuckDB lacks — their oracles are either the hash-free equivalent
-(MinHash near-dups ≡ exact n-gram Jaccard pairs, since the LSH candidates
-are exact-verified and recall at the operating point is 1−≈6e−8) or omitted
-(rows-only driver check).
+MinHash keeps Spark's xxhash64 (engine-private) — its oracle is the exact
+n-gram Jaccard twin, valid because LSH candidates are exact-verified and
+recall at the operating point is 1−≈6e−8.  SimHash and winnowing use
+md5-prefix hashes that BOTH engines compute identically, so their oracles
+are exact brute-force twins; the RP-LSH ANN and fake-decode multimodal ops
+re-derive the same seeded hyperplanes / sha256 arithmetic in SQL.
 """
 
 from __future__ import annotations
@@ -26,20 +27,33 @@ ORDER BY doc_id
 """
 
 
-def _shingle_cte(n: int) -> str:
-    return f"""
-t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
+def _shingle_cte(n: int, max_df: int | None = None) -> str:
+    cut = ""
+    if max_df is not None:
+        cut = f"""
+sh_all AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
   FROM t, UNNEST(generate_series(1, len(toks) - {n - 1})) AS u(i)
 ),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > {max_df}),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),"""
+    else:
+        cut = f"""
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM t, UNNEST(generate_series(1, len(toks) - {n - 1})) AS u(i)
+),"""
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),{cut}
 sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id)
 """
 
 
-def ngram_jaccard_sql(n: int = 3, tau: float = 0.5) -> str:
+def ngram_jaccard_sql(n: int = 3, tau: float = 0.5,
+                      max_df: int | None = 1000) -> str:
+    """Twin of ``ngram_jaccard_pairs`` incl. the default-on hot-shingle cut."""
     return f"""
-WITH {_shingle_cte(n)},
+WITH {_shingle_cte(n, max_df)},
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS i
   FROM sh a JOIN sh b USING (shingle)
@@ -58,8 +72,10 @@ ORDER BY a, b
 
 # MinHash-LSH near-dups are exact-verified; the operating point (128 perms,
 # 32x4 bands, tau >= 0.5) has candidate recall 1-(1-tau^4)^32 ≈ 1 — the SQL
-# twin is therefore the brute-force Jaccard query itself.
-minhash_near_dups_sql = ngram_jaccard_sql
+# twin is therefore the brute-force Jaccard query itself (NO df cut: the
+# MinHash verify step measures Jaccard over the full shingle sets).
+def minhash_near_dups_sql(n: int = 3, tau: float = 0.5) -> str:
+    return ngram_jaccard_sql(n, tau, max_df=None)
 
 
 def token_counts_sql() -> str:
@@ -192,4 +208,156 @@ WHERE (SELECT sum(x::DOUBLE * y::DOUBLE)
        FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
       / (a.nrm * b.nrm) >= {tau}
 ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 2: full value oracles for the formerly rows-only ops.  All hashes are
+# md5-prefix integers — ('0x' || substr(md5(x),1,n))::BIGINT in DuckDB equals
+# Spark conv(substring(md5(x),1,n),16,10)::long bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    """Brute-force twin of ``simhash_near_dups`` (banding there has FULL
+    recall at the radius — bands = max_hamming + 1 — so exact equality)."""
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h, tf FROM tf),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM hh CROSS JOIN (SELECT unnest(range(0, 60)) AS i) bits
+  GROUP BY doc_id, i
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.s, b.s))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
+def winnow_sql(k: int = 5, w: int = 4) -> str:
+    """Twin of ``winnow_fingerprints`` exploded to (doc_id, fp) rows.
+    Same 28-bit md5-prefix token hash and exact mod-2^31 Horner polynomial."""
+    horner = "th[i]"
+    for j in range(1, k):
+        horner = f"(({horner}) * 1000003 + th[i+{j}]) % 2147483648"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(toks, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS th
+  FROM t WHERE len(toks) >= {k}
+),
+kg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th) - {k} + 2), i -> {horner}) AS kgs
+  FROM h
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(kgs) <= {w} THEN [list_min(kgs)]
+              ELSE list_transform(range(1, len(kgs) - {w} + 2),
+                                  j -> list_min(kgs[j:j+{w - 1}]))
+         END AS fp_list
+  FROM kg
+)
+SELECT DISTINCT doc_id, fp
+FROM (SELECT doc_id, unnest(fp_list) AS fp FROM fps)
+ORDER BY doc_id, fp
+"""
+
+
+_HTML_PAGE = "'<html><body>' || text || '</body></html>'"
+
+
+def multimodal_meta_sql() -> str:
+    """Twin of ``media_metadata`` over the documents-derived html binary
+    (utf-8 of a deterministic wrapper string — reproducible in any engine)."""
+    return f"""
+WITH h AS (SELECT doc_id, {_HTML_PAGE} AS page FROM documents)
+SELECT doc_id,
+       octet_length(encode(page))::BIGINT AS n_bytes,
+       sha256(page) AS sha,
+       hex(encode(substr(page, 1, 4))) AS magic
+FROM h ORDER BY doc_id
+"""
+
+
+def multimodal_decode_sql(feat_dim: int = 8) -> str:
+    """Twin of ``decode_image(..., impl=fake_decode)``: the fake decoder is
+    pure sha256 arithmetic — width/height from digest bytes 0-3, features
+    from bytes 8.. (reported as exact 0-255 ints, f_i = round(feature*255))."""
+    feats = ",\n       ".join(
+        f"('0x' || substr(s, {17 + 2 * i}, 2))::INT AS f{i}"
+        for i in range(feat_dim)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, sha256({_HTML_PAGE}) AS s FROM documents)
+SELECT doc_id,
+       (1 + ('0x' || substr(s, 1, 4))::BIGINT % 2048)::INT AS width,
+       (1 + ('0x' || substr(s, 5, 4))::BIGINT % 2048)::INT AS height,
+       3::INT AS channels,
+       {feats}
+FROM h ORDER BY doc_id
+"""
+
+
+def ann_topk_sql(query_vec_id: int = 0, k: int = 10, bits: int = 8,
+                 seed: int = 42, dim: int = 64) -> str:
+    """Twin of ``ann_topk`` (multi-probe RP-LSH): the seeded hyperplanes are
+    re-generated here as SQL literals from the SAME Philox stream, the query
+    signature + Hamming-1 probe set and per-row buckets are computed in SQL,
+    then exact cosine top-k over the candidate set."""
+    from whoosh_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}])"
+        for i in range(bits)
+    )
+    dot_q = (f"list_sum(list_transform(range(1, {dim} + 1), "
+             f"i -> qv[i] * pv[i]))")
+    dot_e = (f"list_sum(list_transform(range(1, {dim} + 1), "
+             f"i -> e.embedding[i]::DOUBLE * p.pv[i]))")
+    return f"""
+WITH planes(pid, pv) AS (SELECT * FROM (VALUES {rows}) v(pid, pv)),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+qsig AS (
+  SELECT sum(CASE WHEN {dot_q} > 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS s
+  FROM planes, q
+),
+probes AS (
+  SELECT (SELECT s FROM qsig) AS p
+  UNION ALL SELECT xor((SELECT s FROM qsig), (1::BIGINT << pid)) FROM planes
+),
+code AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN {dot_e} > 0 THEN (1::BIGINT << p.pid) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN code c USING (vec_id) WHERE c.bucket IN (SELECT p FROM probes)
+),
+qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn FROM q),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                                 i -> embedding[i]::DOUBLE * qv[i])) AS dot,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM cand, q
+)
+SELECT vec_id, round(dot / (nrm * (SELECT qn FROM qn)), 6) AS cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """

@@ -11,9 +11,9 @@ Scale notes (the whole point of these formulations):
 * MinHash: signatures are p column aggregates over the shingle explode (one
   shuffle); LSH banding turns candidate generation into an equi-join on
   (band, band_hash) — bucket sizes are bounded w.h.p., no cross join ever.
-* SimHash: 64 bit-majority aggregates per doc; near-dup candidates via
-  4x16-bit band buckets (a Hamming-distance<=3 pair must agree on >=1 band,
-  pigeonhole), verified with bit_count(xor) — all JVM bit ops.
+* SimHash: 60 bit-majority aggregates per doc; near-dup candidates via
+  ``max_hamming + 1`` band buckets (pigeonhole ⇒ full recall at the radius),
+  verified with bit_count(xor) — all JVM bit ops, portable md5-prefix hash.
 """
 
 from __future__ import annotations
@@ -75,11 +75,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     tau: float = 0.5,
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (a, b, jaccard) with a < b.
 
     |A ∩ B| from the inverted shingle join, |A ∪ B| = |A| + |B| − |A ∩ B|.
+
+    ``max_shingle_df`` is DEFAULT-ON (1000): without the hot-shingle cut the
+    pair join is quadratic in the hottest shingle's df — the classic skew
+    bomb on web boilerplate.  Pass None explicitly for the uncut exact join.
+    Note the cut changes semantics slightly (Jaccard over the surviving
+    shingle sets) — the DuckDB oracle applies the identical cut.
     """
     sh = shingles(docs, n, text_col)
     if max_shingle_df is not None:
@@ -193,46 +199,75 @@ def minhash_near_dups(docs: DataFrame, tau: float = 0.8, num_perm: int = 128,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long) — 64 tf-weighted bit-majority votes per doc."""
+SIMHASH_BITS = 60  # 15 md5 hex chars → portable across engines, sign-safe
+
+
+def simhash60(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — 60 tf-weighted bit-majority votes per doc.
+
+    The token hash is the first 15 hex chars of md5 read as an integer —
+    NOT engine-private (Spark ``conv(substring(md5(t),1,15),16,10)`` equals
+    DuckDB ``('0x' || substr(md5(t),1,15))::BIGINT`` bit-for-bit), so the
+    whole operator has an exact brute-force SQL oracle."""
     tok = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    h = tok.withColumn("h", F.xxhash64("tok"))
+    h = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
                    F.col("tf")).otherwise(-F.col("tf"))
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = h.groupBy("doc_id").agg(*votes)
     bit_terms = [
         F.when(F.col(f"v{i}") > 0,
                F.shiftleft(F.lit(1).cast("long"), i)
                ).otherwise(F.lit(0).cast("long"))
-        for i in range(63)  # bit 63 excluded: keep values non-negative longs
+        for i in range(SIMHASH_BITS)
     ]
     out = agg.withColumn("simhash", sum(bit_terms[1:], bit_terms[0]))
     return out.select("doc_id", "simhash")
 
 
+def _band_slices(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(start_bit, width) for ``bands`` nearly-equal contiguous bit bands."""
+    base, extra = divmod(bits, bands)
+    out, start = [], 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text") -> DataFrame:
-    """(a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+    """(a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming — EXACT.
 
-    Banding: split 64 bits into 4 16-bit keys; any pair within Hamming ≤ 3
-    agrees on ≥ 1 band (pigeonhole) — candidate join is an equi-join."""
-    sh = simhash64(docs, text_col)
+    Banding with ``bands = max_hamming + 1`` nearly-equal bit ranges: by
+    pigeonhole, any pair within Hamming ≤ max_hamming has ≥ 1 band with zero
+    differing bits, so the equi-join on (band, key) has FULL recall at the
+    requested radius (a fixed band count would silently under-recall for
+    larger radii — the round-1 bug).  Exact ``bit_count(xor)`` verify."""
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS})")
+    bands = max_hamming + 1
+    sh = simhash60(docs, text_col)
     banded = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", start)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+            for i, (start, width) in enumerate(_band_slices(SIMHASH_BITS, bands))
         ])).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
     l = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
     r = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
     return (

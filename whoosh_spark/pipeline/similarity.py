@@ -98,40 +98,95 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def embedding_near_dups_exact(embeddings: DataFrame, tau: float = 0.5,
-                              vec_col: str = "embedding",
-                              id_col: str = "vec_id") -> DataFrame:
-    """Exact all-pairs cosine ≥ tau (correctness baseline; quadratic — use
-    the LSH variant at scale)."""
-    base = embeddings.select(F.col(id_col).cast("long").alias("vec_id"),
-                             F.col(vec_col).alias("v"))
-    l = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    r = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+                              vec_col: str = "embedding", id_col: str = "vec_id",
+                              grid: int = 16) -> DataFrame:
+    """Exact all-pairs cosine ≥ tau via a BLOCK-PAIR GRID — deliberately
+    O(n²) flops (exactness at any tau requires it for dense vectors), but
+    distributed: vectors land in ``grid`` blocks by id hash, the grid of
+    grid·(grid+1)/2 block pairs becomes the join key, and each pair bucket
+    compares 2n/grid vectors in one task.  No cartesian node, no single-task
+    blowup, memory per task bounded by the block size — raise ``grid`` with
+    the cluster (grid ≈ sqrt(2 · #cores) keeps every core busy).
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(grid)).alias("blk"),
+    )
+    pairs = [(i, j) for i in range(grid) for j in range(i, grid)]
+    grid_df = spark.createDataFrame(
+        [(p, i, j, i == j) for p, (i, j) in enumerate(pairs)],
+        "pid int, bi int, bj int, diag boolean")
+    # every unordered block pair {i,j} is exactly one pid; vec_id order is
+    # normalized with least/greatest afterwards, so each vector pair is seen
+    # exactly once (diagonal pids additionally filter ia < ib)
+    l = base.join(F.broadcast(grid_df.select("pid", "bi", "diag")),
+                  base["blk"] == F.col("bi")) \
+            .select("pid", "diag", F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    r = base.join(F.broadcast(grid_df.select("pid", "bj")),
+                  base["blk"] == F.col("bj")) \
+            .select("pid", F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     va = F.col("va").cast("array<double>")
     vb = F.col("vb").cast("array<double>")
     cos = _dot(va, vb) / (_norm(va) * _norm(vb))
     return (
-        l.crossJoin(r)
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cos, 6).alias("cos"))
+        l.join(r, "pid")
+        .where(~F.col("diag") | (F.col("ia") < F.col("ib")))
+        .select(F.least("ia", "ib").alias("a"),
+                F.greatest("ia", "ib").alias("b"),
+                F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= tau)
     )
 
 
 def embedding_near_dups(embeddings: DataFrame, tau: float = 0.95,
-                        bits: int = 8, seed: int = 42,
+                        bits: int = 128, bands: int = 16, seed: int = 42,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
-    """(a, b, cos) pairs with cosine ≥ tau — bucket-join candidates + exact
-    verify.  High-cosine pairs collide in the sign-bit code w.h.p.; for
-    recall-critical settings union several seeds."""
-    b1 = rp_lsh_buckets(embeddings, bits, seed, vec_col, id_col)
-    l = b1.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "bucket")
-    r = b1.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "bucket")
+    """(a, b, cos) pairs with cosine ≥ tau — banded sign-bit LSH candidates +
+    exact verify.  The scale path: candidates come from equi-joins on
+    (band, band-key), never an all-pairs comparison.
+
+    Banding math (per-bit flip prob p = acos(cos)/π): a pair collides in a
+    band of width w with prob (1−p)^w; missing all ``bands`` bands has prob
+    (1−(1−p)^w)^bands.  Defaults (128 bits, 16×8-bit bands) give miss prob
+    ≈1.3e-4 at cos 0.95 and ≈6e-9 at cos 0.99; the verify step makes every
+    reported pair exact, so errors are only possible as recall misses."""
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    w = bits // bands
+    # per-band keys assembled directly from sign bits (bits may exceed 64,
+    # so no single packed code); planes are broadcast literals as in
+    # rp_lsh_buckets
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(w):
+            p = F.array(*[F.lit(float(x)) for x in planes[b * w + j]])
+            key = key + F.when(_dot(v, p) > 0,
+                               F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        keys.append(key)
+    banded = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    l = banded.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                      "band", "key")
+    r = banded.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                      "band", "key")
     va = F.col("va").cast("array<double>")
     vb = F.col("vb").cast("array<double>")
     cos = _dot(va, vb) / (_norm(va) * _norm(vb))
     return (
-        l.join(r, "bucket")
+        l.join(r, ["band", "key"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= tau)

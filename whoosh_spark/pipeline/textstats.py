@@ -129,8 +129,18 @@ _WINNOW_SCHEMA = T.StructType(
     ]
 )
 
-_B = np.uint64(1_000_003)          # polynomial base
-_MASK = np.uint64((1 << 61) - 1)   # keep hashes positive in int64 range
+_B = np.uint64(1_000_003)        # polynomial base (< 2^20)
+_M = np.uint64(1 << 31)          # modulus: kg < 2^31 ⇒ kg*B + h < 2^51, no
+                                 # uint64 overflow, BIGINT-safe in any engine
+_MASK31 = np.uint64((1 << 31) - 1)
+
+
+def _tok_hash28(t: str) -> int:
+    """28-bit token hash: first 7 hex chars of md5 — engine-portable
+    (DuckDB: ``('0x' || substr(md5(t),1,7))::BIGINT``), PYTHONHASHSEED-free."""
+    import hashlib
+
+    return int(hashlib.md5(t.encode("utf-8")).hexdigest()[:7], 16)
 
 
 def _winnow_batch(k: int, w: int):
@@ -139,17 +149,17 @@ def _winnow_batch(k: int, w: int):
             out_ids, out_fps = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = (text or "").lower().split()
-                h = np.array([hash(t) & 0x7FFFFFFF for t in toks], dtype=np.uint64)
+                h = np.array([_tok_hash28(t) for t in toks], dtype=np.uint64)
                 if h.size < k:
                     out_ids.append(int(did)); out_fps.append([])
                     continue
-                # k-gram rolling (polynomial) hash, vectorized via cumulative
-                # products is numerically unstable; use the standard windowed
-                # recompute with numpy strides over the token-hash array
+                # k-gram rolling (polynomial) hash mod 2^31, Horner form —
+                # every intermediate stays < 2^51 so the arithmetic is exact
+                # and identical to the SQL oracle's BIGINT math
                 n = h.size - k + 1
                 kg = np.zeros(n, dtype=np.uint64)
                 for j in range(k):
-                    kg = (kg * _B + h[j:j + n]) & _MASK
+                    kg = (kg * _B + h[j:j + n]) & _MASK31
                 # winnowing: min hash of each w-window of k-gram hashes
                 if kg.size <= w:
                     fps = np.array([kg.min()])
@@ -167,9 +177,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     """Winnowing (Schleimer et al., SIGMOD'03): per-doc selected minima of
     rolling k-gram hashes — robust partial-overlap fingerprints.
 
-    NOTE: uses Python ``hash`` of tokens → deterministic only with
-    PYTHONHASHSEED pinned (Spark pins it for workers); oracle is rows-only.
-    """
+    Deterministic across engines/sessions (md5-prefix token hash, exact
+    mod-2^31 polynomial) — has a full value oracle in DuckDB."""
     src = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.col(text_col).alias("text"))
     return src.mapInPandas(_winnow_batch(k, w), schema=_WINNOW_SCHEMA)

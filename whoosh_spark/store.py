@@ -301,8 +301,28 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     deleted_dir = os.path.join(path, "deleted")
     has_deleted = os.path.isdir(deleted_dir) and bool(os.listdir(deleted_dir))
     if purge_deleted and has_deleted:
+        import shutil
+
         dd = spark.read.parquet(deleted_dir).select("doc_id").distinct()
         analyzed = analyzed.join(F.broadcast(dd), "doc_id", "left_anti")
+        # The overlay can only be dropped once the purged docs are PHYSICALLY
+        # gone from analyzed/ — otherwise any later compaction re-merges the
+        # old segments with no overlay left and resurrects them.  Rewrite
+        # analyzed/ as one compacted batch first, then drop the overlay.
+        # (Not crash-atomic mid-sequence, same as every overwrite here; the
+        # manifest swap at the end is the commit point.)
+        an_dir = os.path.join(path, "analyzed")
+        tmp_an = os.path.join(path, "analyzed_purge_tmp")
+        analyzed.withColumn("chunk", F.lit(-1)).write.mode("overwrite").parquet(tmp_an)
+        shutil.rmtree(an_dir, ignore_errors=True)
+        os.makedirs(an_dir, exist_ok=True)
+        bid = f"purge-{int(time.time() * 1000)}"
+        os.replace(tmp_an, os.path.join(an_dir, f"batch={bid}"))
+        _append_log(path, {"phase": "analyze", "batch": bid, "chunks": [],
+                           "counters": {}, "note": "purge-compaction rewrite",
+                           "wall_ms": 0, "ts": time.time()})
+        analyzed = spark.read.parquet(an_dir).drop("chunk", "batch")
+        shutil.rmtree(deleted_dir, ignore_errors=True)
     blocks = B.posting_blocks_from_analyzed(analyzed, field)
     blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
     blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
@@ -318,10 +338,6 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         stored = stored.drop(*[f.name for f in stored.schema.fields
                                if f.dataType.typeName() == "binary"])
         stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    if purge_deleted and has_deleted:
-        import shutil
-
-        shutil.rmtree(deleted_dir, ignore_errors=True)
     _append_log(
         path, {"phase": "merge", "purge": bool(purge_deleted),
                "wall_ms": int(1000 * (time.perf_counter() - t0)), "ts": time.time()})

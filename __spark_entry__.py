@@ -38,6 +38,22 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _CACHE[key]
 
 
+MF_FIELDS = {"text": "text", "lang": "lang"}  # schema for the fielded entries
+
+
+def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
+
+    key = ("mf", id(spark), sf_dir)
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mix = MultiFieldIndex.build(
+            docs, fields={n: FieldSpec(c) for n, c in MF_FIELDS.items()},
+            default_field="text")
+        _CACHE[key] = Searcher(mix)
+    return _CACHE[key]
+
+
 def _topk(scores: DataFrame, k: int = 10) -> DataFrame:
     return (
         scores.select("doc_id", F.round("score", 6).alias("score"))
@@ -178,6 +194,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         paging_page2=paging_q,
     )
 
+    # ---- multi-field schema / BM25F (round 2) ---------------------------
+    def fielded_and(spark, sf_dir):
+        from whoosh_spark.query.parser import parse_query
+
+        s = _mf_searcher(spark, sf_dir)
+        q = parse_query("text:data AND lang:en", fields=list(MF_FIELDS))
+        return _topk(s.search(q, limit=None, optimize=False).select("doc_id", "score"))
+
+    def multifield_or(spark, sf_dir):
+        from whoosh_spark.query.parser import parse_query
+
+        s = _mf_searcher(spark, sf_dir)
+        q = parse_query("data", fields=list(MF_FIELDS), multifield=["text", "lang"])
+        return _topk(s.search(q, limit=None, optimize=False).select("doc_id", "score"))
+
+    out.update(fielded_and=fielded_and, multifield_or=multifield_or)
+
     # ---- training-data pipeline operators (SURVEY.md + driver brief) ----
     def _docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -272,6 +305,9 @@ def oracle_sql() -> dict[str, str]:
             "data", {"has_vector": "vector", "has_window": "window"}),
         "numeric_range": OSQL.numeric_range_sql("n_chars", 100, 300),
         "paging_page2": OSQL.paging_sql("data", 5, 2),
+        "fielded_and": OSQL.fielded_and_sql(
+            [("text", "data"), ("lang", "en")], MF_FIELDS),
+        "multifield_or": OSQL.multifield_or_sql("data", MF_FIELDS),
         # pipeline ops — every entry has a full value oracle (round 2: the
         # md5-prefix hash rewrite made simhash/winnow engine-portable, the
         # multimodal ops moved to a documents-derived binary column, and the

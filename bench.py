@@ -126,32 +126,67 @@ def _ensure_scale_corpus(spark) -> str:
     return SCALE_DIR
 
 
+# index store for the scaling legs goes to tmpfs: on a real 4N-executor
+# cluster every executor brings its own local disks, so aggregate write
+# bandwidth scales with N — this box has ONE shared disk, which would cap
+# the 4N leg on a resource that does NOT stay constant on a cluster.  RAM
+# bandwidth scales with cores, modelling the cluster resource honestly.
+# (The headline build above still measures the real-disk persisted build.)
+SCALE_IX_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_IX",
+    "/dev/shm/whoosh_bench_ix" if os.path.isdir("/dev/shm")
+    else os.path.join(REPO, ".benchdata", "ix_scaling"),
+)
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+
+
+def _scaling_leg(cores: int) -> float:
+    """One fresh-process leg: warm build on a slice (python-worker spin-up +
+    JIT), then one full persisted build.  Prints seconds on the last line."""
+    import shutil
+
+    spark = _session(cores)
+    try:
+        path = _ensure_scale_corpus(spark)
+        docs = spark.read.parquet(path)
+        from whoosh_spark.index import InvertedIndex
+
+        InvertedIndex.build(docs.limit(20000), cache=False).blocks.count()
+        secs = _build_once(docs, SCALE_IX_DIR)
+        shutil.rmtree(SCALE_IX_DIR, ignore_errors=True)
+        return secs
+    finally:
+        spark.stop()
+
+
 def _scaling() -> dict:
-    """Interleaved legs, best-of-2 per level: wall-clock on this box varies
-    ±30% run-to-run (page cache, GC, worker spin-up), and the min is the
-    repeatable compute cost the ratio should compare."""
+    """North-rule evidence, measurement-stable protocol: each leg is a FRESH
+    python/JVM subprocess (no cross-leg GC or heap pollution), legs are
+    interleaved hi/lo across SPARK_GRAFT_SCALE_REPS rounds, and the ratio
+    compares the per-level minima — wall clock on this box varies ±30%
+    run-to-run (page cache, GC, worker spin-up) and the min is the
+    repeatable compute cost."""
+    import subprocess
+
     lo, hi = min(SCALE_CORES), max(SCALE_CORES)
     times: dict[int, list] = {lo: [], hi: []}
-    ix_path = os.path.join(REPO, ".benchdata", "ix_scaling")
-    for rnd in range(2):
+    for _rnd in range(SCALE_REPS):
         for cores in (hi, lo):
-            spark = _session(cores)
-            try:
-                path = _ensure_scale_corpus(spark)
-                docs = spark.read.parquet(path)
-                if rnd == 0:  # warm python workers/JIT on a slice once
-                    from whoosh_spark.index import InvertedIndex
-
-                    InvertedIndex.build(docs.limit(20000), cache=False).blocks.count()
-                times[cores].append(_build_once(docs, ix_path))
-            finally:
-                spark.stop()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-leg", str(cores)],
+                capture_output=True, text=True, check=True,
+                env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
+            )
+            times[cores].append(float(proc.stdout.strip().splitlines()[-1]))
     res = {c: SCALE_DOCS / min(ts) for c, ts in times.items()}
     eff = (res[hi] / res[lo]) / (hi / lo)
     return {
         "corpus_docs": SCALE_DOCS,
         "cores_lo": lo,
         "cores_hi": hi,
+        "protocol": f"fresh subprocess per leg, interleaved, best-of-{SCALE_REPS}, "
+                    f"warm slice build per leg, index store on tmpfs",
         "runs_lo_s": [round(t, 1) for t in times[lo]],
         "runs_hi_s": [round(t, 1) for t in times[hi]],
         "docs_per_sec_lo": round(res[lo], 1),
@@ -161,6 +196,9 @@ def _scaling() -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-leg":
+        print(_scaling_leg(int(sys.argv[2])))
+        return
     total0 = time.perf_counter()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

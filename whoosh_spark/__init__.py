@@ -5,7 +5,8 @@ README.md for architecture.
 """
 
 from whoosh_spark.index import InvertedIndex
+from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
 from whoosh_spark.search import Searcher
 
-__all__ = ["InvertedIndex", "Searcher"]
+__all__ = ["InvertedIndex", "MultiFieldIndex", "FieldSpec", "Searcher"]
 __version__ = "0.1.0"

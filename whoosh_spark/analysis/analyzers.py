@@ -96,3 +96,12 @@ def analyze_text(text: str) -> tuple[list[str], list[int]]:
             tokens.append(t)
             positions.append(pos)
     return tokens, positions
+
+
+# Named analyzer registry for per-field Schema configuration
+# (``src/whoosh/fields.py::FieldType.analyzer``).  "standard" is special-
+# cased to None in the build kernel (inlined fast path, identical output).
+ANALYZERS: dict[str, object] = {
+    "standard": analyze_text,
+    "stemming": analyze_text_stemming,
+}

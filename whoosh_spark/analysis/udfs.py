@@ -90,95 +90,116 @@ ANALYZED_SCHEMA = T.StructType(
 )
 
 
-def analyze_batches_arrow(batches):
-    """mapInArrow fn: (doc_id, _text) batches → ANALYZED_SCHEMA batches."""
-    import pyarrow as pa
+def make_analyze_batches(analyze_fn=None):
+    """Factory for the mapInArrow analyze kernel.
 
-    from whoosh_spark.analysis.analyzers import _TOKEN_RE
-    from whoosh_spark.codec.blocks import varint_encode
-    from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
+    ``analyze_fn(text) -> (tokens, positions)`` swaps the analyzer chain
+    (e.g. ``analyzers.analyze_text_stemming`` for a StemmingAnalyzer field);
+    None uses the inlined StandardAnalyzer loop (fast path, identical output
+    to ``analyzers.analyze_text``)."""
 
-    stop = STOP_WORDS
-    minsize = MIN_WORD_SIZE
-    finditer = _TOKEN_RE.finditer
+    def run(batches):
+        import pyarrow as pa
 
-    for batch in batches:
-        doc_ids = batch.column(0).to_pylist()
-        texts = batch.column(1).to_pylist()
+        from whoosh_spark.analysis.analyzers import _TOKEN_RE
+        from whoosh_spark.codec.blocks import varint_encode
+        from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
 
-        len_raws: list[int] = []
-        all_terms: list[str] = []
-        all_tfs: list[int] = []
-        flat_pos: list[int] = []
-        entry_counts: list[int] = []  # positions per term-entry
-        term_offsets = [0]            # per doc → into all_terms
+        stop = STOP_WORDS
+        minsize = MIN_WORD_SIZE
+        finditer = _TOKEN_RE.finditer
 
-        for text in texts:
-            d: dict[str, list[int]] = {}
-            if text:
-                for pos, m in enumerate(finditer(text)):
-                    t = m.group(0).lower()
-                    if len(t) >= minsize and t not in stop:
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+
+            len_raws: list[int] = []
+            all_terms: list[str] = []
+            all_tfs: list[int] = []
+            flat_pos: list[int] = []
+            entry_counts: list[int] = []  # positions per term-entry
+            term_offsets = [0]            # per doc → into all_terms
+
+            for text in texts:
+                d: dict[str, list[int]] = {}
+                if text and analyze_fn is None:
+                    for pos, m in enumerate(finditer(text)):
+                        t = m.group(0).lower()
+                        if len(t) >= minsize and t not in stop:
+                            lst = d.get(t)
+                            if lst is None:
+                                d[t] = [pos]
+                            else:
+                                lst.append(pos)
+                elif text:
+                    toks, poss = analyze_fn(text)
+                    for t, pos in zip(toks, poss):
                         lst = d.get(t)
                         if lst is None:
                             d[t] = [pos]
                         else:
                             lst.append(pos)
-            n = 0
-            for t, plist in d.items():
-                all_terms.append(t)
-                all_tfs.append(len(plist))
-                entry_counts.append(len(plist))
-                flat_pos.extend(plist)
-                n += len(plist)
-            term_offsets.append(len(all_terms))
-            len_raws.append(n)
+                n = 0
+                for t, plist in d.items():
+                    all_terms.append(t)
+                    all_tfs.append(len(plist))
+                    entry_counts.append(len(plist))
+                    flat_pos.extend(plist)
+                    n += len(plist)
+                term_offsets.append(len(all_terms))
+                len_raws.append(n)
 
-        # ---- vectorized varint encode of ALL entries at once ----
-        counts = np.asarray(entry_counts, dtype=np.int64)
-        flat = np.asarray(flat_pos, dtype=np.int64)
-        starts = np.cumsum(counts) - counts
-        deltas = np.diff(flat, prepend=0)
-        nz = counts > 0
-        deltas[starts[nz]] = flat[starts[nz]]
-        # interleave: [count, d1..dk] per entry
-        n_ent = counts.size
-        stream = np.empty(n_ent + flat.size, dtype=np.uint64)
-        cnt_idx = np.arange(n_ent) + starts
-        stream[cnt_idx] = counts.astype(np.uint64)
-        mask = np.ones(stream.size, dtype=bool)
-        mask[cnt_idx] = False
-        stream[mask] = deltas.astype(np.uint64)
-        data = varint_encode(stream)
-        # per-value byte widths → per-entry blob byte lengths → offsets
-        # (full 10-byte width table, must mirror varint_encode / _varint_lens)
-        nb = np.ones(stream.size, dtype=np.int64)
-        for _shift in (7, 14, 21, 28, 35, 42, 49, 56, 63):
-            nb += stream >= np.uint64(1 << _shift)
-        val_bounds = np.concatenate(([0], np.cumsum(nb)))
-        ent_val_starts = cnt_idx  # index of each entry's first value (its count)
-        ent_byte_off = np.empty(n_ent + 1, dtype=np.int32)
-        ent_byte_off[:-1] = val_bounds[ent_val_starts]
-        ent_byte_off[-1] = val_bounds[-1]
-        blobs = pa.BinaryArray.from_buffers(
-            pa.binary(), n_ent,
-            [None, pa.py_buffer(ent_byte_off.tobytes()), pa.py_buffer(data)],
-        )
+            # ---- vectorized varint encode of ALL entries at once ----
+            counts = np.asarray(entry_counts, dtype=np.int64)
+            flat = np.asarray(flat_pos, dtype=np.int64)
+            starts = np.cumsum(counts) - counts
+            deltas = np.diff(flat, prepend=0)
+            nz = counts > 0
+            deltas[starts[nz]] = flat[starts[nz]]
+            # interleave: [count, d1..dk] per entry
+            n_ent = counts.size
+            stream = np.empty(n_ent + flat.size, dtype=np.uint64)
+            cnt_idx = np.arange(n_ent) + starts
+            stream[cnt_idx] = counts.astype(np.uint64)
+            mask = np.ones(stream.size, dtype=bool)
+            mask[cnt_idx] = False
+            stream[mask] = deltas.astype(np.uint64)
+            data = varint_encode(stream)
+            # per-value byte widths → per-entry blob byte lengths → offsets
+            # (full 10-byte width table, mirrors varint_encode / _varint_lens)
+            nb = np.ones(stream.size, dtype=np.int64)
+            for _shift in (7, 14, 21, 28, 35, 42, 49, 56, 63):
+                nb += stream >= np.uint64(1 << _shift)
+            val_bounds = np.concatenate(([0], np.cumsum(nb)))
+            ent_val_starts = cnt_idx  # index of each entry's first value (its count)
+            ent_byte_off = np.empty(n_ent + 1, dtype=np.int32)
+            ent_byte_off[:-1] = val_bounds[ent_val_starts]
+            ent_byte_off[-1] = val_bounds[-1]
+            blobs = pa.BinaryArray.from_buffers(
+                pa.binary(), n_ent,
+                [None, pa.py_buffer(ent_byte_off.tobytes()), pa.py_buffer(data)],
+            )
 
-        len_arr = np.asarray(len_raws, dtype=np.int32)
-        dl_arr = quantize_len_np(len_arr).astype(np.int32)
-        t_off = pa.array(term_offsets, type=pa.int32())
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(doc_ids, type=pa.int64()),
-                pa.array(len_arr),
-                pa.array(dl_arr),
-                pa.ListArray.from_arrays(t_off, pa.array(all_terms, type=pa.string())),
-                pa.ListArray.from_arrays(t_off, pa.array(all_tfs, type=pa.int64())),
-                pa.ListArray.from_arrays(t_off, blobs),
-            ],
-            names=["doc_id", "len_raw", "dl", "terms", "tfs", "pos_blobs"],
-        )
+            len_arr = np.asarray(len_raws, dtype=np.int32)
+            dl_arr = quantize_len_np(len_arr).astype(np.int32)
+            t_off = pa.array(term_offsets, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(len_arr),
+                    pa.array(dl_arr),
+                    pa.ListArray.from_arrays(t_off, pa.array(all_terms, type=pa.string())),
+                    pa.ListArray.from_arrays(t_off, pa.array(all_tfs, type=pa.int64())),
+                    pa.ListArray.from_arrays(t_off, blobs),
+                ],
+                names=["doc_id", "len_raw", "dl", "terms", "tfs", "pos_blobs"],
+            )
+
+    return run
+
+
+# default StandardAnalyzer kernel (the name the build path imports)
+analyze_batches_arrow = make_analyze_batches()
 
 
 def quantize_length_py(n: int) -> int:

@@ -49,17 +49,27 @@ RUNS_SCHEMA = T.StructType(
 )
 
 
-def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  analyzer: str = "standard") -> DataFrame:
     """(doc_id, len_raw, dl, terms, tfs, positions) — one row per input doc.
 
     ``terms`` are the doc's distinct post-analysis tokens (first-occurrence
     order), ``tfs``/``positions`` parallel arrays; positions keep tokenizer
     ordinals (stop gaps preserved — Phrase semantics, SURVEY.md §2.2).
+    ``analyzer`` names a chain from ``analysis.analyzers.ANALYZERS``
+    (per-field Schema configuration); "standard" uses the inlined fast path.
     """
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
     )
-    return src.mapInArrow(analyze_batches_arrow, schema=ANALYZED_SCHEMA)
+    if analyzer == "standard":
+        fn = analyze_batches_arrow
+    else:
+        from whoosh_spark.analysis.analyzers import ANALYZERS
+        from whoosh_spark.analysis.udfs import make_analyze_batches
+
+        fn = make_analyze_batches(ANALYZERS[analyzer])
+    return src.mapInArrow(fn, schema=ANALYZED_SCHEMA)
 
 
 def doc_lengths(analyzed: DataFrame) -> DataFrame:

@@ -47,7 +47,36 @@ def _glob_to_rlike(pattern: str) -> str:
 class Evaluator:
     def __init__(self, ix: InvertedIndex, weighting: str = "bm25"):
         self.ix = ix
+        # multi-field: fielded query nodes route to the right sub-index; the
+        # default field keeps the single-field behavior bit-identical
+        from whoosh_spark.multifield import MultiFieldIndex
+
+        self.mf = ix if isinstance(ix, MultiFieldIndex) else None
         self.weighting = weighting  # bm25 | tfidf | frequency (§2.6)
+
+    # -- field routing ---------------------------------------------------
+    def _fkey(self, field: str | None) -> str | None:
+        """Canonical stats key: None = the default field."""
+        if field is None:
+            return None
+        if self.mf is not None:
+            return None if field == self.mf.default_field else field
+        if field != self.ix.field:
+            raise KeyError(f"unknown field {field!r} (single-field index "
+                           f"{self.ix.field!r})")
+        return None
+
+    def _ixf(self, field: str | None) -> InvertedIndex:
+        if self.mf is not None:
+            return self.mf.index_for(field)
+        self._fkey(field)  # validate
+        return self.ix
+
+    def _bb(self, field: str | None) -> tuple[float | None, float]:
+        """(per-field B override, field boost) — BM25F field weighting."""
+        if self.mf is not None:
+            return self.mf.bm25_b(field), self.mf.field_boost(field)
+        return None, 1.0
 
     # ------------------------------------------------------------------
     def evaluate(self, q: Q.Query) -> DataFrame:
@@ -56,9 +85,18 @@ class Evaluator:
         q = self._expand(q)
         if q is Q.NullQuery:
             return self._empty()
-        terms = set(q.terms())
-        self._stats = self.ix.stats_for_terms(list(terms))
-        self._n, self._avgdl = self.ix.global_stats()
+        # per-field stats: {(fkey, term): {df, cf, max_weight}} + globals
+        self._stats = {}
+        self._fglobal = {}
+        by_field: dict[str | None, set[str]] = {}
+        for f, t in set(q.field_terms()):
+            by_field.setdefault(self._fkey(f), set()).add(t)
+        for fk in set(by_field) | {None}:
+            ixf = self._ixf(fk)
+            self._fglobal[fk] = ixf.global_stats()
+            st = ixf.stats_for_terms(sorted(by_field.get(fk, ())))
+            self._stats.update({(fk, t): v for t, v in st.items()})
+        self._n, self._avgdl = self._fglobal[None]
         # soft-delete overlay: drop deleted docs from the match set (stats
         # still count them — Whoosh deleted-but-unpurged semantics)
         return self.ix.not_deleted(self._eval(q))
@@ -69,22 +107,28 @@ class Evaluator:
     # -- multi-term expansion (driver-side, term dict is term_stats) ----
     def _expand(self, q: Q.Query) -> Q.Query:
         if isinstance(q, Q.Prefix):
-            return self._or_terms(self.ix.expand_terms(F.col("term").startswith(q.text)), q.boost)
+            return self._or_terms(
+                self._ixf(q.fieldname).expand_terms(F.col("term").startswith(q.text)),
+                q.boost, q.fieldname)
         if isinstance(q, Q.Wildcard):
             return self._or_terms(
-                self.ix.expand_terms(F.col("term").rlike(_glob_to_rlike(q.pattern))), q.boost)
+                self._ixf(q.fieldname).expand_terms(
+                    F.col("term").rlike(_glob_to_rlike(q.pattern))),
+                q.boost, q.fieldname)
         if isinstance(q, Q.Fuzzy):
             pred = F.levenshtein(F.col("term"), F.lit(q.text)) <= q.maxdist
             if q.prefixlength:
                 pred = pred & F.col("term").startswith(q.text[: q.prefixlength])
-            return self._or_terms(self.ix.expand_terms(pred), q.boost)
+            return self._or_terms(self._ixf(q.fieldname).expand_terms(pred),
+                                  q.boost, q.fieldname)
         if isinstance(q, Q.TermRange):
             pred = F.lit(True)
             if q.lo is not None:
                 pred = pred & (F.col("term") >= q.lo if q.incl_lo else F.col("term") > q.lo)
             if q.hi is not None:
                 pred = pred & (F.col("term") <= q.hi if q.incl_hi else F.col("term") < q.hi)
-            return self._or_terms(self.ix.expand_terms(pred), q.boost)
+            return self._or_terms(self._ixf(q.fieldname).expand_terms(pred),
+                                  q.boost, q.fieldname)
         for attr in ("children",):
             if hasattr(q, attr):
                 kids = tuple(self._expand(c) for c in getattr(q, attr))
@@ -109,19 +153,22 @@ class Evaluator:
             return Q.NullQuery if c is Q.NullQuery else Q.Constant(c, q.score, q.boost)
         return q
 
-    def _or_terms(self, terms: list[str], boost: float) -> Q.Query:
+    def _or_terms(self, terms: list[str], boost: float,
+                  fieldname: str | None = None) -> Q.Query:
         if not terms:
             return Q.NullQuery
         if len(terms) == 1:
-            return Q.Term(terms[0], boost)
-        return Q.Or([Q.Term(t) for t in terms], boost=boost)
+            return Q.Term(terms[0], boost, fieldname)
+        return Q.Or([Q.Term(t, fieldname=fieldname) for t in terms], boost=boost)
 
     # -- selectivity estimates (estimate_size analog, qcore.py ≈L260) ---
     def _estimate(self, q: Q.Query) -> int:
         if isinstance(q, Q.Term):
-            return self._stats.get(q.text, {"df": 0})["df"]
+            return self._stats.get((self._fkey(q.fieldname), q.text), {"df": 0})["df"]
         if isinstance(q, Q.Phrase):
-            return min((self._stats.get(w, {"df": 0})["df"] for w in q.words), default=0)
+            fk = self._fkey(q.fieldname)
+            return min((self._stats.get((fk, w), {"df": 0})["df"] for w in q.words),
+                       default=0)
         if isinstance(q, Q.And):
             return min(self._estimate(c) for c in q.children)
         if isinstance(q, (Q.Or, Q.DisMax)):
@@ -137,46 +184,55 @@ class Evaluator:
         name = type(q).__name__
         return getattr(self, f"_eval_{name.lower()}")(q)
 
-    def _scored_terms(self, terms: list[str]) -> DataFrame:
-        """Decode + BM25-score postings for a set of exact terms (one scan)."""
-        present = [t for t in set(terms) if t in self._stats]
+    def _scored_terms(self, terms: list[str],
+                      fieldname: str | None = None) -> DataFrame:
+        """Decode + score postings for a set of exact terms in ONE scan of
+        the given field (BM25F: per-field idf/avgdl/B + field boost)."""
+        fk = self._fkey(fieldname)
+        present = [t for t in set(terms) if (fk, t) in self._stats]
         if not present:
             return self.ix.spark.createDataFrame([], "term string, doc_id long, score double")
-        idf_map = {t: idf_value(self._n, self._stats[t]["df"]) for t in present}
-        posts = self.ix.postings(present)
+        n, avgdl = self._fglobal[fk]
+        idf_map = {t: idf_value(n, self._stats[(fk, t)]["df"]) for t in present}
+        posts = self._ixf(fieldname).postings(present)
+        b, fboost = self._bb(fieldname)
         return score_postings(
-            posts, idf_map, self._avgdl, weighting=self.weighting
+            posts, idf_map, avgdl, weighting=self.weighting, b=b, mult=fboost
         ).select("term", "doc_id", "score")
 
     def _eval_term(self, q: Q.Term) -> DataFrame:
-        df = self._scored_terms([q.text]).select("doc_id", "score")
+        df = self._scored_terms([q.text], q.fieldname).select("doc_id", "score")
         if q.boost != 1.0:
             df = df.withColumn("score", F.col("score") * q.boost)
         return df
 
     def _split_term_children(self, children):
-        """(unique unboosted Term texts, other children) — the Term batch is
-        evaluable in ONE postings scan + aggregation instead of per-child
-        scans and a join chain (Whoosh's ArrayUnionMatcher TAAT insight,
-        ``src/whoosh/matching/combo.py ≈L40`` — Spark is natively TAAT)."""
-        terms, others = [], []
+        """({fkey: unique unboosted Term texts}, other children) — each
+        field's Term batch is evaluable in ONE postings scan + aggregation
+        instead of per-child scans and a join chain (Whoosh's
+        ArrayUnionMatcher TAAT insight, ``src/whoosh/matching/combo.py ≈L40``
+        — Spark is natively TAAT)."""
+        batches: dict[str | None, list[str]] = {}
+        others = []
         for c in children:
-            if isinstance(c, Q.Term) and c.boost == 1.0 and c.text not in terms:
-                terms.append(c.text)
+            if isinstance(c, Q.Term) and c.boost == 1.0:
+                lst = batches.setdefault(self._fkey(c.fieldname), [])
+                if c.text not in lst:
+                    lst.append(c.text)
             else:
                 others.append(c)
-        return terms, others
+        return batches, others
 
     def _eval_and(self, q: Q.And) -> DataFrame:
-        terms, others = self._split_term_children(q.children)
+        batches, others = self._split_term_children(q.children)
         dfs = []
-        if terms:
-            # one scan, doc-at-a-time conjunction: keep docs matching ALL terms
-            present = [t for t in terms if t in self._stats]
+        for fk, terms in batches.items():
+            # one scan per field, doc-at-a-time conjunction within the field
+            present = [t for t in terms if (fk, t) in self._stats]
             if len(present) < len(terms):
                 return self._empty()  # a missing term empties the And
             batch = (
-                self._scored_terms(present)
+                self._scored_terms(present, fk)
                 .groupBy("doc_id")
                 .agg(F.sum("score").alias("score"), F.count("*").alias("_m"))
                 .where(F.col("_m") == len(present))
@@ -192,10 +248,10 @@ class Evaluator:
         return joined.select("doc_id", (total * q.boost).alias("score"))
 
     def _eval_or(self, q: Q.Or) -> DataFrame:
-        terms, others = self._split_term_children(q.children)
+        batches, others = self._split_term_children(q.children)
         parts = []
-        if terms:
-            parts.append(self._scored_terms(terms).select("doc_id", "score"))
+        for fk, terms in batches.items():
+            parts.append(self._scored_terms(terms, fk).select("doc_id", "score"))
         parts.extend(self._eval(c) for c in others)
         u = reduce(lambda a, b: a.unionByName(b), parts)
         agg = u.groupBy("doc_id").agg(
@@ -287,24 +343,31 @@ class Evaluator:
         return None
 
     def _eval_sequence(self, q: Q.Sequence) -> DataFrame:
+        # positions are field-local: every slot must target the same field
+        fks = {self._fkey(getattr(c, "fieldname", None)) for c in q.children}
+        if len(fks) > 1:
+            raise ValueError("Sequence slots must share one field")
+        fk = next(iter(fks))
+        ixf = self._ixf(fk)
         slots = []
         for c in q.children:
             ts = self._slot_terms(c)
             if ts is None:
                 raise ValueError(f"Sequence slot not positional: {c!r}")
-            st = self.ix.stats_for_terms(ts)
+            st = ixf.stats_for_terms(ts)
             present = [t for t in ts if t in st]
             if not present:
                 return self._empty()
             slots.append(present)
         all_terms = sorted({t for s in slots for t in s})
-        self._stats.update(self.ix.stats_for_terms(all_terms))
-        pos = self.ix.postings(all_terms, with_positions=True).select(
+        self._stats.update(
+            {(fk, t): v for t, v in ixf.stats_for_terms(all_terms).items()})
+        pos = ixf.postings(all_terms, with_positions=True).select(
             "term", "doc_id", "positions")
         # per-slot: union of its terms' position lists per doc, sorted
         slot_dfs = []
         for i, terms in enumerate(slots):
-            df_est = sum(self._stats.get(t, {"df": 0})["df"] for t in terms)
+            df_est = sum(self._stats.get((fk, t), {"df": 0})["df"] for t in terms)
             sdf = (
                 pos.where(F.col("term").isin(terms))
                 .groupBy("doc_id")
@@ -323,7 +386,7 @@ class Evaluator:
             cur = F.array_intersect(cand, F.col(f"_p{i}"))
         matched = joined.where(F.size(cur) > 0).select("doc_id")
         scored = (
-            self._scored_terms(all_terms)
+            self._scored_terms(all_terms, fk)
             .groupBy("doc_id").agg(F.sum("score").alias("score"))
             .join(matched, "doc_id", "left_semi")
         )
@@ -335,14 +398,16 @@ class Evaluator:
     def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
         words = list(q.words)
         uniq = sorted(set(words))
-        if any(w not in self._stats for w in uniq):
+        fk = self._fkey(q.fieldname)
+        if any((fk, w) not in self._stats for w in uniq):
             return self._empty()
-        pos = self.ix.postings(uniq, with_positions=True).select("term", "doc_id", "positions")
+        pos = self._ixf(fk).postings(uniq, with_positions=True).select(
+            "term", "doc_id", "positions")
         # one (doc_id, p_i) frame per phrase slot, joined smallest-df-first
         slot_dfs = []
         for i, w in enumerate(words):
             slot_dfs.append(
-                (self._stats[w]["df"], i,
+                (self._stats[(fk, w)]["df"], i,
                  pos.where(F.col("term") == w).select("doc_id", F.col("positions").alias(f"_p{i}")))
             )
         ordered = sorted(slot_dfs, key=lambda t: t[0])
@@ -358,7 +423,7 @@ class Evaluator:
         matched = joined.where(F.size(cur) > 0).select("doc_id")
         # score = sum of constituent term BM25 over matching docs (And semantics)
         scored = (
-            self._scored_terms(uniq)
+            self._scored_terms(uniq, fk)
             .groupBy("doc_id").agg(F.sum("score").alias("score"))
             .join(matched, "doc_id", "left_semi")
         )

@@ -44,7 +44,8 @@ def bm25_upper_bound(n_docs: int, df: int, max_weight: float, min_len: int,
 
 def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
                    avgdl: float, boost_by_term: dict[str, float] | None = None,
-                   weighting: str = "bm25") -> DataFrame:
+                   weighting: str = "bm25", b: float | None = None,
+                   mult: float = 1.0) -> DataFrame:
     """(field, term, doc_id, tf, dl, …) → + ``score`` column.
 
     idf (and optional per-term query boost) enter as a literal CASE map —
@@ -54,12 +55,18 @@ def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
       bm25       BM25F (default; ≈L140)
       tfidf      score = weight · idf            (::TF_IDF ≈L300)
       frequency  score = raw weight              (::Frequency ≈L280)
+
+    ``b`` overrides the BM25F length-normalization for this posting set
+    (per-field ``<fieldname>_B`` kwargs of ``scoring.py::BM25F``); ``mult``
+    is a constant multiplier (field boost under multi-field BM25F).
     """
     idf_col = F.lit(0.0)
     for t, v in idf_by_term.items():
         idf_col = F.when(F.col("term") == t, F.lit(float(v))).otherwise(idf_col)
     if weighting == "bm25":
-        score = idf_col * bm25_component(F.col("tf"), F.col("dl"), avgdl)
+        score = idf_col * bm25_component(
+            F.col("tf"), F.col("dl"), avgdl,
+            b=BM25_B if b is None else float(b))
     elif weighting == "tfidf":
         score = F.col("tf").cast("double") * idf_col
     elif weighting == "frequency":
@@ -71,4 +78,6 @@ def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
         for t, v in boost_by_term.items():
             boost_col = F.when(F.col("term") == t, F.lit(float(v))).otherwise(boost_col)
         score = score * boost_col
+    if mult != 1.0:
+        score = score * float(mult)
     return postings.withColumn("score", score)

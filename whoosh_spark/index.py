@@ -70,8 +70,9 @@ class InvertedIndex:
         text_col: str = "text",
         field: str = TEXT_FIELD,
         cache: bool = True,
+        analyzer: str = "standard",
     ) -> "InvertedIndex":
-        analyzed = B.analyzed_docs(docs, id_col, text_col)
+        analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer)
         if cache:
             analyzed = analyzed.cache()
         lengths = B.doc_lengths(analyzed)

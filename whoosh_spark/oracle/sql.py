@@ -332,3 +332,76 @@ def key_terms_sql(doc_ids: list[int], top: int = 5) -> str:
       GROUP BY t.term, d.df
       ORDER BY keyness DESC, term ASC LIMIT {top}
     """
+
+
+# ---------------------------------------------------------------------------
+# Multi-field (Schema/BM25F) oracles — one analysis pipeline per field over
+# its source column, then cross-field score algebra (round 2).
+# ---------------------------------------------------------------------------
+
+
+def _field_pipeline(name: str, col: str) -> str:
+    """Per-field CTE chain suffixed _<name>: tokenize ``col`` → stop filter →
+    quantized lengths → per-field avgdl → BM25 scored postings sc_<name>."""
+    return f"""
+tok_{name} AS (
+  SELECT doc_id, lower(toks[i]) AS term, i - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all({col}, '{TOKEN_PATTERN_RE2}') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+tokf_{name} AS (
+  SELECT * FROM tok_{name} WHERE length(term) >= 2 AND term NOT IN ({_STOPS})
+),
+dl_{name} AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len_raw
+  FROM documents d LEFT JOIN tokf_{name} t USING (doc_id) GROUP BY d.doc_id
+),
+dlq_{name} AS (
+  SELECT dl.doc_id, dl.len_raw, q.qlen::DOUBLE AS dl
+  FROM dl_{name} dl JOIN quant q ON dl.len_raw BETWEEN q.lo AND q.hi
+),
+ad_{name} AS (SELECT sum(len_raw)::DOUBLE / count(*) AS avgdl FROM dl_{name}),
+tfs_{name} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokf_{name} GROUP BY doc_id, term),
+dfs_{name} AS (SELECT term, count(*)::BIGINT AS df FROM tfs_{name} GROUP BY term),
+sc_{name} AS (
+  SELECT t.doc_id, t.term,
+         (ln((SELECT n FROM nn) / (d.df + 1)) + 1)
+         * ((t.tf * ({BM25_K1} + 1.0))
+            / (t.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * q.dl / (SELECT avgdl FROM ad_{name})))) AS score
+  FROM tfs_{name} t JOIN dfs_{name} d USING (term) JOIN dlq_{name} q USING (doc_id)
+)"""
+
+
+def fielded_base(fields: dict[str, str]) -> str:
+    """WITH prefix for a multi-field schema: {field name: source column}."""
+    parts = [
+        f"quant(lo, hi, qlen) AS (SELECT * FROM (VALUES {_quant_values()}) v(lo, hi, qlen))",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM documents)",
+    ]
+    parts += [_field_pipeline(name, col) for name, col in sorted(fields.items())]
+    return "WITH " + ",".join(parts) + "\n"
+
+
+def fielded_and_sql(field_terms: list[tuple[str, str]],
+                    fields: dict[str, str], k: int = 10) -> str:
+    """And of fielded Terms: inner join across per-field score sets, sum."""
+    sels = [
+        f"(SELECT doc_id, score AS s{i} FROM sc_{f} WHERE term = '{t}') q{i}"
+        for i, (f, t) in enumerate(field_terms)
+    ]
+    joins = sels[0]
+    for i in range(1, len(sels)):
+        joins += f" JOIN {sels[i]} USING (doc_id)"
+    total = " + ".join(f"s{i}" for i in range(len(sels)))
+    sel = f"SELECT doc_id, {total} AS score FROM {joins}"
+    return fielded_base(fields) + topk(sel, k)
+
+
+def multifield_or_sql(term: str, fields: dict[str, str], k: int = 10) -> str:
+    """MultifieldParser default: unfielded term → Or over every field."""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM sc_{f} WHERE term = '{term}'"
+        for f in sorted(fields)
+    )
+    sel = f"SELECT doc_id, sum(score) AS score FROM ({unions}) GROUP BY doc_id"
+    return fielded_base(fields) + topk(sel, k)

@@ -35,6 +35,11 @@ class Query:
         """Exact leaf term texts needed to evaluate this query (post-analysis)."""
         return []
 
+    def field_terms(self) -> list[tuple[str | None, str]]:
+        """(fieldname, term) leaf pairs — fieldname None = index default
+        (``qcore.py::Query.iter_all_terms ≈L230`` is the upstream analog)."""
+        return [(None, t) for t in self.terms()]
+
     def phrase_terms(self) -> list[str]:
         return []
 
@@ -49,10 +54,13 @@ NullQuery = _Null()
 
 @dataclass(frozen=True)
 class Term(Query):
-    """``src/whoosh/query/terms.py::Term (≈L40)`` → filter+decode on blocks."""
+    """``src/whoosh/query/terms.py::Term (≈L40)`` → filter+decode on blocks.
+
+    ``fieldname`` None = the index's default field (single-field compat)."""
 
     text: str
     boost: float = 1.0
+    fieldname: str | None = None
 
     def normalize(self) -> Query:
         toks, _ = analyze_text(self.text)
@@ -61,10 +69,13 @@ class Term(Query):
         if len(toks) == 1:
             return self if toks[0] == self.text else replace(self, text=toks[0])
         # multi-token input behaves like the parser: implicit And
-        return And([Term(t, self.boost) for t in toks]).normalize()
+        return And([Term(t, self.boost, self.fieldname) for t in toks]).normalize()
 
     def terms(self):
         return [self.text]
+
+    def field_terms(self):
+        return [(self.fieldname, self.text)]
 
 
 def _norm_compound(cls, children, **kw):
@@ -112,6 +123,9 @@ class And(Query):
     def terms(self):
         return [t for c in self.children for t in c.terms()]
 
+    def field_terms(self):
+        return [ft for c in self.children for ft in c.field_terms()]
+
     def phrase_terms(self):
         return [t for c in self.children for t in c.phrase_terms()]
 
@@ -140,6 +154,9 @@ class Or(Query):
 
     def terms(self):
         return [t for c in self.children for t in c.terms()]
+
+    def field_terms(self):
+        return [ft for c in self.children for ft in c.field_terms()]
 
     def phrase_terms(self):
         return [t for c in self.children for t in c.phrase_terms()]
@@ -170,6 +187,9 @@ class DisMax(Query):
     def terms(self):
         return [t for c in self.children for t in c.terms()]
 
+    def field_terms(self):
+        return [ft for c in self.children for ft in c.field_terms()]
+
     def phrase_terms(self):
         return [t for c in self.children for t in c.phrase_terms()]
 
@@ -190,6 +210,9 @@ class Not(Query):
     def terms(self):
         return self.child.terms()
 
+    def field_terms(self):
+        return self.child.field_terms()
+
 
 @dataclass(frozen=True)
 class AndNot(Query):
@@ -209,6 +232,9 @@ class AndNot(Query):
 
     def terms(self):
         return self.a.terms() + self.b.terms()
+
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
 
     def phrase_terms(self):
         return self.a.phrase_terms() + self.b.phrase_terms()
@@ -232,6 +258,9 @@ class AndMaybe(Query):
 
     def terms(self):
         return self.a.terms() + self.b.terms()
+
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
 
     def phrase_terms(self):
         return self.a.phrase_terms() + self.b.phrase_terms()
@@ -288,6 +317,9 @@ class Otherwise(Query):
     def terms(self):
         return self.a.terms() + self.b.terms()
 
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
+
     def phrase_terms(self):
         return self.a.phrase_terms() + self.b.phrase_terms()
 
@@ -310,6 +342,9 @@ class Constant(Query):
     def terms(self):
         return self.child.terms()
 
+    def field_terms(self):
+        return self.child.field_terms()
+
     def phrase_terms(self):
         return self.child.phrase_terms()
 
@@ -331,6 +366,9 @@ class Require(Query):
     def terms(self):
         return self.a.terms() + self.b.terms()
 
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
+
     def phrase_terms(self):
         return self.a.phrase_terms() + self.b.phrase_terms()
 
@@ -346,11 +384,13 @@ class Phrase(Query):
     words: tuple
     slop: int = 1
     boost: float = 1.0
+    fieldname: str | None = None
 
-    def __init__(self, words, slop=1, boost=1.0):
+    def __init__(self, words, slop=1, boost=1.0, fieldname=None):
         object.__setattr__(self, "words", tuple(words))
         object.__setattr__(self, "slop", slop)
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "fieldname", fieldname)
 
     def normalize(self) -> Query:
         toks: list[str] = []
@@ -360,11 +400,14 @@ class Phrase(Query):
         if not toks:
             return NullQuery
         if len(toks) == 1:
-            return Term(toks[0], self.boost)
-        return Phrase(toks, self.slop, self.boost)
+            return Term(toks[0], self.boost, self.fieldname)
+        return Phrase(toks, self.slop, self.boost, self.fieldname)
 
     def terms(self):
         return list(self.words)
+
+    def field_terms(self):
+        return [(self.fieldname, w) for w in self.words]
 
     def phrase_terms(self):
         return list(self.words)
@@ -383,6 +426,7 @@ class Prefix(Query):
 
     text: str
     boost: float = 1.0
+    fieldname: str | None = None
 
 
 @dataclass(frozen=True)
@@ -391,6 +435,7 @@ class Wildcard(Query):
 
     pattern: str
     boost: float = 1.0
+    fieldname: str | None = None
 
 
 @dataclass(frozen=True)
@@ -401,6 +446,7 @@ class Fuzzy(Query):
     maxdist: int = 1
     prefixlength: int = 1
     boost: float = 1.0
+    fieldname: str | None = None
 
 
 @dataclass(frozen=True)
@@ -412,6 +458,7 @@ class TermRange(Query):
     incl_lo: bool = True
     incl_hi: bool = True
     boost: float = 1.0
+    fieldname: str | None = None
 
 
 @dataclass(frozen=True)

@@ -31,8 +31,8 @@ from whoosh_spark.query.ast import (
 _TOKEN_SPEC = [
     ("LPAREN", r"\("),
     ("RPAREN", r"\)"),
-    ("PHRASE", r'"[^"]*"(~\d+)?'),
-    ("RANGE", r"[\[{][^\]}]*?\s+TO\s+[^\]}]*?[\]}]"),
+    ("PHRASE", r'(\w+:)?"[^"]*"(~\d+)?(\^\d+(\.\d+)?)?'),
+    ("RANGE", r"(\w+:)?[\[{][^\]}]*?\s+TO\s+[^\]}]*?[\]}]"),
     ("AND", r"AND\b"),
     ("OR", r"OR\b"),
     ("NOT", r"NOT\b"),
@@ -41,6 +41,8 @@ _TOKEN_SPEC = [
     ("WORD", r'[^\s()"]+'),
 ]
 _TOKEN_RE = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
+
+_FIELD_PREFIX_RE = re.compile(r"^(\w+):(.+)$", re.S)
 
 
 def _lex(s: str) -> list[tuple[str, str]]:
@@ -53,16 +55,26 @@ def _lex(s: str) -> list[tuple[str, str]]:
     return out
 
 
-def _leaf(text: str) -> Query:
+def _leaf(text: str, fields=None) -> Query:
     boost = 1.0
     m = re.search(r"\^(\d+(\.\d+)?)$", text)
     if m:
         boost = float(m.group(1))
         text = text[: m.start()]
+    # field prefix (``qparser/plugins.py::FieldsPlugin ≈L300``): a known
+    # schema field routes the leaf; an unknown prefix is stripped (legacy
+    # single-field behavior — upstream treats unknown fieldnames as text)
+    fieldname = None
+    fm = _FIELD_PREFIX_RE.match(text)
+    if fm and not text.startswith('"') and not re.match(r"^[\[{]", text):
+        if fields is not None and fm.group(1) in fields:
+            fieldname = fm.group(1)
+        text = fm.group(2)
     m = re.search(r"~(\d*)$", text)
     if m and not text.startswith('"'):
         dist = int(m.group(1)) if m.group(1) else 1
-        return Fuzzy(text[: m.start()].lower(), maxdist=dist, boost=boost)
+        return Fuzzy(text[: m.start()].lower(), maxdist=dist, boost=boost,
+                     fieldname=fieldname)
     if text.startswith('"'):
         pm = re.match(r'"([^"]*)"(?:~(\d+))?$', text)
         # query text runs through the SAME analyzer as index time
@@ -72,29 +84,28 @@ def _leaf(text: str) -> Query:
         if not words:
             return NullQuery
         if len(words) == 1:
-            return Term(words[0], boost=boost)
-        return Phrase(words, slop=slop, boost=boost)
+            return Term(words[0], boost=boost, fieldname=fieldname)
+        return Phrase(words, slop=slop, boost=boost, fieldname=fieldname)
     if re.match(r"^[\[{].*[\]}]$", text, re.S):
         incl_lo = text[0] == "["
         incl_hi = text[-1] == "]"
         lo, hi = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
         return TermRange(lo.strip().lower() or None, hi.strip().lower() or None,
-                         incl_lo, incl_hi, boost=boost)
-    if ":" in text:  # single-field engine — strip field prefix
-        text = text.split(":", 1)[1]
+                         incl_lo, incl_hi, boost=boost, fieldname=fieldname)
     if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
-        return Prefix(text[:-1].lower(), boost=boost)
+        return Prefix(text[:-1].lower(), boost=boost, fieldname=fieldname)
     if "*" in text or "?" in text:
-        return Wildcard(text.lower(), boost=boost)
+        return Wildcard(text.lower(), boost=boost, fieldname=fieldname)
     toks, _ = analyze_text(text)  # query-time analysis (lowercase + stop)
     if not toks:
         return NullQuery  # stopword / too-short term vanishes (Whoosh §3.2)
-    return Term(toks[0], boost=boost)
+    return Term(toks[0], boost=boost, fieldname=fieldname)
 
 
 class _Parser:
-    def __init__(self, toks):
+    def __init__(self, toks, fields=None):
         self.toks = toks
+        self.fields = fields
         self.i = 0
 
     def peek(self):
@@ -144,12 +155,57 @@ class _Parser:
             return q
         if kind in ("WORD", "PHRASE", "RANGE"):
             self.next()
-            return _leaf(text)
+            return _leaf(text, self.fields)
         return NullQuery
 
 
-def parse_query(s: str) -> Query:
+def _apply_multifield(q: Query, mfields: list[str]) -> Query:
+    """MultifieldParser semantics (``qparser/default.py::MultifieldParser
+    ≈L350``): every UNFIELDED leaf becomes an Or over the given fields."""
+    from dataclasses import replace as _rep
+
+    from whoosh_spark.query.ast import (
+        AndMaybe as _AM, AndNot as _AN, Constant as _C, DisMax as _DM,
+        Not as _N, Otherwise as _OW, Require as _RQ, Sequence as _SQ,
+    )
+
+    if isinstance(q, (Term, Phrase, Prefix, Wildcard, Fuzzy, TermRange)):
+        if q.fieldname is None:
+            return Or([_rep(q, fieldname=f) for f in mfields])
+        return q
+    if isinstance(q, And):
+        return And([_apply_multifield(c, mfields) for c in q.children], q.boost)
+    if isinstance(q, Or):
+        return Or([_apply_multifield(c, mfields) for c in q.children],
+                  q.boost, q.minmatch)
+    if isinstance(q, _DM):
+        return _DM([_apply_multifield(c, mfields) for c in q.children],
+                   q.boost, q.tiebreak)
+    if isinstance(q, _SQ):
+        return _SQ([_apply_multifield(c, mfields) for c in q.children],
+                   q.slop, q.boost)
+    if isinstance(q, _N):
+        return _N(_apply_multifield(q.child, mfields), q.boost)
+    if isinstance(q, _C):
+        return _C(_apply_multifield(q.child, mfields), q.score, q.boost)
+    if isinstance(q, (_AN, _AM, _RQ, _OW)):
+        return type(q)(_apply_multifield(q.a, mfields),
+                       _apply_multifield(q.b, mfields), q.boost)
+    return q
+
+
+def parse_query(s: str, fields=None, multifield: list[str] | None = None) -> Query:
+    """Parse a query string.
+
+    ``fields`` — known schema field names: enables ``field:term`` routing
+    (unknown prefixes are stripped, as before).  ``multifield`` — list of
+    fields an UNFIELDED term should search (MultifieldParser: the leaf
+    becomes an Or over the fields; fielded leaves are untouched).
+    """
     toks = _lex(s)
     if not toks:
         return NullQuery
-    return _Parser(toks).parse_or().normalize()
+    q = _Parser(toks, fields=set(fields) if fields else None).parse_or()
+    if multifield:
+        q = _apply_multifield(q, list(multifield))
+    return q.normalize()

@@ -35,13 +35,16 @@ class Searcher:
         Terms) — mirrors Whoosh's optimized TopCollector applicability
         (``collectors.py::TopCollector, optimize=True``)."""
         qn = q.normalize()
-        if isinstance(qn, Q.Term) and qn.boost == 1.0:
+        # fielded terms take the general evaluator path: WAND bounds are
+        # computed against the DEFAULT field's block metadata only
+        if isinstance(qn, Q.Term) and qn.boost == 1.0 and qn.fieldname is None:
             return [qn.text]
         if (
             isinstance(qn, Q.Or)
             and qn.minmatch <= 1
             and qn.boost == 1.0
-            and all(isinstance(c, Q.Term) and c.boost == 1.0 for c in qn.children)
+            and all(isinstance(c, Q.Term) and c.boost == 1.0
+                    and c.fieldname is None for c in qn.children)
         ):
             return [c.text for c in qn.children]
         return None

@@ -40,6 +40,22 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
 
 MF_FIELDS = {"text": "text", "lang": "lang"}  # schema for the fielded entries
 
+# deterministic synthetic crawl timestamp (input_hint warc_ts): both engines
+# derive warc_ts = 2020-01-01T00:00Z + doc_id hours
+WARC_EPOCH0 = 1577836800
+WARC_STEP = 3600
+
+
+def _ts_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = ("ts", id(spark), sf_dir)
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "warc_ts",
+            F.timestamp_seconds(F.lit(WARC_EPOCH0) + F.col("doc_id") * F.lit(WARC_STEP)),
+        )
+        _CACHE[key] = Searcher(InvertedIndex.build(docs))
+    return _CACHE[key]
+
 
 def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
@@ -211,6 +227,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out.update(fielded_and=fielded_and, multifield_or=multifield_or)
 
+    # ---- round-2: regex/variations/dates/spans/nested/DFR ---------------
+    out["regex"] = _q(Q.Regex("^d.t.$"))
+    out["variations"] = _q(Q.Variations("query"))
+    out["span_first"] = _q(Q.SpanFirst(Q.Term("data"), limit=3))
+    out["span_near_unordered"] = _q(
+        Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=3, ordered=False))
+    out["span_not"] = _q(
+        Q.SpanNot(Q.Phrase(["big", "data"]), Q.Phrase(["data", "merge"])))
+    out["span_contains"] = _q(Q.SpanContains(
+        Q.SpanNear(Q.Term("big"), Q.Term("merge"), slop=3, ordered=True),
+        Q.Term("data")))
+    out["span_before"] = _q(Q.SpanBefore(Q.Term("vector"), Q.Term("small")))
+    out["nested_parent"] = _q(Q.NestedParent(
+        Q.Filter("doc_id % 20 = 0"), Q.Term("data"), score_fn="sum"))
+    out["nested_children"] = _q(Q.NestedChildren(
+        Q.Filter("doc_id % 20 = 0"), Q.Term("vector")))
+
+    def date_range_q(spark, sf_dir):
+        s = _ts_searcher(spark, sf_dir)
+        q = Q.And([Q.Term("data"),
+                   Q.DateRange("warc_ts", WARC_EPOCH0 + 10 * 3600,
+                               WARC_EPOCH0 + 300 * 3600)])
+        return _topk(s.ev.evaluate(q))
+
+    def _weighted(model):
+        def run(spark, sf_dir):
+            s = _searcher(spark, sf_dir)
+            ev = Evaluator(s.ix, weighting=model)
+            return _topk(ev.evaluate(Q.Or([Q.Term("data"), Q.Term("vector")])))
+        return run
+
+    out.update(
+        date_range=date_range_q,
+        weighting_pl2=_weighted("pl2"),
+        weighting_dfree=_weighted("dfree"),
+        weighting_tfidf=_weighted("tfidf"),
+        weighting_reverse=_weighted("reverse:bm25"),
+    )
+
     # ---- training-data pipeline operators (SURVEY.md + driver brief) ----
     def _docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -273,6 +328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def _variation_forms(word: str) -> list[str]:
+    from whoosh_spark.analysis.morph import variations
+
+    return variations(word)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_hot": OSQL.term_sql("data"),
@@ -308,6 +369,23 @@ def oracle_sql() -> dict[str, str]:
         "fielded_and": OSQL.fielded_and_sql(
             [("text", "data"), ("lang", "en")], MF_FIELDS),
         "multifield_or": OSQL.multifield_or_sql("data", MF_FIELDS),
+        # round-2: regex/variations/dates/spans/nested/DFR
+        "regex": OSQL.regex_sql("^d.t.$"),
+        "variations": OSQL.variations_sql(_variation_forms("query")),
+        "date_range": OSQL.date_range_and_sql(
+            "data", WARC_EPOCH0, WARC_STEP,
+            WARC_EPOCH0 + 10 * 3600, WARC_EPOCH0 + 300 * 3600),
+        "span_first": OSQL.span_first_sql("data", 3),
+        "span_near_unordered": OSQL.span_near_sql("big", "data", 3, ordered=False),
+        "span_not": OSQL.span_not_sql(["big", "data"], ["data", "merge"]),
+        "span_contains": OSQL.span_near_contains_sql("big", "merge", 3, "data"),
+        "span_before": OSQL.span_before_sql("vector", "small"),
+        "nested_parent": OSQL.nested_parent_sql("doc_id % 20 = 0", "data", "sum"),
+        "nested_children": OSQL.nested_children_sql("doc_id % 20 = 0", "vector"),
+        "weighting_pl2": OSQL.weighting_or_sql("pl2", ["data", "vector"]),
+        "weighting_dfree": OSQL.weighting_or_sql("dfree", ["data", "vector"]),
+        "weighting_tfidf": OSQL.weighting_or_sql("tfidf", ["data", "vector"]),
+        "weighting_reverse": OSQL.weighting_or_sql("bm25", ["data", "vector"], reverse=True),
         # pipeline ops — every entry has a full value oracle (round 2: the
         # md5-prefix hash rewrite made simhash/winnow engine-portable, the
         # multimodal ops moved to a documents-derived binary column, and the

@@ -1,0 +1,228 @@
+"""Round-2 operator units: span queries, nested block-join, DFR weightings,
+Regex/Variations/DateRange — engine behavior on a hand-built corpus where
+expected matches are enumerable by eye.
+
+Reference semantics: ``src/whoosh/query/spans.py ≈L100-600``,
+``query/nested.py ≈L40``, ``scoring.py::DFree/PL2 ≈L220-260`` (per SURVEY.md
+provenance caveat — public whoosh 2.7.4 layout)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark.analysis.morph import variations
+from whoosh_spark.execution.evaluate import Evaluator
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.query import ast as Q
+
+DOCS = [
+    # doc 0: "big data" adjacent, then "merge" right after ("big data merge")
+    (0, "big data merge table scan", "en", "s0", 25),
+    # doc 1: "big data" adjacent, no merge following
+    (1, "big data table scan filter", "en", "s0", 27),
+    # doc 2: big ... data with gap 2 (near, not phrase)
+    (2, "big table data scan merge", "en", "s1", 25),
+    # doc 3: data before big (reverse order)
+    (3, "data table big scan window", "en", "s1", 26),
+    # doc 4: data only, late position
+    (4, "table scan window filter vector data", "en", "s2", 36),
+    # doc 5: vector then small
+    (5, "vector small table", "en", "s2", 18),
+    # doc 6: small then vector
+    (6, "small table vector", "en", "s2", 18),
+    # docs 7..9 filler so nested blocks have children
+    (7, "data query", "en", "s3", 10),
+    (8, "query vector", "en", "s3", 12),
+    (9, "table scan", "en", "s3", 10),
+]
+
+
+@pytest.fixture(scope="module")
+def ix(spark):
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long")
+    return InvertedIndex.build(docs)
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+class TestSpans:
+    def test_span_first(self, ix):
+        ev = Evaluator(ix)
+        # "data" at position <= 1 (docs 0,1 pos 1; docs 3,7 pos 0)
+        assert _ids(ev.evaluate(Q.SpanFirst(Q.Term("data"), limit=1))) == [0, 1, 3, 7]
+
+    def test_span_near_ordered(self, ix):
+        ev = Evaluator(ix)
+        # big then data with gap <= 2: docs 0,1 (gap1), 2 (gap2); NOT 3 (reverse)
+        q = Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=2, ordered=True)
+        assert _ids(ev.evaluate(q)) == [0, 1, 2]
+
+    def test_span_near_unordered(self, ix):
+        ev = Evaluator(ix)
+        q = Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=2, ordered=False)
+        assert _ids(ev.evaluate(q)) == [0, 1, 2, 3]
+
+    def test_span_not(self, ix):
+        ev = Evaluator(ix)
+        # "big data" spans not overlapped by "data merge" spans → doc 1 only
+        # (doc 0's span [0,1] overlaps b-span [1,2] at position 1)
+        q = Q.SpanNot(Q.Phrase(["big", "data"]), Q.Phrase(["data", "merge"]))
+        assert _ids(ev.evaluate(q)) == [1]
+
+    def test_span_not_b_absent(self, ix):
+        ev = Evaluator(ix)
+        q = Q.SpanNot(Q.Phrase(["big", "data"]), Q.Phrase(["zzz", "qqq"]))
+        assert _ids(ev.evaluate(q)) == [0, 1]
+
+    def test_span_contains_nested_near(self, ix):
+        ev = Evaluator(ix)
+        # near-span (big..merge, gap<=4 ordered) containing a "data" position:
+        # doc 0 span [0,2] contains data@1; doc 2 span [0,4] contains data@2
+        q = Q.SpanContains(
+            Q.SpanNear(Q.Term("big"), Q.Term("merge"), slop=4, ordered=True),
+            Q.Term("data"))
+        assert _ids(ev.evaluate(q)) == [0, 2]
+
+    def test_span_before(self, ix):
+        ev = Evaluator(ix)
+        # vector strictly before small: doc 5 yes, doc 6 no
+        q = Q.SpanBefore(Q.Term("vector"), Q.Term("small"))
+        assert _ids(ev.evaluate(q)) == [5]
+
+    def test_span_score_is_term_sum(self, ix):
+        ev = Evaluator(ix)
+        spans = {r["doc_id"]: r["score"] for r in
+                 ev.evaluate(Q.SpanNear(Q.Term("big"), Q.Term("data"),
+                                        slop=2, ordered=True)).collect()}
+        both = {r["doc_id"]: r["score"] for r in
+                ev.evaluate(Q.And([Q.Term("big"), Q.Term("data")])).collect()}
+        for d, s in spans.items():
+            assert s == pytest.approx(both[d], rel=1e-12)
+
+
+class TestNested:
+    def test_nested_parent_sum(self, ix):
+        ev = Evaluator(ix)
+        # parents = docs 0 and 5 → blocks (0,5) and (5,∞)
+        q = Q.NestedParent(Q.Filter("doc_id % 5 = 0"), Q.Term("data"))
+        rows = {r["doc_id"]: r["score"] for r in ev.evaluate(q).collect()}
+        # children with data: 1,2,3,4 in block 0; 7 in block 5
+        assert sorted(rows) == [0, 5]
+        term = {r["doc_id"]: r["score"] for r in ev.evaluate(Q.Term("data")).collect()}
+        assert rows[0] == pytest.approx(sum(term[d] for d in (1, 2, 3, 4)), rel=1e-12)
+        assert rows[5] == pytest.approx(term[7], rel=1e-12)
+
+    def test_nested_parent_max_avg(self, ix):
+        ev = Evaluator(ix)
+        term = {r["doc_id"]: r["score"] for r in ev.evaluate(Q.Term("data")).collect()}
+        mx = {r["doc_id"]: r["score"] for r in ev.evaluate(
+            Q.NestedParent(Q.Filter("doc_id % 5 = 0"), Q.Term("data"), "max")).collect()}
+        assert mx[0] == pytest.approx(max(term[d] for d in (1, 2, 3, 4)), rel=1e-12)
+        av = {r["doc_id"]: r["score"] for r in ev.evaluate(
+            Q.NestedParent(Q.Filter("doc_id % 5 = 0"), Q.Term("data"), "avg")).collect()}
+        assert av[0] == pytest.approx(
+            sum(term[d] for d in (1, 2, 3, 4)) / 4.0, rel=1e-12)
+
+    def test_nested_children(self, ix):
+        ev = Evaluator(ix)
+        # children of parents (docs 0,5) matching "vector": 4 (block 0) and
+        # 6, 8 (block 5); doc 5 itself is a parent, not a child of its block
+        q = Q.NestedChildren(Q.Filter("doc_id % 5 = 0"), Q.Term("vector"))
+        assert _ids(ev.evaluate(q)) == [4, 6, 8]
+
+
+class TestWeightings:
+    def test_pl2_formula(self, ix):
+        ev = Evaluator(ix, weighting="pl2")
+        rows = {r["doc_id"]: r["score"] for r in ev.evaluate(Q.Term("data")).collect()}
+        # cross-check one doc against the published PL2 formula
+        st = ix.stats_for_terms(["data"])["data"]
+        n, avgdl = ix.global_stats()
+        dl = {r["doc_id"]: r["dl"] for r in ix.doc_lengths.collect()}
+        log2 = lambda x: math.log(x) / 0.6931471805599453
+        log2e = 1.4426950408889634
+        tf = 1.0
+        TF = tf * log2(1.0 + (1.0 * avgdl) / dl[4])
+        f = st["cf"] / n
+        want = (1.0 / (TF + 1.0)) * (
+            TF * log2(1.0 / f) + f * log2e
+            + 0.5 * log2(2 * math.pi * TF) + TF * (log2(TF) - log2e))
+        assert rows[4] == pytest.approx(want, rel=1e-12)
+
+    def test_dfree_formula(self, ix):
+        ev = Evaluator(ix, weighting="dfree")
+        rows = {r["doc_id"]: r["score"] for r in ev.evaluate(Q.Term("data")).collect()}
+        st = ix.stats_for_terms(["data"])["data"]
+        fl = ix.total_field_length()
+        dl = {r["doc_id"]: r["dl"] for r in ix.doc_lengths.collect()}
+        log2 = lambda x: math.log(x) / 0.6931471805599453
+        tf, cf, d = 1.0, st["cf"], dl[4]
+        prior, post, invprior = tf / d, (tf + 1.0) / (d + 1.0), fl / cf
+        norm = tf * log2(post / prior)
+        want = norm * (tf * log2(prior * invprior)
+                       + (tf + 1.0) * log2(post * invprior)
+                       + 0.5 * log2(post / prior))
+        assert rows[4] == pytest.approx(want, rel=1e-12)
+
+    def test_reverse_negates(self, ix):
+        fwd = Evaluator(ix).evaluate(Q.Term("data")).collect()
+        rev = {r["doc_id"]: r["score"]
+               for r in Evaluator(ix, weighting="reverse:bm25")
+               .evaluate(Q.Term("data")).collect()}
+        for r in fwd:
+            assert rev[r["doc_id"]] == pytest.approx(-r["score"], rel=1e-12)
+
+    def test_multiweighting_dict_single_field(self, ix):
+        # MultiWeighting: default model via the None key
+        ev = Evaluator(ix, weighting={None: "frequency"})
+        rows = {r["doc_id"]: r["score"] for r in ev.evaluate(Q.Term("data")).collect()}
+        assert all(v == 1.0 for v in rows.values())
+
+
+class TestExpansions:
+    def test_regex(self, ix):
+        ev = Evaluator(ix)
+        ids_regex = _ids(ev.evaluate(Q.Regex("^d.t.$")))
+        ids_term = _ids(ev.evaluate(Q.Term("data")))
+        assert ids_regex == ids_term
+
+    def test_variations_generates_inflections(self):
+        v = variations("query")
+        assert "query" in v and "queries" in v and "querying" in v
+        v2 = variations("merging")
+        assert "merge" in v2 and "merged" in v2
+        v3 = variations("scans")
+        assert "scan" in v3 and "scanning" in v3
+
+    def test_variations_query(self, ix):
+        ev = Evaluator(ix)
+        # "query" and "queries"... corpus has only "query"; matches docs 7,8
+        assert _ids(ev.evaluate(Q.Variations("query"))) == [7, 8]
+
+    def test_date_range(self, spark):
+        docs = spark.createDataFrame(
+            DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+        ).withColumn("warc_ts", F.timestamp_seconds(F.lit(1577836800) + F.col("doc_id") * 3600))
+        ix2 = InvertedIndex.build(docs)
+        ev = Evaluator(ix2)
+        q = Q.DateRange("warc_ts", 1577836800 + 2 * 3600, 1577836800 + 5 * 3600,
+                        incl_hi=False)
+        assert _ids(ev.evaluate(q)) == [2, 3, 4]
+
+    def test_final_hook(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        res = s.search(Q.Term("data"), limit=3,
+                       final=lambda sc: sc * F.col("n_chars"))
+        base = {r["doc_id"]: r["score"] for r in
+                s.search(Q.Term("data"), limit=None, optimize=False).collect()}
+        nch = {d[0]: d[4] for d in DOCS}
+        for r in res.collect():
+            assert r["score"] == pytest.approx(base[r["doc_id"]] * nch[r["doc_id"]], rel=1e-12)

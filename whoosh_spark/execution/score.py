@@ -19,9 +19,74 @@ from pyspark.sql import functions as F
 
 from whoosh_spark.config import BM25_B, BM25_K1
 
+# log2(x) = ln(x) / LN2 — spelled identically (same literal, same op order)
+# in the DuckDB oracle so 6-dp rounded scores hash-match across engines.
+LN2 = 0.6931471805599453
+LOG2_E = 1.4426950408889634  # whoosh scoring.py ``rec_log2_of_e`` (≈L30)
+PL2_C = 1.0  # whoosh PL2 default c
+
 
 def idf_value(n_docs: int, df: int) -> float:
     return math.log(n_docs / (df + 1)) + 1.0
+
+
+def _log2(c: Column) -> Column:
+    return F.log(c) / LN2
+
+
+def _case_map(values: dict[str, float], default: float = 0.0) -> Column:
+    out = F.lit(float(default))
+    for t, v in values.items():
+        out = F.when(F.col("term") == t, F.lit(float(v))).otherwise(out)
+    return out
+
+
+def dfree_score(tf: Column, dl: Column, cf: Column, fl: float,
+                qf: float = 1.0) -> Column:
+    """DFR DFree model (``src/whoosh/scoring.py::DFree ≈L220``):
+    divergence-from-randomness with no extra parameters.
+
+        prior    = tf/dl          post = (tf+1)/(dl+1)
+        invprior = fl/cf          norm = tf·log2(post/prior)
+        score    = qf·norm·( tf·log2(prior·invprior)
+                           + (tf+1)·log2(post·invprior)
+                           + 0.5·log2(post/prior) )
+
+    dl = byte-quantized doc length (WeightLengthScorer semantics), fl = total
+    raw field length, cf = collection frequency of the term."""
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    prior = tf / dl
+    post = (tf + 1.0) / (dl + 1.0)
+    invprior = F.lit(float(fl)) / cf
+    norm = tf * _log2(post / prior)
+    return (
+        qf * norm
+        * (tf * _log2(prior * invprior)
+           + (tf + 1.0) * _log2(post * invprior)
+           + 0.5 * _log2(post / prior))
+    )
+
+
+def pl2_score(tf: Column, dl: Column, cf: Column, dc: float, avgdl: float,
+              c: float = PL2_C, qf: float = 1.0) -> Column:
+    """DFR PL2 model (``src/whoosh/scoring.py::PL2 ≈L250``):
+
+        TF   = tf·log2(1 + c·avgdl/dl)      norm = 1/(TF+1)
+        f    = cf/dc
+        score= norm·qf·( TF·log2(1/f) + f·log2e
+                       + 0.5·log2(2π·TF) + TF·(log2(TF) − log2e) )"""
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    TF = tf * _log2(F.lit(1.0) + (c * float(avgdl)) / dl)
+    norm = 1.0 / (TF + 1.0)
+    f = cf / F.lit(float(dc))
+    return norm * qf * (
+        TF * _log2(F.lit(1.0) / f)
+        + f * F.lit(LOG2_E)
+        + 0.5 * _log2(2.0 * math.pi * TF)
+        + TF * (_log2(TF) - F.lit(LOG2_E))
+    )
 
 
 def bm25_component(tf: Column, dl: Column, avgdl: float,
@@ -45,7 +110,10 @@ def bm25_upper_bound(n_docs: int, df: int, max_weight: float, min_len: int,
 def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
                    avgdl: float, boost_by_term: dict[str, float] | None = None,
                    weighting: str = "bm25", b: float | None = None,
-                   mult: float = 1.0) -> DataFrame:
+                   mult: float = 1.0,
+                   cf_by_term: dict[str, float] | None = None,
+                   n_docs: int | None = None,
+                   total_len: int | None = None) -> DataFrame:
     """(field, term, doc_id, tf, dl, …) → + ``score`` column.
 
     idf (and optional per-term query boost) enter as a literal CASE map —
@@ -55,14 +123,20 @@ def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
       bm25       BM25F (default; ≈L140)
       tfidf      score = weight · idf            (::TF_IDF ≈L300)
       frequency  score = raw weight              (::Frequency ≈L280)
+      dfree      DFR DFree                       (::DFree ≈L220)
+      pl2        DFR PL2 (c=1.0)                 (::PL2 ≈L250)
+    a ``reverse:`` prefix wraps the model in ReverseWeighting (::ReverseWeighting
+    ≈L460): score = 0 − subscore.
 
     ``b`` overrides the BM25F length-normalization for this posting set
     (per-field ``<fieldname>_B`` kwargs of ``scoring.py::BM25F``); ``mult``
     is a constant multiplier (field boost under multi-field BM25F).
+    ``cf_by_term``/``n_docs``/``total_len`` feed the DFR models.
     """
-    idf_col = F.lit(0.0)
-    for t, v in idf_by_term.items():
-        idf_col = F.when(F.col("term") == t, F.lit(float(v))).otherwise(idf_col)
+    reverse = weighting.startswith("reverse:")
+    if reverse:
+        weighting = weighting[len("reverse:"):]
+    idf_col = _case_map(idf_by_term)
     if weighting == "bm25":
         score = idf_col * bm25_component(
             F.col("tf"), F.col("dl"), avgdl,
@@ -71,8 +145,16 @@ def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
         score = F.col("tf").cast("double") * idf_col
     elif weighting == "frequency":
         score = F.col("tf").cast("double")
+    elif weighting == "dfree":
+        score = dfree_score(F.col("tf"), F.col("dl"),
+                            _case_map(cf_by_term, 1.0), float(total_len))
+    elif weighting == "pl2":
+        score = pl2_score(F.col("tf"), F.col("dl"),
+                          _case_map(cf_by_term, 1.0), float(n_docs), avgdl)
     else:
         raise ValueError(f"unknown weighting {weighting!r}")
+    if reverse:
+        score = F.lit(0.0) - score
     if boost_by_term:
         boost_col = F.lit(1.0)
         for t, v in boost_by_term.items():

@@ -102,7 +102,14 @@ class InvertedIndex:
             n = int(row["doc_count"])
             avgdl = (row["total_len"] / n) if n else 0.0
             self._global = (n, float(avgdl))
+            self._total_len = int(row["total_len"])
         return self._global
+
+    def total_field_length(self) -> int:
+        """Total raw token count of the field (whoosh ``Searcher.field_length``
+        — feeds the DFR models)."""
+        self.global_stats()
+        return self._total_len
 
     def stats_for_terms(self, terms: list[str]) -> dict[str, dict]:
         """term -> {df, cf, max_weight} for the query's terms (tiny collect)."""

@@ -405,3 +405,247 @@ def multifield_or_sql(term: str, fields: dict[str, str], k: int = 10) -> str:
     )
     sel = f"SELECT doc_id, sum(score) AS score FROM ({unions}) GROUP BY doc_id"
     return fielded_base(fields) + topk(sel, k)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: Regex / Variations / DateRange / spans / nested /
+# DFR weightings.  Same base pipeline, query-specific tails (operation-order
+# parity with execution/score.py & evaluate.py documented inline).
+# ---------------------------------------------------------------------------
+
+LN2 = "0.6931471805599453"      # matches execution/score.py LN2
+LOG2_E = "1.4426950408889634"   # matches execution/score.py LOG2_E
+TWO_PI = "6.283185307179586"    # 2.0 * math.pi, Python-folded like the engine
+
+
+def regex_sql(pattern: str, k: int = 10) -> str:
+    """Regex term query — partial match like Spark ``rlike`` / DuckDB
+    ``regexp_matches`` (keep patterns RE2 ∩ Java-regex compatible)."""
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc "
+        f"WHERE regexp_matches(term, '{pattern}') GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def variations_sql(forms: list[str], k: int = 10) -> str:
+    """Variations — the form list is a pure function of the query word
+    (analysis/morph.py), embedded literally; membership in the term dict is
+    applied by the IN filter itself."""
+    return or_sql(forms, k=k)
+
+
+def date_range_and_sql(term: str, epoch0: int, step: int, lo: int, hi: int,
+                       k: int = 10) -> str:
+    """And(Term, DateRange(warc_ts)) where warc_ts = epoch0 + doc_id*step
+    seconds (the deterministic synthetic timestamp both engines derive).
+    Engine And semantics: term score + constant 1.0."""
+    sel = f"""
+      SELECT doc_id, score + 1.0 AS score FROM sc
+      WHERE term = '{term}'
+        AND ({epoch0} + doc_id * {step}) >= {lo}
+        AND ({epoch0} + doc_id * {step}) <= {hi}
+    """
+    return base_ctes() + topk(sel, k)
+
+
+def span_first_sql(term: str, limit: int, k: int = 10) -> str:
+    """SpanFirst(Term, limit): term occurs at token position <= limit."""
+    match = (
+        f"pm AS (SELECT DISTINCT doc_id FROM tokf "
+        f"WHERE term = '{term}' AND pos <= {limit})"
+    )
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term = '{term}' GROUP BY s.doc_id"
+    )
+    return base_ctes(match) + topk(sel, k)
+
+
+def span_near_sql(a: str, b: str, slop: int, ordered: bool, k: int = 10) -> str:
+    """SpanNear of two unit (term) spans within ``slop`` tokens."""
+    fwd = f"(pb.pos > pa.pos AND pb.pos - pa.pos <= {slop})"
+    rev = f"(pa.pos > pb.pos AND pa.pos - pb.pos <= {slop})"
+    cond = fwd if ordered else f"({fwd} OR {rev})"
+    match = f"""pm AS (
+  SELECT DISTINCT pa.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term = '{a}') pa
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term = '{b}') pb
+    ON pb.doc_id = pa.doc_id AND {cond}
+)"""
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ('{a}', '{b}') GROUP BY s.doc_id"
+    )
+    return base_ctes(match) + topk(sel, k)
+
+
+def _phrase_spans_cte(name: str, words: list[str]) -> str:
+    """(doc_id, s, e) spans of a slop-1 phrase."""
+    joins = [f"(SELECT doc_id, pos FROM tokf WHERE term = '{w}') q{i}"
+             for i, w in enumerate(words)]
+    conds = [f"q{i}.doc_id = q0.doc_id AND q{i}.pos = q0.pos + {i}"
+             for i in range(1, len(words))]
+    return (
+        f"{name} AS (SELECT q0.doc_id, q0.pos AS s, q0.pos + {len(words)-1} AS e "
+        f"FROM " + " , ".join(joins) + " WHERE " + " AND ".join(conds) + ")"
+    )
+
+
+def span_not_sql(a_words: list[str], b_words: list[str], k: int = 10) -> str:
+    """SpanNot(Phrase(a), Phrase(b)): an a-span overlapping no b-span."""
+    ctes = (
+        _phrase_spans_cte("spa", a_words) + ",\n"
+        + _phrase_spans_cte("spb", b_words) + ",\n"
+        + """pm AS (
+  SELECT DISTINCT sa.doc_id FROM spa sa
+  WHERE NOT EXISTS (SELECT 1 FROM spb sb
+                    WHERE sb.doc_id = sa.doc_id
+                      AND sa.s <= sb.e AND sb.s <= sa.e)
+)"""
+    )
+    ta = sorted(set(a_words))
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ({_terms_in(ta)}) GROUP BY s.doc_id"
+    )
+    return base_ctes(ctes) + topk(sel, k)
+
+
+def span_contains_sql(a_words: list[str], b_term: str, k: int = 10) -> str:
+    """SpanContains(Phrase(a), Term(b)): an a-span containing a b position."""
+    ctes = (
+        _phrase_spans_cte("spa", a_words) + ",\n"
+        + f"""pm AS (
+  SELECT DISTINCT sa.doc_id FROM spa sa
+  WHERE EXISTS (SELECT 1 FROM tokf tb
+                WHERE tb.doc_id = sa.doc_id AND tb.term = '{b_term}'
+                  AND sa.s <= tb.pos AND tb.pos <= sa.e)
+)"""
+    )
+    ta = sorted(set(a_words))
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ({_terms_in(ta)}) GROUP BY s.doc_id"
+    )
+    return base_ctes(ctes) + topk(sel, k)
+
+
+def span_near_contains_sql(a: str, b: str, slop: int, inner: str,
+                           k: int = 10) -> str:
+    """SpanContains(SpanNear(Term a, Term b, slop, ordered), Term inner):
+    combined near-spans (pa.pos, pb.pos) containing an ``inner`` position —
+    exercises span-combinator nesting."""
+    ctes = f"""spn AS (
+  SELECT pa.doc_id, pa.pos AS s, pb.pos AS e
+  FROM (SELECT doc_id, pos FROM tokf WHERE term = '{a}') pa
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term = '{b}') pb
+    ON pb.doc_id = pa.doc_id AND pb.pos > pa.pos AND pb.pos - pa.pos <= {slop}
+),
+pm AS (
+  SELECT DISTINCT sa.doc_id FROM spn sa
+  WHERE EXISTS (SELECT 1 FROM tokf ti
+                WHERE ti.doc_id = sa.doc_id AND ti.term = '{inner}'
+                  AND sa.s <= ti.pos AND ti.pos <= sa.e)
+)"""
+    ta = sorted({a, b})
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ({_terms_in(ta)}) GROUP BY s.doc_id"
+    )
+    return base_ctes(ctes) + topk(sel, k)
+
+
+def span_before_sql(a: str, b: str, k: int = 10) -> str:
+    """SpanBefore(Term a, Term b): an occurrence of a before some b."""
+    match = f"""pm AS (
+  SELECT DISTINCT pa.doc_id
+  FROM (SELECT doc_id, pos FROM tokf WHERE term = '{a}') pa
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term = '{b}') pb
+    ON pb.doc_id = pa.doc_id AND pa.pos < pb.pos
+)"""
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term = '{a}' GROUP BY s.doc_id"
+    )
+    return base_ctes(match) + topk(sel, k)
+
+
+def nested_parent_sql(parent_pred: str, child_term: str, score_fn: str = "sum",
+                      k: int = 10) -> str:
+    """NestedParent block join: parents from ``parent_pred`` over documents,
+    blocks = [parent, next_parent), child matches aggregated per block."""
+    agg = {"sum": "sum", "max": "max", "avg": "avg"}[score_fn]
+    ctes = f"""par AS (
+  SELECT doc_id AS parent,
+         lead(doc_id) OVER (ORDER BY doc_id) AS nxt
+  FROM documents WHERE {parent_pred}
+),
+kids AS (SELECT doc_id, score FROM sc WHERE term = '{child_term}')"""
+    sel = f"""
+      SELECT p.parent AS doc_id, {agg}(k.score) AS score
+      FROM kids k JOIN par p
+        ON k.doc_id > p.parent AND (p.nxt IS NULL OR k.doc_id < p.nxt)
+      GROUP BY p.parent
+    """
+    return base_ctes(ctes) + topk(sel, k)
+
+
+def nested_children_sql(parent_pred: str, child_term: str, k: int = 10) -> str:
+    ctes = f"""par AS (
+  SELECT doc_id AS parent,
+         lead(doc_id) OVER (ORDER BY doc_id) AS nxt
+  FROM documents WHERE {parent_pred}
+)"""
+    sel = f"""
+      SELECT s.doc_id, s.score FROM sc s
+      WHERE s.term = '{child_term}'
+        AND EXISTS (SELECT 1 FROM par p
+                    WHERE s.doc_id > p.parent
+                      AND (p.nxt IS NULL OR s.doc_id < p.nxt))
+    """
+    return base_ctes(ctes) + topk(sel, k)
+
+
+def _dfr_ctes(model: str) -> str:
+    """sc CTE with a DFR model score (execution/score.py::dfree_score /
+    pl2_score operation order: log2(x) = ln(x)/LN2, same literals)."""
+    if model == "dfree":
+        formula = f"""
+         (t.tf * (ln(((t.tf + 1.0) / (q.dl + 1.0)) / (t.tf / q.dl)) / {LN2}))
+         * (  t.tf * (ln((t.tf / q.dl) * ((SELECT fl FROM fls) / c.cf)) / {LN2})
+            + (t.tf + 1.0) * (ln(((t.tf + 1.0) / (q.dl + 1.0)) * ((SELECT fl FROM fls) / c.cf)) / {LN2})
+            + 0.5 * (ln(((t.tf + 1.0) / (q.dl + 1.0)) / (t.tf / q.dl)) / {LN2}))"""
+    elif model == "pl2":
+        TF = f"(t.tf * (ln(1.0 + (SELECT avgdl FROM ad) / q.dl) / {LN2}))"
+        formula = f"""
+         (1.0 / ({TF} + 1.0))
+         * (  {TF} * (ln(1.0 / (c.cf / (SELECT n FROM nn))) / {LN2})
+            + (c.cf / (SELECT n FROM nn)) * {LOG2_E}
+            + 0.5 * (ln({TWO_PI} * {TF}) / {LN2})
+            + {TF} * ((ln({TF}) / {LN2}) - {LOG2_E}))"""
+    elif model == "tfidf":
+        formula = "t.tf * (ln((SELECT n FROM nn) / (d.df + 1)) + 1)"
+    else:
+        raise ValueError(model)
+    dfs_join = "JOIN dfs d USING (term)" if model == "tfidf" else ""
+    return f"""
+cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tfs GROUP BY term),
+fls AS (SELECT sum(len_raw)::DOUBLE AS fl FROM dl),
+scw AS (
+  SELECT t.doc_id, t.term, {formula} AS score
+  FROM tfs t JOIN dlq q USING (doc_id) JOIN cfs c USING (term) {dfs_join}
+)"""
+
+
+def weighting_or_sql(model: str, terms: list[str], reverse: bool = False,
+                     k: int = 10) -> str:
+    """Or query under an alternative weighting model (optionally reversed)."""
+    neg = "0.0 - " if reverse else ""
+    src = "sc" if model == "bm25" else "scw"
+    sel = (
+        f"SELECT doc_id, {neg}sum(score) AS score FROM {src} "
+        f"WHERE term IN ({_terms_in(terms)}) GROUP BY doc_id"
+    )
+    extra = "" if model == "bm25" else _dfr_ctes(model)
+    return base_ctes(extra) + topk(sel, k)

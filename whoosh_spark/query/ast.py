@@ -462,6 +462,172 @@ class TermRange(Query):
 
 
 @dataclass(frozen=True)
+class Regex(Query):
+    """``terms.py::Regex (≈L400)`` — raw regular-expression match over the
+    term dictionary (Java-regex ``rlike`` on term_stats; keep patterns
+    RE2-compatible for oracle parity).  Expansion → Or of Terms."""
+
+    pattern: str
+    boost: float = 1.0
+    fieldname: str | None = None
+
+
+@dataclass(frozen=True)
+class Variations(Query):
+    """``terms.py::Variations (≈L500)`` — morphological variations of the
+    word (``lang/morph_en.py::variations`` analog: rule-based English
+    inflection) that exist in the term dictionary, as an Or."""
+
+    text: str
+    boost: float = 1.0
+    fieldname: str | None = None
+
+
+@dataclass(frozen=True)
+class DateRange(Query):
+    """``ranges.py::DateRange (≈L350)`` — native timestamp predicate over a
+    stored timestamp column (upstream's ``datetime_to_long`` tiered term
+    expansion is obsolete under Parquet min/max stats + partition pruning:
+    the predicate pushes to the scan).  Bounds are ISO strings or epoch
+    seconds; constant score 1.0."""
+
+    column: str
+    lo: object = None
+    hi: object = None
+    incl_lo: bool = True
+    incl_hi: bool = True
+    boost: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Span queries (``src/whoosh/query/spans.py ≈L100-600``).  A span is a token
+# position interval [s, e]; Term leaves yield unit spans (p, p), Phrase /
+# Sequence at slop=1 yield (end−k+1, end) spans.  Scores follow the engine's
+# And convention: sum of the scoring side's term BM25 over matching docs.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SpanFirst(Query):
+    """``spans.py::SpanFirst (≈L250)``: child spans ending at or before
+    token position ``limit``."""
+
+    child: Query
+    limit: int = 0
+    boost: float = 1.0
+
+    def terms(self):
+        return self.child.terms()
+
+    def field_terms(self):
+        return self.child.field_terms()
+
+
+@dataclass(frozen=True)
+class SpanNear(Query):
+    """``spans.py::SpanNear2 (≈L350)``: spans of ``a`` and ``b`` within
+    ``slop`` tokens (gap between the two spans), ordered or not; the match
+    span covers both."""
+
+    a: Query
+    b: Query
+    slop: int = 1
+    ordered: bool = True
+    boost: float = 1.0
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
+
+
+@dataclass(frozen=True)
+class SpanNot(Query):
+    """``spans.py::SpanNot (≈L450)``: spans of ``a`` that do not overlap any
+    span of ``b``; scored from ``a``."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
+
+
+@dataclass(frozen=True)
+class SpanContains(Query):
+    """``spans.py::SpanContains (≈L500)``: spans of ``a`` that fully contain
+    a span of ``b``; scored from ``a``."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
+
+
+@dataclass(frozen=True)
+class SpanBefore(Query):
+    """``spans.py::SpanBefore (≈L550)``: spans of ``a`` ending before some
+    span of ``b`` starts; scored from ``a``."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
+
+
+@dataclass(frozen=True)
+class NestedParent(Query):
+    """``src/whoosh/query/nested.py::NestedParent (≈L40)``: block-join —
+    parent docs (matching ``parents``) whose child block contains a doc
+    matching ``child``.  A block is the doc-id run from a parent (inclusive)
+    to the next parent (exclusive), the upstream indexing-order contract.
+    ``score_fn``: 'sum' | 'max' | 'avg' over child scores per parent."""
+
+    parents: Query
+    child: Query
+    score_fn: str = "sum"
+    boost: float = 1.0
+
+    def terms(self):
+        return self.parents.terms() + self.child.terms()
+
+    def field_terms(self):
+        return self.parents.field_terms() + self.child.field_terms()
+
+
+@dataclass(frozen=True)
+class NestedChildren(Query):
+    """``nested.py::NestedChildren (≈L150)``: the inverse — child docs whose
+    enclosing parent matches ``parents`` AND that match ``child``; children
+    keep their own scores."""
+
+    parents: Query
+    child: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.parents.terms() + self.child.terms()
+
+    def field_terms(self):
+        return self.parents.field_terms() + self.child.field_terms()
+
+
+@dataclass(frozen=True)
 class NumericRange(Query):
     """``ranges.py::NumericRange (≈L220)`` — native column predicate on the
     docs table (tiered term expansion obsolete under Parquet min/max)."""

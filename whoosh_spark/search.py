@@ -62,12 +62,20 @@ class Searcher:
         offset: int = 0,
         with_stored: list[str] | None = None,
         optimize: bool = True,
+        final=None,
     ) -> DataFrame:
+        """``final`` is the WeightingModel.final() hook
+        (``src/whoosh/scoring.py::WeightingModel.final ≈L100``): a callable
+        ``(score: Column) -> Column`` evaluated over the scored frame joined
+        with the stored docs table, so it may reference stored columns via
+        ``F.col`` (e.g. ``lambda s: s * F.col("n_chars")``).  Applied before
+        ranking, like Whoosh's collector-side final pass."""
         wand = (
             self._wand_terms(q)
             if (
                 optimize
                 and self.weighting == "bm25"  # WAND bounds are BM25-specific
+                and final is None
                 and limit is not None
                 and filter is None
                 and mask is None
@@ -92,6 +100,10 @@ class Searcher:
             scores = scores.join(self.ev.evaluate(filter).select("doc_id"), "doc_id", "left_semi")
         if mask is not None:
             scores = scores.join(self.ev.evaluate(mask).select("doc_id"), "doc_id", "left_anti")
+
+        if final is not None:
+            joined = scores.join(self.ix.docs, "doc_id", "left")
+            scores = joined.select("doc_id", final(F.col("score")).alias("score"))
 
         if collapse is not None:
             scores = self._collapse(scores, collapse, collapse_limit)

@@ -38,8 +38,9 @@ catalog is a sink swap, not a redesign.
 from __future__ import annotations
 
 import json
-import os
 import time
+
+from whoosh_spark import fs as FS
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,21 +55,20 @@ DEFAULT_CHUNK_BITS = 16  # 65536 docs per checkpoint chunk
 
 
 def _log_path(path: str) -> str:
-    return os.path.join(path, BUILD_LOG)
+    return FS.join(path, BUILD_LOG)
 
 
 def _read_log(path: str) -> list[dict]:
-    p = _log_path(path)
-    if not os.path.exists(p):
+    text = FS.read_text(_log_path(path))
+    if text is None:
         return []
-    with open(p) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 
 def _append_log(path: str, record: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    with open(_log_path(path), "a") as f:
-        f.write(json.dumps(record) + "\n")
+    # scheme-dispatched (fs.py): local O_APPEND, or Hadoop-FS read+atomic
+    # rewrite for hdfs://s3a://file:// paths (single-writer build log)
+    FS.append_text(_log_path(path), json.dumps(record) + "\n")
 
 
 def completed_chunks(path: str) -> set[int]:
@@ -134,7 +134,7 @@ def write_index(
         analyzed = B.analyzed_docs(part, id_col, text_col).withColumn(
             "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
         )
-        batch_dir = os.path.join(path, "analyzed", f"batch={bid}")
+        batch_dir = FS.join(path, "analyzed", f"batch={bid}")
         analyzed.write.mode("overwrite").parquet(batch_dir)
         t_write = time.perf_counter() - t0
         # per-chunk counters from what was just written (column-pruned scan
@@ -172,7 +172,7 @@ def write_index(
         steps[name] = int(1000 * (now - since))
         return now
 
-    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
+    analyzed = spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch")
     # the analyzed table compresses ~10x, so its scan may yield far fewer
     # splits than the cluster has cores — the explode + shuffle-map of the
     # merge would then run nearly serial.  Rebalance first (cheap: compact
@@ -186,17 +186,17 @@ def write_index(
     # already sorted by (field, term, bucket, blk) within partitions by
     # construction (encode_sorted_stream preserves its input sort), so the
     # parquet row-group min/max stats give term-pruning for free
-    blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
+    blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
     t = _mark("blocks", t)
-    blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
+    blocks_r = spark.read.parquet(FS.join(path, "blocks"))
     tstats = B.term_stats(blocks_r)
-    tstats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+    tstats.write.mode("overwrite").parquet(FS.join(path, "term_stats"))
     t = _mark("term_stats", t)
     lengths = B.doc_lengths(analyzed)
-    lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
-    lengths_r = spark.read.parquet(os.path.join(path, "doc_lengths"))
+    lengths.write.mode("overwrite").parquet(FS.join(path, "doc_lengths"))
+    lengths_r = spark.read.parquet(FS.join(path, "doc_lengths"))
     B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
-        os.path.join(path, "field_stats")
+        FS.join(path, "field_stats")
     )
     t = _mark("lengths", t)
     # stored fields: analyzed text and raw binary (e.g. html) excluded by
@@ -206,7 +206,7 @@ def write_index(
                            if f.dataType.typeName() == "binary"])
     if id_col != "doc_id":
         stored = stored.withColumnRenamed(id_col, "doc_id")
-    stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
     t = _mark("docs", t)
     _append_log(
         path,
@@ -215,7 +215,7 @@ def write_index(
     )
 
     # ---- manifest (atomic tmp+rename = TOC generation swap) --------------
-    fs_row = spark.read.parquet(os.path.join(path, "field_stats")).collect()[0]
+    fs_row = spark.read.parquet(FS.join(path, "field_stats")).collect()[0]
     manifest = {
         "format": "whoosh-spark/1",
         "generation": int(time.time()),
@@ -228,30 +228,26 @@ def write_index(
         "store_text": store_text,
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }
-    tmp = os.path.join(path, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+    FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
     return manifest
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Open a persisted index (manifest-gated, like ``open_dir``)."""
-    with open(os.path.join(path, MANIFEST)) as f:
-        manifest = json.load(f)
-    deleted_dir = os.path.join(path, "deleted")
+    manifest = json.loads(FS.read_text(FS.join(path, MANIFEST)))
+    deleted_dir = FS.join(path, "deleted")
     deleted = (
         spark.read.parquet(deleted_dir).select("doc_id").distinct()
-        if os.path.isdir(deleted_dir) and os.listdir(deleted_dir)
+        if FS.isdir_nonempty(deleted_dir)
         else None
     )
     ix = InvertedIndex(
         spark,
-        blocks=spark.read.parquet(os.path.join(path, "blocks")),
-        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
-        field_stats=spark.read.parquet(os.path.join(path, "field_stats")),
-        doc_lengths=spark.read.parquet(os.path.join(path, "doc_lengths")),
-        docs=spark.read.parquet(os.path.join(path, "docs")),
+        blocks=spark.read.parquet(FS.join(path, "blocks")),
+        term_stats=spark.read.parquet(FS.join(path, "term_stats")),
+        field_stats=spark.read.parquet(FS.join(path, "field_stats")),
+        doc_lengths=spark.read.parquet(FS.join(path, "doc_lengths")),
+        docs=spark.read.parquet(FS.join(path, "docs")),
         field=manifest["field"],
         deleted=deleted,
     )
@@ -269,11 +265,11 @@ def delete_documents(spark: SparkSession, path: str,
     if doc_ids is not None:
         df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
     elif where is not None:
-        df = spark.read.parquet(os.path.join(path, "docs")).where(where).select("doc_id")
+        df = spark.read.parquet(FS.join(path, "docs")).where(where).select("doc_id")
     else:
         raise ValueError("need doc_ids or where")
     n = df.count()
-    df.write.mode("append").parquet(os.path.join(path, "deleted"))
+    df.write.mode("append").parquet(FS.join(path, "deleted"))
     _append_log(path, {"phase": "delete", "n_docs": int(n), "ts": time.time()})
     return int(n)
 
@@ -294,15 +290,13 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     the overlay — the physical purge that deleted-doc bitsets defer.
     """
     t0 = time.perf_counter()
-    analyzed = spark.read.parquet(os.path.join(path, "analyzed")).drop("chunk", "batch")
+    analyzed = spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if analyzed.rdd.getNumPartitions() < max(4, n_part // 2):
         analyzed = analyzed.repartition(n_part)
-    deleted_dir = os.path.join(path, "deleted")
-    has_deleted = os.path.isdir(deleted_dir) and bool(os.listdir(deleted_dir))
+    deleted_dir = FS.join(path, "deleted")
+    has_deleted = FS.isdir_nonempty(deleted_dir)
     if purge_deleted and has_deleted:
-        import shutil
-
         dd = spark.read.parquet(deleted_dir).select("doc_id").distinct()
         analyzed = analyzed.join(F.broadcast(dd), "doc_id", "left_anti")
         # The overlay can only be dropped once the purged docs are PHYSICALLY
@@ -311,37 +305,37 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         # analyzed/ as one compacted batch first, then drop the overlay.
         # (Not crash-atomic mid-sequence, same as every overwrite here; the
         # manifest swap at the end is the commit point.)
-        an_dir = os.path.join(path, "analyzed")
-        tmp_an = os.path.join(path, "analyzed_purge_tmp")
+        an_dir = FS.join(path, "analyzed")
+        tmp_an = FS.join(path, "analyzed_purge_tmp")
         analyzed.withColumn("chunk", F.lit(-1)).write.mode("overwrite").parquet(tmp_an)
-        shutil.rmtree(an_dir, ignore_errors=True)
-        os.makedirs(an_dir, exist_ok=True)
+        FS.rmtree(an_dir)
+        FS.makedirs(an_dir)
         bid = f"purge-{int(time.time() * 1000)}"
-        os.replace(tmp_an, os.path.join(an_dir, f"batch={bid}"))
+        FS.rename(tmp_an, FS.join(an_dir, f"batch={bid}"))
         _append_log(path, {"phase": "analyze", "batch": bid, "chunks": [],
                            "counters": {}, "note": "purge-compaction rewrite",
                            "wall_ms": 0, "ts": time.time()})
         analyzed = spark.read.parquet(an_dir).drop("chunk", "batch")
-        shutil.rmtree(deleted_dir, ignore_errors=True)
+        FS.rmtree(deleted_dir)
     blocks = B.posting_blocks_from_analyzed(analyzed, field)
-    blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
-    blocks_r = spark.read.parquet(os.path.join(path, "blocks"))
+    blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
+    blocks_r = spark.read.parquet(FS.join(path, "blocks"))
     B.term_stats(blocks_r).write.mode("overwrite").parquet(
-        os.path.join(path, "term_stats"))
+        FS.join(path, "term_stats"))
     lengths = B.doc_lengths(analyzed)
-    lengths.write.mode("overwrite").parquet(os.path.join(path, "doc_lengths"))
-    lengths_r = spark.read.parquet(os.path.join(path, "doc_lengths"))
+    lengths.write.mode("overwrite").parquet(FS.join(path, "doc_lengths"))
+    lengths_r = spark.read.parquet(FS.join(path, "doc_lengths"))
     B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
-        os.path.join(path, "field_stats"))
+        FS.join(path, "field_stats"))
     if store_docs is not None:
         stored = store_docs.drop(text_col)
         stored = stored.drop(*[f.name for f in stored.schema.fields
                                if f.dataType.typeName() == "binary"])
-        stored.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
     _append_log(
         path, {"phase": "merge", "purge": bool(purge_deleted),
                "wall_ms": int(1000 * (time.perf_counter() - t0)), "ts": time.time()})
-    fs_row = spark.read.parquet(os.path.join(path, "field_stats")).collect()[0]
+    fs_row = spark.read.parquet(FS.join(path, "field_stats")).collect()[0]
     manifest = {
         "format": "whoosh-spark/1",
         "generation": int(time.time()),
@@ -354,10 +348,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "store_text": False,
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
-    tmp = os.path.join(path, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+    FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
     return manifest
 
 
@@ -369,7 +360,7 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     purge compaction); new versions get fresh doc_ids above the current max
     so the overlay can never hide them.
     """
-    stored = spark.read.parquet(os.path.join(path, "docs"))
+    stored = spark.read.parquet(FS.join(path, "docs"))
     if key not in stored.columns:
         raise ValueError(f"stored docs have no unique key column {key!r}")
     victims = (
@@ -380,7 +371,7 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     if victim_ids:
         delete_documents(spark, path, doc_ids=victim_ids)
 
-    max_id = spark.read.parquet(os.path.join(path, "doc_lengths")).agg(
+    max_id = spark.read.parquet(FS.join(path, "doc_lengths")).agg(
         F.max("doc_id")).collect()[0][0] or 0
     from pyspark.sql.window import Window
 
@@ -391,7 +382,7 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
         "chunk", F.lit(-1))
     bid = f"upsert-{int(time.time() * 1000)}"
     analyzed.write.mode("overwrite").parquet(
-        os.path.join(path, "analyzed", f"batch={bid}"))
+        FS.join(path, "analyzed", f"batch={bid}"))
     _append_log(path, {"phase": "analyze", "batch": bid, "chunks": [],
                        "counters": {}, "wall_ms": 0, "ts": time.time()})
     # merge new segment + rewrite stored docs (old rows of updated keys out)
@@ -402,12 +393,10 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
                                    if f.dataType.typeName() == "binary"])
     merged_docs = new_stored.unionByName(add_stored, allowMissingColumns=True)
     # materialize before the overwrite that reads from the same dir
-    tmp_docs = os.path.join(path, "docs_tmp")
+    tmp_docs = FS.join(path, "docs_tmp")
     merged_docs.write.mode("overwrite").parquet(tmp_docs)
     merged_r = spark.read.parquet(tmp_docs)
     manifest = compact_index(spark, path, field=field)
-    merged_r.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    import shutil
-
-    shutil.rmtree(tmp_docs, ignore_errors=True)
+    merged_r.write.mode("overwrite").parquet(FS.join(path, "docs"))
+    FS.rmtree(tmp_docs)
     return manifest

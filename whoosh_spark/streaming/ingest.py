@@ -20,13 +20,13 @@ snapshot-isolation semantics exactly like Whoosh readers see the last TOC.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whoosh_spark import build as B
+from whoosh_spark import fs as FS
 from whoosh_spark import store
 from whoosh_spark.config import TEXT_FIELD
 
@@ -37,7 +37,7 @@ def _ingest_batch(path: str, id_col: str, text_col: str):
         analyzed = B.analyzed_docs(batch_df, id_col, text_col).withColumn(
             "chunk", F.lit(-1)
         )
-        out = os.path.join(path, "analyzed", f"batch=stream-{epoch_id}")
+        out = FS.join(path, "analyzed", f"batch=stream-{epoch_id}")
         analyzed.write.mode("overwrite").parquet(out)
         n = batch_df.sparkSession.read.parquet(out).count()
         store._append_log(

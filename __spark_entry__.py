@@ -49,9 +49,13 @@ WARC_STEP = 3600
 def _ts_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     key = ("ts", id(spark), sf_dir)
     if key not in _CACHE:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-            "warc_ts",
-            F.timestamp_seconds(F.lit(WARC_EPOCH0) + F.col("doc_id") * F.lit(WARC_STEP)),
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn(
+                "warc_ts",
+                F.timestamp_seconds(F.lit(WARC_EPOCH0) + F.col("doc_id") * F.lit(WARC_STEP)))
+            # multi-valued stored field for StoredFieldFacet (deterministic)
+            .withColumn("tags", F.concat_ws(",", F.col("source"), F.col("lang")))
         )
         _CACHE[key] = Searcher(InvertedIndex.build(docs))
     return _CACHE[key]
@@ -266,6 +270,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weighting_reverse=_weighted("reverse:bm25"),
     )
 
+    # ---- facet variants + parser plugins --------------------------------
+    def facet_multi_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facet_multi(Q.Term("data"), ["source", "lang"])
+
+    def facet_function_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facet_function(Q.Term("data"), "n_chars % 3", "bucket")
+
+    def facet_daterange_q(spark, sf_dir):
+        s = _ts_searcher(spark, sf_dir)
+        return s.facet_daterange(Q.Term("data"), "warc_ts",
+                                 WARC_EPOCH0, WARC_EPOCH0 + 400 * 3600, 100 * 3600)
+
+    def facet_stored_split_q(spark, sf_dir):
+        s = _ts_searcher(spark, sf_dir)
+        return s.facet_stored_split(Q.Term("data"), "tags")
+
+    def parsed_gtlt_q(spark, sf_dir):
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(parse_query("data AND >=va")))
+
+    def parsed_plusminus_q(spark, sf_dir):
+        from whoosh_spark.query.parser import parse_simple
+
+        s = _searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(parse_simple("data +query -vector")))
+
+    def parsed_regex_q(spark, sf_dir):
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(parse_query('r"^d.t.$"')))
+
+    def parsed_datetime_q(spark, sf_dir):
+        from whoosh_spark.query.parser import parse_query
+
+        s = _ts_searcher(spark, sf_dir)
+        q = parse_query("data AND warc_ts:[2020-01-01 TO 2020-01-10]",
+                        datetime_fields=["warc_ts"])
+        return _topk(s.ev.evaluate(q))
+
+    def parsed_dismax_q(spark, sf_dir):
+        from whoosh_spark.query.parser import parse_dismax
+
+        s = _mf_searcher(spark, sf_dir)
+        q = parse_dismax("data", {"text": 2.0, "lang": 1.0})
+        return _topk(s.search(q, limit=None, optimize=False).select("doc_id", "score"))
+
+    out.update(
+        facet_multi=facet_multi_q,
+        facet_function=facet_function_q,
+        facet_daterange=facet_daterange_q,
+        facet_stored_split=facet_stored_split_q,
+        parsed_gtlt=parsed_gtlt_q,
+        parsed_plusminus=parsed_plusminus_q,
+        parsed_regex=parsed_regex_q,
+        parsed_datetime=parsed_datetime_q,
+        parsed_dismax=parsed_dismax_q,
+    )
+
     # ---- training-data pipeline operators (SURVEY.md + driver brief) ----
     def _docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -386,6 +453,22 @@ def oracle_sql() -> dict[str, str]:
         "weighting_dfree": OSQL.weighting_or_sql("dfree", ["data", "vector"]),
         "weighting_tfidf": OSQL.weighting_or_sql("tfidf", ["data", "vector"]),
         "weighting_reverse": OSQL.weighting_or_sql("bm25", ["data", "vector"], reverse=True),
+        # facet variants + parser plugins
+        "facet_multi": OSQL.facet_multi_sql("data", ["source", "lang"]),
+        "facet_function": OSQL.facet_function_sql("data", "d.n_chars % 3", "bucket"),
+        "facet_daterange": OSQL.facet_daterange_sql(
+            "data", WARC_EPOCH0, WARC_STEP,
+            WARC_EPOCH0, WARC_EPOCH0 + 400 * 3600, 100 * 3600),
+        "facet_stored_split": OSQL.facet_stored_split_sql(
+            "data", "d.source || ',' || d.lang"),
+        "parsed_gtlt": OSQL.and_term_gte_range_sql("data", "va"),
+        "parsed_plusminus": OSQL.plusminus_sql("data", "query", "vector"),
+        "parsed_regex": OSQL.regex_sql("^d.t.$"),
+        "parsed_datetime": OSQL.date_range_iso_and_sql(
+            "data", WARC_EPOCH0, WARC_STEP,
+            1577836800, 1578700800, incl_hi=False),
+        "parsed_dismax": OSQL.multifield_dismax_sql(
+            "data", {"text": 2.0, "lang": 1.0}, MF_FIELDS),
         # pipeline ops — every entry has a full value oracle (round 2: the
         # md5-prefix hash rewrite made simhash/winnow engine-portable, the
         # multimodal ops moved to a documents-derived binary column, and the

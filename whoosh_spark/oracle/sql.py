@@ -649,3 +649,107 @@ def weighting_or_sql(model: str, terms: list[str], reverse: bool = False,
     )
     extra = "" if model == "bm25" else _dfr_ctes(model)
     return base_ctes(extra) + topk(sel, k)
+
+
+# ---------------------------------------------------------------------------
+# Facet variants (MultiFacet / FunctionFacet / DateRangeFacet /
+# StoredFieldFacet) and parser-plugin query shapes (GtLt, PlusMinus,
+# MultifieldParser-DisMax, dateparse-lite).
+# ---------------------------------------------------------------------------
+
+
+def facet_multi_sql(term: str, cols: list[str]) -> str:
+    collist = ", ".join(f"d.{c} AS {c}" for c in cols)
+    group = ", ".join(f"d.{c}" for c in cols)
+    return base_ctes() + f"""
+      SELECT {collist}, count(*)::BIGINT AS n
+      FROM (SELECT DISTINCT doc_id FROM sc WHERE term = '{term}') m
+      JOIN documents d USING (doc_id) GROUP BY {group}
+    """
+
+
+def facet_function_sql(term: str, expr: str, name: str = "bucket") -> str:
+    return base_ctes() + f"""
+      SELECT {expr} AS {name}, count(*)::BIGINT AS n
+      FROM (SELECT DISTINCT doc_id FROM sc WHERE term = '{term}') m
+      JOIN documents d USING (doc_id) GROUP BY 1
+    """
+
+
+def facet_daterange_sql(term: str, epoch0: int, step: int, start: int,
+                        end: int, gap: int) -> str:
+    """DateRangeFacet over the synthetic warc_ts = epoch0 + doc_id*step."""
+    nbins = int((end - start) // gap)
+    ts = f"({epoch0} + d.doc_id * {step})"
+    return base_ctes() + f"""
+      SELECT CASE WHEN {ts} < {start} THEN -1
+                  WHEN {ts} >= {end} THEN {nbins}
+                  ELSE CAST(floor(({ts} - {start}) / {gap}) AS INT) END AS bin,
+             count(*)::BIGINT AS n
+      FROM (SELECT DISTINCT doc_id FROM sc WHERE term = '{term}') m
+      JOIN documents d USING (doc_id) GROUP BY 1
+    """
+
+
+def facet_stored_split_sql(term: str, concat_expr: str) -> str:
+    """StoredFieldFacet w/ allow_overlap: each doc counts toward every value
+    of the split multi-valued string (``concat_expr`` rebuilds the stored
+    column, e.g. ``d.source || ',' || d.lang``)."""
+    return base_ctes() + f"""
+      SELECT u.value AS value, count(*)::BIGINT AS n
+      FROM (SELECT m.doc_id, unnest(string_split({concat_expr}, ',')) AS value
+            FROM (SELECT DISTINCT doc_id FROM sc WHERE term = '{term}') m
+            JOIN documents d USING (doc_id)) u
+      GROUP BY u.value
+    """
+
+
+def and_term_gte_range_sql(term: str, lo: str, k: int = 10) -> str:
+    """And(Term, TermRange(lo, None)) — the GtLt plugin's ``>=lo`` shape."""
+    sel = f"""
+      SELECT a.doc_id, a.s + b.s AS score FROM
+        (SELECT doc_id, score AS s FROM sc WHERE term = '{term}') a
+        JOIN (SELECT doc_id, sum(score) AS s FROM sc WHERE term >= '{lo}'
+              GROUP BY doc_id) b USING (doc_id)
+    """
+    return base_ctes() + topk(sel, k)
+
+
+def plusminus_sql(should: str, plus: str, minus: str, k: int = 10) -> str:
+    """SimpleParser/PlusMinus: score from the optional term, +term required
+    (unscored), -term excluded."""
+    sel = f"""
+      SELECT doc_id, score FROM sc WHERE term = '{should}'
+        AND doc_id IN (SELECT doc_id FROM sc WHERE term = '{plus}')
+        AND doc_id NOT IN (SELECT doc_id FROM sc WHERE term = '{minus}')
+    """
+    return base_ctes() + topk(sel, k)
+
+
+def multifield_dismax_sql(term: str, fieldboosts: dict[str, float],
+                          fields: dict[str, str], tiebreak: float = 0.0,
+                          k: int = 10) -> str:
+    """DisMaxParser: one term searched across fields, best-field scoring."""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, score * {float(fieldboosts.get(f, 1.0))} AS s "
+        f"FROM sc_{f} WHERE term = '{term}'"
+        for f in sorted(fields)
+    )
+    sel = (
+        f"SELECT doc_id, max(s) + {tiebreak} * (sum(s) - max(s)) AS score "
+        f"FROM ({unions}) GROUP BY doc_id"
+    )
+    return fielded_base(fields) + topk(sel, k)
+
+
+def date_range_iso_and_sql(term: str, epoch0: int, step: int, lo: int,
+                           hi: int, incl_hi: bool, k: int = 10) -> str:
+    """And(Term, DateRange) with parser-resolved epoch bounds."""
+    op_hi = "<=" if incl_hi else "<"
+    sel = f"""
+      SELECT doc_id, score + 1.0 AS score FROM sc
+      WHERE term = '{term}'
+        AND ({epoch0} + doc_id * {step}) >= {lo}
+        AND ({epoch0} + doc_id * {step}) {op_hi} {hi}
+    """
+    return base_ctes() + topk(sel, k)

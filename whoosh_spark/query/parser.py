@@ -22,15 +22,36 @@ from __future__ import annotations
 
 import re
 
+from datetime import datetime, timezone
+
 from whoosh_spark.analysis.analyzers import analyze_text
 from whoosh_spark.query.ast import (
-    And, AndMaybe, AndNot, Fuzzy, Not, NullQuery, Or, Phrase, Prefix, Query,
-    Term, TermRange, Wildcard,
+    And, AndMaybe, AndNot, DateRange, DisMax, Fuzzy, Not, NullQuery, Or,
+    Phrase, Prefix, Query, Regex, Require, Term, TermRange, Wildcard,
 )
+
+_DAY = 86400
+
+
+def _iso_epoch(s: str) -> tuple[int, bool]:
+    """(UTC epoch seconds, was-date-only) for an ISO date/datetime string.
+    Parsed driver-side into epoch ints so the engine's DateRange predicate is
+    session-timezone-independent (``qparser/dateparse.py`` parses to
+    ``datetime_to_long`` the same way)."""
+    s = s.strip()
+    for fmt, date_only in (("%Y-%m-%d %H:%M:%S", False), ("%Y-%m-%dT%H:%M:%S", False),
+                           ("%Y-%m-%d %H:%M", False), ("%Y-%m-%d", True)):
+        try:
+            dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()), date_only
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable date {s!r}")
 
 _TOKEN_SPEC = [
     ("LPAREN", r"\("),
     ("RPAREN", r"\)"),
+    ("REGEX", r'(\w+:)?r"[^"]*"'),
     ("PHRASE", r'(\w+:)?"[^"]*"(~\d+)?(\^\d+(\.\d+)?)?'),
     ("RANGE", r"(\w+:)?[\[{][^\]}]*?\s+TO\s+[^\]}]*?[\]}]"),
     ("AND", r"AND\b"),
@@ -55,7 +76,7 @@ def _lex(s: str) -> list[tuple[str, str]]:
     return out
 
 
-def _leaf(text: str, fields=None) -> Query:
+def _leaf(text: str, fields=None, dt_fields=None) -> Query:
     boost = 1.0
     m = re.search(r"\^(\d+(\.\d+)?)$", text)
     if m:
@@ -63,13 +84,64 @@ def _leaf(text: str, fields=None) -> Query:
         text = text[: m.start()]
     # field prefix (``qparser/plugins.py::FieldsPlugin ≈L300``): a known
     # schema field routes the leaf; an unknown prefix is stripped (legacy
-    # single-field behavior — upstream treats unknown fieldnames as text)
+    # single-field behavior — upstream treats unknown fieldnames as text).
+    # A datetime field name always routes (it's a stored column, not an
+    # indexed text field).
     fieldname = None
     fm = _FIELD_PREFIX_RE.match(text)
     if fm and not text.startswith('"') and not re.match(r"^[\[{]", text):
         if fields is not None and fm.group(1) in fields:
             fieldname = fm.group(1)
+        if dt_fields and fm.group(1) in dt_fields:
+            fieldname = fm.group(1)
         text = fm.group(2)
+    is_dt = bool(dt_fields and fieldname in dt_fields)
+    # GtLt (``qparser/plugins.py::GtLtPlugin ≈L500``): field:>x field:<=y →
+    # open-ended TermRange (or DateRange on a declared datetime column)
+    gm = re.match(r"^(>=|<=|>|<)(.+)$", text, re.S)
+    if gm and not text.startswith('"'):
+        op, val = gm.group(1), gm.group(2).strip()
+        if is_dt:
+            ep, date_only = _iso_epoch(val)
+            if op == ">":
+                # strictly after the named instant/day
+                return DateRange(fieldname, lo=ep + (_DAY if date_only else 0),
+                                 hi=None, incl_lo=(not date_only), boost=boost)
+            if op == ">=":
+                return DateRange(fieldname, lo=ep, hi=None, boost=boost)
+            if op == "<":
+                return DateRange(fieldname, lo=None, hi=ep, incl_hi=False, boost=boost)
+            return DateRange(fieldname, lo=None,
+                             hi=ep + (_DAY if date_only else 0),
+                             incl_hi=date_only is False, boost=boost)
+        val = val.lower()
+        if op == ">":
+            return TermRange(val, None, incl_lo=False, boost=boost, fieldname=fieldname)
+        if op == ">=":
+            return TermRange(val, None, boost=boost, fieldname=fieldname)
+        if op == "<":
+            return TermRange(None, val, incl_hi=False, boost=boost, fieldname=fieldname)
+        return TermRange(None, val, boost=boost, fieldname=fieldname)
+    if is_dt:
+        # dateparse-lite "at" semantics: warc_ts:2020-01-05 = that whole day,
+        # warc_ts:[a TO b] handled in the RANGE branch below
+        if re.match(r"^[\[{].*[\]}]$", text, re.S):
+            incl_lo = text[0] == "["
+            incl_hi = text[-1] == "]"
+            lo_s, hi_s = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
+            lo = hi = None
+            if lo_s.strip():
+                lo, _ = _iso_epoch(lo_s)
+            if hi_s.strip():
+                ep, date_only = _iso_epoch(hi_s)
+                # a date-only upper bound includes that whole day
+                hi = ep + _DAY if (date_only and incl_hi) else ep
+                incl_hi = incl_hi and not date_only
+            return DateRange(fieldname, lo, hi, incl_lo, incl_hi, boost=boost)
+        ep, date_only = _iso_epoch(text)
+        if date_only:
+            return DateRange(fieldname, ep, ep + _DAY, incl_hi=False, boost=boost)
+        return DateRange(fieldname, ep, ep, boost=boost)
     m = re.search(r"~(\d*)$", text)
     if m and not text.startswith('"'):
         dist = int(m.group(1)) if m.group(1) else 1
@@ -103,9 +175,10 @@ def _leaf(text: str, fields=None) -> Query:
 
 
 class _Parser:
-    def __init__(self, toks, fields=None):
+    def __init__(self, toks, fields=None, dt_fields=None):
         self.toks = toks
         self.fields = fields
+        self.dt_fields = dt_fields
         self.i = 0
 
     def peek(self):
@@ -136,7 +209,7 @@ class _Parser:
                 right = self.parse_unary()
                 left = And(parts) if len(parts) > 1 else parts[0]
                 parts = [AndNot(left, right) if op == "ANDNOT" else AndMaybe(left, right)]
-            elif kind in ("PHRASE", "RANGE", "WORD", "LPAREN", "NOT"):
+            elif kind in ("PHRASE", "RANGE", "WORD", "REGEX", "LPAREN", "NOT"):
                 parts.append(self.parse_unary())  # implicit And
             else:
                 break
@@ -153,9 +226,20 @@ class _Parser:
             if self.peek()[0] == "RPAREN":
                 self.next()
             return q
+        if kind == "REGEX":
+            # RegexPlugin syntax: [field:]r"pattern" (``qparser/plugins.py::
+            # RegexPlugin ≈L450``)
+            self.next()
+            fieldname = None
+            fm = re.match(r"^(\w+):", text)
+            if fm:
+                if self.fields is not None and fm.group(1) in self.fields:
+                    fieldname = fm.group(1)
+                text = text[fm.end():]
+            return Regex(text[2:-1], fieldname=fieldname)
         if kind in ("WORD", "PHRASE", "RANGE"):
             self.next()
-            return _leaf(text, self.fields)
+            return _leaf(text, self.fields, self.dt_fields)
         return NullQuery
 
 
@@ -194,18 +278,90 @@ def _apply_multifield(q: Query, mfields: list[str]) -> Query:
     return q
 
 
-def parse_query(s: str, fields=None, multifield: list[str] | None = None) -> Query:
+def parse_query(s: str, fields=None, multifield: list[str] | None = None,
+                datetime_fields=None) -> Query:
     """Parse a query string.
 
     ``fields`` — known schema field names: enables ``field:term`` routing
     (unknown prefixes are stripped, as before).  ``multifield`` — list of
     fields an UNFIELDED term should search (MultifieldParser: the leaf
     becomes an Or over the fields; fielded leaves are untouched).
+    ``datetime_fields`` — stored timestamp column names: ``col:[a TO b]``,
+    ``col:2020-01-05`` and ``col:>2020-01-05`` become native DateRange
+    predicates (dateparse-lite; bounds resolved to UTC epoch driver-side).
     """
     toks = _lex(s)
     if not toks:
         return NullQuery
-    q = _Parser(toks, fields=set(fields) if fields else None).parse_or()
+    q = _Parser(toks, fields=set(fields) if fields else None,
+                dt_fields=set(datetime_fields) if datetime_fields else None).parse_or()
     if multifield:
         q = _apply_multifield(q, list(multifield))
+    return q.normalize()
+
+
+def _plusminus_groups(s: str):
+    plus, minus, should = [], [], []
+    for tok in s.split():
+        if tok.startswith("+") and len(tok) > 1:
+            plus.append(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            minus.append(tok[1:])
+        else:
+            should.append(tok)
+    return plus, minus, should
+
+
+def parse_simple(s: str, fields=None) -> Query:
+    """SimpleParser with PlusMinusPlugin semantics (``qparser/default.py::
+    SimpleParser ≈L420``): bare words are optional (Or-scored), ``+word``
+    is required (Require: filters, does not score), ``-word`` excludes."""
+    plus, minus, should = _plusminus_groups(s)
+    leaves = lambda ws: [q for q in (_leaf(w, fields) for w in ws)
+                         if q is not NullQuery]
+    sq, pq, mq = leaves(should), leaves(plus), leaves(minus)
+    if sq:
+        q: Query = Or(sq) if len(sq) > 1 else sq[0]
+        if pq:
+            q = Require(q, And(pq) if len(pq) > 1 else pq[0])
+    elif pq:
+        q = And(pq) if len(pq) > 1 else pq[0]
+    else:
+        return NullQuery
+    if mq:
+        q = AndNot(q, Or(mq) if len(mq) > 1 else mq[0])
+    return q.normalize()
+
+
+def parse_dismax(s: str, fieldboosts: dict[str, float], tiebreak: float = 0.0) -> Query:
+    """DisMaxParser (``qparser/default.py::DisMaxParser ≈L470``): each word
+    searches every field, per-doc score = best field (+ tiebreak·rest);
+    words combine as Or, with the same +/- grouping as SimpleParser."""
+    def dm(word: str) -> Query:
+        kids = [_leaf(f"{f}:{word}", fields=set(fieldboosts)) for f in sorted(fieldboosts)]
+        kids = [replace_boost(k, fieldboosts) for k in kids if k is not NullQuery]
+        return DisMax(kids, tiebreak=tiebreak) if kids else NullQuery
+
+    def replace_boost(q: Query, fb: dict[str, float]) -> Query:
+        b = fb.get(getattr(q, "fieldname", None), 1.0)
+        if b == 1.0:
+            return q
+        from dataclasses import replace as _rep
+
+        return _rep(q, boost=q.boost * b)
+
+    plus, minus, should = _plusminus_groups(s)
+    sq = [q for q in (dm(w) for w in should) if q is not NullQuery]
+    pq = [q for q in (dm(w) for w in plus) if q is not NullQuery]
+    mq = [q for q in (dm(w) for w in minus) if q is not NullQuery]
+    if sq:
+        q: Query = Or(sq) if len(sq) > 1 else sq[0]
+        if pq:
+            q = Require(q, And(pq) if len(pq) > 1 else pq[0])
+    elif pq:
+        q = And(pq) if len(pq) > 1 else pq[0]
+    else:
+        return NullQuery
+    if mq:
+        q = AndNot(q, Or(mq) if len(mq) > 1 else mq[0])
     return q.normalize()

@@ -188,6 +188,59 @@ class Searcher:
             out = out.unionByName(p)
         return out
 
+    def facet_multi(self, q: Q.Query, facets: list[str]) -> DataFrame:
+        """MultiFacet (``src/whoosh/sorting.py::MultiFacet ≈L450``): group by
+        the composite of several stored columns — one groupBy on the tuple,
+        not a facet-product loop."""
+        scores = self.ev.evaluate(q)
+        return (
+            scores.join(self.ix.docs.select("doc_id", *facets), "doc_id")
+            .groupBy(*facets)
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def facet_function(self, q: Q.Query, expr: str, name: str = "bucket") -> DataFrame:
+        """FunctionFacet (``sorting.py::FunctionFacet ≈L420``): an arbitrary
+        SQL expression over the stored columns defines the facet key —
+        evaluated JVM-side as a column expression, never per-row Python."""
+        scores = self.ev.evaluate(q)
+        return (
+            scores.join(self.ix.docs, "doc_id")
+            .withColumn(name, F.expr(expr))
+            .groupBy(name)
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def facet_daterange(self, q: Q.Query, col: str, start_epoch: int,
+                        end_epoch: int, gap_seconds: int) -> DataFrame:
+        """DateRangeFacet (``sorting.py::DateRangeFacet ≈L350``): RangeFacet
+        over a timestamp column with a timedelta gap; bins are epoch-based so
+        both engines agree without timezone parsing."""
+        scores = self.ev.evaluate(q)
+        ts = F.unix_timestamp(F.col(col))
+        nbins = int((end_epoch - start_epoch) // gap_seconds)
+        bin_ = F.when(ts < start_epoch, F.lit(-1)).when(
+            ts >= end_epoch, F.lit(nbins)
+        ).otherwise(F.floor((ts - start_epoch) / gap_seconds).cast("int"))
+        return (
+            scores.join(self.ix.docs.select("doc_id", col), "doc_id")
+            .withColumn("bin", bin_)
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    def facet_stored_split(self, q: Q.Query, col: str, sep: str = ",") -> DataFrame:
+        """StoredFieldFacet with allow_overlap (``sorting.py::StoredFieldFacet
+        ≈L480``): a multi-valued stored string splits on ``sep`` and the doc
+        counts toward EVERY value (explode, not groupBy-scalar)."""
+        scores = self.ev.evaluate(q)
+        return (
+            scores.join(self.ix.docs.select("doc_id", col), "doc_id")
+            .select("doc_id", F.explode(F.split(F.col(col), sep)).alias("value"))
+            .groupBy("value")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
     def facet_best(self, q: Q.Query, facet: str) -> DataFrame:
         """groupedby with Best maptype — max_by(doc_id, (score, -doc_id))."""
         scores = self.ev.evaluate(q)

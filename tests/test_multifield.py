@@ -137,4 +137,4 @@ def test_stemming_field(spark):
 def test_wand_skipped_for_fielded_query(mix):
     s = Searcher(mix)
     assert s._wand_terms(Q.Term("spark", fieldname="title")) is None
-    assert s._wand_terms(Q.Term("spark")) == ["spark"]
+    assert s._wand_terms(Q.Term("spark")) == (["spark"], "sum", 0.0)

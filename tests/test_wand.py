@@ -83,3 +83,32 @@ def test_wand_not_used_with_filter(searcher):
     q = Q.Term("data")
     res = searcher.search(q, limit=5, filter=Q.Filter("lang = 'en'"))
     assert res.count() <= 5
+
+
+DISMAX_SETS = [
+    (["data", "vector"], 0.0),
+    (["data", "vector"], 0.5),
+    (["data", "query", "table"], 0.3),
+    (["vector", "window", "hash"], 1.0),
+]
+
+
+@pytest.mark.parametrize("terms,tb", DISMAX_SETS,
+                         ids=[f"{'-'.join(t)}@{tb}" for t, tb in DISMAX_SETS])
+def test_wand_dismax_equals_exhaustive(ix, searcher, terms, tb, monkeypatch):
+    """mode="max" (DisjunctionMax) pruning is exact, forced-pruned included."""
+    q = Q.DisMax([Q.Term(t) for t in terms], tiebreak=tb)
+    exhaustive = _rows(searcher.ev.evaluate(q))
+    assert _rows(W.wand_topk(ix, terms, 10, mode="max", tiebreak=tb)) == exhaustive
+    monkeypatch.setattr(W, "MIN_BLOCKS_FOR_WAND", 0)
+    assert _rows(W.wand_topk(ix, terms, 10, mode="max", tiebreak=tb)) == exhaustive
+
+
+def test_search_routes_dismax_through_wand(searcher):
+    q = Q.DisMax([Q.Term("data"), Q.Term("vector")], tiebreak=0.5)
+    assert searcher._wand_terms(q) == (["data", "vector"], "max", 0.5)
+    via_search = _rows(searcher.search(q, limit=10))
+    assert via_search == _rows(searcher.ev.evaluate(q))
+    # duplicate children disqualify (tiebreak counts duplicates)
+    qd = Q.DisMax([Q.Term("data"), Q.Term("data")], tiebreak=0.5)
+    assert searcher._wand_terms(qd) is None

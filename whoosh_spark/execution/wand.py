@@ -56,9 +56,17 @@ def _ub_col(idf_map: dict[str, float], avgdl: float) -> F.Column:
 
 
 def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
-              theta_blocks: int | None = None) -> DataFrame:
+              theta_blocks: int | None = None, mode: str = "sum",
+              tiebreak: float = 0.0) -> DataFrame:
     """Exact top-k (doc_id, score) for an Or/Term-batch query via block-max
-    pruning.  Falls back to exhaustive scoring for small posting sets."""
+    pruning.  Falls back to exhaustive scoring for small posting sets.
+
+    ``mode="sum"`` is Or semantics; ``mode="max"`` is DisjunctionMax:
+    score(d) = max_t s_t(d) + tiebreak·(Σ_t s_t(d) − max_t s_t(d)).  The
+    survivor bound generalizes: a doc confined to block b of term t scores at
+    most (1−tb)·max(ub_t(b), M_rest) + tb·(ub_t(b) + S_rest) where
+    M_rest/S_rest are the max/sum of the OTHER terms' best block bounds —
+    monotone in ub_t(b), so the same per-term block predicate applies."""
     terms = sorted(set(terms))
     stats = ix.stats_for_terms(terms)
     present = [t for t in terms if t in stats]
@@ -66,14 +74,20 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
     if not present:
         return ix.spark.createDataFrame([], "doc_id long, score double")
     idf_map = {t: idf_value(n, stats[t]["df"]) for t in present}
+    tb = float(tiebreak)
+
+    def _agg(scored) -> DataFrame:
+        g = scored.groupBy("doc_id")
+        if mode == "sum":
+            return g.agg(F.sum("score").alias("score"))
+        agg = g.agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+        return agg.select(
+            "doc_id",
+            (F.col("_mx") + tb * (F.col("_sm") - F.col("_mx"))).alias("score"))
 
     def _score(blocks_df) -> DataFrame:
         posts = ix._decode(blocks_df, False)
-        return ix.not_deleted(
-            score_postings(posts, idf_map, avgdl)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
-        )
+        return ix.not_deleted(_agg(score_postings(posts, idf_map, avgdl)))
 
     blocks = ix.blocks.where(
         (F.col("field") == ix.field) & F.col("term").isin(present)
@@ -117,8 +131,16 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
     # everything and return empty instead of top-k.
     pred = F.lit(False)
     for t in present:
-        rest = total_max - maxes[t]
-        pred = pred | ((F.col("term") == t) & (F.col("_ub") >= theta - rest))
+        if mode == "sum":
+            rest = total_max - maxes[t]
+            keep = F.col("_ub") >= theta - rest
+        else:
+            m_rest = max((maxes[x] for x in present if x != t), default=0.0)
+            s_rest = total_max - maxes[t]
+            bound = (1.0 - tb) * F.greatest(F.col("_ub"), F.lit(m_rest)) \
+                + tb * (F.col("_ub") + s_rest)
+            keep = bound >= theta
+        pred = pred | ((F.col("term") == t) & keep)
     survivors = withub.where(pred).drop("_ub")
     dropped = withub.where(~pred).drop("_ub")
 
@@ -134,10 +156,7 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
         (F.col("max_id") >= int(rng["lo"])) & (F.col("min_id") <= int(rng["hi"]))
     )
     posts_all = ix._decode(survivors.unionByName(overlap), False)
-    scored = (
-        score_postings(posts_all, idf_map, avgdl)
-        .join(cand, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("score").alias("score"))
+    scored = _agg(
+        score_postings(posts_all, idf_map, avgdl).join(cand, "doc_id", "left_semi")
     )
-    return scored
+    return ix.not_deleted(scored)

@@ -30,23 +30,34 @@ class Searcher:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _wand_terms(q: Q.Query) -> list[str] | None:
-        """Term texts if q is WAND-eligible (Term / flat Or of unboosted
-        Terms) — mirrors Whoosh's optimized TopCollector applicability
+    def _wand_terms(q: Q.Query) -> tuple[list[str], str, float] | None:
+        """(term texts, agg mode, tiebreak) if q is WAND-eligible (Term /
+        flat Or / flat DisMax of unboosted Terms) — mirrors Whoosh's
+        optimized TopCollector applicability
         (``collectors.py::TopCollector, optimize=True``)."""
         qn = q.normalize()
+
+        def flat_terms(children):
+            if all(isinstance(c, Q.Term) and c.boost == 1.0
+                   and c.fieldname is None for c in children):
+                return [c.text for c in children]
+            return None
+
         # fielded terms take the general evaluator path: WAND bounds are
         # computed against the DEFAULT field's block metadata only
         if isinstance(qn, Q.Term) and qn.boost == 1.0 and qn.fieldname is None:
-            return [qn.text]
-        if (
-            isinstance(qn, Q.Or)
-            and qn.minmatch <= 1
-            and qn.boost == 1.0
-            and all(isinstance(c, Q.Term) and c.boost == 1.0
-                    and c.fieldname is None for c in qn.children)
-        ):
-            return [c.text for c in qn.children]
+            return [qn.text], "sum", 0.0
+        if isinstance(qn, Q.Or) and qn.minmatch <= 1 and qn.boost == 1.0:
+            ts = flat_terms(qn.children)
+            if ts is not None:
+                return ts, "sum", 0.0
+        if isinstance(qn, Q.DisMax) and qn.boost == 1.0 and 0.0 <= qn.tiebreak <= 1.0:
+            ts = flat_terms(qn.children)
+            # DisMax.normalize keeps duplicate children (unlike Or) and the
+            # tiebreak sum counts them — only the duplicate-free case is
+            # equivalent to the deduped WAND term batch
+            if ts is not None and len(set(ts)) == len(ts):
+                return ts, "max", qn.tiebreak
         return None
 
     def search(
@@ -86,7 +97,8 @@ class Searcher:
             else None
         )
         if wand is not None:
-            scores = wand_topk(self.ix, wand, limit)
+            wterms, wmode, wtb = wand
+            scores = wand_topk(self.ix, wterms, limit, mode=wmode, tiebreak=wtb)
             ordered = scores.orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
             ).limit(limit)

@@ -321,7 +321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = parse_dismax("data", {"text": 2.0, "lang": 1.0})
         return _topk(s.search(q, limit=None, optimize=False).select("doc_id", "score"))
 
+    def biword_term_q(spark, sf_dir):
+        key = ("bw", id(spark), sf_dir)
+        if key not in _CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            _CACHE[key] = Searcher(InvertedIndex.build(docs, analyzer="biword"))
+        s = _CACHE[key]
+        return _topk(s.ev.evaluate(Q.Term("big-data", analyzed=True)))
+
     out.update(
+        biword_term=biword_term_q,
         facet_multi=facet_multi_q,
         facet_function=facet_function_q,
         facet_daterange=facet_daterange_q,
@@ -454,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "weighting_tfidf": OSQL.weighting_or_sql("tfidf", ["data", "vector"]),
         "weighting_reverse": OSQL.weighting_or_sql("bm25", ["data", "vector"], reverse=True),
         # facet variants + parser plugins
+        "biword_term": OSQL.biword_term_sql("big-data"),
         "facet_multi": OSQL.facet_multi_sql("data", ["source", "lang"]),
         "facet_function": OSQL.facet_function_sql("data", "d.n_chars % 3", "bucket"),
         "facet_daterange": OSQL.facet_daterange_sql(

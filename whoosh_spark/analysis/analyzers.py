@@ -98,10 +98,112 @@ def analyze_text(text: str) -> tuple[list[str], list[int]]:
     return tokens, positions
 
 
+_INTRA_SPLIT_RE = re.compile(
+    r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|\d+", re.UNICODE)
+
+
+def intraword_split(token: str, mergewords: bool = False,
+                    mergenums: bool = False) -> list[str]:
+    """IntraWordFilter subword extraction (``src/whoosh/analysis/intraword.py
+    ::IntraWordFilter ≈L40``): split on case transitions (camelCase), letter↔
+    digit boundaries and delimiters; ALL-CAPS runs stay whole ("XMLHttp" →
+    XML, Http).  ``mergewords``/``mergenums`` additionally emit the
+    concatenation of adjacent alpha / numeric subwords."""
+    parts = _INTRA_SPLIT_RE.findall(token)
+    out = list(parts)
+    if mergewords:
+        run: list[str] = []
+        for p in parts + [""]:
+            if p and not p.isdigit():
+                run.append(p)
+            else:
+                if len(run) > 1:
+                    out.append("".join(run))
+                run = []
+    if mergenums:
+        run = []
+        for p in parts + [""]:
+            if p and p.isdigit():
+                run.append(p)
+            else:
+                if len(run) > 1:
+                    out.append("".join(run))
+                run = []
+    return out
+
+
+def analyze_text_intraword(text: str) -> tuple[list[str], list[int]]:
+    """RegexTokenizer | IntraWordFilter | Lowercase | Stop.  Subwords share
+    the parent token's position (phrase adjacency sees the original word
+    ordinals; a camelCase word contributes several same-position terms)."""
+    if not text:
+        return [], []
+    tokens: list[str] = []
+    positions: list[int] = []
+    for pos, m in enumerate(_TOKEN_RE.finditer(text)):
+        for sub in intraword_split(m.group(0)):
+            t = sub.lower()
+            if len(t) >= MIN_WORD_SIZE and t not in STOP_WORDS:
+                tokens.append(t)
+                positions.append(pos)
+    return tokens, positions
+
+
+def analyze_text_biword(text: str) -> tuple[list[str], list[int]]:
+    """BiWordFilter chain (``analysis/intraword.py::BiWordFilter ≈L380``):
+    standard analysis, then adjacent filtered tokens join as "a-b" shingles
+    (phrase-as-term indexing); positions renumber over the pair sequence."""
+    toks, _ = analyze_text(text)
+    pairs = [f"{toks[i]}-{toks[i+1]}" for i in range(len(toks) - 1)]
+    return pairs, list(range(len(pairs)))
+
+
+def compound_split(token: str, wordset: frozenset | set,
+                   keep_original: bool = True) -> list[str]:
+    """CompoundWordFilter (``analysis/intraword.py::CompoundWordFilter
+    ≈L300``): decompose a token into dictionary words (DP over split points,
+    prefer fewest parts); unknown remainders keep the token whole."""
+    n = len(token)
+    # best[i] = (num_parts, split) covering token[:i]
+    best: list[tuple[int, list[str]] | None] = [None] * (n + 1)
+    best[0] = (0, [])
+    for i in range(1, n + 1):
+        for j in range(max(0, i - 24), i):
+            if best[j] is not None and token[j:i] in wordset:
+                cand = (best[j][0] + 1, best[j][1] + [token[j:i]])
+                if best[i] is None or cand[0] < best[i][0]:
+                    best[i] = cand
+    if best[n] is None:
+        return [token]
+    parts = best[n][1]
+    return ([token] if keep_original else []) + parts
+
+
+def make_compound_analyzer(wordset) -> object:
+    ws = frozenset(wordset)
+
+    def analyze(text: str) -> tuple[list[str], list[int]]:
+        if not text:
+            return [], []
+        tokens: list[str] = []
+        positions: list[int] = []
+        for pos, m in enumerate(_TOKEN_RE.finditer(text)):
+            t = m.group(0).lower()
+            for sub in compound_split(t, ws, keep_original=False) or [t]:
+                if len(sub) >= MIN_WORD_SIZE and sub not in STOP_WORDS:
+                    tokens.append(sub)
+                    positions.append(pos)
+        return tokens, positions
+
+    return analyze
+
+
 # Named analyzer registry for per-field Schema configuration
 # (``src/whoosh/fields.py::FieldType.analyzer``).  "standard" is special-
 # cased to None in the build kernel (inlined fast path, identical output).
 ANALYZERS: dict[str, object] = {
     "standard": analyze_text,
     "stemming": analyze_text_stemming,
+    "intraword": analyze_text_intraword,
+    "biword": analyze_text_biword,
 }

@@ -753,3 +753,36 @@ def date_range_iso_and_sql(term: str, epoch0: int, step: int, lo: int,
         AND ({epoch0} + doc_id * {step}) {op_hi} {hi}
     """
     return base_ctes() + topk(sel, k)
+
+
+def biword_term_sql(term: str, k: int = 10) -> str:
+    """Term query over a BiWordFilter index: adjacent FILTERED tokens join
+    as "a-b" shingles with renumbered positions; the whole stats pipeline
+    (lengths, avgdl, df, BM25) re-derives over the pair stream."""
+    idx = ("SELECT doc_id, term, row_number() OVER "
+           "(PARTITION BY doc_id ORDER BY pos) - 1 AS idx FROM tokf")
+    ctes = f"""tokb AS (
+  SELECT a.doc_id, a.term || '-' || b.term AS term, a.idx AS pos
+  FROM ({idx}) a JOIN ({idx}) b
+    ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+),
+dlb AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len_raw
+  FROM documents d LEFT JOIN tokb t USING (doc_id) GROUP BY d.doc_id
+),
+dlqb AS (
+  SELECT dl.doc_id, dl.len_raw, q.qlen::DOUBLE AS dl
+  FROM dlb dl JOIN quant q ON dl.len_raw BETWEEN q.lo AND q.hi
+),
+adb AS (SELECT sum(len_raw)::DOUBLE / count(*) AS avgdl FROM dlb),
+tfsb AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokb GROUP BY doc_id, term),
+dfsb AS (SELECT term, count(*)::BIGINT AS df FROM tfsb GROUP BY term),
+scb AS (
+  SELECT t.doc_id, t.term,
+         (ln((SELECT n FROM nn) / (d.df + 1)) + 1)
+         * ((t.tf * ({BM25_K1} + 1.0))
+            / (t.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * q.dl / (SELECT avgdl FROM adb)))) AS score
+  FROM tfsb t JOIN dfsb d USING (term) JOIN dlqb q USING (doc_id)
+)"""
+    sel = f"SELECT doc_id, score FROM scb WHERE term = '{term}'"
+    return base_ctes(ctes) + topk(sel, k)

@@ -56,13 +56,20 @@ NullQuery = _Null()
 class Term(Query):
     """``src/whoosh/query/terms.py::Term (≈L40)`` → filter+decode on blocks.
 
-    ``fieldname`` None = the index's default field (single-field compat)."""
+    ``fieldname`` None = the index's default field (single-field compat).
+    ``analyzed=True`` marks the text as already in index-term form (upstream
+    Term semantics — the parser analyzes, Query objects hold final terms);
+    needed when the index analyzer emits terms the standard chain would
+    re-split (biword "a-b" shingles, char n-grams)."""
 
     text: str
     boost: float = 1.0
     fieldname: str | None = None
+    analyzed: bool = False
 
     def normalize(self) -> Query:
+        if self.analyzed:
+            return self
         toks, _ = analyze_text(self.text)
         if not toks:
             return NullQuery

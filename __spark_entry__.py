@@ -329,7 +329,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _CACHE[key]
         return _topk(s.ev.evaluate(Q.Term("big-data", analyzed=True)))
 
+    def matched_terms_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.search_with_terms(Q.Or([Q.Term("data"), Q.Term("vector")]), limit=10)
+        return res.select("doc_id", F.round("score", 6).alias("score"), "matched")
+
     out.update(
+        matched_terms=matched_terms_q,
         biword_term=biword_term_q,
         facet_multi=facet_multi_q,
         facet_function=facet_function_q,
@@ -464,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "weighting_reverse": OSQL.weighting_or_sql("bm25", ["data", "vector"], reverse=True),
         # facet variants + parser plugins
         "biword_term": OSQL.biword_term_sql("big-data"),
+        "matched_terms": OSQL.matched_terms_sql(["data", "vector"]),
         "facet_multi": OSQL.facet_multi_sql("data", ["source", "lang"]),
         "facet_function": OSQL.facet_function_sql("data", "d.n_chars % 3", "bucket"),
         "facet_daterange": OSQL.facet_daterange_sql(

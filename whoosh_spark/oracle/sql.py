@@ -786,3 +786,16 @@ scb AS (
 )"""
     sel = f"SELECT doc_id, score FROM scb WHERE term = '{term}'"
     return base_ctes(ctes) + topk(sel, k)
+
+
+def matched_terms_sql(terms: list[str], k: int = 10) -> str:
+    """search(terms=True): top-k + sorted comma-joined matched query terms."""
+    base = (f"SELECT doc_id, sum(score) AS score FROM sc "
+            f"WHERE term IN ({_terms_in(terms)}) GROUP BY doc_id")
+    return base_ctes() + f"""
+      SELECT t.doc_id, round(t.score, 6) AS score,
+             (SELECT array_to_string(list_sort(list(DISTINCT s.term)), ',')
+              FROM sc s WHERE s.doc_id = t.doc_id
+                AND s.term IN ({_terms_in(terms)})) AS matched
+      FROM ({base}) t ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """

@@ -265,6 +265,43 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
+    def search_with_terms(self, q: Q.Query, limit: int | None = 10) -> DataFrame:
+        """``search(..., terms=True)`` / ``Hit.matched_terms()``
+        (``src/whoosh/searching.py ≈L640``): top-k plus a ``matched`` column
+        listing which of the query's leaf terms occur in each hit (sorted,
+        comma-joined — a scalar so downstream sorts/hashes work).  One extra
+        postings probe restricted to the k result docs."""
+        scores = self.ev.evaluate(q)
+        ordered = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        if limit is not None:
+            ordered = ordered.limit(limit)
+        qe = self.ev._expand(q.normalize())
+        by_field: dict[str | None, set[str]] = {}
+        for f, t in set(qe.field_terms()):
+            by_field.setdefault(self.ev._fkey(f), set()).add(t)
+        parts = []
+        for fk, ts in by_field.items():
+            ixf = self.ev._ixf(fk)
+            present = sorted(t for t in ts if t in ixf.stats_for_terms(sorted(ts)))
+            if present:
+                parts.append(ixf.postings(present).select("doc_id", "term"))
+        if not parts:
+            return ordered.withColumn("matched", F.lit(""))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        matched = (
+            u.join(ordered.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("term"))).alias("matched"))
+        )
+        return (
+            ordered.join(matched, "doc_id", "left")
+            .withColumn("matched", F.coalesce(F.col("matched"), F.lit("")))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
+    # ------------------------------------------------------------------
     def key_terms(self, doc_ids: list[int], top: int = 5) -> DataFrame:
         """more_like/key-term extraction (``src/whoosh/classify.py::Expander
         ≈L60``): rank a doc-set's terms by tf·idf against the corpus."""

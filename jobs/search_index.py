@@ -23,6 +23,14 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--no-wand", action="store_true",
                     help="disable block-max pruning (debug)")
+    ap.add_argument("--weighting", default="bm25",
+                    help="bm25 | tfidf | frequency | dfree | pl2 "
+                         "(optionally reverse:-prefixed)")
+    ap.add_argument("--datetime-fields", default="",
+                    help="comma list of stored timestamp columns; enables "
+                         "col:[2020-01-01 TO 2020-06-01] date syntax")
+    ap.add_argument("--simple", action="store_true",
+                    help="SimpleParser mode: bare optional, +required, -excluded")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -30,10 +38,13 @@ def main() -> None:
     spark = SparkSession.builder.appName("whoosh-spark-search").getOrCreate()
     from whoosh_spark import store
     from whoosh_spark.query import parse_query
+    from whoosh_spark.query.parser import parse_simple
     from whoosh_spark.search import Searcher
 
-    s = Searcher(store.load_index(spark, args.index))
-    q = parse_query(args.query)
+    s = Searcher(store.load_index(spark, args.index), weighting=args.weighting)
+    dtf = [c for c in args.datetime_fields.split(",") if c] or None
+    q = parse_simple(args.query) if args.simple else \
+        parse_query(args.query, datetime_fields=dtf)
     res = s.search(q, limit=args.limit, optimize=not args.no_wand)
     for row in res.collect():
         print(row["doc_id"], round(row["score"], 6))

@@ -78,3 +78,24 @@ class TestCompound:
         # notebook -> note+book at pos 1; database -> data+base at pos 2
         assert toks == ["note", "book", "data", "base"]
         assert pos == [1, 1, 2, 2]
+
+
+class TestSimpleTokenizers:
+    def test_id(self):
+        from whoosh_spark.analysis.analyzers import analyze_id
+        assert analyze_id("http://Example.com/A?b=1") == (["http://Example.com/A?b=1"], [0])
+        assert analyze_id("") == ([], [])
+
+    def test_keyword(self):
+        from whoosh_spark.analysis.analyzers import analyze_keyword
+        assert analyze_keyword("Red  GREEN blue") == (["red", "green", "blue"], [0, 1, 2])
+
+    def test_comma(self):
+        from whoosh_spark.analysis.analyzers import analyze_comma
+        assert analyze_comma("a, b ,c,,") == (["a", "b", "c"], [0, 1, 2])
+
+    def test_path(self):
+        from whoosh_spark.analysis.analyzers import analyze_path
+        toks, pos = analyze_path("/usr/local/bin")
+        assert toks == ["/usr", "/usr/local", "/usr/local/bin"]
+        assert pos == [0, 1, 2]

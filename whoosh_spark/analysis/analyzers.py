@@ -98,6 +98,42 @@ def analyze_text(text: str) -> tuple[list[str], list[int]]:
     return tokens, positions
 
 
+def analyze_id(text: str) -> tuple[list[str], list[int]]:
+    """IDTokenizer / ID field type (``analysis/tokenizers.py::IDTokenizer
+    ≈L120``): the entire value is one untokenized term (exact-match keys
+    like url); no lowercase, no stop filter."""
+    if not text:
+        return [], []
+    return [text], [0]
+
+
+def analyze_keyword(text: str, lower: bool = True,
+                    commas: bool = False) -> tuple[list[str], list[int]]:
+    """KeywordAnalyzer / CommaSeparatedTokenizer (``analysis/tokenizers.py::
+    SpaceSeparatedTokenizer ≈L140`` / ``CommaSeparatedTokenizer ≈L150``):
+    split on whitespace (or commas), optional lowercase, no stop filter."""
+    if not text:
+        return [], []
+    parts = [p.strip() for p in text.split(",")] if commas else text.split()
+    toks = [(p.lower() if lower else p) for p in parts if p]
+    return toks, list(range(len(toks)))
+
+
+def analyze_comma(text: str) -> tuple[list[str], list[int]]:
+    return analyze_keyword(text, commas=True)
+
+
+def analyze_path(text: str) -> tuple[list[str], list[int]]:
+    """PathTokenizer (``analysis/tokenizers.py::PathTokenizer ≈L170``): every
+    ancestor prefix of a /-path is a term, so a prefix query on /a/b matches
+    all descendants with an exact term lookup."""
+    if not text:
+        return [], []
+    parts = [p for p in text.split("/") if p]
+    toks = ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
+    return toks, list(range(len(toks)))
+
+
 _INTRA_SPLIT_RE = re.compile(
     r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|\d+", re.UNICODE)
 
@@ -206,4 +242,8 @@ ANALYZERS: dict[str, object] = {
     "stemming": analyze_text_stemming,
     "intraword": analyze_text_intraword,
     "biword": analyze_text_biword,
+    "id": analyze_id,
+    "keyword": analyze_keyword,
+    "comma": analyze_comma,
+    "path": analyze_path,
 }

@@ -35,14 +35,12 @@ def _token_spans(text: str) -> list[tuple[int, int, str]]:
     return [(m.start(), m.end(), m.group(0).lower()) for m in _TOKEN_RE.finditer(text)]
 
 
-def context_fragments(text: str, terms: set[str], maxchars: int = 200,
-                      surround: int = 20) -> list[Fragment]:
-    """ContextFragmenter: a window of ±surround chars around each run of
-    hits, merged while under maxchars (``highlight.py::ContextFragmenter``)."""
-    spans = _token_spans(text)
-    hits = [(s, e, t) for s, e, t in spans if t in terms]
+def fragments_from_spans(text: str, hits: list[tuple[int, int, str]],
+                         maxchars: int = 200, surround: int = 20) -> list[Fragment]:
+    """ContextFragmenter merging over pre-computed hit spans — shared by the
+    re-analysis path and the Characters-format (offsets-from-index) path."""
     frags: list[Fragment] = []
-    for s, e, t in hits:
+    for s, e, t in sorted(hits):
         ws, we = max(0, s - surround), min(len(text), e + surround)
         if frags and ws <= frags[-1].endchar and (we - frags[-1].startchar) <= maxchars:
             frags[-1].endchar = we
@@ -50,6 +48,15 @@ def context_fragments(text: str, terms: set[str], maxchars: int = 200,
         else:
             frags.append(Fragment(ws, we, [(s, e, t)]))
     return frags
+
+
+def context_fragments(text: str, terms: set[str], maxchars: int = 200,
+                      surround: int = 20) -> list[Fragment]:
+    """ContextFragmenter: a window of ±surround chars around each run of
+    hits, merged while under maxchars (``highlight.py::ContextFragmenter``)."""
+    spans = _token_spans(text)
+    hits = [(s, e, t) for s, e, t in spans if t in terms]
+    return fragments_from_spans(text, hits, maxchars, surround)
 
 
 def whole_fragment(text: str, terms: set[str]) -> list[Fragment]:

@@ -333,6 +333,45 @@ class Searcher:
             for r in rows
         ]
 
+    def highlights_from_index(self, q: Q.Query, chars: DataFrame,
+                              limit: int = 10, text_col: str = "text",
+                              top: int = 3, **fmt_kw) -> list[tuple[int, float, str]]:
+        """Characters-format highlighting (``formats.py::Characters ≈L250``):
+        hit char spans come from the ``chars`` side table
+        (``whoosh_spark.chars.char_offsets``) instead of re-analyzing the
+        stored text — term-pushed scan semi-joined to the k result docs."""
+        from whoosh_spark.highlight import fragments_from_spans, html_format
+
+        qn = q.normalize()
+        terms = {t for t in qn.terms()} | set(qn.phrase_terms())
+        rows = self.search(q, limit=limit, with_stored=[text_col]).collect()
+        ids = [int(r["doc_id"]) for r in rows]
+        if not ids:
+            return []
+        offs = (
+            chars.where(F.col("term").isin(sorted(terms))
+                        & F.col("doc_id").isin(ids))
+            .collect()
+        )
+        by_doc: dict[int, list[tuple[int, int, str]]] = {}
+        for r in offs:
+            for s, e in zip(r["starts"], r["ends"]):
+                by_doc.setdefault(int(r["doc_id"]), []).append((s, e, r["term"]))
+        fmt = fmt_kw.pop("formatter", html_format)
+        maxchars = fmt_kw.pop("maxchars", 200)
+        surround = fmt_kw.pop("surround", 20)
+        sep = fmt_kw.pop("sep", "...")
+        out = []
+        for r in rows:
+            text = r[text_col] or ""
+            frags = fragments_from_spans(text, by_doc.get(int(r["doc_id"]), []),
+                                         maxchars, surround)
+            frags.sort(key=lambda f: (-f.score(), f.startchar))
+            chosen = sorted(frags[:top], key=lambda f: f.startchar)
+            out.append((int(r["doc_id"]), float(r["score"]),
+                        sep.join(fmt(text, f) for f in chosen)))
+        return out
+
     def more_like(self, doc_ids: list[int], limit: int = 10,
                   numterms: int = 5) -> DataFrame:
         """``searching.py::Searcher.more_like (≈L500)``: expand the doc set's

@@ -403,6 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), similarity.query_vector(_emb(s, d), 0), k=10),
         sim_ann_lsh=lambda s, d: similarity.ann_topk(
             _emb(s, d), similarity.query_vector(_emb(s, d), 0), k=10, bits=8),
+        sim_ivf_topk=lambda s, d: similarity.ivf_topk(
+            _emb(s, d), similarity.query_vector(_emb(s, d), 0),
+            k=10, n_cells=16, n_probe=4),
         multimodal_meta=lambda s, d: multimodal.media_metadata(
             _html_docs(s, d), "html").orderBy("doc_id"),
         multimodal_decode=multimodal_decode_q,
@@ -503,6 +506,8 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": PSQL.winnow_sql(5, 4),
         "sim_cosine_topk": PSQL.cosine_topk_sql(0, 10),
         "sim_ann_lsh": PSQL.ann_topk_sql(0, 10, bits=8, seed=42, dim=64),
+        "sim_ivf_topk": PSQL.ivf_topk_sql(0, 10, n_cells=16, n_probe=4,
+                                          seed=42, dim=64),
         "multimodal_meta": PSQL.multimodal_meta_sql(),
         "multimodal_decode": PSQL.multimodal_decode_sql(8),
     }

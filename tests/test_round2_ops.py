@@ -226,3 +226,29 @@ class TestExpansions:
         nch = {d[0]: d[4] for d in DOCS}
         for r in res.collect():
             assert r["score"] == pytest.approx(base[r["doc_id"]] * nch[r["doc_id"]], rel=1e-12)
+
+
+class TestIVF:
+    def test_ivf_assignment_deterministic_and_topk_recall(self, spark):
+        import numpy as np
+
+        from whoosh_spark.pipeline import similarity as S
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = S.query_vector(emb, 0)
+        assign = S.ivf_assign(emb, n_cells=16)
+        cells = {r["vec_id"]: r["cell"] for r in assign.collect()}
+        # deterministic re-run
+        cells2 = {r["vec_id"]: r["cell"] for r in S.ivf_assign(emb, n_cells=16).collect()}
+        assert cells == cells2
+        assert 0 <= min(cells.values()) and max(cells.values()) < 16
+        # recall vs exact top-k: probing all cells IS the exact scan
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=10).collect()]
+        full = [r["vec_id"] for r in
+                S.ivf_topk(emb, qv, k=10, n_cells=16, n_probe=16).collect()]
+        assert full == exact
+        # partial probe keeps the query's own vector and decent overlap
+        part = [r["vec_id"] for r in
+                S.ivf_topk(emb, qv, k=10, n_cells=16, n_probe=4).collect()]
+        assert 0 in part
+        assert len(set(part) & set(exact)) >= 3

@@ -361,3 +361,54 @@ scored AS (
 SELECT vec_id, round(dot / (nrm * (SELECT qn FROM qn)), 6) AS cos
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
+
+
+def ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_cells: int = 16,
+                 n_probe: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """Twin of ``ivf_topk``: the seeded unit centroids re-derive here as SQL
+    literals; per-row cell = nearest centroid (ORDER BY dot DESC, cid ASC
+    LIMIT 1 ≡ the engine's first-max ``array_position`` tie-break), probes =
+    the n_probe cells nearest the query, then exact cosine top-k."""
+    from whoosh_spark.pipeline.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(dim, n_cells, seed)
+    rows = ", ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cents[c])}])"
+        for c in range(n_cells)
+    )
+    dot_q = (f"list_sum(list_transform(range(1, {dim} + 1), "
+             f"i -> q.qv[i] * c.cv[i]))")
+    dot_e = (f"list_sum(list_transform(range(1, {dim} + 1), "
+             f"i -> e.embedding[i]::DOUBLE * c.cv[i]))")
+    return f"""
+WITH cents(cid, cv) AS (SELECT * FROM (VALUES {rows}) v(cid, cv)),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT c.cid FROM cents c, q ORDER BY {dot_q} DESC, c.cid ASC LIMIT {n_probe}
+),
+celldots AS (
+  SELECT e.vec_id, c.cid, {dot_e} AS d FROM embeddings e CROSS JOIN cents c
+),
+cellof AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM celldots) t
+  WHERE rn = 1
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN cellof USING (vec_id) WHERE cellof.cell IN (SELECT cid FROM probes)
+),
+qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn FROM q),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                                 i -> embedding[i]::DOUBLE * qv[i])) AS dot,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM cand, q
+)
+SELECT vec_id, round(dot / (nrm * (SELECT qn FROM qn)), 6) AS cos
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""

@@ -192,3 +192,57 @@ def embedding_near_dups(embeddings: DataFrame, tau: float = 0.95,
         .where(F.col("cos") >= tau)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other classic scale path besides RP-LSH:
+# a coarse quantizer assigns each vector to its nearest centroid cell; a
+# query exact-scores only the n_probe nearest cells.  Centroids here are
+# SEEDED random unit vectors (data-independent), so assignment is a pure
+# function of (vector, seed) — deterministic across engines/partitionings
+# and exactly reproducible in the DuckDB oracle (a k-means refinement would
+# drop in without changing the dataflow: cells are still an equi-filter).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16, seed: int = 42,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cell, embedding): cell = argmax centroid dot product (first
+    max wins on exact ties — mirrored by the oracle's ORDER BY d DESC,
+    cid ASC LIMIT 1).  Centroid dots are JVM column expressions over
+    broadcast literals; at scale, write this table partitioned BY cell so a
+    probe reads only its cells' files."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    cents = _ivf_centroids(dim, n_cells, seed)
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[
+        _dot(v, F.array(*[F.lit(float(x)) for x in cents[c]]))
+        for c in range(n_cells)
+    ])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        cell.alias("cell"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-flat approximate top-k: exact cosine over the n_probe cells whose
+    centroids are nearest the query."""
+    dim = len(query_vec)
+    cents = _ivf_centroids(dim, n_cells, seed)
+    qd = cents @ np.asarray(query_vec, dtype=np.float64)
+    order = sorted(range(n_cells), key=lambda c: (-qd[c], c))
+    probes = order[:n_probe]
+    cand = ivf_assign(embeddings, n_cells, seed, vec_col, id_col) \
+        .where(F.col("cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, "embedding", "vec_id")

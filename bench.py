@@ -140,7 +140,7 @@ SCALE_IX_DIR = os.environ.get(
     "/dev/shm/whoosh_bench_ix" if os.path.isdir("/dev/shm")
     else os.path.join(REPO, ".benchdata", "ix_scaling"),
 )
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 
 def _scaling_leg(cores: int) -> float:

@@ -631,23 +631,38 @@ def merge_runs_stream(field: str):
 
 
 def decode_blocks_pdf(pdf: pd.DataFrame, want_positions: bool = False) -> pd.DataFrame:
-    """Decode block rows → flat postings (field, term, doc_id, tf, dl[, positions])."""
-    cols: dict[str, list] = {"field": [], "term": [], "doc_id": [], "tf": [], "dl": []}
-    if want_positions:
-        cols["positions"] = []
+    """Decode block rows → flat postings (field, term, doc_id, tf, dl[, positions]).
+
+    Vectorized over the batch: per-block varint decodes land in
+    pre-concatenated numpy arrays (one np.repeat for the string columns, no
+    per-posting Python lists) — this is the query-side hot loop, so the
+    per-row Python work is one slice per ≤128-posting block, not per posting."""
+    n_rows = len(pdf)
+    ns = pdf["n"].to_numpy(dtype=np.int64) if n_rows else np.zeros(0, np.int64)
+    total = int(ns.sum())
+    ids_out = np.empty(total, dtype=np.int64)
+    tf_out = np.empty(total, dtype=np.float64)
+    dl_out = np.empty(total, dtype=np.int64)
+    pos_out: list | None = [] if want_positions else None
+    off = 0
     for row in pdf.itertuples(index=False):
-        ids = np.cumsum(varint_decode(row.ids).astype(np.int64))
         n = int(row.n)
+        ids_out[off:off + n] = np.cumsum(varint_decode(row.ids).astype(np.int64))
         if row.w_const is not None and not (isinstance(row.w_const, float) and np.isnan(row.w_const)):
-            tf = np.full(n, float(row.w_const))
+            tf_out[off:off + n] = float(row.w_const)
         else:
-            tf = _unpack_for(row.weights, "<u4").astype(np.float64)
-        dl = _unpack_for(row.lens, "<u2").astype(np.int64)
-        cols["field"].extend([row.field] * n)
-        cols["term"].extend([row.term] * n)
-        cols["doc_id"].extend(ids.tolist())
-        cols["tf"].extend(tf.tolist())
-        cols["dl"].extend(dl.tolist())
-        if want_positions:
-            cols["positions"].extend([p.tolist() for p in decode_positions(row.positions, n)])
+            tf_out[off:off + n] = _unpack_for(row.weights, "<u4")
+        dl_out[off:off + n] = _unpack_for(row.lens, "<u2")
+        if pos_out is not None:
+            pos_out.extend(p.tolist() for p in decode_positions(row.positions, n))
+        off += n
+    cols = {
+        "field": np.repeat(pdf["field"].to_numpy(), ns) if n_rows else [],
+        "term": np.repeat(pdf["term"].to_numpy(), ns) if n_rows else [],
+        "doc_id": ids_out,
+        "tf": tf_out,
+        "dl": dl_out,
+    }
+    if want_positions:
+        cols["positions"] = pos_out
     return pd.DataFrame(cols)

@@ -112,17 +112,30 @@ class InvertedIndex:
         return self._total_len
 
     def stats_for_terms(self, terms: list[str]) -> dict[str, dict]:
-        """term -> {df, cf, max_weight} for the query's terms (tiny collect)."""
+        """term -> {df, cf, max_weight} for the query's terms (tiny collect).
+
+        Per-instance memo: an InvertedIndex is an immutable snapshot (deletes
+        and compactions hand out NEW instances), so term stats never change
+        under it — repeated searches over the same terms skip the collect
+        (TermInfo caching, ``src/whoosh/reading.py ≈L200``).  Negative
+        results memoize too (absent term stays absent)."""
         if not terms:
             return {}
-        rows = (
-            self.term_stats.where(
-                (F.col("field") == self.field) & F.col("term").isin(list(set(terms)))
+        cache = self.__dict__.setdefault("_stats_memo", {})
+        missing = sorted({t for t in terms if t not in cache})
+        if missing:
+            rows = (
+                self.term_stats.where(
+                    (F.col("field") == self.field) & F.col("term").isin(missing)
+                )
+                .select("term", "df", "cf", "max_weight")
+                .collect()
             )
-            .select("term", "df", "cf", "max_weight")
-            .collect()
-        )
-        return {r["term"]: {"df": int(r["df"]), "cf": int(r["cf"]), "max_weight": float(r["max_weight"])} for r in rows}
+            got = {r["term"]: {"df": int(r["df"]), "cf": int(r["cf"]),
+                               "max_weight": float(r["max_weight"])} for r in rows}
+            for t in missing:
+                cache[t] = got.get(t)
+        return {t: cache[t] for t in set(terms) if cache.get(t) is not None}
 
     def expand_terms(self, predicate: Column, limit: int = 1024) -> list[str]:
         """MultiTerm expansion against the term dictionary with a guard LIMIT

@@ -252,3 +252,22 @@ class TestIVF:
                 S.ivf_topk(emb, qv, k=10, n_cells=16, n_probe=4).collect()]
         assert 0 in part
         assert len(set(part) & set(exact)) >= 3
+
+
+class TestDocumentLookup:
+    def test_documents_and_document(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        assert s.documents(source="s3").count() == 3
+        row = s.document(doc_id=7)
+        assert row is not None and row["text"] == "data query"
+        assert s.document(source="nope") is None
+
+    def test_documents_respects_deletes(self, ix, spark):
+        from whoosh_spark.search import Searcher
+
+        deleted = spark.createDataFrame([(7,)], "doc_id long")
+        s = Searcher(ix.with_deleted(deleted))
+        assert s.document(doc_id=7) is None
+        assert s.documents(source="s3").count() == 2

@@ -265,6 +265,20 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
+    def documents(self, **kw) -> DataFrame:
+        """``Searcher.documents(**kw)`` (``src/whoosh/searching.py ≈L330``):
+        stored docs matching keyword equalities (deletion-filtered)."""
+        df = self.ix.docs
+        for k, v in kw.items():
+            df = df.where(F.col(k) == F.lit(v))
+        return self.ix.not_deleted(df)
+
+    def document(self, **kw):
+        """First matching stored doc as a Row, or None (``≈L320``)."""
+        rows = self.documents(**kw).limit(1).collect()
+        return rows[0] if rows else None
+
+    # ------------------------------------------------------------------
     def search_with_terms(self, q: Q.Query, limit: int | None = 10) -> DataFrame:
         """``search(..., terms=True)`` / ``Hit.matched_terms()``
         (``src/whoosh/searching.py ≈L640``): top-k plus a ``matched`` column

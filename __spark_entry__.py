@@ -23,7 +23,8 @@ from whoosh_spark.execution.evaluate import Evaluator
 from whoosh_spark.index import InvertedIndex
 from whoosh_spark.oracle import pipeline_sql as PSQL
 from whoosh_spark.oracle import sql as OSQL
-from whoosh_spark.pipeline import dedup, multimodal, similarity, textstats
+from whoosh_spark.pipeline import (dedup, extract, multimodal, similarity,
+                                   textstats)
 from whoosh_spark.query import ast as Q
 from whoosh_spark.search import Searcher
 
@@ -44,6 +45,18 @@ MF_FIELDS = {"text": "text", "lang": "lang"}  # schema for the fielded entries
 # derive warc_ts = 2020-01-01T00:00Z + doc_id hours
 WARC_EPOCH0 = 1577836800
 WARC_STEP = 3600
+
+# page wrapper for the html_extract entry: exercises script/style/comment
+# stripping, tag word-breaks, and the whole entity table (amp-last order)
+HTML_SYNTH_PREFIX = (
+    '<html><head><title>t</title>'
+    '<script type="text/javascript">var x = 1; if (x) { x = 2; }</script>'
+    '<style>p { color: red }</style></head><body><!-- nav --><p>'
+)
+HTML_SYNTH_SUFFIX = (
+    '</p><div>Tom &amp; Jerry&#39;s &lt;cat&gt; &quot;q&quot;&nbsp;end'
+    '</div></body></html>'
+)
 
 
 def _ts_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
@@ -365,6 +378,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.lit("</body></html>")), "UTF-8").alias("html"),
         )
 
+    def html_extract_q(spark, sf_dir):
+        # synthesize a realistic page (script/style/comment noise, tags,
+        # every supported entity) around each doc's text, byte-identically
+        # in both engines, then run the real extraction pipeline
+        pages = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.encode(
+                F.concat(F.lit(HTML_SYNTH_PREFIX), F.col("text"),
+                         F.lit(HTML_SYNTH_SUFFIX)), "UTF-8").alias("html"),
+        )
+        return extract.extract_text(pages).orderBy("doc_id")
+
     def multimodal_decode_q(spark, sf_dir):
         dec = multimodal.decode_image(_html_docs(spark, sf_dir), "html",
                                       impl=multimodal.fake_decode)
@@ -409,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_meta=lambda s, d: multimodal.media_metadata(
             _html_docs(s, d), "html").orderBy("doc_id"),
         multimodal_decode=multimodal_decode_q,
+        html_extract=html_extract_q,
     )
     return out
 
@@ -510,4 +536,6 @@ def oracle_sql() -> dict[str, str]:
                                           seed=42, dim=64),
         "multimodal_meta": PSQL.multimodal_meta_sql(),
         "multimodal_decode": PSQL.multimodal_decode_sql(8),
+        "html_extract": PSQL.html_extract_sql(HTML_SYNTH_PREFIX,
+                                              HTML_SYNTH_SUFFIX),
     }

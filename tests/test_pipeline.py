@@ -11,6 +11,17 @@ from whoosh_spark.pipeline import dedup, multimodal, similarity, textstats
 
 
 @pytest.fixture(scope="module")
+def ddb():
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
 def tiny(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog"),
@@ -161,3 +172,45 @@ def test_multimodal_shapes(spark):
 
     frames = multimodal.frame_sample(pages, every_n_bytes=128, max_frames=3)
     assert frames.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] <= 3
+
+
+class TestHtmlExtract:
+    def test_corpus_byte_identity(self, spark):
+        """North-rule invariant: extracted text byte-identical per url."""
+        from whoosh_spark.corpus import pages_df
+        from whoosh_spark.pipeline.extract import extract_text
+
+        pages = pages_df(spark, 100, seed=11, partitions=4)
+        j = (extract_text(pages).alias("e")
+             .join(pages.select("url", F.col("text").alias("ref")).alias("p"),
+                   "url"))
+        assert j.where(F.col("e.text") != F.col("ref")).count() == 0
+
+    def test_noise_stripping_and_entities(self, spark):
+        from whoosh_spark.pipeline.extract import extract_text
+
+        html = (b"<html><head><title>T</title>"
+                b"<SCRIPT>var a = '<p>not text</p>';</SCRIPT>"
+                b"<style>p { color: red }</style></head>"
+                b"<body><!-- hidden --><p>Tom &amp; Jerry&#39;s</p>"
+                b"<div>a &lt;b&gt; &quot;c&quot;&nbsp;d</div>\n"
+                b"  e\t f </body></html>")
+        df = spark.createDataFrame([(1, html)], "doc_id long, html binary")
+        out = extract_text(df).collect()[0]
+        assert out["text"] == 'T Tom & Jerry\'s a <b> "c" d e f'
+
+    def test_oracle_parity(self, spark, ddb):
+        from whoosh_spark.oracle.pipeline_sql import html_extract_sql
+        from whoosh_spark.pipeline.extract import extract_text
+
+        pre = '<html><script>if (a) { b(); }</script><p>'
+        suf = '</p><i>x &amp; y&nbsp;&#39;z&#39;</i></html>'
+        pages = ddb.sql("SELECT doc_id, text FROM documents").df()
+        sdf = spark.createDataFrame(pages).select(
+            "doc_id",
+            F.encode(F.concat(F.lit(pre), F.col("text"), F.lit(suf)),
+                     "UTF-8").alias("html"))
+        got = {r["doc_id"]: r["text"]
+               for r in extract_text(sdf).collect()}
+        want = {r[0]: r[1] for r in ddb.sql(html_extract_sql(pre, suf)).fetchall()}
+        assert got == want

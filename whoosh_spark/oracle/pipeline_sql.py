@@ -412,3 +412,27 @@ scored AS (
 SELECT vec_id, round(dot / (nrm * (SELECT qn FROM qn)), 6) AS cos
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# html → text extraction (pipeline/extract.py twin)
+# ---------------------------------------------------------------------------
+
+def html_extract_sql(prefix: str, suffix: str) -> str:
+    """Exact twin of ``extract.extract_expr`` over html synthesized as
+    ``prefix || text || suffix`` (the contract entry synthesizes the same
+    bytes Spark-side — documents.parquet has no html column)."""
+    from whoosh_spark.pipeline.extract import (
+        DROP_PATTERNS, ENTITIES, TAG_PATTERN, WS_PATTERN)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    s = f"'{q(prefix)}' || text || '{q(suffix)}'"
+    for pat in DROP_PATTERNS:
+        s = f"regexp_replace({s}, '{q(pat)}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{q(TAG_PATTERN)}', ' ', 'g')"
+    for ent, ch in ENTITIES:
+        s = f"replace({s}, '{q(ent)}', '{q(ch)}')"
+    s = f"trim(regexp_replace({s}, '{q(WS_PATTERN)}', ' ', 'g'))"
+    return f"SELECT doc_id, {s} AS text FROM documents ORDER BY doc_id"

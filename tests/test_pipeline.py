@@ -214,3 +214,23 @@ class TestHtmlExtract:
                for r in extract_text(sdf).collect()}
         want = {r[0]: r[1] for r in ddb.sql(html_extract_sql(pre, suf)).fetchall()}
         assert got == want
+
+
+class TestRepetition:
+    def test_hand_computed(self, spark):
+        rows = [
+            (0, "a b a b c"),       # words: dup a,b (4/5); bigrams: "a b" x2 of 4
+            (1, "x"),               # single word, no bigrams
+            (2, ""),                # empty
+            (3, "u v w"),           # no repetition
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               textstats.repetition_features(df).collect()}
+        assert out[0]["n_words"] == 5
+        assert out[0]["dup_word_frac"] == 0.8
+        assert out[0]["top_bigram_frac"] == 0.5       # "a b" twice of 4
+        assert out[0]["dup_bigram_frac"] == 0.5
+        assert out[1]["n_words"] == 1 and out[1]["top_bigram_frac"] == 0.0
+        assert out[2]["n_words"] == 0 and out[2]["dup_word_frac"] == 0.0
+        assert out[3]["dup_word_frac"] == 0.0 and out[3]["dup_bigram_frac"] == 0.0

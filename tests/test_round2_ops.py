@@ -271,3 +271,30 @@ class TestDocumentLookup:
         s = Searcher(ix.with_deleted(deleted))
         assert s.document(doc_id=7) is None
         assert s.documents(source="s3").count() == 2
+
+
+class TestTimeLimit:
+    def test_expired_collection_raises(self, spark):
+        import time
+
+        from pyspark.sql import functions as F
+        from whoosh_spark.search import TimeLimitError, collect_with_timeout
+
+        @F.udf("long")
+        def slow(x):
+            time.sleep(30)
+            return x
+
+        df = spark.range(0, 8, numPartitions=8).select(slow("id").alias("v"))
+        t0 = time.monotonic()
+        with pytest.raises(TimeLimitError):
+            collect_with_timeout(df, timelimit=2.0)
+        assert time.monotonic() - t0 < 20  # cancelled, not run to completion
+
+    def test_fast_search_returns_rows(self, ix):
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        rows = s.search_with_timeout(Q.Term("data"), timelimit=120, limit=5)
+        assert rows and rows == s.search(Q.Term("data"), limit=5).collect()

@@ -436,3 +436,50 @@ def html_extract_sql(prefix: str, suffix: str) -> str:
         s = f"replace({s}, '{q(ent)}', '{q(ch)}')"
     s = f"trim(regexp_replace({s}, '{q(WS_PATTERN)}', ' ', 'g'))"
     return f"SELECT doc_id, {s} AS text FROM documents ORDER BY doc_id"
+
+
+def repetition_sql() -> str:
+    """Twin of ``textstats.repetition_features`` (same token rule, same
+    6-dp rounding, zero-division → 0)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN_RE2}') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i + 1])
+         ELSE [] END AS grams
+  FROM w
+),
+wc AS (
+  SELECT doc_id, sum(c) AS n_words,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_w
+  FROM (SELECT doc_id, x, count(*) AS c
+        FROM (SELECT doc_id, unnest(words) AS x FROM g) GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+gc AS (
+  SELECT doc_id, sum(c) AS n_grams, max(c) AS max_g,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_g
+  FROM (SELECT doc_id, x, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS x FROM g) GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+       coalesce(wc.n_words, 0)::BIGINT AS n_words,
+       round(CASE WHEN coalesce(wc.n_words, 0) > 0
+                  THEN coalesce(wc.dup_w, 0)::DOUBLE / wc.n_words
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN coalesce(gc.n_grams, 0) > 0
+                  THEN coalesce(gc.max_g, 0)::DOUBLE / gc.n_grams
+                  ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN coalesce(gc.n_grams, 0) > 0
+                  THEN coalesce(gc.dup_g, 0)::DOUBLE / gc.n_grams
+                  ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM g LEFT JOIN wc ON wc.doc_id = g.doc_id
+       LEFT JOIN gc ON gc.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""

@@ -182,3 +182,56 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     src = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.col(text_col).alias("text"))
     return src.mapInPandas(_winnow_batch(k, w), schema=_WINNOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style dup-ngram signals)
+# ---------------------------------------------------------------------------
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals (Gopher rules: fraction of duplicated
+    words / bigrams, share of the single most frequent bigram).
+
+    Counting runs as explode → groupBy(doc_id, gram) → groupBy(doc_id): one
+    shuffle whose key includes doc_id, so it is perfectly spread regardless
+    of corpus-level token skew, with map-side partial aggregation.  Output
+    fractions are rounded to 6 dp (oracle twin:
+    ``oracle/pipeline_sql.py::repetition_sql``).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(TOKEN_PATTERN_RE2), F.lit(0))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       words.alias("words"))
+    nw = F.size("words")
+    grams = F.when(
+        nw >= 2,
+        F.zip_with(F.slice("words", 1, nw - 1),
+                   F.slice(F.col("words"), 2, nw - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    # words and bigrams counted in one pass each (separate explodes keep the
+    # rows narrow; both aggregations combine map-side)
+    wc = (base.select("doc_id", F.explode("words").alias("w"))
+          .groupBy("doc_id", "w").count()
+          .groupBy("doc_id")
+          .agg(F.sum("count").alias("n_words"),
+               F.sum(F.when(F.col("count") > 1, F.col("count"))
+                     .otherwise(0)).alias("dup_w")))
+    gc = (base.select("doc_id", F.explode(grams).alias("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id")
+          .agg(F.sum("count").alias("n_grams"),
+               F.max("count").alias("max_g"),
+               F.sum(F.when(F.col("count") > 1, F.col("count"))
+                     .otherwise(0)).alias("dup_g")))
+    frac = lambda a, b: F.round(
+        F.when(F.col(b) > 0, F.col(a).cast("double") / F.col(b))
+        .otherwise(0.0), 6)
+    return (base.select("doc_id")
+            .join(wc, "doc_id", "left").join(gc, "doc_id", "left")
+            .na.fill(0, ["n_words", "dup_w", "n_grams", "max_g", "dup_g"])
+            .select("doc_id",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    frac("dup_w", "n_words").alias("dup_word_frac"),
+                    frac("max_g", "n_grams").alias("top_bigram_frac"),
+                    frac("dup_g", "n_grams").alias("dup_bigram_frac")))

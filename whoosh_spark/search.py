@@ -265,6 +265,22 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
+    def search_with_timeout(self, q: Q.Query, timelimit: float,
+                            limit: int | None = 10, **kw) -> list:
+        """``TimeLimitCollector`` analog
+        (``src/whoosh/collectors.py::TimeLimitCollector ≈L700``): collect the
+        top-k rows, cancelling the distributed job and raising
+        :class:`TimeLimitError` if it exceeds ``timelimit`` seconds.
+
+        The reference interrupts a generator loop and can surface partial
+        results; Spark's unit of cancellation is the job (job-group cancel
+        interrupts every executor task), so an expired search yields no
+        partial rows — the honest distributed semantics.
+        """
+        return collect_with_timeout(
+            self.search(q, limit=limit, **kw), timelimit)
+
+    # ------------------------------------------------------------------
     def documents(self, **kw) -> DataFrame:
         """``Searcher.documents(**kw)`` (``src/whoosh/searching.py ≈L330``):
         stored docs matching keyword equalities (deletion-filtered)."""
@@ -414,3 +430,51 @@ class Searcher:
             .collect()
         )
         return [r["term"] for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# time-limited collection (TimeLimitCollector analog)
+# ---------------------------------------------------------------------------
+
+class TimeLimitError(Exception):
+    """Raised when a time-limited collection exceeds its budget
+    (``src/whoosh/collectors.py::TimeLimit ≈L690``)."""
+
+
+def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
+    """Collect ``df`` under a dedicated Spark job group; a watchdog thread
+    cancels the group (interrupting executor tasks) once ``timelimit``
+    seconds elapse.  Cancellation is cooperative and distributed — the same
+    mechanism a cluster UI "kill" uses — so no orphaned tasks keep burning
+    executors after the deadline."""
+    import threading
+    import uuid
+
+    sc = df.sparkSession.sparkContext
+    gid = f"whoosh-timelimit-{uuid.uuid4().hex[:8]}"
+    done = threading.Event()
+    expired = threading.Event()
+
+    def watchdog():
+        if not done.wait(timelimit):
+            expired.set()
+            sc.cancelJobGroup(gid)
+
+    sc.setJobGroup(gid, f"collect_with_timeout({timelimit}s)",
+                   interruptOnCancel=True)
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        rows = df.collect()
+    except Exception as e:
+        if expired.is_set():
+            raise TimeLimitError(
+                f"collection exceeded {timelimit}s") from e
+        raise
+    finally:
+        done.set()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    if expired.is_set():  # cancelled between last task and result fetch
+        raise TimeLimitError(f"collection exceeded {timelimit}s")
+    return rows

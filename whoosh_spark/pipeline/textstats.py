@@ -188,15 +188,42 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
 # repetition features (Gopher-style dup-ngram signals)
 # ---------------------------------------------------------------------------
 
+def _dup_stats(arr):
+    """(total, duplicated_total, max_count) over an array column, computed
+    from the SORTED array with neighbor tests + a run-length fold — all
+    whole-stage-codegen expressions, no explode/shuffle/join."""
+    s = F.sort_array(arr)
+    n = F.size(s)
+    # element i belongs to a duplicated value iff it equals a neighbor
+    dup = F.when(
+        n >= 2,
+        F.size(F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: ((i > 0) & (F.get(s, i) == F.get(s, i - 1)))
+            | ((i < n - 1) & (F.get(s, i) == F.get(s, i + 1))))),
+    ).otherwise(F.lit(0))
+    # longest equal-run in the sorted array == max value count
+    acc0 = F.struct(F.lit(None).cast("string").alias("p"),
+                    F.lit(0).alias("c"), F.lit(0).alias("b"))
+
+    def step(acc, x):
+        c = F.when(acc["p"].eqNullSafe(x), acc["c"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("p"), c.alias("c"),
+                        F.greatest(acc["b"], c).alias("b"))
+
+    max_c = F.aggregate(s, acc0, step, lambda a: a["b"])
+    return n, dup, max_c
+
+
 def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc repetition signals (Gopher rules: fraction of duplicated
     words / bigrams, share of the single most frequent bigram).
 
-    Counting runs as explode → groupBy(doc_id, gram) → groupBy(doc_id): one
-    shuffle whose key includes doc_id, so it is perfectly spread regardless
-    of corpus-level token skew, with map-side partial aggregation.  Output
-    fractions are rounded to 6 dp (oracle twin:
-    ``oracle/pipeline_sql.py::repetition_sql``).
+    Counting happens INSIDE each doc's token array (sort + neighbor scan +
+    run-length fold): the whole operator is a single scan-side projection in
+    whole-stage codegen — zero shuffles, zero joins — so at 100 TB it is a
+    pure map pass over the corpus.  Output fractions are rounded to 6 dp
+    (oracle twin: ``oracle/pipeline_sql.py::repetition_sql``).
     """
     words = F.regexp_extract_all(F.lower(F.col(text_col)),
                                  F.lit(TOKEN_PATTERN_RE2), F.lit(0))
@@ -209,29 +236,13 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
                    F.slice(F.col("words"), 2, nw - 1),
                    lambda a, b: F.concat(a, F.lit(" "), b)),
     ).otherwise(F.array().cast("array<string>"))
-    # words and bigrams counted in one pass each (separate explodes keep the
-    # rows narrow; both aggregations combine map-side)
-    wc = (base.select("doc_id", F.explode("words").alias("w"))
-          .groupBy("doc_id", "w").count()
-          .groupBy("doc_id")
-          .agg(F.sum("count").alias("n_words"),
-               F.sum(F.when(F.col("count") > 1, F.col("count"))
-                     .otherwise(0)).alias("dup_w")))
-    gc = (base.select("doc_id", F.explode(grams).alias("g"))
-          .groupBy("doc_id", "g").count()
-          .groupBy("doc_id")
-          .agg(F.sum("count").alias("n_grams"),
-               F.max("count").alias("max_g"),
-               F.sum(F.when(F.col("count") > 1, F.col("count"))
-                     .otherwise(0)).alias("dup_g")))
-    frac = lambda a, b: F.round(
-        F.when(F.col(b) > 0, F.col(a).cast("double") / F.col(b))
-        .otherwise(0.0), 6)
-    return (base.select("doc_id")
-            .join(wc, "doc_id", "left").join(gc, "doc_id", "left")
-            .na.fill(0, ["n_words", "dup_w", "n_grams", "max_g", "dup_g"])
-            .select("doc_id",
-                    F.col("n_words").cast("long").alias("n_words"),
-                    frac("dup_w", "n_words").alias("dup_word_frac"),
-                    frac("max_g", "n_grams").alias("top_bigram_frac"),
-                    frac("dup_g", "n_grams").alias("dup_bigram_frac")))
+    n_w, dup_w, _ = _dup_stats(F.col("words"))
+    n_g, dup_g, max_g = _dup_stats(grams)
+    frac = lambda num, den: F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
+    return base.select(
+        "doc_id",
+        n_w.cast("long").alias("n_words"),
+        frac(dup_w, n_w).alias("dup_word_frac"),
+        frac(max_g, n_g).alias("top_bigram_frac"),
+        frac(dup_g, n_g).alias("dup_bigram_frac"))

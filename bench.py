@@ -120,6 +120,39 @@ def _bench_queries(ix, reps: int = 3) -> dict[str, float]:
     return out
 
 
+def _bench_pipeline(spark, reps: int = 3) -> dict[str, float]:
+    """Training-data pipeline ops at SF_DIR (1 warm-up + median of reps);
+    keys are prefixed ``pipe_``."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.pipeline import dedup, extract, similarity, textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "UTF-8").alias("html"))
+    cases = {
+        "extract": lambda: extract.extract_text(pages).count(),
+        "repetition": lambda: textstats.repetition_features(docs).count(),
+        "quality": lambda: textstats.quality_features(docs).count(),
+        "minhash_lsh": lambda: dedup.minhash_near_dups(docs, tau=0.5).count(),
+        "cosine_topk": lambda: similarity.cosine_topk(
+            emb, similarity.query_vector(emb, 0), k=10).collect(),
+    }
+    out = {}
+    for name, fn in cases.items():
+        fn()  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        out[f"pipe_{name}"] = round(statistics.median(times), 4)
+    return out
+
+
 def _ensure_scale_corpus(spark) -> str:
     if not os.path.exists(SCALE_DIR):
         from whoosh_spark.corpus import pages_df
@@ -234,6 +267,7 @@ def main() -> None:
         ix = store.load_index(spark, ix_path)  # query the PERSISTED index
         queries = {"build": round(build_secs, 3)}
         queries.update(_bench_queries(ix))
+        queries.update(_bench_pipeline(spark))
     finally:
         spark.stop()
 

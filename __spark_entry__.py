@@ -24,7 +24,7 @@ from whoosh_spark.index import InvertedIndex
 from whoosh_spark.oracle import pipeline_sql as PSQL
 from whoosh_spark.oracle import sql as OSQL
 from whoosh_spark.pipeline import (dedup, extract, multimodal, similarity,
-                                   textstats)
+                                   textstats, urls)
 from whoosh_spark.query import ast as Q
 from whoosh_spark.search import Searcher
 
@@ -56,6 +56,13 @@ HTML_SYNTH_PREFIX = (
 HTML_SYNTH_SUFFIX = (
     '</p><div>Tom &amp; Jerry&#39;s &lt;cat&gt; &quot;q&quot;&nbsp;end'
     '</div></body></html>'
+)
+
+# DuckDB twin of __spark_entry__._synth_urls (byte-identical concatenation)
+URL_SYNTH_SQL = (
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN 'http://w' || (doc_id % 100) || '.example.com:80/x?a=1&b=2' "
+    "ELSE 'HTTP://W' || (doc_id % 100) || '.Example.com/x?b=2&a=1#f' END"
 )
 
 
@@ -378,6 +385,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.lit("</body></html>")), "UTF-8").alias("html"),
         )
 
+    def _synth_urls(spark, sf_dir):
+        # messy urls synthesized from doc_id, byte-identical in both engines:
+        # case noise, default port, unsorted query, fragment; doc_id % 100
+        # forces canonical collisions for the dedup entry
+        d = F.col("doc_id")
+        return _docs(spark, sf_dir).select(
+            d.cast("long").alias("doc_id"),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit("http://w"), (d % 100).cast("string"),
+                            F.lit(".example.com:80/x?a=1&b=2")))
+            .otherwise(
+                F.concat(F.lit("HTTP://W"), (d % 100).cast("string"),
+                         F.lit(".Example.com/x?b=2&a=1#f"))).alias("url"))
+
     def html_extract_q(spark, sf_dir):
         # synthesize a realistic page (script/style/comment noise, tags,
         # every supported entity) around each doc's text, byte-identically
@@ -437,6 +458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _html_docs(s, d), "html").orderBy("doc_id"),
         multimodal_decode=multimodal_decode_q,
         html_extract=html_extract_q,
+        url_canonical=lambda s, d: urls.canonical_urls(
+            _synth_urls(s, d)).orderBy("doc_id"),
+        url_dedup=lambda s, d: urls.url_duplicates(
+            _synth_urls(s, d)).orderBy("doc_id"),
     )
     return out
 
@@ -541,4 +566,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": PSQL.multimodal_decode_sql(8),
         "html_extract": PSQL.html_extract_sql(HTML_SYNTH_PREFIX,
                                               HTML_SYNTH_SUFFIX),
+        "url_canonical": PSQL.url_canonical_sql(URL_SYNTH_SQL),
+        "url_dedup": PSQL.url_duplicates_sql(URL_SYNTH_SQL),
     }

@@ -234,3 +234,44 @@ class TestRepetition:
         assert out[1]["n_words"] == 1 and out[1]["top_bigram_frac"] == 0.0
         assert out[2]["n_words"] == 0 and out[2]["dup_word_frac"] == 0.0
         assert out[3]["dup_word_frac"] == 0.0 and out[3]["dup_bigram_frac"] == 0.0
+
+
+class TestUrlCanonical:
+    def test_normalization_rules(self, spark):
+        from whoosh_spark.pipeline.urls import canonical_urls
+
+        rows = [
+            (0, "HTTPS://Example.COM:443/A/b?z=1&a=2#frag"),
+            (1, "http://example.com:80/x"),
+            (2, "http://example.com:8080/x"),          # non-default port kept
+            (3, "https://example.com/p?"),              # empty query stripped
+            (4, "https://example.com/p?b=2&a=1"),
+            (5, "https://example.com/p?a=1&b=2"),       # same params, sorted
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["doc_id"]: r["url_canon"]
+               for r in canonical_urls(df).collect()}
+        assert got[0] == "https://example.com/A/b?a=2&z=1"
+        assert got[1] == "http://example.com/x"
+        assert got[2] == "http://example.com:8080/x"
+        assert got[3] == "https://example.com/p"
+        assert got[4] == got[5] == "https://example.com/p?a=1&b=2"
+
+    def test_dedup_groups(self, spark):
+        from whoosh_spark.pipeline.urls import url_duplicates
+
+        rows = [(0, "http://a.com/x"), (1, "HTTP://A.com:80/x#f"),
+                (2, "http://b.com/y")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+               for r in url_duplicates(df).collect()}
+        assert out == {0: (0, 2), 1: (0, 2)}
+
+    def test_corpus_urls_stable(self, spark):
+        """Already-canonical corpus urls pass through unchanged."""
+        from whoosh_spark.corpus import pages_df
+        from whoosh_spark.pipeline.urls import canonical_urls
+
+        pages = pages_df(spark, 50, seed=3)
+        j = canonical_urls(pages).join(pages.select("doc_id", "url"), "doc_id")
+        assert j.where(F.col("url_canon") != F.col("url")).count() == 0

@@ -483,3 +483,57 @@ FROM g LEFT JOIN wc ON wc.doc_id = g.doc_id
        LEFT JOIN gc ON gc.doc_id = g.doc_id
 ORDER BY g.doc_id
 """
+
+
+def _canon_cte_sql(synth: str) -> str:
+    """CTE pipeline canonicalizing urls synthesized by the SQL expression
+    ``synth`` — twin of ``pipeline/urls.py::canonical_url_expr`` (same RE2
+    patterns; replacement backrefs are ``\\1`` here vs Java's ``$1``)."""
+    from whoosh_spark.pipeline.urls import (
+        DEFAULT_PORT_HTTP, DEFAULT_PORT_HTTPS, FRAGMENT_PATTERN,
+        SCHEME_HOST_PATTERN)
+
+    return f"""
+u0 AS (SELECT doc_id, {synth} AS u FROM documents),
+u1 AS (SELECT doc_id, regexp_replace(u, '{FRAGMENT_PATTERN}', '') AS u FROM u0),
+u2 AS (SELECT doc_id,
+              lower(regexp_extract(u, '{SCHEME_HOST_PATTERN}', 1)) ||
+              regexp_extract(u, '{SCHEME_HOST_PATTERN}', 2) AS u
+       FROM u1),
+u3 AS (SELECT doc_id,
+              regexp_replace(regexp_replace(u, '{DEFAULT_PORT_HTTP}', '\\1\\2'),
+                             '{DEFAULT_PORT_HTTPS}', '\\1\\2') AS u
+       FROM u2),
+u4 AS (SELECT doc_id,
+              CASE WHEN strpos(u, '?') > 0
+                   THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base,
+              array_to_string(list_sort(list_filter(string_split(
+                CASE WHEN strpos(u, '?') > 0
+                     THEN substr(u, strpos(u, '?') + 1) ELSE '' END, '&'),
+                x -> x != '')), '&') AS sq
+       FROM u3),
+canon AS (SELECT doc_id,
+                 CASE WHEN sq != '' THEN base || '?' || sq ELSE base END
+                 AS url_canon
+          FROM u4)"""
+
+
+def url_canonical_sql(synth: str) -> str:
+    """(doc_id, url_canon) over urls synthesized by the SQL expression
+    ``synth`` (must byte-match the Spark-side synthesis)."""
+    return (f"WITH {_canon_cte_sql(synth)} "
+            f"SELECT doc_id, url_canon FROM canon ORDER BY doc_id")
+
+
+def url_duplicates_sql(synth: str) -> str:
+    return f"""
+WITH {_canon_cte_sql(synth)},
+grp AS (
+  SELECT url_canon, min(doc_id) AS canonical_id,
+         count(*)::BIGINT AS group_size
+  FROM canon GROUP BY url_canon HAVING count(*) > 1
+)
+SELECT c.doc_id, g.canonical_id, g.group_size
+FROM canon c JOIN grp g USING (url_canon)
+ORDER BY c.doc_id
+"""

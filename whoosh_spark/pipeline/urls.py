@@ -1,0 +1,66 @@
+"""URL canonicalization for web-corpus dedup keys.
+
+Common-Crawl-style pipelines dedup on a canonical URL before any content
+hashing.  The normalization here is the usual safe subset (RFC 3986 §6):
+
+1. lowercase the scheme and host
+2. drop the fragment
+3. drop default ports (``:80`` http, ``:443`` https)
+4. sort query parameters (order-insensitive equality)
+5. strip a trailing ``?`` left by an empty query
+
+Everything is RE2-safe regexp/array expressions, so the identical constant
+patterns drive the Spark op (whole-stage codegen, zero shuffle) and the
+DuckDB oracle twin (``oracle/pipeline_sql.py::url_canonical_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe split of scheme://host[:port] vs the rest
+SCHEME_HOST_PATTERN = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
+FRAGMENT_PATTERN = r"#.*$"
+DEFAULT_PORT_HTTP = r"^(http://[^/?#:]*):80($|[/?#].*)"
+DEFAULT_PORT_HTTPS = r"^(https://[^/?#:]*):443($|[/?#].*)"
+
+
+def canonical_url_expr(url_col) -> "F.Column":
+    u = F.regexp_replace(url_col, FRAGMENT_PATTERN, "")
+    head = F.lower(F.regexp_extract(u, SCHEME_HOST_PATTERN, 1))
+    tail = F.regexp_extract(u, SCHEME_HOST_PATTERN, 2)
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, DEFAULT_PORT_HTTP, r"$1$2")
+    u = F.regexp_replace(u, DEFAULT_PORT_HTTPS, r"$1$2")
+    # sort query params: path?a=1&b=2 — split once on the FIRST '?'
+    qpos = F.instr(u, "?")
+    base = F.when(qpos > 0, F.substring(u, F.lit(1), qpos - 1)).otherwise(u)
+    query = F.when(qpos > 0, F.substr(u, qpos + 1)).otherwise(F.lit(""))
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&")
+    return F.when(sorted_q != "", F.concat(base, F.lit("?"), sorted_q)) \
+            .otherwise(base)
+
+
+def canonical_urls(pages: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url_canon): scan-side projection, no shuffle."""
+    return pages.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        canonical_url_expr(F.col(url_col)).alias("url_canon"))
+
+
+def url_duplicates(pages: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, group_size) for docs sharing a canonical URL —
+    the fetch-level dedup pass that runs before content dedup.  One
+    groupBy(url_canon) shuffle with map-side combine; hot hosts spread
+    because the key is the full URL, not the host."""
+    canon = canonical_urls(pages, url_col, id_col)
+    groups = (canon.groupBy("url_canon")
+              .agg(F.min("doc_id").alias("canonical_id"),
+                   F.count("*").cast("long").alias("group_size"))
+              .where(F.col("group_size") > 1))
+    return (canon.join(groups, "url_canon")
+            .select("doc_id", "canonical_id", "group_size"))

@@ -334,13 +334,90 @@ class Evaluator:
             .select("doc_id", (F.lit(1.0) * q.boost).alias("score"))
         )
 
+    # -- binary ops (AndNot / AndMaybe / Require) ------------------------
+    def _term_batch_of(self, node) -> tuple[str, list[str], str] | None:
+        """(fkey, term texts, 'all'|'any') if ``node`` is a single-field
+        unboosted term batch — Term, And of Terms, or Or (minmatch ≤ 1) of
+        Terms — else None."""
+        if isinstance(node, Q.Term) and node.boost == 1.0:
+            return self._fkey(node.fieldname), [node.text], "any"
+        if (isinstance(node, (Q.And, Q.Or)) and node.boost == 1.0
+                and getattr(node, "minmatch", 1) <= 1
+                and all(isinstance(c, Q.Term) and c.boost == 1.0
+                        for c in node.children)):
+            fks = {self._fkey(c.fieldname) for c in node.children}
+            if len(fks) == 1:
+                mode = "all" if isinstance(node, Q.And) else "any"
+                return fks.pop(), [c.text for c in node.children], mode
+        return None
+
+    def _eval_pair_batched(self, q) -> DataFrame | None:
+        """One-scan plan for AndNot/AndMaybe/Require when BOTH sides are
+        term batches on the same field: decode all terms in a single
+        postings scan, then express the pair semantics as conditional
+        aggregates over the per-(doc, term) score rows — no second scan, no
+        join (the TAAT reformulation And/Or/DisMax already use)."""
+        pa, pb = self._term_batch_of(q.a), self._term_batch_of(q.b)
+        if pa is None or pb is None or pa[0] != pb[0]:
+            return None
+        fk, a_terms, a_mode = pa
+        _, b_terms, b_mode = pb
+        a_present = [t for t in dict.fromkeys(a_terms) if (fk, t) in self._stats]
+        b_present = [t for t in dict.fromkeys(b_terms) if (fk, t) in self._stats]
+        if a_mode == "all" and len(a_present) < len(set(a_terms)):
+            return self._empty()
+        if not a_present:
+            return self._empty()
+        if isinstance(q, Q.Require) and b_mode == "all" \
+                and len(b_present) < len(set(b_terms)):
+            return self._empty()
+        if not b_present:
+            if isinstance(q, Q.Require):
+                return self._empty()
+            # b matches nothing: AndNot/AndMaybe degrade to the a side
+            agg = (self._scored_terms(a_present, fk).groupBy("doc_id")
+                   .agg(F.sum("score").alias("score"),
+                        F.count("*").alias("_m")))
+            if a_mode == "all":
+                agg = agg.where(F.col("_m") == len(a_present))
+            return agg.select("doc_id",
+                              (F.col("score") * q.boost).alias("score"))
+        scored = self._scored_terms(a_present + b_present, fk)
+        in_a = F.col("term").isin(a_present)
+        in_b = F.col("term").isin(b_present)
+        agg = scored.groupBy("doc_id").agg(
+            F.sum(F.when(in_a, F.col("score"))).alias("_sa"),
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("_ma"),
+            F.sum(F.when(in_b, F.col("score"))).alias("_sb"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("_mb"),
+        )
+        a_ok = (F.col("_ma") == len(a_present)) if a_mode == "all" \
+            else (F.col("_ma") >= 1)
+        b_hit = (F.col("_mb") == len(b_present)) if b_mode == "all" \
+            else (F.col("_mb") >= 1)
+        if isinstance(q, Q.AndNot):
+            cond, score = a_ok & ~b_hit, F.col("_sa")
+        elif isinstance(q, Q.Require):
+            cond, score = a_ok & b_hit, F.col("_sa")
+        else:  # AndMaybe
+            cond = a_ok
+            score = F.col("_sa") + F.when(b_hit, F.col("_sb")).otherwise(0.0)
+        return agg.where(cond).select(
+            "doc_id", (score * q.boost).alias("score"))
+
     def _eval_andnot(self, q: Q.AndNot) -> DataFrame:
+        fast = self._eval_pair_batched(q)
+        if fast is not None:
+            return fast
         a = self._eval(q.a)
         b = self._eval(q.b).select("doc_id")
         out = a.join(b, "doc_id", "left_anti")
         return out.select("doc_id", (F.col("score") * q.boost).alias("score"))
 
     def _eval_andmaybe(self, q: Q.AndMaybe) -> DataFrame:
+        fast = self._eval_pair_batched(q)
+        if fast is not None:
+            return fast
         a = self._eval(q.a)
         b = self._eval(q.b).withColumnRenamed("score", "_bs")
         out = a.join(b, "doc_id", "left")
@@ -348,6 +425,9 @@ class Evaluator:
         return out.select("doc_id", score.alias("score"))
 
     def _eval_require(self, q: Q.Require) -> DataFrame:
+        fast = self._eval_pair_batched(q)
+        if fast is not None:
+            return fast
         a = self._eval(q.a)
         b = self._eval(q.b).select("doc_id")
         out = a.join(b, "doc_id", "left_semi")

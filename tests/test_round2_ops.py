@@ -298,3 +298,23 @@ class TestTimeLimit:
         s = Searcher(ix)
         rows = s.search_with_timeout(Q.Term("data"), timelimit=120, limit=5)
         assert rows and rows == s.search(Q.Term("data"), limit=5).collect()
+
+
+class TestFunctionWeighting:
+    def test_custom_matches_builtin(self, ix):
+        from whoosh_spark.execution.score import register_weighting
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        register_weighting("mytfidf", lambda ctx: ctx["tf"] * ctx["idf"])
+        q = Q.Or([Q.Term("data"), Q.Term("query")])
+        got = Searcher(ix, weighting="mytfidf").search(q, limit=20).collect()
+        want = Searcher(ix, weighting="tfidf").search(q, limit=20).collect()
+        assert got == want
+
+    def test_unknown_weighting_raises(self, ix):
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        with pytest.raises(ValueError):
+            Searcher(ix, weighting="nope").search(Q.Term("data")).collect()

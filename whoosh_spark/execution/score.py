@@ -107,6 +107,20 @@ def bm25_upper_bound(n_docs: int, df: int, max_weight: float, min_len: int,
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / float(avgdl)))
 
 
+# FunctionWeighting (``src/whoosh/scoring.py::FunctionWeighting ≈L430``):
+# user-registered scorers.  The callable gets a ctx dict of column
+# expressions + collection stats and returns the score Column — still pure
+# JVM codegen, the custom formula just composes expressions.
+_CUSTOM_WEIGHTINGS: dict[str, object] = {}
+
+
+def register_weighting(name: str, fn) -> None:
+    """Register ``fn(ctx) -> Column`` as weighting ``name``.  ``ctx`` keys:
+    ``tf``/``dl``/``idf``/``cf`` (columns), ``avgdl``/``n_docs``/
+    ``total_len`` (floats).  Use via ``Searcher(ix, weighting=name)``."""
+    _CUSTOM_WEIGHTINGS[name] = fn
+
+
 def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
                    avgdl: float, boost_by_term: dict[str, float] | None = None,
                    weighting: str = "bm25", b: float | None = None,
@@ -151,6 +165,16 @@ def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
     elif weighting == "pl2":
         score = pl2_score(F.col("tf"), F.col("dl"),
                           _case_map(cf_by_term, 1.0), float(n_docs), avgdl)
+    elif weighting in _CUSTOM_WEIGHTINGS:
+        score = _CUSTOM_WEIGHTINGS[weighting]({
+            "tf": F.col("tf").cast("double"),
+            "dl": F.col("dl").cast("double"),
+            "idf": idf_col,
+            "cf": _case_map(cf_by_term or {}, 1.0),
+            "avgdl": float(avgdl),
+            "n_docs": None if n_docs is None else float(n_docs),
+            "total_len": None if total_len is None else float(total_len),
+        })
     else:
         raise ValueError(f"unknown weighting {weighting!r}")
     if reverse:

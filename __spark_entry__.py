@@ -458,6 +458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _html_docs(s, d), "html").orderBy("doc_id"),
         multimodal_decode=multimodal_decode_q,
         html_extract=html_extract_q,
+        unicode_normalize=lambda s, d: extract.normalize_text(
+            _docs(s, d).select(
+                "doc_id",
+                # NFD 'e'+combining-acute and a BEL control, byte-matched
+                # by the oracle's chr() synthesis
+                F.concat(F.col("text"),
+                         F.lit(" cafe" + chr(769) + " \x07end"))
+                .alias("text"))
+        ).orderBy("doc_id"),
         url_canonical=lambda s, d: urls.canonical_urls(
             _synth_urls(s, d)).orderBy("doc_id"),
         url_dedup=lambda s, d: urls.url_duplicates(
@@ -566,6 +575,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": PSQL.multimodal_decode_sql(8),
         "html_extract": PSQL.html_extract_sql(HTML_SYNTH_PREFIX,
                                               HTML_SYNTH_SUFFIX),
+        "unicode_normalize": PSQL.normalize_text_sql(
+            "text || ' cafe' || chr(769) || ' ' || chr(7) || 'end'"),
         "url_canonical": PSQL.url_canonical_sql(URL_SYNTH_SQL),
         "url_dedup": PSQL.url_duplicates_sql(URL_SYNTH_SQL),
     }

@@ -275,3 +275,14 @@ class TestUrlCanonical:
         pages = pages_df(spark, 50, seed=3)
         j = canonical_urls(pages).join(pages.select("doc_id", "url"), "doc_id")
         assert j.where(F.col("url_canon") != F.col("url")).count() == 0
+
+
+class TestNormalizeText:
+    def test_nfc_and_controls(self, spark):
+        from whoosh_spark.pipeline.extract import normalize_text
+
+        nfd = "cafe" + chr(769)           # e + combining acute
+        df = spark.createDataFrame(
+            [(0, nfd + " \x07\x00ok\ttab")], "doc_id long, text string")
+        out = normalize_text(df).collect()[0]["text"]
+        assert out == "café ok\ttab"  # composed, BEL/NUL gone, tab kept

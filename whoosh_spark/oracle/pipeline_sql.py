@@ -537,3 +537,12 @@ SELECT c.doc_id, g.canonical_id, g.group_size
 FROM canon c JOIN grp g USING (url_canon)
 ORDER BY c.doc_id
 """
+
+
+def normalize_text_sql(synth: str = "text") -> str:
+    """Twin of ``extract.normalize_text`` over text synthesized by ``synth``."""
+    from whoosh_spark.pipeline.extract import CONTROL_PATTERN
+
+    return (f"SELECT doc_id, nfc_normalize(regexp_replace({synth}, "
+            f"'{CONTROL_PATTERN}', '', 'g')) AS text "
+            f"FROM documents ORDER BY doc_id")

@@ -69,3 +69,39 @@ def extract_text(pages: DataFrame, html_col: str = "html",
     if "url" in pages.columns:
         keep.append(F.col("url"))
     return pages.select(*keep, extract_expr(F.col(html_col)).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (training-data canonicalization)
+# ---------------------------------------------------------------------------
+
+# C0/C1 control chars except \t \n \r — RE2-safe, shared with the oracle
+CONTROL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   strip_controls: bool = True) -> DataFrame:
+    """(doc_id, text): NFC-normalize + optionally strip control characters.
+
+    NFC runs as a vectorized pandas string kernel over Arrow batches (Spark
+    has no built-in unicode normalizer); the control strip stays JVM-side.
+    Oracle twin: DuckDB ``nfc_normalize`` + the same regexp
+    (``oracle/pipeline_sql.py::normalize_text_sql``).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    if strip_controls:
+        src = src.withColumn(
+            "text", F.regexp_replace("text", CONTROL_PATTERN, ""))
+
+    def nfc(batches):
+        for pdf in batches:
+            pdf["text"] = pdf["text"].str.normalize("NFC")
+            yield pdf
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    return src.mapInPandas(nfc, schema=schema)

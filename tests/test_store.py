@@ -96,3 +96,14 @@ def test_blocks_parquet_sorted_for_pruning(spark, sf0001_documents, store_path):
     ix = store.load_index(spark, path)
     plan = ix.blocks.where(F.col("term") == "data")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_export_to_iceberg_gates_on_runtime(spark, tmp_path):
+    """No Iceberg runtime in this container: the sink swap must fail with
+    an actionable error, not a deep Py4J stack."""
+    import pytest
+
+    from whoosh_spark import store
+
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        store.export_to_iceberg(spark, str(tmp_path), "cat.db.ix")

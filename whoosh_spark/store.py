@@ -400,3 +400,41 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     merged_r.write.mode("overwrite").parquet(FS.join(path, "docs"))
     FS.rmtree(tmp_docs)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Iceberg sink swap
+# ---------------------------------------------------------------------------
+
+INDEX_TABLES = ("blocks", "term_stats", "field_stats", "doc_lengths", "docs")
+
+
+def export_to_iceberg(spark: SparkSession, path: str, table_prefix: str) -> list[str]:
+    """Publish a built index's tables into an Iceberg catalog —
+    ``<table_prefix>_blocks`` etc. via ``writeTo(...).using("iceberg")``.
+
+    This is the documented "sink swap" for the manifest-over-parquet layout:
+    the dataflow that produces the tables is unchanged; Iceberg replaces the
+    manifest.json TOC with catalog snapshot commits (atomic on object
+    stores, where a rename-based manifest swap is not).  Requires the
+    Iceberg runtime jar + a configured catalog on the session; raises a
+    clear RuntimeError otherwise (the sandbox ships no Iceberg runtime, so
+    only the error path is exercisable in tests — the write path is the
+    stock DataFrameWriterV2 API).
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+    except Exception as e:
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath: add the "
+            "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
+            "configuration, then re-run export_to_iceberg"
+        ) from e
+    out = []
+    for t in INDEX_TABLES:
+        df = spark.read.parquet(FS.join(path, t))
+        target = f"{table_prefix}_{t}"
+        df.writeTo(target).using("iceberg").createOrReplace()
+        out.append(target)
+    return out

@@ -334,6 +334,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         datetime_fields=["warc_ts"])
         return _topk(s.ev.evaluate(q))
 
+    def parsed_nl_date_q(spark, sf_dir):
+        from datetime import datetime
+
+        from whoosh_spark.query.parser import parse_query
+
+        s = _ts_searcher(spark, sf_dir)
+        q = parse_query("data AND warc_ts:[yesterday TO today]",
+                        datetime_fields=["warc_ts"],
+                        basedate=datetime(2020, 1, 13, 9, 0, 0))
+        return _topk(s.ev.evaluate(q))
+
     def parsed_dismax_q(spark, sf_dir):
         from whoosh_spark.query.parser import parse_dismax
 
@@ -365,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parsed_plusminus=parsed_plusminus_q,
         parsed_regex=parsed_regex_q,
         parsed_datetime=parsed_datetime_q,
+        parsed_nl_date=parsed_nl_date_q,
         parsed_dismax=parsed_dismax_q,
     )
 
@@ -549,6 +561,10 @@ def oracle_sql() -> dict[str, str]:
         "parsed_datetime": OSQL.date_range_iso_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,
             1577836800, 1578700800, incl_hi=False),
+        # [yesterday TO today] @ basedate 2020-01-13: 2020-01-12 .. <2020-01-14
+        "parsed_nl_date": OSQL.date_range_iso_and_sql(
+            "data", WARC_EPOCH0, WARC_STEP,
+            1578787200, 1578960000, incl_hi=False),
         "parsed_dismax": OSQL.multifield_dismax_sql(
             "data", {"text": 2.0, "lang": 1.0}, MF_FIELDS),
         # pipeline ops — every entry has a full value oracle (round 2: the

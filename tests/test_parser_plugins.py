@@ -6,6 +6,8 @@ DisMaxParser ≈L470; ``qparser/dateparse.py`` (epoch-resolved subset)."""
 
 from __future__ import annotations
 
+import pytest
+
 from whoosh_spark.query import ast as Q
 from whoosh_spark.query.parser import parse_dismax, parse_query, parse_simple
 
@@ -86,3 +88,57 @@ def test_dismax_parser_multiword():
     q = parse_dismax("big data", {"text": 1.0, "lang": 1.0})
     assert isinstance(q, Q.Or) and len(q.children) == 2
     assert all(isinstance(c, Q.DisMax) for c in q.children)
+
+
+class TestNaturalLanguageDates:
+    BASE = __import__("datetime").datetime(2020, 2, 15, 12, 30, 45)
+
+    def _parse(self, s):
+        from whoosh_spark.query.parser import parse_query
+
+        return parse_query(s, datetime_fields=["warc_ts"], basedate=self.BASE)
+
+    def test_yesterday_whole_day(self):
+        q = self._parse("warc_ts:yesterday")
+        # 2020-02-14 UTC day
+        assert (q.lo, q.hi, q.incl_hi) == (1581638400, 1581724800, False)
+
+    def test_last_month(self):
+        # "last month" has a space: range syntax keeps it one date token
+        q = self._parse("warc_ts:[last month TO last month]")
+        assert (q.lo, q.hi) == (1577836800, 1580515200)
+
+    def test_month_name_and_year(self):
+        q = self._parse("warc_ts:[march 2020 TO march 2020]")
+        assert (q.lo, q.hi) == (1583020800, 1585699200)
+
+    def test_bare_year(self):
+        q = self._parse("warc_ts:2020")
+        assert (q.lo, q.hi) == (1577836800, 1609459200)
+
+    def test_delta_days(self):
+        q = self._parse("warc_ts:-2d")       # 2020-02-13, whole day
+        assert (q.lo, q.hi) == (1581552000, 1581638400)
+
+    def test_gtlt_after_today(self):
+        q = self._parse("warc_ts:>today")
+        assert q.lo == 1581811200 and q.hi is None  # from 2020-02-16 on
+
+    def test_range_nl_to_iso(self):
+        q = self._parse("warc_ts:[yesterday TO 2020-03-01]")
+        assert q.lo == 1581638400
+        assert q.hi == 1583020800 + 86400  # date-only incl upper
+
+    def test_now_point(self):
+        q = self._parse("warc_ts:now")
+        assert q.hi - q.lo == 1
+
+    def test_iso_still_works(self):
+        q = self._parse("warc_ts:2020-01-05")
+        assert (q.hi - q.lo) == 86400
+
+    def test_no_basedate_raises(self):
+        from whoosh_spark.query.parser import parse_query
+
+        with pytest.raises(ValueError):
+            parse_query("warc_ts:yesterday", datetime_fields=["warc_ts"])

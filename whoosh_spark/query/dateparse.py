@@ -1,0 +1,119 @@
+"""Natural-language date parsing (``src/whoosh/qparser/dateparse.py`` —
+the English vocabulary subset that resolves WITHOUT ambiguity).
+
+Whoosh parses date text into *timespans* at the expressed precision
+("march 2020" is the whole month) relative to a ``basedate``.  This module
+reproduces that model: ``nl_span(text, base)`` returns a half-open UTC
+``[lo, hi)`` epoch-second span, or None if the text isn't natural-language
+(callers then fall back to ISO parsing).  Everything is resolved
+driver-side to epoch ints, so query plans stay timezone-independent and
+deterministic under an explicit ``basedate`` (tests/entries always pin it).
+
+Supported: ``now``, ``today``/``yesterday``/``tomorrow``,
+``this|last|next week|month|year``, month names w/ optional year/day
+("march 2020", "mar", "20 march 2020", "march 20 2020"), bare years
+("2020"), and signed deltas ``±N s|min|h|d|w|mo|y`` (span at the delta's
+grain, e.g. ``-2d`` = that whole day).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["january", "february", "march", "april", "may", "june", "july",
+     "august", "september", "october", "november", "december"])}
+_MONTHS.update({m[:3]: i for m, i in list(_MONTHS.items())})
+
+_DELTA_RE = re.compile(r"^([+-])\s*(\d+)\s*(s|min|h|d|w|mo|y)$")
+
+
+def _ep(dt: datetime) -> int:
+    return int(dt.replace(tzinfo=timezone.utc).timestamp())
+
+
+def _day(d: datetime) -> tuple[int, int]:
+    d0 = d.replace(hour=0, minute=0, second=0, microsecond=0)
+    return _ep(d0), _ep(d0 + timedelta(days=1))
+
+
+def _month(year: int, month: int) -> tuple[int, int]:
+    d0 = datetime(year, month, 1)
+    d1 = datetime(year + (month == 12), month % 12 + 1, 1)
+    return _ep(d0), _ep(d1)
+
+
+def _year(year: int) -> tuple[int, int]:
+    return _ep(datetime(year, 1, 1)), _ep(datetime(year + 1, 1, 1))
+
+
+def _week(d: datetime) -> tuple[int, int]:
+    d0 = (d - timedelta(days=d.weekday())).replace(
+        hour=0, minute=0, second=0, microsecond=0)
+    return _ep(d0), _ep(d0 + timedelta(days=7))
+
+
+def _add_months(d: datetime, n: int) -> datetime:
+    m = d.month - 1 + n
+    y, m = d.year + m // 12, m % 12 + 1
+    import calendar
+
+    return d.replace(year=y, month=m,
+                     day=min(d.day, calendar.monthrange(y, m)[1]))
+
+
+def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
+    """Half-open UTC [lo, hi) span for the natural-language date ``text``
+    relative to ``base`` (naive datetime interpreted as UTC), else None."""
+    s = text.strip().lower()
+    base = base.replace(tzinfo=None)
+    if s == "now":
+        t = _ep(base.replace(microsecond=0))
+        return t, t + 1
+    if s in ("today", "yesterday", "tomorrow"):
+        off = {"today": 0, "yesterday": -1, "tomorrow": 1}[s]
+        return _day(base + timedelta(days=off))
+    m = re.match(r"^(this|last|next)\s+(week|month|year)$", s)
+    if m:
+        rel, unit = m.groups()
+        off = {"this": 0, "last": -1, "next": 1}[rel]
+        if unit == "week":
+            return _week(base + timedelta(weeks=off))
+        if unit == "month":
+            d = _add_months(base, off)
+            return _month(d.year, d.month)
+        return _year(base.year + off)
+    m = _DELTA_RE.match(s)
+    if m:
+        sign, n, unit = m.groups()
+        n = int(n) * (1 if sign == "+" else -1)
+        if unit == "mo":
+            d = _add_months(base, n)
+        else:
+            delta = {"s": timedelta(seconds=1), "min": timedelta(minutes=1),
+                     "h": timedelta(hours=1), "d": timedelta(days=1),
+                     "w": timedelta(weeks=1)}.get(unit)
+            d = base.replace(year=base.year + n) if unit == "y" \
+                else base + n * delta
+        if unit in ("d", "w"):
+            return _day(d)
+        if unit == "mo":
+            return _month(d.year, d.month)
+        if unit == "y":
+            return _year(d.year)
+        t = _ep(d.replace(microsecond=0))
+        return t, t + 1
+    if re.match(r"^\d{4}$", s):
+        return _year(int(s))
+    # [day] monthname [day] [year]
+    m = re.match(r"^(?:(\d{1,2})\s+)?([a-z]+)(?:\s+(\d{1,2}))?"
+                 r"(?:\s+(\d{4}))?$", s)
+    if m and m.group(2) in _MONTHS:
+        day = m.group(1) or m.group(3)
+        year = int(m.group(4)) if m.group(4) else base.year
+        month = _MONTHS[m.group(2)]
+        if day:
+            return _day(datetime(year, month, int(day)))
+        return _month(year, month)
+    return None

@@ -48,6 +48,19 @@ def _iso_epoch(s: str) -> tuple[int, bool]:
             continue
     raise ValueError(f"unparseable date {s!r}")
 
+
+def _nl(s: str, basedate):
+    """NL fallback span [lo, hi) — raises the original error shape when the
+    text is neither ISO nor supported natural language."""
+    if basedate is not None:
+        from whoosh_spark.query.dateparse import nl_span
+
+        span = nl_span(s, basedate)
+        if span is not None:
+            return span
+    raise ValueError(f"unparseable date {s!r}")
+
+
 _TOKEN_SPEC = [
     ("LPAREN", r"\("),
     ("RPAREN", r"\)"),
@@ -76,7 +89,7 @@ def _lex(s: str) -> list[tuple[str, str]]:
     return out
 
 
-def _leaf(text: str, fields=None, dt_fields=None) -> Query:
+def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
     boost = 1.0
     m = re.search(r"\^(\d+(\.\d+)?)$", text)
     if m:
@@ -102,7 +115,19 @@ def _leaf(text: str, fields=None, dt_fields=None) -> Query:
     if gm and not text.startswith('"'):
         op, val = gm.group(1), gm.group(2).strip()
         if is_dt:
-            ep, date_only = _iso_epoch(val)
+            try:
+                ep, date_only = _iso_epoch(val)
+            except ValueError:
+                lo, hi = _nl(val, basedate)
+                if op == ">":
+                    return DateRange(fieldname, lo=hi, hi=None, boost=boost)
+                if op == ">=":
+                    return DateRange(fieldname, lo=lo, hi=None, boost=boost)
+                if op == "<":
+                    return DateRange(fieldname, lo=None, hi=lo,
+                                     incl_hi=False, boost=boost)
+                return DateRange(fieldname, lo=None, hi=hi,
+                                 incl_hi=False, boost=boost)
             if op == ">":
                 # strictly after the named instant/day
                 return DateRange(fieldname, lo=ep + (_DAY if date_only else 0),
@@ -131,14 +156,25 @@ def _leaf(text: str, fields=None, dt_fields=None) -> Query:
             lo_s, hi_s = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
             lo = hi = None
             if lo_s.strip():
-                lo, _ = _iso_epoch(lo_s)
+                try:
+                    lo, _ = _iso_epoch(lo_s)
+                except ValueError:
+                    lo, _sp_hi = _nl(lo_s, basedate)
             if hi_s.strip():
-                ep, date_only = _iso_epoch(hi_s)
-                # a date-only upper bound includes that whole day
-                hi = ep + _DAY if (date_only and incl_hi) else ep
-                incl_hi = incl_hi and not date_only
+                try:
+                    ep, date_only = _iso_epoch(hi_s)
+                    # a date-only upper bound includes that whole day
+                    hi = ep + _DAY if (date_only and incl_hi) else ep
+                    incl_hi = incl_hi and not date_only
+                except ValueError:
+                    _sp_lo, hi = _nl(hi_s, basedate)
+                    incl_hi = False
             return DateRange(fieldname, lo, hi, incl_lo, incl_hi, boost=boost)
-        ep, date_only = _iso_epoch(text)
+        try:
+            ep, date_only = _iso_epoch(text)
+        except ValueError:
+            lo, hi = _nl(text, basedate)
+            return DateRange(fieldname, lo, hi, incl_hi=False, boost=boost)
         if date_only:
             return DateRange(fieldname, ep, ep + _DAY, incl_hi=False, boost=boost)
         return DateRange(fieldname, ep, ep, boost=boost)
@@ -175,10 +211,11 @@ def _leaf(text: str, fields=None, dt_fields=None) -> Query:
 
 
 class _Parser:
-    def __init__(self, toks, fields=None, dt_fields=None):
+    def __init__(self, toks, fields=None, dt_fields=None, basedate=None):
         self.toks = toks
         self.fields = fields
         self.dt_fields = dt_fields
+        self.basedate = basedate
         self.i = 0
 
     def peek(self):
@@ -239,7 +276,7 @@ class _Parser:
             return Regex(text[2:-1], fieldname=fieldname)
         if kind in ("WORD", "PHRASE", "RANGE"):
             self.next()
-            return _leaf(text, self.fields, self.dt_fields)
+            return _leaf(text, self.fields, self.dt_fields, self.basedate)
         return NullQuery
 
 
@@ -279,7 +316,7 @@ def _apply_multifield(q: Query, mfields: list[str]) -> Query:
 
 
 def parse_query(s: str, fields=None, multifield: list[str] | None = None,
-                datetime_fields=None) -> Query:
+                datetime_fields=None, basedate=None) -> Query:
     """Parse a query string.
 
     ``fields`` — known schema field names: enables ``field:term`` routing
@@ -294,7 +331,8 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     if not toks:
         return NullQuery
     q = _Parser(toks, fields=set(fields) if fields else None,
-                dt_fields=set(datetime_fields) if datetime_fields else None).parse_or()
+                dt_fields=set(datetime_fields) if datetime_fields else None,
+                basedate=basedate).parse_or()
     if multifield:
         q = _apply_multifield(q, list(multifield))
     return q.normalize()

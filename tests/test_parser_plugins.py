@@ -142,3 +142,12 @@ class TestNaturalLanguageDates:
 
         with pytest.raises(ValueError):
             parse_query("warc_ts:yesterday", datetime_fields=["warc_ts"])
+
+    def test_weekday_names(self):
+        # base 2020-02-15 is a Saturday
+        q = self._parse("warc_ts:[last tuesday TO last tuesday]")
+        assert q.lo == 1581379200          # 2020-02-11
+        q = self._parse("warc_ts:[next tuesday TO next tuesday]")
+        assert q.lo == 1581984000          # 2020-02-18
+        q = self._parse("warc_ts:[this sat TO this sat]")
+        assert q.lo == 1581724800          # 2020-02-15 itself

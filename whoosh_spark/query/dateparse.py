@@ -28,6 +28,11 @@ _MONTHS.update({m[:3]: i for m, i in list(_MONTHS.items())})
 
 _DELTA_RE = re.compile(r"^([+-])\s*(\d+)\s*(s|min|h|d|w|mo|y)$")
 
+_WEEKDAYS = {d: i for i, d in enumerate(
+    ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+     "sunday"])}
+_WEEKDAYS.update({d[:3]: i for d, i in list(_WEEKDAYS.items())})
+
 
 def _ep(dt: datetime) -> int:
     return int(dt.replace(tzinfo=timezone.utc).timestamp())
@@ -84,6 +89,18 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
             d = _add_months(base, off)
             return _month(d.year, d.month)
         return _year(base.year + off)
+    m = re.match(r"^(this|last|next)\s+([a-z]+)$", s)
+    if m and m.group(2) in _WEEKDAYS:
+        rel, wd = m.group(1), _WEEKDAYS[m.group(2)]
+        if rel == "this":  # that weekday inside the Mon-start week of base
+            d0 = base - timedelta(days=base.weekday())
+            return _day(d0 + timedelta(days=wd))
+        diff = wd - base.weekday()
+        if rel == "last":
+            diff = diff - 7 if diff >= 0 else diff
+        else:  # next
+            diff = diff + 7 if diff <= 0 else diff
+        return _day(base + timedelta(days=diff))
     m = _DELTA_RE.match(s)
     if m:
         sign, n, unit = m.groups()

@@ -286,3 +286,28 @@ class TestNormalizeText:
             [(0, nfd + " \x07\x00ok\ttab")], "doc_id long, text string")
         out = normalize_text(df).collect()[0]["text"]
         assert out == "café ok\ttab"  # composed, BEL/NUL gone, tab kept
+
+
+class TestLineDedup:
+    def test_first_occurrence_kept(self, spark):
+        rows = [
+            (0, "keep me\nshared line\nunique zero"),
+            (1, "shared line\nunique one\nshared line"),
+            (2, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+        assert out[0]["text"] == "keep me\nshared line\nunique zero"
+        assert out[0]["n_dropped"] == 0
+        # doc 1 loses BOTH copies of the shared line (doc 0 owns it)
+        assert out[1]["text"] == "unique one"
+        assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 2
+        assert out[2]["text"] == "" and out[2]["n_lines"] == 1
+
+    def test_short_lines_kept_verbatim(self, spark):
+        rows = [(0, "a\n\nb"), (1, "a\n\nb")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["text"]
+               for r in dedup.line_dedup(df, min_chars=2).collect()}
+        # 1-char lines are structure: both docs keep them; nothing ≥2 chars
+        assert out[0] == "a\n\nb" and out[1] == "a\n\nb"

@@ -546,3 +546,37 @@ def normalize_text_sql(synth: str = "text") -> str:
     return (f"SELECT doc_id, nfc_normalize(regexp_replace({synth}, "
             f"'{CONTROL_PATTERN}', '', 'g')) AS text "
             f"FROM documents ORDER BY doc_id")
+
+
+def line_dedup_sql(sep: str = " ", min_chars: int = 1) -> str:
+    """Twin of ``dedup.line_dedup`` (first occurrence = min (doc_id, idx),
+    expressed as one monotone combined key).  Emits md5(text) as ``fp`` —
+    the entry projects the rebuilt text the same way."""
+    return f"""
+WITH src AS (SELECT doc_id, string_split(text, '{sep}') AS parts FROM documents),
+lines AS (
+  SELECT doc_id, unnest(range(len(parts)))::BIGINT AS idx,
+         unnest(parts) AS line
+  FROM src
+),
+firsts AS (
+  SELECT md5(trim(line)) AS key,
+         min(doc_id * 4294967296 + idx) AS fk
+  FROM lines WHERE length(trim(line)) >= {min_chars} GROUP BY 1
+),
+kept AS (
+  SELECT l.doc_id, l.idx, l.line FROM lines l
+  LEFT JOIN firsts f ON f.key = md5(trim(l.line))
+  WHERE length(trim(l.line)) < {min_chars}
+     OR l.doc_id * 4294967296 + l.idx = f.fk
+),
+agg AS (
+  SELECT doc_id, string_agg(line, '{sep}' ORDER BY idx) AS text,
+         count(*)::BIGINT AS kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, md5(coalesce(a.text, '')) AS fp, t.n_lines,
+       (t.n_lines - coalesce(a.kept, 0))::BIGINT AS n_dropped
+FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""

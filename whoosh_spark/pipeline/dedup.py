@@ -277,3 +277,53 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               sep: str = "\n", min_chars: int = 1) -> DataFrame:
+    """(doc_id, text, n_lines, n_dropped): corpus-wide line deduplication —
+    the C4 rule that keeps only the FIRST occurrence of every distinct
+    (trimmed) line and rewrites documents without the repeats.
+
+    First occurrence is deterministic: smallest (doc_id, line_idx).  The
+    dataflow is explode → one shuffle keyed by the line hash (md5 — uniform,
+    no hot keys) with a min-struct aggregate, broadcast-free join back on
+    (hash, doc_id, idx), then ordered reassembly via sort_array over
+    (idx, line) structs — no window functions, no skewed keys.
+
+    Lines shorter than ``min_chars`` after trim are kept verbatim (they are
+    structure, not content).  Empty-text docs pass through unchanged.
+    """
+    lines = (docs
+             .select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("idx", "line"))
+             .withColumn("key", F.md5(F.trim(F.col("line"))))
+             .withColumn("elig", F.length(F.trim(F.col("line"))) >= min_chars))
+    firsts = (lines.where("elig")
+              .groupBy("key")
+              .agg(F.min(F.struct("doc_id", "idx")).alias("first")))
+    kept = (lines.join(firsts, "key", "left")
+            .where(~F.col("elig")
+                   | ((F.col("first.doc_id") == F.col("doc_id"))
+                      & (F.col("first.idx") == F.col("idx")))))
+    out = (kept.groupBy("doc_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                        lambda s: s["line"]),
+                    sep).alias("text"),
+                F.count("*").alias("_kept"))
+           )
+    totals = (lines.groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_lines")))
+    return (totals.join(out, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    "n_lines",
+                    (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
+                    .cast("long").alias("n_dropped")))

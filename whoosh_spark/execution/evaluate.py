@@ -111,6 +111,7 @@ class Evaluator:
             st = ixf.stats_for_terms(sorted(by_field.get(fk, ())))
             self._stats.update({(fk, t): v for t, v in st.items()})
         self._n, self._avgdl = self._fglobal[None]
+        self._max_doc = getattr(self, "_max_doc", None)
         # soft-delete overlay: drop deleted docs from the match set (stats
         # still count them — Whoosh deleted-but-unpurged semantics)
         return self.ix.not_deleted(self._eval(q))
@@ -761,15 +762,44 @@ class Evaluator:
             F.lead("doc_id").over(w).alias("_next"),
         )
 
+    def _bucketed_range_join(self, kids: DataFrame, ranges: DataFrame,
+                             how: str) -> DataFrame:
+        """Equi-join child docs to their parent range via doc-id buckets:
+        parents explode to the buckets their range spans (bucket width ≈
+        the mean range span, so replication ≈ 2 rows per parent), children
+        hash on their own bucket, and the range test runs as a post-filter.
+        Compiles to a hash join keyed on bucket — NOT the
+        BroadcastNestedLoopJoin a raw interval predicate produces, whose
+        every-child-probes-every-parent work is quadratic at scale."""
+        stats = ranges.agg(
+            F.count("*").alias("n"), F.min("_parent").alias("lo"),
+            F.max("_parent").alias("hi_p")).collect()[0]
+        if not stats["n"]:
+            return None
+        if self._max_doc is None:
+            self._max_doc = int(
+                self.ix.doc_lengths.agg(F.max("doc_id")).collect()[0][0] or 0)
+        end = self._max_doc + 1
+        span = max(1, end - int(stats["lo"]))
+        k = max(0, (span // max(1, int(stats["n"]))).bit_length())
+        filled = ranges.withColumn(
+            "_next_f", F.coalesce(F.col("_next"), F.lit(end)))
+        exploded = filled.withColumn(
+            "_bucket",
+            F.explode(F.sequence(F.shiftright(F.col("_parent"), k),
+                                 F.shiftright(F.col("_next_f") - 1, k))))
+        kb = kids.withColumn("_bucket", F.shiftright(F.col("doc_id"), k))
+        cond = ((kb["_bucket"] == exploded["_bucket"])
+                & (kb["doc_id"] > exploded["_parent"])
+                & (kb["doc_id"] < exploded["_next_f"]))
+        return kb.join(F.broadcast(exploded), cond, how)
+
     def _eval_nestedparent(self, q: Q.NestedParent) -> DataFrame:
         ranges = self._parent_ranges(q.parents)
         kids = self._eval(q.child).withColumnRenamed("score", "_cs")
-        joined = kids.join(
-            F.broadcast(ranges),
-            (kids["doc_id"] > ranges["_parent"])
-            & (ranges["_next"].isNull() | (kids["doc_id"] < ranges["_next"])),
-            "inner",
-        )
+        joined = self._bucketed_range_join(kids, ranges, "inner")
+        if joined is None:
+            return self._empty()
         agg = {"sum": F.sum, "max": F.max, "avg": F.avg}[q.score_fn]
         return (
             joined.groupBy("_parent")
@@ -781,10 +811,7 @@ class Evaluator:
     def _eval_nestedchildren(self, q: Q.NestedChildren) -> DataFrame:
         ranges = self._parent_ranges(q.parents)
         kids = self._eval(q.child)
-        joined = kids.join(
-            F.broadcast(ranges),
-            (kids["doc_id"] > ranges["_parent"])
-            & (ranges["_next"].isNull() | (kids["doc_id"] < ranges["_next"])),
-            "left_semi",
-        )
+        joined = self._bucketed_range_join(kids, ranges, "left_semi")
+        if joined is None:
+            return self._empty()
         return joined.select("doc_id", (F.col("score") * q.boost).alias("score"))

@@ -486,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _synth_urls(s, d)).orderBy("doc_id"),
         url_dedup=lambda s, d: urls.url_duplicates(
             _synth_urls(s, d)).orderBy("doc_id"),
+        url_host_stats=lambda s, d: urls.host_stats(
+            _synth_urls(s, d).join(_docs(s, d).select("doc_id", "text"),
+                                   "doc_id")).orderBy("host"),
     )
     return out
 
@@ -599,4 +602,5 @@ def oracle_sql() -> dict[str, str]:
             "text || ' cafe' || chr(769) || ' ' || chr(7) || 'end'"),
         "url_canonical": PSQL.url_canonical_sql(URL_SYNTH_SQL),
         "url_dedup": PSQL.url_duplicates_sql(URL_SYNTH_SQL),
+        "url_host_stats": PSQL.host_stats_sql(URL_SYNTH_SQL),
     }

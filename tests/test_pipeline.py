@@ -311,3 +311,14 @@ class TestLineDedup:
                for r in dedup.line_dedup(df, min_chars=2).collect()}
         # 1-char lines are structure: both docs keep them; nothing ≥2 chars
         assert out[0] == "a\n\nb" and out[1] == "a\n\nb"
+
+
+def test_host_stats(spark):
+    from whoosh_spark.pipeline.urls import host_stats
+
+    rows = [(0, "HTTP://A.com:80/x", "abc"), (1, "http://a.com/y", "defgh"),
+            (2, "https://b.org/z", "ij")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r["host"]: (r["n_docs"], r["n_chars"])
+           for r in host_stats(df).collect()}
+    assert out == {"a.com": (2, 8), "b.org": (1, 2)}

@@ -580,3 +580,17 @@ SELECT t.doc_id, md5(coalesce(a.text, '')) AS fp, t.n_lines,
        (t.n_lines - coalesce(a.kept, 0))::BIGINT AS n_dropped
 FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
 """
+
+
+def host_stats_sql(synth: str) -> str:
+    """Twin of ``urls.host_stats`` over urls synthesized by ``synth``."""
+    from whoosh_spark.pipeline.urls import HOST_PATTERN
+
+    return f"""
+WITH {_canon_cte_sql(synth)}
+SELECT regexp_extract(c.url_canon, '{HOST_PATTERN}', 1) AS host,
+       count(*)::BIGINT AS n_docs,
+       sum(length(d.text))::BIGINT AS n_chars
+FROM canon c JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY host
+"""

@@ -64,3 +64,23 @@ def url_duplicates(pages: DataFrame, url_col: str = "url",
               .where(F.col("group_size") > 1))
     return (canon.join(groups, "url_canon")
             .select("doc_id", "canonical_id", "group_size"))
+
+
+HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+
+
+def host_stats(pages: DataFrame, url_col: str = "url",
+               text_col: str | None = "text") -> DataFrame:
+    """(host, n_docs[, n_chars]): per-host corpus aggregation over the
+    CANONICAL url — the crawl-health rollup (docs per domain, content
+    volume).  One groupBy(host) with map-side combine; host count is
+    bounded by the web itself, not the corpus, so the shuffle stays small."""
+    cols = [canonical_url_expr(F.col(url_col)).alias("u")]
+    if text_col is not None and text_col in pages.columns:
+        cols.append(F.length(F.col(text_col)).alias("_nc"))
+    base = pages.select(*cols).withColumn(
+        "host", F.regexp_extract("u", HOST_PATTERN, 1))
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    if len(cols) > 1:
+        aggs.append(F.sum("_nc").cast("long").alias("n_chars"))
+    return base.groupBy("host").agg(*aggs)

@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax": _q(Q.DisMax([Q.Term("data"), Q.Term("vector")], tiebreak=0.5)),
         "phrase_2": _q(Q.Phrase(["big", "data"])),
         "phrase_slop2": _q(Q.Phrase(["big", "data"], slop=2)),
+        "phrase_freq": _q(Q.Phrase(["big", "data"], scoring="freq")),
         "sequence_prefix": _q(Q.Sequence([Q.Term("big"), Q.Prefix("da")])),
         "prefix": _q(Q.Prefix("qu")),
         "wildcard": _q(Q.Wildcard("d*a")),
@@ -512,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "dismax": OSQL.dismax_sql(["data", "vector"], tiebreak=0.5),
         "phrase_2": OSQL.phrase_sql(["big", "data"]),
         "phrase_slop2": OSQL.phrase_sql(["big", "data"], slop=2),
+        "phrase_freq": OSQL.phrase_freq_sql(["big", "data"]),
         "sequence_prefix": OSQL.sequence_prefix_sql("big", "da", slop=1),
         "prefix": OSQL.prefix_sql("qu"),
         "wildcard": OSQL.wildcard_sql("d%a"),

@@ -318,3 +318,32 @@ class TestFunctionWeighting:
 
         with pytest.raises(ValueError):
             Searcher(ix, weighting="nope").search(Q.Term("data")).collect()
+
+
+class TestPhraseFreq:
+    def test_occurrences_rank_higher(self, spark):
+        from whoosh_spark.index import InvertedIndex
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        rows = [
+            (0, "big data twice big data here pad pad pad"),
+            (1, "big data once here word word word pad pad"),
+            (2, "no phrase here at all pad pad pad pad"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        s = Searcher(InvertedIndex.build(docs))
+        out = s.search(Q.Phrase(["big", "data"], scoring="freq"),
+                       limit=10).collect()
+        assert [r["doc_id"] for r in out] == [0, 1]
+        assert out[0]["score"] > out[1]["score"]
+
+    def test_terms_mode_unchanged(self, ix):
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        a = s.search(Q.Phrase(["big", "data"]), limit=10).collect()
+        b = s.search(Q.Phrase(["big", "data"], scoring="terms"),
+                     limit=10).collect()
+        assert a == b

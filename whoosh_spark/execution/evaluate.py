@@ -578,13 +578,40 @@ class Evaluator:
             else:
                 cand = F.flatten(F.transform(cur, lambda c: F.sequence(c + 1, c + q.slop)))
             cur = F.array_intersect(cand, F.col(f"_p{i}"))
-        matched = joined.where(F.size(cur) > 0).select("doc_id")
-        # score = sum of constituent term BM25 over matching docs (And semantics)
-        scored = (
-            self._scored_terms(uniq, fk)
-            .groupBy("doc_id").agg(F.sum("score").alias("score"))
-            .join(matched, "doc_id", "left_semi")
-        )
+        if getattr(q, "scoring", "terms") == "freq":
+            # phrase-frequency BM25: tf = number of phrase occurrences
+            # (distinct end positions of the adjacency fold), idf from the
+            # phrase's OWN doc frequency — computed in-plan as a broadcast
+            # one-row aggregate, no driver round-trip
+            from whoosh_spark.execution.score import bm25_component
+
+            n, avgdl = self._fglobal[fk]
+            ptf = (joined.select("doc_id", F.size(cur).alias("_ptf"))
+                   .where(F.col("_ptf") > 0))
+            pdf = ptf.agg(F.count("*").cast("long").alias("_pdf"))
+            b, fboost = self._bb(fk)
+            idf = F.log(F.lit(float(n))
+                        / (F.col("_pdf").cast("double") + F.lit(1.0))) + F.lit(1.0)
+            comp = (bm25_component(F.col("_ptf"), F.col("dl"), avgdl)
+                    if b is None else
+                    bm25_component(F.col("_ptf"), F.col("dl"), avgdl,
+                                   b=float(b)))
+            scored = (
+                ptf.join(self._ixf(fk).doc_lengths.select("doc_id", "dl"),
+                         "doc_id")
+                .crossJoin(F.broadcast(pdf))
+                .select("doc_id",
+                        (idf * comp * float(fboost)).alias("score"))
+            )
+        else:
+            matched = joined.where(F.size(cur) > 0).select("doc_id")
+            # score = sum of constituent term BM25 over matching docs
+            # (And semantics)
+            scored = (
+                self._scored_terms(uniq, fk)
+                .groupBy("doc_id").agg(F.sum("score").alias("score"))
+                .join(matched, "doc_id", "left_semi")
+            )
         if q.boost != 1.0:
             scored = scored.withColumn("score", F.col("score") * q.boost)
         return scored

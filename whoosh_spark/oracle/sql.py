@@ -799,3 +799,35 @@ def matched_terms_sql(terms: list[str], k: int = 10) -> str:
                 AND s.term IN ({_terms_in(terms)})) AS matched
       FROM ({base}) t ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
+
+
+def phrase_freq_sql(words: list[str], slop: int = 1, k: int = 10) -> str:
+    """Phrase scored by PHRASE FREQUENCY (Phrase(scoring="freq")): tf =
+    distinct end positions of the adjacency chain, idf from the phrase's own
+    doc frequency, BM25 shape identical to the term scorer."""
+    joins = []
+    for i in range(len(words)):
+        joins.append(f"(SELECT doc_id, pos FROM tokf WHERE term = '{words[i]}') p{i}")
+    cond = []
+    for i in range(1, len(words)):
+        cond.append(
+            f"p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i-1}.pos AND p{i}.pos <= p{i-1}.pos + {slop}"
+        )
+    last = len(words) - 1
+    match = (
+        f"pm AS (SELECT p0.doc_id, count(DISTINCT p{last}.pos)::DOUBLE AS ptf FROM "
+        + " , ".join(joins)
+        + " WHERE "
+        + " AND ".join(cond)
+        + " GROUP BY p0.doc_id), "
+        + "pdf AS (SELECT count(*)::BIGINT AS df FROM pm)"
+    )
+    sel = f"""
+      SELECT m.doc_id,
+             (ln((SELECT n FROM nn) / ((SELECT df FROM pdf) + 1)) + 1)
+             * ((m.ptf * ({BM25_K1} + 1.0))
+                / (m.ptf + {BM25_K1} * ((1.0 - {BM25_B})
+                   + {BM25_B} * q.dl / (SELECT avgdl FROM ad)))) AS score
+      FROM pm m JOIN dlq q USING (doc_id)
+    """
+    return base_ctes(match) + topk(sel, k)

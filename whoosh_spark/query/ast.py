@@ -392,12 +392,17 @@ class Phrase(Query):
     slop: int = 1
     boost: float = 1.0
     fieldname: str | None = None
+    scoring: str = "terms"  # "terms" (sum of term BM25) | "freq" (phrase-
+    #                         frequency BM25: tf = occurrence count, idf
+    #                         from the phrase's own doc frequency)
 
-    def __init__(self, words, slop=1, boost=1.0, fieldname=None):
+    def __init__(self, words, slop=1, boost=1.0, fieldname=None,
+                 scoring="terms"):
         object.__setattr__(self, "words", tuple(words))
         object.__setattr__(self, "slop", slop)
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "fieldname", fieldname)
+        object.__setattr__(self, "scoring", scoring)
 
     def normalize(self) -> Query:
         toks: list[str] = []
@@ -408,7 +413,8 @@ class Phrase(Query):
             return NullQuery
         if len(toks) == 1:
             return Term(toks[0], self.boost, self.fieldname)
-        return Phrase(toks, self.slop, self.boost, self.fieldname)
+        return Phrase(toks, self.slop, self.boost, self.fieldname,
+                      self.scoring)
 
     def terms(self):
         return list(self.words)

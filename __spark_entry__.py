@@ -455,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_quality=lambda s, d: textstats.quality_features(_docs(s, d)).orderBy("doc_id"),
         text_lang_id=lambda s, d: textstats.lang_id(_docs(s, d)).orderBy("doc_id"),
         text_fingerprint=lambda s, d: textstats.content_fingerprint(_docs(s, d)).orderBy("doc_id"),
+        pipeline_prep=lambda s, d: textstats.prep_corpus(
+            _docs(s, d), lang="en", min_quality=0.5).orderBy("doc_id"),
         dedup_lines=lambda s, d: dedup.line_dedup(_docs(s, d), sep=" ")
             .select("doc_id", F.md5("text").alias("fp"),
                     "n_lines", "n_dropped").orderBy("doc_id"),
@@ -592,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": PSQL.winnow_sql(5, 4),
         "text_repetition": PSQL.repetition_sql(),
         "dedup_lines": PSQL.line_dedup_sql(" ", 1),
+        "pipeline_prep": PSQL.prep_corpus_sql("en", 0.5),
         "sim_cosine_topk": PSQL.cosine_topk_sql(0, 10),
         "sim_ann_lsh": PSQL.ann_topk_sql(0, 10, bits=8, seed=42, dim=64),
         "sim_ivf_topk": PSQL.ivf_topk_sql(0, 10, n_cells=16, n_probe=4,

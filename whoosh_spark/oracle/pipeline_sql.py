@@ -594,3 +594,21 @@ SELECT regexp_extract(c.url_canon, '{HOST_PATTERN}', 1) AS host,
 FROM canon c JOIN documents d USING (doc_id)
 GROUP BY 1 ORDER BY host
 """
+
+
+def prep_corpus_sql(lang: str = "en", min_quality: float = 0.5) -> str:
+    """Composed twin: quality + lang-ID + fingerprint-dedup gates."""
+    return f"""
+WITH q AS (SELECT * FROM ({quality_sql()})),
+l AS (SELECT * FROM ({lang_id_sql()})),
+f AS (SELECT * FROM ({content_fingerprint_sql()})),
+keep AS (
+  SELECT f.doc_id FROM f
+  JOIN (SELECT fp, min(doc_id) AS first FROM f GROUP BY fp) g
+    ON g.fp = f.fp AND g.first = f.doc_id
+)
+SELECT q.doc_id, q.quality
+FROM q JOIN l USING (doc_id) JOIN keep USING (doc_id)
+WHERE l.lang_pred = '{lang}' AND q.quality >= {min_quality}
+ORDER BY q.doc_id
+"""

@@ -246,3 +246,22 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         frac(dup_w, n_w).alias("dup_word_frac"),
         frac(max_g, n_g).alias("top_bigram_frac"),
         frac(dup_g, n_g).alias("dup_bigram_frac"))
+
+
+def prep_corpus(docs: DataFrame, text_col: str = "text",
+                lang: str = "en", min_quality: float = 0.5) -> DataFrame:
+    """(doc_id, quality): the composed training-data prep gate — language
+    filter + quality threshold + exact (fingerprint) dedup keeping the
+    smallest doc_id.  One pass of scan-side feature columns plus a single
+    fingerprint groupBy; the shape every corpus-prep job starts from."""
+    q = quality_features(docs, text_col).select("doc_id", "quality")
+    l = lang_id(docs, text_col).select("doc_id", "lang_pred")
+    f = content_fingerprint(docs, text_col)
+    firsts = f.groupBy("fp").agg(F.min("doc_id").alias("_first"))
+    keep = (f.join(firsts, "fp")
+            .where(F.col("doc_id") == F.col("_first"))
+            .select("doc_id"))
+    return (q.join(l, "doc_id").join(keep, "doc_id", "left_semi")
+            .where((F.col("lang_pred") == lang)
+                   & (F.col("quality") >= min_quality))
+            .select("doc_id", "quality"))

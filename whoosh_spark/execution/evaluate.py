@@ -779,15 +779,28 @@ class Evaluator:
     # broadcasts when the parent set is small — at larger parent cardinality,
     # bucket both sides on doc_id>>16 and range-join within buckets.
     # ------------------------------------------------------------------
-    def _parent_ranges(self, parents_q: Q.Query) -> DataFrame:
+    def _parent_ranges(self, parents_q: Q.Query, bucket_bits: int = 16) -> DataFrame:
+        """(parent doc_id, next parent doc_id) — successor computed with a
+        PARTITIONED window (doc-id buckets) plus a per-bucket boundary fill,
+        not a global Window.orderBy whose single-partition sort serializes
+        at scale.  The boundary frame is one row per non-empty bucket —
+        broadcast-sized regardless of parent count."""
         from pyspark.sql.window import Window
 
         parents = self._eval(parents_q).select("doc_id")
-        w = Window.orderBy("doc_id")
-        return parents.select(
-            F.col("doc_id").alias("_parent"),
-            F.lead("doc_id").over(w).alias("_next"),
-        )
+        b = parents.withColumn("_bkt", F.shiftright("doc_id", bucket_bits))
+        w = Window.partitionBy("_bkt").orderBy("doc_id")
+        within = b.withColumn("_next", F.lead("doc_id").over(w))
+        # successor of each bucket's LAST parent = the next bucket's min;
+        # chain via a lead over the (tiny) per-bucket min frame
+        mins = (b.groupBy("_bkt").agg(F.min("doc_id").alias("_bmin"))
+                .withColumn("_nextmin",
+                            F.lead("_bmin").over(Window.orderBy("_bkt"))))
+        return (within.join(F.broadcast(mins.select("_bkt", "_nextmin")),
+                            "_bkt", "left")
+                .select(F.col("doc_id").alias("_parent"),
+                        F.coalesce(F.col("_next"),
+                                   F.col("_nextmin")).alias("_next")))
 
     def _bucketed_range_join(self, kids: DataFrame, ranges: DataFrame,
                              how: str) -> DataFrame:

@@ -128,7 +128,13 @@ class Searcher:
             ordered = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
 
         if offset:
-            # search_page semantics: collect top (offset+limit) then slice.
+            # search_page semantics: top (offset+limit), slice off the head.
+            # With a limit, TakeOrderedAndProject reduces the frame to
+            # offset+limit rows FIRST, so the global rank window only ever
+            # sees one page worth of rows (limit=None pays the full sort —
+            # inherent to an unbounded page).
+            if limit is not None:
+                ordered = ordered.limit(offset + limit)
             w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             if sortedby is not None:
                 key = F.col(sortedby).desc() if reverse else F.col(sortedby).asc()

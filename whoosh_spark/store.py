@@ -375,6 +375,9 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
         F.max("doc_id")).collect()[0][0] or 0
     from pyspark.sql.window import Window
 
+    # global window is fine HERE: it ranks only this upsert's new docs
+    # (batch-sized), not the corpus — dense ids above max_id need a total
+    # order over exactly these rows
     w = Window.orderBy(key)
     renumbered = new_docs.withColumn(
         "doc_id", (F.lit(int(max_id)) + F.row_number().over(w)).cast("long"))

@@ -134,7 +134,35 @@ def test_stemming_field(spark):
     assert {d for d, _ in _hits(s, Q.Term("run"))} == {0}
 
 
-def test_wand_skipped_for_fielded_query(mix):
+def test_wand_eligibility_with_fields(mix):
     s = Searcher(mix)
-    assert s._wand_terms(Q.Term("spark", fieldname="title")) is None
-    assert s._wand_terms(Q.Term("spark")) == (["spark"], "sum", 0.0)
+    # round 2: single-field fielded batches are WAND-eligible (field's own
+    # block metadata + B/boost feed the bounds); mixed-field batches are not
+    assert s._wand_terms(Q.Term("spark", fieldname="title")) == \
+        (["spark"], "sum", 0.0, "title")
+    assert s._wand_terms(Q.Term("spark")) == (["spark"], "sum", 0.0, None)
+    assert s._wand_terms(Q.Or([Q.Term("a", fieldname="title"),
+                               Q.Term("b")])) is None
+
+
+def test_fielded_wand_matches_exhaustive(spark):
+    """WAND on a fielded term batch (non-default field, boost+B override)
+    must equal the exhaustive evaluator path."""
+    from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
+    from whoosh_spark.query import ast as Q
+    from whoosh_spark.search import Searcher
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("title", F.concat(F.lit("title "), F.col("text")))
+    mix = MultiFieldIndex.build(
+        docs,
+        fields={"text": FieldSpec("text"),
+                "title": FieldSpec("title", boost=2.0, b=0.5)},
+        default_field="text")
+    s = Searcher(mix)
+    q = Q.Or([Q.Term("data", fieldname="title"),
+              Q.Term("vector", fieldname="title")])
+    fast = s.search(q, limit=10).collect()
+    slow = s.search(q, limit=10, optimize=False).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in fast] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in slow]

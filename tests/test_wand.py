@@ -106,7 +106,7 @@ def test_wand_dismax_equals_exhaustive(ix, searcher, terms, tb, monkeypatch):
 
 def test_search_routes_dismax_through_wand(searcher):
     q = Q.DisMax([Q.Term("data"), Q.Term("vector")], tiebreak=0.5)
-    assert searcher._wand_terms(q) == (["data", "vector"], "max", 0.5)
+    assert searcher._wand_terms(q) == (["data", "vector"], "max", 0.5, None)
     via_search = _rows(searcher.search(q, limit=10))
     assert via_search == _rows(searcher.ev.evaluate(q))
     # duplicate children disqualify (tiebreak counts duplicates)

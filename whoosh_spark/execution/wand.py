@@ -42,22 +42,27 @@ from whoosh_spark.index import InvertedIndex
 MIN_BLOCKS_FOR_WAND = 64
 
 
-def _ub_col(idf_map: dict[str, float], avgdl: float) -> F.Column:
-    """Block score upper bound as a column expr over block metadata."""
+def _ub_col(idf_map: dict[str, float], avgdl: float,
+            b: float | None = None, mult: float = 1.0) -> F.Column:
+    """Block score upper bound as a column expr over block metadata.
+    ``b``/``mult`` are the per-field BM25F length-norm override and field
+    boost — the bound must use the SAME constants the scorer does."""
+    bb = BM25_B if b is None else float(b)
     idf = F.lit(0.0)
     for t, v in idf_map.items():
         idf = F.when(F.col("term") == t, F.lit(float(v))).otherwise(idf)
     mw = F.col("max_weight")
     dl = F.col("min_len").cast("double")
     comp = (mw * (BM25_K1 + 1.0)) / (
-        mw + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / float(avgdl))
+        mw + BM25_K1 * ((1.0 - bb) + bb * dl / float(avgdl))
     )
-    return idf * comp
+    return idf * comp * float(mult)
 
 
 def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
               theta_blocks: int | None = None, mode: str = "sum",
-              tiebreak: float = 0.0) -> DataFrame:
+              tiebreak: float = 0.0, b: float | None = None,
+              mult: float = 1.0) -> DataFrame:
     """Exact top-k (doc_id, score) for an Or/Term-batch query via block-max
     pruning.  Falls back to exhaustive scoring for small posting sets.
 
@@ -87,7 +92,8 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
 
     def _score(blocks_df) -> DataFrame:
         posts = ix._decode(blocks_df, False)
-        return ix.not_deleted(_agg(score_postings(posts, idf_map, avgdl)))
+        return ix.not_deleted(_agg(
+            score_postings(posts, idf_map, avgdl, b=b, mult=mult)))
 
     blocks = ix.blocks.where(
         (F.col("field") == ix.field) & F.col("term").isin(present)
@@ -96,7 +102,7 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
     if n_blocks < MIN_BLOCKS_FOR_WAND:
         return _score(blocks)
 
-    ub = _ub_col(idf_map, avgdl)
+    ub = _ub_col(idf_map, avgdl, b=b, mult=mult)
     withub = blocks.withColumn("_ub", ub)
 
     # ---- pass A: θ seed from the highest-upper-bound blocks --------------
@@ -157,6 +163,7 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
     )
     posts_all = ix._decode(survivors.unionByName(overlap), False)
     scored = _agg(
-        score_postings(posts_all, idf_map, avgdl).join(cand, "doc_id", "left_semi")
+        score_postings(posts_all, idf_map, avgdl, b=b,
+                       mult=mult).join(cand, "doc_id", "left_semi")
     )
     return ix.not_deleted(scored)

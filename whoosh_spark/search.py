@@ -38,26 +38,30 @@ class Searcher:
         qn = q.normalize()
 
         def flat_terms(children):
-            if all(isinstance(c, Q.Term) and c.boost == 1.0
-                   and c.fieldname is None for c in children):
-                return [c.text for c in children]
-            return None
+            """(texts, common fieldname) if every child is an unboosted Term
+            on ONE field (None = default) — single-field batches WAND with
+            that field's block metadata, B override, and boost."""
+            if not all(isinstance(c, Q.Term) and c.boost == 1.0
+                       for c in children):
+                return None
+            fields = {c.fieldname for c in children}
+            if len(fields) != 1:
+                return None
+            return [c.text for c in children], fields.pop()
 
-        # fielded terms take the general evaluator path: WAND bounds are
-        # computed against the DEFAULT field's block metadata only
-        if isinstance(qn, Q.Term) and qn.boost == 1.0 and qn.fieldname is None:
-            return [qn.text], "sum", 0.0
+        if isinstance(qn, Q.Term) and qn.boost == 1.0:
+            return [qn.text], "sum", 0.0, qn.fieldname
         if isinstance(qn, Q.Or) and qn.minmatch <= 1 and qn.boost == 1.0:
-            ts = flat_terms(qn.children)
-            if ts is not None:
-                return ts, "sum", 0.0
+            tf = flat_terms(qn.children)
+            if tf is not None:
+                return tf[0], "sum", 0.0, tf[1]
         if isinstance(qn, Q.DisMax) and qn.boost == 1.0 and 0.0 <= qn.tiebreak <= 1.0:
-            ts = flat_terms(qn.children)
+            tf = flat_terms(qn.children)
             # DisMax.normalize keeps duplicate children (unlike Or) and the
             # tiebreak sum counts them — only the duplicate-free case is
             # equivalent to the deduped WAND term batch
-            if ts is not None and len(set(ts)) == len(ts):
-                return ts, "max", qn.tiebreak
+            if tf is not None and len(set(tf[0])) == len(tf[0]):
+                return tf[0], "max", qn.tiebreak, tf[1]
         return None
 
     def search(
@@ -97,8 +101,22 @@ class Searcher:
             else None
         )
         if wand is not None:
-            wterms, wmode, wtb = wand
-            scores = wand_topk(self.ix, wterms, limit, mode=wmode, tiebreak=wtb)
+            wterms, wmode, wtb, wfield = wand
+            if hasattr(self.ix, "index_for"):  # MultiFieldIndex
+                try:
+                    ixf = self.ix.index_for(wfield)
+                except KeyError:
+                    return self.ix.spark.createDataFrame(
+                        [], "doc_id long, score double")
+                wb = self.ix.bm25_b(wfield)
+                wmult = self.ix.field_boost(wfield)
+            else:
+                if wfield is not None and wfield != self.ix.field:
+                    raise KeyError(f"unknown field {wfield!r} (single-field "
+                                   f"index {self.ix.field!r})")
+                ixf, wb, wmult = self.ix, None, 1.0
+            scores = wand_topk(ixf, wterms, limit, mode=wmode, tiebreak=wtb,
+                               b=wb, mult=wmult)
             ordered = scores.orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
             ).limit(limit)

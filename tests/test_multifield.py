@@ -145,12 +145,17 @@ def test_wand_eligibility_with_fields(mix):
                                Q.Term("b")])) is None
 
 
-def test_fielded_wand_matches_exhaustive(spark):
+def test_fielded_wand_matches_exhaustive(spark, monkeypatch):
     """WAND on a fielded term batch (non-default field, boost+B override)
-    must equal the exhaustive evaluator path."""
+    must equal the exhaustive evaluator path — MIN_BLOCKS forced to 0 so
+    the fielded bound math (theta seed, survivor predicate, completion)
+    actually executes at this corpus size."""
+    from whoosh_spark.execution import wand as W
     from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
     from whoosh_spark.query import ast as Q
     from whoosh_spark.search import Searcher
+
+    monkeypatch.setattr(W, "MIN_BLOCKS_FOR_WAND", 0)
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
         .withColumn("title", F.concat(F.lit("title "), F.col("text")))

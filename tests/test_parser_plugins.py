@@ -151,3 +151,28 @@ class TestNaturalLanguageDates:
         assert q.lo == 1581984000          # 2020-02-18
         q = self._parse("warc_ts:[this sat TO this sat]")
         assert q.lo == 1581724800          # 2020-02-15 itself
+
+    def test_exclusive_nl_bounds(self):
+        # '}' excludes the whole NL span; '{' starts after it
+        q = self._parse("warc_ts:{2020-02-01 TO yesterday}")
+        assert q.hi == 1581638400 and q.incl_hi is False  # Feb 14 excluded
+        q = self._parse("warc_ts:{yesterday TO 2020-03-01]")
+        assert q.lo == 1581724800                         # starts Feb 15
+
+    def test_iso_gt_strictness(self):
+        from whoosh_spark.query.parser import parse_query
+
+        q = parse_query("warc_ts:>2020-02-15", datetime_fields=["warc_ts"])
+        assert q.lo == 1581811200 and q.incl_lo is True   # Feb 16 00:00 IN
+        q = parse_query("warc_ts:>2020-02-15T10:00:00",
+                        datetime_fields=["warc_ts"])
+        assert q.incl_lo is False                         # instant itself OUT
+
+    def test_year_delta_on_leap_day(self):
+        from datetime import datetime
+
+        from whoosh_spark.query.parser import parse_query
+
+        q = parse_query("warc_ts:-1y", datetime_fields=["warc_ts"],
+                        basedate=datetime(2020, 2, 29))
+        assert (q.lo, q.hi) == (1546300800, 1577836800)   # all of 2019

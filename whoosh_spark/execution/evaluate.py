@@ -579,12 +579,22 @@ class Evaluator:
                 cand = F.flatten(F.transform(cur, lambda c: F.sequence(c + 1, c + q.slop)))
             cur = F.array_intersect(cand, F.col(f"_p{i}"))
         if getattr(q, "scoring", "terms") == "freq":
-            # phrase-frequency BM25: tf = number of phrase occurrences
+            # phrase-frequency scoring: tf = number of phrase occurrences
             # (distinct end positions of the adjacency fold), idf from the
             # phrase's OWN doc frequency — computed in-plan as a broadcast
-            # one-row aggregate, no driver round-trip
+            # one-row aggregate, no driver round-trip.  Honors the model
+            # switch for models definable on (tf, dl, idf); DFR models need
+            # a phrase collection frequency the index doesn't store.
             from whoosh_spark.execution.score import bm25_component
 
+            model = self._weighting_for(fk)
+            rev = model.startswith("reverse:")
+            if rev:
+                model = model[len("reverse:"):]
+            if model not in ("bm25", "tfidf", "frequency"):
+                raise ValueError(
+                    f"Phrase(scoring='freq') supports bm25/tfidf/frequency "
+                    f"weighting, not {model!r}")
             n, avgdl = self._fglobal[fk]
             ptf = (joined.select("doc_id", F.size(cur).alias("_ptf"))
                    .where(F.col("_ptf") > 0))
@@ -592,16 +602,23 @@ class Evaluator:
             b, fboost = self._bb(fk)
             idf = F.log(F.lit(float(n))
                         / (F.col("_pdf").cast("double") + F.lit(1.0))) + F.lit(1.0)
-            comp = (bm25_component(F.col("_ptf"), F.col("dl"), avgdl)
-                    if b is None else
-                    bm25_component(F.col("_ptf"), F.col("dl"), avgdl,
-                                   b=float(b)))
+            if model == "bm25":
+                comp = (bm25_component(F.col("_ptf"), F.col("dl"), avgdl)
+                        if b is None else
+                        bm25_component(F.col("_ptf"), F.col("dl"), avgdl,
+                                       b=float(b)))
+                expr = idf * comp
+            elif model == "tfidf":
+                expr = F.col("_ptf").cast("double") * idf
+            else:  # frequency
+                expr = F.col("_ptf").cast("double")
+            if rev:
+                expr = F.lit(0.0) - expr
             scored = (
                 ptf.join(self._ixf(fk).doc_lengths.select("doc_id", "dl"),
                          "doc_id")
                 .crossJoin(F.broadcast(pdf))
-                .select("doc_id",
-                        (idf * comp * float(fboost)).alias("score"))
+                .select("doc_id", (expr * float(fboost)).alias("score"))
             )
         else:
             matched = joined.where(F.size(cur) > 0).select("doc_id")
@@ -811,10 +828,15 @@ class Evaluator:
         Compiles to a hash join keyed on bucket — NOT the
         BroadcastNestedLoopJoin a raw interval predicate produces, whose
         every-child-probes-every-parent work is quadratic at scale."""
+        # cache the parents frame: the stats collect below would otherwise
+        # re-run the whole parents subquery (window included) a second time
+        # inside the join lineage
+        ranges = ranges.persist()
         stats = ranges.agg(
             F.count("*").alias("n"), F.min("_parent").alias("lo"),
             F.max("_parent").alias("hi_p")).collect()[0]
         if not stats["n"]:
+            ranges.unpersist()
             return None
         if self._max_doc is None:
             self._max_doc = int(
@@ -832,7 +854,11 @@ class Evaluator:
         cond = ((kb["_bucket"] == exploded["_bucket"])
                 & (kb["doc_id"] > exploded["_parent"])
                 & (kb["doc_id"] < exploded["_next_f"]))
-        return kb.join(F.broadcast(exploded), cond, how)
+        # no broadcast hint: the equi-key lets Catalyst/AQE pick broadcast
+        # for small parent sets and a shuffled hash join for large ones —
+        # forcing broadcast would OOM exactly the at-scale case this join
+        # exists for
+        return kb.join(exploded, cond, how)
 
     def _eval_nestedparent(self, q: Q.NestedParent) -> DataFrame:
         ranges = self._parent_ranges(q.parents)

@@ -298,9 +298,13 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
     Lines shorter than ``min_chars`` after trim are kept verbatim (they are
     structure, not content).  Empty-text docs pass through unchanged.
     """
+    import re as _re
+
+    # F.split takes a REGEX; sep is a literal (array_join and the DuckDB
+    # twin's string_split both treat it literally), so escape it
     lines = (docs
              .select(F.col("doc_id").cast("long").alias("doc_id"),
-                     F.posexplode(F.split(F.col(text_col), sep))
+                     F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
                      .alias("idx", "line"))
              .withColumn("key", F.md5(F.trim(F.col("line"))))
              .withColumn("elig", F.length(F.trim(F.col("line"))) >= min_chars))

@@ -105,20 +105,19 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
     if m:
         sign, n, unit = m.groups()
         n = int(n) * (1 if sign == "+" else -1)
+        if unit == "y":
+            # only the year matters for a year-grain span; never touch the
+            # day field (base.replace(year=...) explodes on Feb 29)
+            return _year(base.year + n)
         if unit == "mo":
             d = _add_months(base, n)
-        else:
-            delta = {"s": timedelta(seconds=1), "min": timedelta(minutes=1),
-                     "h": timedelta(hours=1), "d": timedelta(days=1),
-                     "w": timedelta(weeks=1)}.get(unit)
-            d = base.replace(year=base.year + n) if unit == "y" \
-                else base + n * delta
+            return _month(d.year, d.month)
+        delta = {"s": timedelta(seconds=1), "min": timedelta(minutes=1),
+                 "h": timedelta(hours=1), "d": timedelta(days=1),
+                 "w": timedelta(weeks=1)}[unit]
+        d = base + n * delta
         if unit in ("d", "w"):
             return _day(d)
-        if unit == "mo":
-            return _month(d.year, d.month)
-        if unit == "y":
-            return _year(d.year)
         t = _ep(d.replace(microsecond=0))
         return t, t + 1
     if re.match(r"^\d{4}$", s):

@@ -129,9 +129,11 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
                 return DateRange(fieldname, lo=None, hi=hi,
                                  incl_hi=False, boost=boost)
             if op == ">":
-                # strictly after the named instant/day
+                # strictly after the named instant/day: a date-only bound
+                # starts AT the next midnight (inclusive); an instant bound
+                # excludes the instant itself
                 return DateRange(fieldname, lo=ep + (_DAY if date_only else 0),
-                                 hi=None, incl_lo=(not date_only), boost=boost)
+                                 hi=None, incl_lo=date_only, boost=boost)
             if op == ">=":
                 return DateRange(fieldname, lo=ep, hi=None, boost=boost)
             if op == "<":
@@ -159,7 +161,10 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
                 try:
                     lo, _ = _iso_epoch(lo_s)
                 except ValueError:
-                    lo, _sp_hi = _nl(lo_s, basedate)
+                    sp_lo, sp_hi = _nl(lo_s, basedate)
+                    # '[' starts at the NL span; '{' starts after it
+                    lo = sp_lo if incl_lo else sp_hi
+                    incl_lo = True
             if hi_s.strip():
                 try:
                     ep, date_only = _iso_epoch(hi_s)
@@ -167,7 +172,9 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
                     hi = ep + _DAY if (date_only and incl_hi) else ep
                     incl_hi = incl_hi and not date_only
                 except ValueError:
-                    _sp_lo, hi = _nl(hi_s, basedate)
+                    sp_lo, sp_hi = _nl(hi_s, basedate)
+                    # ']' includes the whole NL span; '}' excludes it
+                    hi = sp_hi if incl_hi else sp_lo
                     incl_hi = False
             return DateRange(fieldname, lo, hi, incl_lo, incl_hi, boost=boost)
         try:

@@ -103,11 +103,10 @@ class Searcher:
         if wand is not None:
             wterms, wmode, wtb, wfield = wand
             if hasattr(self.ix, "index_for"):  # MultiFieldIndex
-                try:
-                    ixf = self.ix.index_for(wfield)
-                except KeyError:
-                    return self.ix.spark.createDataFrame(
-                        [], "doc_id long, score double")
+                # unknown field raises KeyError here, matching the
+                # Evaluator path — a typo'd field must not look like
+                # "no matches"
+                ixf = self.ix.index_for(wfield)
                 wb = self.ix.bm25_b(wfield)
                 wmult = self.ix.field_boost(wfield)
             else:

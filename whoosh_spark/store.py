@@ -434,8 +434,13 @@ def export_to_iceberg(spark: SparkSession, path: str, table_prefix: str) -> list
             "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
             "configuration, then re-run export_to_iceberg"
         ) from e
+    tables = list(INDEX_TABLES)
+    # the soft-delete overlay is part of the index state: without it a
+    # consumer of the exported tables would resurrect deleted docs
+    if FS.exists(FS.join(path, "deleted")):
+        tables.append("deleted")
     out = []
-    for t in INDEX_TABLES:
+    for t in tables:
         df = spark.read.parquet(FS.join(path, t))
         target = f"{table_prefix}_{t}"
         df.writeTo(target).using("iceberg").createOrReplace()

@@ -107,3 +107,25 @@ def test_export_to_iceberg_gates_on_runtime(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         store.export_to_iceberg(spark, str(tmp_path), "cat.db.ix")
+
+
+def test_write_index_extends_after_upsert(spark, tmp_path):
+    """Incremental write_index must tolerate string batch ids left in the
+    build log by upsert/purge compactions."""
+    from whoosh_spark import store
+
+    path = str(tmp_path / "ix")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(8)], "doc_id long, text string")
+    store.write_index(docs, path)
+    store.upsert_documents(
+        spark, path,
+        spark.createDataFrame([(100, "gamma delta")], "doc_id long, text string"),
+        key="doc_id")
+    # extend with new chunks — used to crash on max() over int|str batch ids
+    more = spark.createDataFrame(
+        [(1 << 17, "epsilon zeta")], "doc_id long, text string")
+    manifest = store.write_index(docs.unionByName(more), path)
+    assert manifest["status"] != "partial" if "status" in manifest else True
+    ix = store.load_index(spark, path)
+    assert ix.docs.where("doc_id = 131072").count() == 1

@@ -326,7 +326,6 @@ def encode_sorted_stream(batches):
     import pyarrow as pa
 
     carry: "pa.Table | None" = None
-    out_schema = pa.schema([(n, getattr(pa, t)()) for n, t in _ARROW_FIELDS])
 
     def _group_change_mask(tbl: "pa.Table") -> np.ndarray:
         """bool[n-1]: True where row i+1 starts a new (field, term, bucket)
@@ -389,9 +388,6 @@ def encode_sorted_stream(batches):
         rb = _encode_table(carry.combine_chunks())
         if rb is not None and rb.num_rows:
             yield rb
-    if carry is None:
-        # empty partition: yield nothing (schema known to Spark)
-        return
 
 
 # ---------------------------------------------------------------------------
@@ -504,34 +500,51 @@ def build_runs_arrow(field: str, bucket_bits: int):
         max_tf = np.maximum.reduceat(tfs, bounds[:-1])
         min_dl = np.minimum.reduceat(dls, bounds[:-1])
 
-        def _bin_col(flat: np.ndarray, prefix: np.ndarray, idx_bounds: np.ndarray):
-            offs = prefix[idx_bounds].astype(np.int64)
-            return pa.BinaryArray.from_buffers(
-                pa.binary(), n_runs,
-                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
-                 pa.py_buffer(flat.tobytes())],
-            )
-
         run_terms = dictionary.take(pa.array(term_idx[bounds[:-1]], type=pa.int64()))
         bl_prefix = np.cumsum(np.concatenate(([0], _varint_lens(blob_lens))))
         blob_lens_stream = np.frombuffer(varint_encode(blob_lens.astype(np.uint64)),
                                          dtype=np.uint8)
-        arrays = [
-            run_terms.cast(pa.string()),
-            pa.array(buckets[bounds[:-1]], type=pa.int64()),
-            pa.array(run_lens.astype(np.int32)),
-            pa.array(min_ids, type=pa.int64()),
-            pa.array(max_ids, type=pa.int64()),
-            pa.array(sum_tf.astype(np.int64)),
-            pa.array(max_tf.astype(np.int64)),
-            pa.array(min_dl.astype(np.int32)),
-            _bin_col(ids_np, ids_b, bounds),
-            _bin_col(tfs_np, tfs_b, bounds),
-            _bin_col(dls_np, np.arange(doc_ids.size + 1) * 2, bounds),
-            _bin_col(np.frombuffer(blob_vals.tobytes(), dtype=np.uint8), blob_b, bounds),
-            _bin_col(blob_lens_stream, bl_prefix, bounds),
-        ]
-        yield pa.RecordBatch.from_arrays(arrays, names=[n for n, _ in RUNS_SCHEMA_PA])
+        dls_prefix = np.arange(doc_ids.size + 1, dtype=np.int64) * 2
+        blob_flat = np.frombuffer(blob_vals.tobytes(), dtype=np.uint8)
+
+        def _bin_col(flat: np.ndarray, prefix: np.ndarray, r0: int, r1: int):
+            # Arrow binary offsets are int32; slice the flat stream so each
+            # emitted batch's offsets restart at 0 (the emission loop below
+            # caps every slice under 2**30 bytes — a whole-partition batch
+            # would silently wrap negative past 2 GiB)
+            offs = prefix[bounds[r0:r1 + 1]].astype(np.int64)
+            start = int(offs[0])
+            offs32 = (offs - start).astype(np.int32)
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), r1 - r0,
+                [None, pa.py_buffer(offs32.tobytes()),
+                 pa.py_buffer(flat[start:int(offs[-1])].tobytes())],
+            )
+
+        streams = [(ids_np, ids_b), (tfs_np, tfs_b), (dls_np, dls_prefix),
+                   (blob_flat, blob_b), (blob_lens_stream, bl_prefix)]
+        byte_cap = 1 << 30
+        r0 = 0
+        while r0 < n_runs:
+            r1 = n_runs
+            for _flat, pref in streams:
+                cap = int(pref[bounds[r0]]) + byte_cap
+                j = int(np.searchsorted(pref[bounds], cap, side="right")) - 1
+                r1 = min(r1, max(j, r0 + 1))
+            arrays = [
+                run_terms.slice(r0, r1 - r0).cast(pa.string()),
+                pa.array(buckets[bounds[r0:r1]], type=pa.int64()),
+                pa.array(run_lens[r0:r1].astype(np.int32)),
+                pa.array(min_ids[r0:r1], type=pa.int64()),
+                pa.array(max_ids[r0:r1], type=pa.int64()),
+                pa.array(sum_tf[r0:r1].astype(np.int64)),
+                pa.array(max_tf[r0:r1].astype(np.int64)),
+                pa.array(min_dl[r0:r1].astype(np.int32)),
+                *[_bin_col(flat, pref, r0, r1) for flat, pref in streams],
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[n for n, _ in RUNS_SCHEMA_PA])
+            r0 = r1
 
     return fn
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from whoosh_spark.config import BM25_B, BM25_K1
+from whoosh_spark.config import BM25_B
 from whoosh_spark.execution.score import idf_value, score_postings
 from whoosh_spark.index import InvertedIndex
 
@@ -45,18 +45,15 @@ MIN_BLOCKS_FOR_WAND = 64
 def _ub_col(idf_map: dict[str, float], avgdl: float,
             b: float | None = None, mult: float = 1.0) -> F.Column:
     """Block score upper bound as a column expr over block metadata.
-    ``b``/``mult`` are the per-field BM25F length-norm override and field
-    boost — the bound must use the SAME constants the scorer does."""
-    bb = BM25_B if b is None else float(b)
-    idf = F.lit(0.0)
-    for t, v in idf_map.items():
-        idf = F.when(F.col("term") == t, F.lit(float(v))).otherwise(idf)
-    mw = F.col("max_weight")
-    dl = F.col("min_len").cast("double")
-    comp = (mw * (BM25_K1 + 1.0)) / (
-        mw + BM25_K1 * ((1.0 - bb) + bb * dl / float(avgdl))
-    )
-    return idf * comp * float(mult)
+    Built from the scorer's OWN kernels (score.py) so the bound can never
+    drift from the score it must dominate; ``b``/``mult`` are the per-field
+    BM25F length-norm override and field boost."""
+    from whoosh_spark.execution.score import _case_map, bm25_component
+
+    comp = bm25_component(F.col("max_weight"),
+                          F.col("min_len").cast("double"), avgdl,
+                          b=BM25_B if b is None else float(b))
+    return _case_map(idf_map) * comp * float(mult)
 
 
 def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
@@ -73,6 +70,8 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
     M_rest/S_rest are the max/sum of the OTHER terms' best block bounds —
     monotone in ub_t(b), so the same per-term block predicate applies."""
     terms = sorted(set(terms))
+    if k <= 0:
+        return ix.spark.createDataFrame([], "doc_id long, score double")
     stats = ix.stats_for_terms(terms)
     present = [t for t in terms if t in stats]
     n, avgdl = ix.global_stats()
@@ -98,7 +97,13 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
     blocks = ix.blocks.where(
         (F.col("field") == ix.field) & F.col("term").isin(present)
     )
-    n_blocks = sum((stats[t]["df"] + 127) // 128 for t in present)  # upper est
+    # ceil(df/128) is a LOWER bound on real block count (blocks are carved
+    # per (term, doc-bucket), so sparse terms fragment into many small
+    # blocks); when it lands under the threshold, confirm with an actual
+    # metadata count — a pushed-predicate scan of the thin blocks table
+    n_blocks = sum((stats[t]["df"] + 127) // 128 for t in present)
+    if n_blocks < MIN_BLOCKS_FOR_WAND:
+        n_blocks = blocks.count()
     if n_blocks < MIN_BLOCKS_FOR_WAND:
         return _score(blocks)
 
@@ -148,22 +153,14 @@ def wand_topk(ix: InvertedIndex, terms: list[str], k: int,
             keep = bound >= theta
         pred = pred | ((F.col("term") == t) & keep)
     survivors = withub.where(pred).drop("_ub")
-    dropped = withub.where(~pred).drop("_ub")
 
-    if len(present) == 1:
-        return _score(survivors)
-
-    # ---- completion: cover candidates' contributions in dropped blocks ---
-    cand = ix.not_deleted(ix._decode(survivors, False).select("doc_id").distinct())
-    rng = cand.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
-    if rng["lo"] is None:
-        return ix.spark.createDataFrame([], "doc_id long, score double")
-    overlap = dropped.where(
-        (F.col("max_id") >= int(rng["lo"])) & (F.col("min_id") <= int(rng["hi"]))
-    )
-    posts_all = ix._decode(survivors.unionByName(overlap), False)
-    scored = _agg(
-        score_postings(posts_all, idf_map, avgdl, b=b,
-                       mult=mult).join(cand, "doc_id", "left_semi")
-    )
-    return ix.not_deleted(scored)
+    # No completion pass is needed for exact top-k: a doc with ANY posting
+    # in a dropped block of term t has full score ≤ ub_t(b) + Σ_{t'≠t}
+    # max_ub_{t'} < θ (strict — dropped means the ≥ predicate failed), while
+    # the θ seed guarantees ≥ k docs with full score ≥ θ whose blocks ALL
+    # survive (one dropped block would contradict their ≥ θ score).  Those
+    # docs therefore score EXACTLY from the survivor set, and every
+    # partially-scored doc ranks strictly below them — the survivor-only
+    # top-k is the exact top-k (tie-break included).  The same bound is
+    # monotone for the DisMax max+tiebreak aggregate.
+    return _score(survivors)

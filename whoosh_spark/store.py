@@ -79,6 +79,25 @@ def completed_chunks(path: str) -> set[int]:
     return done
 
 
+
+def _drop_unstorable(df: DataFrame) -> DataFrame:
+    """Stored-fields hygiene shared by build/compact/upsert: raw binary
+    columns (e.g. html bytes) never land in the docs table."""
+    return df.drop(*[f.name for f in df.schema.fields
+                     if f.dataType.typeName() == "binary"])
+
+
+def _rebalance(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """The analyzed table compresses ~10x, so its scan may yield far fewer
+    splits than the cluster has cores — the merge would then run nearly
+    serial.  Repartition only when badly under-split (the extra shuffle is
+    cheap: compact per-doc rows)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(4, n_part // 2):
+        df = df.repartition(n_part)
+    return df
+
+
 def write_index(
     docs: DataFrame,
     path: str,
@@ -105,8 +124,12 @@ def write_index(
     log = _read_log(path)
     done = completed_chunks(path)
     pending = [c for c in all_chunks if c not in done]
+    # string batch ids ('upsert-<ts>', 'purge-<ts>', 'stream-<epoch>') live
+    # in the same log; only integer build batches participate in numbering
     next_batch = 1 + max(
-        (rec.get("batch", -1) for rec in log if rec.get("phase") == "analyze"),
+        (rec.get("batch", -1) for rec in log
+         if rec.get("phase") == "analyze"
+         and isinstance(rec.get("batch"), int)),
         default=-1,
     )
 
@@ -173,14 +196,7 @@ def write_index(
         return now
 
     analyzed = spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch")
-    # the analyzed table compresses ~10x, so its scan may yield far fewer
-    # splits than the cluster has cores — the explode + shuffle-map of the
-    # merge would then run nearly serial.  Rebalance first (cheap: compact
-    # per-doc rows), keyed round-robin.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if analyzed.rdd.getNumPartitions() < max(4, n_part // 2):
-        # only worth an extra full shuffle when the scan is badly under-split
-        analyzed = analyzed.repartition(n_part)
+    analyzed = _rebalance(analyzed, spark)
     t = time.perf_counter()
     blocks = B.posting_blocks_from_analyzed(analyzed, field)
     # already sorted by (field, term, bucket, blk) within partitions by
@@ -202,8 +218,7 @@ def write_index(
     # stored fields: analyzed text and raw binary (e.g. html) excluded by
     # default — Whoosh stores only declared stored fields (fields.py STORED)
     stored = docs if store_text else docs.drop(text_col)
-    stored = stored.drop(*[f.name for f in stored.schema.fields
-                           if f.dataType.typeName() == "binary"])
+    stored = _drop_unstorable(stored)
     if id_col != "doc_id":
         stored = stored.withColumnRenamed(id_col, "doc_id")
     stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
@@ -234,7 +249,13 @@ def write_index(
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Open a persisted index (manifest-gated, like ``open_dir``)."""
-    manifest = json.loads(FS.read_text(FS.join(path, MANIFEST)))
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    if raw is None:
+        raise FileNotFoundError(
+            f"no {MANIFEST} under {path!r}: not an index, or a build "
+            f"crashed before its first commit (re-run write_index to "
+            f"resume from the batch checkpoints)")
+    manifest = json.loads(raw)
     deleted_dir = FS.join(path, "deleted")
     deleted = (
         spark.read.parquet(deleted_dir).select("doc_id").distinct()
@@ -290,10 +311,9 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     the overlay — the physical purge that deleted-doc bitsets defer.
     """
     t0 = time.perf_counter()
-    analyzed = spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if analyzed.rdd.getNumPartitions() < max(4, n_part // 2):
-        analyzed = analyzed.repartition(n_part)
+    analyzed = _rebalance(
+        spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch"),
+        spark)
     deleted_dir = FS.join(path, "deleted")
     has_deleted = FS.isdir_nonempty(deleted_dir)
     if purge_deleted and has_deleted:
@@ -328,9 +348,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
         FS.join(path, "field_stats"))
     if store_docs is not None:
-        stored = store_docs.drop(text_col)
-        stored = stored.drop(*[f.name for f in stored.schema.fields
-                               if f.dataType.typeName() == "binary"])
+        stored = _drop_unstorable(store_docs.drop(text_col))
         stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
     _append_log(
         path, {"phase": "merge", "purge": bool(purge_deleted),
@@ -391,9 +409,7 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     # merge new segment + rewrite stored docs (old rows of updated keys out)
     new_stored = stored.join(
         F.broadcast(new_docs.select(key).distinct()), key, "left_anti")
-    add_stored = renumbered.drop(text_col)
-    add_stored = add_stored.drop(*[f.name for f in add_stored.schema.fields
-                                   if f.dataType.typeName() == "binary"])
+    add_stored = _drop_unstorable(renumbered.drop(text_col))
     merged_docs = new_stored.unionByName(add_stored, allowMissingColumns=True)
     # materialize before the overwrite that reads from the same dir
     tmp_docs = FS.join(path, "docs_tmp")
@@ -437,7 +453,7 @@ def export_to_iceberg(spark: SparkSession, path: str, table_prefix: str) -> list
     tables = list(INDEX_TABLES)
     # the soft-delete overlay is part of the index state: without it a
     # consumer of the exported tables would resurrect deleted docs
-    if FS.exists(FS.join(path, "deleted")):
+    if FS.isdir_nonempty(FS.join(path, "deleted")):
         tables.append("deleted")
     out = []
     for t in tables:

@@ -104,3 +104,56 @@ def test_simhash_banding_full_recall_at_radius(spark):
     got = {(r["a"], r["b"]): r["hamming"]
            for r in dedup.simhash_near_dups(docs, max_hamming=6).collect()}
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def ix(sf0001_documents):
+    from whoosh_spark.index import InvertedIndex
+
+    return InvertedIndex.build(sf0001_documents)
+
+
+class TestReviewRound2b:
+    def test_andnot_inert_b_with_missing_term(self, ix):
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        q_fast = Q.AndNot(Q.Term("data"),
+                          Q.And([Q.Term("query"), Q.Term("zzz_absent")]))
+        fast = s.search(q_fast, limit=None, optimize=False).count()
+        plain = s.search(Q.Term("data"), limit=None, optimize=False).count()
+        # b-side And with a missing term matches nothing -> AndNot == a
+        assert fast == plain
+
+    def test_empty_multiterm_empties_and_and_sequence(self, ix):
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        assert s.search(Q.And([Q.Term("data"), Q.Prefix("zzzz")]),
+                        limit=None, optimize=False).count() == 0
+        assert s.search(Q.Sequence([Q.Term("data"), Q.Prefix("zzzz")]),
+                        limit=None, optimize=False).count() == 0
+
+    def test_with_deleted_after_stats_cached(self, ix, spark):
+        from whoosh_spark.query import ast as Q
+        from whoosh_spark.search import Searcher
+
+        Searcher(ix).search(Q.Term("data"), limit=1).collect()  # warm stats
+        deleted = spark.createDataFrame([(0,)], "doc_id long")
+        s2 = Searcher(ix.with_deleted(deleted), weighting="dfree")
+        # dfree needs total_field_length() — crashed before the fix
+        assert s2.search(Q.Term("data"), limit=3).count() > 0
+
+    def test_zero_vector_ranks_last(self, spark):
+        from whoosh_spark.pipeline import similarity
+
+        rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
+                (2, [0.5, 0.5, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        top = similarity.cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+        assert top[0]["vec_id"] == 1 and top[-1]["vec_id"] == 0
+        assert top[-1]["cos"] == 0.0
+        pairs = similarity.embedding_near_dups_exact(df, tau=0.5).collect()
+        assert all(0 not in (r["a"], r["b"]) for r in pairs)

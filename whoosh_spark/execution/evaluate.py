@@ -62,9 +62,12 @@ class Evaluator:
     def _weighting_for(self, fk: str | None) -> str:
         if isinstance(self.weighting, dict):
             default = self.weighting.get(None, "bm25")
-            if fk is None and self.mf is not None:
-                # the default field's own name may key the dict
-                return self.weighting.get(self.mf.default_field, default)
+            if fk is None:
+                # the default field's own NAME may key the dict — on both
+                # multi-field and single-field indexes
+                name = (self.mf.default_field if self.mf is not None
+                        else self.ix.field)
+                return self.weighting.get(name, default)
             return self.weighting.get(fk, default)
         return self.weighting
 
@@ -171,6 +174,13 @@ class Evaluator:
         for attr in ("children",):
             if hasattr(q, attr):
                 kids = tuple(self._expand(c) for c in getattr(q, attr))
+                # conjunctive containers: ONE empty-expanding child (e.g. a
+                # Prefix matching no terms) empties the whole query — same
+                # as a missing Term; dropping the slot would WIDEN the query
+                # (a one-slot Sequence matches far more than the original)
+                if isinstance(q, (Q.And, Q.Sequence)) and \
+                        any(k is Q.NullQuery for k in kids):
+                    return Q.NullQuery
                 kids = tuple(k for k in kids if k is not Q.NullQuery)
                 if not kids:
                     return Q.NullQuery
@@ -369,9 +379,13 @@ class Evaluator:
             return self._empty()
         if not a_present:
             return self._empty()
-        if isinstance(q, Q.Require) and b_mode == "all" \
-                and len(b_present) < len(set(b_terms)):
-            return self._empty()
+        if b_mode == "all" and len(b_present) < len(set(b_terms)):
+            # an And b-side with a missing term matches NO docs — for
+            # Require that empties the result; for AndNot/AndMaybe the b
+            # side is inert (do NOT test against the present subset only)
+            if isinstance(q, Q.Require):
+                return self._empty()
+            b_present = []
         if not b_present:
             if isinstance(q, Q.Require):
                 return self._empty()
@@ -436,8 +450,10 @@ class Evaluator:
 
     def _eval_otherwise(self, q: Q.Otherwise) -> DataFrame:
         a = self._eval(q.a)
-        # cheap existence probe (driver-side if/else, compound.py ≈L750)
-        if a.limit(1).count() > 0:
+        # cheap existence probe (driver-side if/else, compound.py ≈L750) —
+        # through the deletion overlay, else a side whose every match is
+        # soft-deleted wins and yields an empty result
+        if self.ix.not_deleted(a).limit(1).count() > 0:
             out = a
         else:
             out = self._eval(q.b)
@@ -501,8 +517,12 @@ class Evaluator:
         return None
 
     def _eval_sequence(self, q: Q.Sequence) -> DataFrame:
-        # positions are field-local: every slot must target the same field
-        fks = {self._fkey(getattr(c, "fieldname", None)) for c in q.children}
+        # positions are field-local: every slot must target the same field.
+        # Derive the field from the slots' TERM pairs — expanded multiterm
+        # slots (Or-of-Terms) have no fieldname attribute of their own, but
+        # their Terms carry it
+        fks = {self._fkey(f) for c in q.children
+               for f, _ in c.field_terms()} or {None}
         if len(fks) > 1:
             raise ValueError("Sequence slots must share one field")
         fk = next(iter(fks))
@@ -828,15 +848,17 @@ class Evaluator:
         Compiles to a hash join keyed on bucket — NOT the
         BroadcastNestedLoopJoin a raw interval predicate produces, whose
         every-child-probes-every-parent work is quadratic at scale."""
-        # cache the parents frame: the stats collect below would otherwise
-        # re-run the whole parents subquery (window included) a second time
-        # inside the join lineage
-        ranges = ranges.persist()
+        # localCheckpoint (eager) materializes the parents frame once — the
+        # stats collect below would otherwise re-run the whole parents
+        # subquery (window included) a second time inside the join lineage.
+        # Unlike persist(), the checkpoint blocks are released by the
+        # ContextCleaner when the frame goes out of scope, so repeated
+        # nested queries don't accumulate pinned cache entries
+        ranges = ranges.localCheckpoint(eager=True)
         stats = ranges.agg(
             F.count("*").alias("n"), F.min("_parent").alias("lo"),
             F.max("_parent").alias("hi_p")).collect()[0]
         if not stats["n"]:
-            ranges.unpersist()
             return None
         if self._max_doc is None:
             self._max_doc = int(

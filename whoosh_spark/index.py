@@ -98,11 +98,18 @@ class InvertedIndex:
     def global_stats(self) -> tuple[int, float]:
         """(N, avgdl) — collected once, O(1) rows."""
         if self._global is None:
-            row = self.field_stats.collect()[0]
+            rows = self.field_stats.collect()
+            if not rows or rows[0]["doc_count"] is None:
+                # empty index (zero docs): every query legitimately matches
+                # nothing
+                self._global = (0, 0.0)
+                self._total_len = 0
+                return self._global
+            row = rows[0]
             n = int(row["doc_count"])
             avgdl = (row["total_len"] / n) if n else 0.0
             self._global = (n, float(avgdl))
-            self._total_len = int(row["total_len"])
+            self._total_len = int(row["total_len"] or 0)
         return self._global
 
     def total_field_length(self) -> int:
@@ -195,6 +202,10 @@ class InvertedIndex:
                            self.field_stats, self.doc_lengths, self.docs,
                            self.field, deleted=new.select("doc_id").distinct())
         ix._global = self._global
+        # _total_len is set together with _global; copying one without the
+        # other leaves total_field_length() raising AttributeError
+        if self._global is not None:
+            ix._total_len = self._total_len
         return ix
 
     def not_deleted(self, df: DataFrame) -> DataFrame:

@@ -181,8 +181,7 @@ e AS (
   SELECT vec_id,
          (SELECT sum(x::DOUBLE * y::DOUBLE)
           FROM (SELECT unnest(embedding) AS x, unnest((SELECT qv FROM q)) AS y)) AS dot,
-         sqrt((SELECT sum(x::DOUBLE * x::DOUBLE)
-               FROM (SELECT unnest(embedding) AS x))) AS nrm
+         greatest(sqrt((SELECT sum(x::DOUBLE * x::DOUBLE) FROM (SELECT unnest(embedding) AS x))), 1e-12) AS nrm
   FROM embeddings
 )
 SELECT vec_id, round(dot / (nrm * (SELECT qn FROM qn)), 6) AS cos
@@ -196,7 +195,7 @@ def embedding_near_dups_sql(tau: float = 0.95) -> str:
     return f"""
 WITH n AS (
   SELECT vec_id, embedding,
-         sqrt((SELECT sum(x::DOUBLE * x::DOUBLE) FROM (SELECT unnest(embedding) AS x))) AS nrm
+         greatest(sqrt((SELECT sum(x::DOUBLE * x::DOUBLE) FROM (SELECT unnest(embedding) AS x))), 1e-12) AS nrm
   FROM embeddings
 )
 SELECT a.vec_id AS a, b.vec_id AS b,
@@ -355,7 +354,7 @@ scored AS (
   SELECT vec_id,
          list_sum(list_transform(range(1, {dim} + 1),
                                  i -> embedding[i]::DOUBLE * qv[i])) AS dot,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         greatest(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS nrm
   FROM cand, q
 )
 SELECT vec_id, round(dot / (nrm * (SELECT qn FROM qn)), 6) AS cos
@@ -406,7 +405,7 @@ scored AS (
   SELECT vec_id,
          list_sum(list_transform(range(1, {dim} + 1),
                                  i -> embedding[i]::DOUBLE * qv[i])) AS dot,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         greatest(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS nrm
   FROM cand, q
 )
 SELECT vec_id, round(dot / (nrm * (SELECT qn FROM qn)), 6) AS cos

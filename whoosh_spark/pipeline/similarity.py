@@ -26,7 +26,13 @@ def _dot(a, b) -> F.Column:
 
 
 def _norm(a) -> F.Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    # floored at 1e-12: an all-zero vector (failed encode / padding) then
+    # scores cos = 0 instead of 0/0 = NaN — which Spark orders ABOVE every
+    # real value, ranking junk first and passing every >= tau filter.  Real
+    # norms are far above the floor, so their division is bit-identical.
+    return F.greatest(
+        F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)),
+        F.lit(1e-12))
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,

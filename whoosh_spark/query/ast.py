@@ -300,6 +300,9 @@ class Sequence(Query):
     def terms(self):
         return [t for c in self.children for t in c.terms()]
 
+    def field_terms(self):
+        return [ft for c in self.children for ft in c.field_terms()]
+
     def phrase_terms(self):
         return self.terms()
 

@@ -52,7 +52,9 @@ class TestBiWord:
         assert toks == ["big-data"]
 
     def test_short_input(self):
-        assert analyze_text_biword("spark") == ([], [])
+        # lone token emitted when no pair forms (upstream BiWordFilter rule)
+        assert analyze_text_biword("spark") == (["spark"], [0])
+        assert analyze_text_biword("") == ([], [])
 
 
 class TestCompound:

@@ -190,6 +190,10 @@ def analyze_text_biword(text: str) -> tuple[list[str], list[int]]:
     standard analysis, then adjacent filtered tokens join as "a-b" shingles
     (phrase-as-term indexing); positions renumber over the pair sequence."""
     toks, _ = analyze_text(text)
+    if len(toks) == 1:
+        # upstream BiWordFilter emits the lone token when no pair can form —
+        # a one-token doc must stay findable
+        return toks, [0]
     pairs = [f"{toks[i]}-{toks[i+1]}" for i in range(len(toks) - 1)]
     return pairs, list(range(len(pairs)))
 

@@ -124,13 +124,28 @@ def write_text_atomic(path: str, text: str) -> None:
             f.write(text)
         os.replace(tmp, path)
         return
-    _, fs, p = _fs(path)
+    jvm, fs, p = _fs(path)
     tmp = path + ".tmp"
     _write_stream(tmp, text)
     _, fs2, ptmp = _fs(tmp)
+    # Prefer FileContext rename with OVERWRITE — a single atomic replace on
+    # HDFS-semantics filesystems.  The delete-then-rename fallback has a
+    # window with NO destination file, and FileSystem.rename signals
+    # failure by RETURN VALUE, which must be checked or a crashed swap
+    # silently leaves the index without a manifest.
+    try:
+        opts = jvm.org.apache.hadoop.fs.Options
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), fs.getConf())
+        fc.rename(ptmp, p, [opts.Rename.OVERWRITE])
+        return
+    except Exception:
+        pass
     if fs2.exists(p):
         fs2.delete(p, False)
-    fs2.rename(ptmp, p)
+    if not fs2.rename(ptmp, p):
+        raise IOError(f"atomic commit failed: rename {tmp} -> {path} "
+                      f"returned false")
 
 
 def append_text(path: str, line: str) -> None:

@@ -66,15 +66,20 @@ def whole_fragment(text: str, terms: set[str]) -> list[Fragment]:
 
 def html_format(text: str, frag: Fragment, tagname: str = "b",
                 classname: str = "match") -> str:
-    """HtmlFormatter analog: wrap each hit, term-indexed css class."""
+    """HtmlFormatter analog: wrap each hit, term-indexed css class.
+    Document text is HTML-escaped (upstream HtmlFormatter does too) —
+    un-escaped stored markup in a results page is stored XSS."""
+    from html import escape
+
     order: dict[str, int] = {}
     out, pos = [], frag.startchar
     for s, e, t in frag.hits:
         idx = order.setdefault(t, len(order))
-        out.append(text[pos:s])
-        out.append(f'<{tagname} class="{classname} term{idx}">{text[s:e]}</{tagname}>')
+        out.append(escape(text[pos:s]))
+        out.append(f'<{tagname} class="{classname} term{idx}">'
+                   f'{escape(text[s:e])}</{tagname}>')
         pos = e
-    out.append(text[pos:frag.endchar])
+    out.append(escape(text[pos:frag.endchar]))
     return "".join(out)
 
 

@@ -765,6 +765,10 @@ def biword_term_sql(term: str, k: int = 10) -> str:
   SELECT a.doc_id, a.term || '-' || b.term AS term, a.idx AS pos
   FROM ({idx}) a JOIN ({idx}) b
     ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+  UNION ALL
+  -- lone-token docs emit the single token (upstream BiWordFilter rule)
+  SELECT doc_id, min(term) AS term, 0 AS pos FROM tokf
+  GROUP BY doc_id HAVING count(*) = 1
 ),
 dlb AS (
   SELECT d.doc_id, count(t.term)::BIGINT AS len_raw

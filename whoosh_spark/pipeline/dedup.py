@@ -39,7 +39,7 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("group_size"),
     )
     return (
-        h.join(F.broadcast(groups.where(F.col("group_size") > 1)), "h")
+        h.join(groups.where(F.col("group_size") > 1), "h")
         .select("doc_id", "canonical_id", "group_size")
     )
 
@@ -103,8 +103,8 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("i"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sza"})), "a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "b", "sz": "szb"})), "b")
+        inter.join(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sza"}), "a")
+        .join(sizes.withColumnsRenamed({"doc_id": "b", "sz": "szb"}), "b")
         .withColumn("jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
         .where(F.col("jaccard") >= tau)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
@@ -187,8 +187,8 @@ def minhash_near_dups(docs: DataFrame, tau: float = 0.8, num_perm: int = 128,
         .agg(F.count("*").alias("i"))
     )
     return (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sza"})), "a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "b", "sz": "szb"})), "b")
+        inter.join(sizes.withColumnsRenamed({"doc_id": "a", "sz": "sza"}), "a")
+        .join(sizes.withColumnsRenamed({"doc_id": "b", "sz": "szb"}), "b")
         .withColumn("jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
         .where(F.col("jaccard") >= tau)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))

@@ -40,7 +40,8 @@ def _iso_epoch(s: str) -> tuple[int, bool]:
     ``datetime_to_long`` the same way)."""
     s = s.strip()
     for fmt, date_only in (("%Y-%m-%d %H:%M:%S", False), ("%Y-%m-%dT%H:%M:%S", False),
-                           ("%Y-%m-%d %H:%M", False), ("%Y-%m-%d", True)):
+                           ("%Y-%m-%d %H:%M", False), ("%Y-%m-%dT%H:%M", False),
+                           ("%Y-%m-%d", True)):
         try:
             dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
             return int(dt.timestamp()), date_only
@@ -192,15 +193,20 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
                      fieldname=fieldname)
     if text.startswith('"'):
         pm = re.match(r'"([^"]*)"(?:~(\d+))?$', text)
-        # query text runs through the SAME analyzer as index time
-        # (fields.py::FieldType.process_text ≈L200): lowercase + stop removal
-        words, _ = analyze_text(pm.group(1))
-        slop = int(pm.group(2)) if pm.group(2) else 1
-        if not words:
-            return NullQuery
-        if len(words) == 1:
-            return Term(words[0], boost=boost, fieldname=fieldname)
-        return Phrase(words, slop=slop, boost=boost, fieldname=fieldname)
+        if pm is None:
+            # unbalanced quote (e.g. a whitespace-split SimpleParser token):
+            # degrade to the bare word rather than crash
+            text = text.strip('"')
+        else:
+            # query text runs through the SAME analyzer as index time
+            # (fields.py::FieldType.process_text ≈L200): lowercase + stops
+            words, _ = analyze_text(pm.group(1))
+            slop = int(pm.group(2)) if pm.group(2) else 1
+            if not words:
+                return NullQuery
+            if len(words) == 1:
+                return Term(words[0], boost=boost, fieldname=fieldname)
+            return Phrase(words, slop=slop, boost=boost, fieldname=fieldname)
     if re.match(r"^[\[{].*[\]}]$", text, re.S):
         incl_lo = text[0] == "["
         incl_hi = text[-1] == "]"
@@ -214,7 +220,11 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
     toks, _ = analyze_text(text)  # query-time analysis (lowercase + stop)
     if not toks:
         return NullQuery  # stopword / too-short term vanishes (Whoosh §3.2)
-    return Term(toks[0], boost=boost, fieldname=fieldname)
+    if len(toks) == 1:
+        return Term(toks[0], boost=boost, fieldname=fieldname)
+    # the analyzer split one WORD into several tokens ("state-of-the-art"):
+    # implicit And over all of them, same as ast.Term.normalize
+    return And([Term(t, fieldname=fieldname) for t in toks], boost=boost)
 
 
 class _Parser:
@@ -297,7 +307,8 @@ def _apply_multifield(q: Query, mfields: list[str]) -> Query:
         Not as _N, Otherwise as _OW, Require as _RQ, Sequence as _SQ,
     )
 
-    if isinstance(q, (Term, Phrase, Prefix, Wildcard, Fuzzy, TermRange)):
+    if isinstance(q, (Term, Phrase, Prefix, Wildcard, Fuzzy, TermRange,
+                      Regex)):
         if q.fieldname is None:
             return Or([_rep(q, fieldname=f) for f in mfields])
         return q
@@ -337,9 +348,23 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     toks = _lex(s)
     if not toks:
         return NullQuery
-    q = _Parser(toks, fields=set(fields) if fields else None,
+    p = _Parser(toks, fields=set(fields) if fields else None,
                 dt_fields=set(datetime_fields) if datetime_fields else None,
-                basedate=basedate).parse_or()
+                basedate=basedate)
+    parts = [p.parse_or()]
+    # a stray ')' used to stop the parse silently, discarding the rest of
+    # the query string; skip it and keep parsing (implicit And)
+    while p.peek()[0] is not None:
+        if p.peek()[0] == "RPAREN":
+            p.next()
+            continue
+        before = p.i
+        parts.append(p.parse_or())
+        if p.i == before:  # defensive: never loop without progress
+            p.next()
+    parts = [x for x in parts if x is not NullQuery]
+    q = (NullQuery if not parts
+         else parts[0] if len(parts) == 1 else And(parts))
     if multifield:
         q = _apply_multifield(q, list(multifield))
     return q.normalize()
@@ -347,7 +372,9 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
 
 def _plusminus_groups(s: str):
     plus, minus, should = [], [], []
-    for tok in s.split():
+    # quoted phrases stay one token (s.split() would shear them apart and
+    # feed _leaf unbalanced quotes)
+    for tok in re.findall(r'[+-]?"[^"]*"(?:~\d+)?|\S+', s):
         if tok.startswith("+") and len(tok) > 1:
             plus.append(tok[1:])
         elif tok.startswith("-") and len(tok) > 1:

@@ -31,20 +31,20 @@ from whoosh_spark import store
 from whoosh_spark.config import TEXT_FIELD
 
 
-def _ingest_batch(path: str, id_col: str, text_col: str):
+def _ingest_batch(path: str, id_col: str, text_col: str, run_id: str):
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.perf_counter()
         analyzed = B.analyzed_docs(batch_df, id_col, text_col).withColumn(
             "chunk", F.lit(-1)
         )
-        out = FS.join(path, "analyzed", f"batch=stream-{epoch_id}")
+        out = FS.join(path, "analyzed", f"batch=stream-{run_id}-{epoch_id}")
         analyzed.write.mode("overwrite").parquet(out)
         n = batch_df.sparkSession.read.parquet(out).count()
         store._append_log(
             path,
             {
                 "phase": "analyze",
-                "batch": f"stream-{epoch_id}",
+                "batch": f"stream-{run_id}-{epoch_id}",
                 "chunks": [],
                 "counters": {"stream": {"n_docs": int(n), "n_tokens": -1}},
                 "wall_ms": int(1000 * (time.perf_counter() - t0)),
@@ -64,8 +64,17 @@ def stream_index(stream_df: DataFrame, path: str, checkpoint: str,
     a file source over landing parquet, or Kafka bytes mapped to pages.
     Returns the StreamingQuery.
     """
+    # micro-segment names carry a checkpoint-derived run id: a stream
+    # restarted with a FRESH checkpoint restarts epoch ids at 0 and would
+    # otherwise overwrite-destroy the segments of the previous run, while
+    # the SAME checkpoint (failure recovery) keeps the same id so an
+    # epoch retry idempotently overwrites its own directory
+    import hashlib
+
+    run_id = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
     writer = (
-        stream_df.writeStream.foreachBatch(_ingest_batch(path, id_col, text_col))
+        stream_df.writeStream.foreachBatch(
+            _ingest_batch(path, id_col, text_col, run_id))
         .option("checkpointLocation", checkpoint)
     )
     if trigger_once:

@@ -224,9 +224,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def paging_q(spark, sf_dir):
+        # page on the ROUNDED score (the module contract): raw-score order
+        # could slice the page boundary differently from the oracle when
+        # two scores differ below 1e-6
         s = _searcher(spark, sf_dir)
-        res = s.search(Q.Term("data"), limit=5, offset=5, optimize=False)
-        return res.select("doc_id", F.round("score", 6).alias("score"))
+        res = s.search(Q.Term("data"), limit=None, optimize=False)
+        ranked = (res.select("doc_id", F.round("score", 6).alias("score"))
+                  .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        return ranked.offset(5).limit(5)
 
     out.update(
         range_facet_nchars=range_facet_nchars,
@@ -363,8 +368,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def matched_terms_q(spark, sf_dir):
         s = _searcher(spark, sf_dir)
-        res = s.search_with_terms(Q.Or([Q.Term("data"), Q.Term("vector")]), limit=10)
-        return res.select("doc_id", F.round("score", 6).alias("score"), "matched")
+        res = s.search_with_terms(Q.Or([Q.Term("data"), Q.Term("vector")]),
+                                  limit=None)
+        # rank on the rounded score (module contract; see paging_q)
+        return (res.select("doc_id", F.round("score", 6).alias("score"),
+                           "matched")
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(10))
 
     out.update(
         matched_terms=matched_terms_q,

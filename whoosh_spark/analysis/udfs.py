@@ -165,12 +165,12 @@ def make_analyze_batches(analyze_fn=None):
             mask[cnt_idx] = False
             stream[mask] = deltas.astype(np.uint64)
             data = varint_encode(stream)
-            # per-value byte widths → per-entry blob byte lengths → offsets
-            # (full 10-byte width table, mirrors varint_encode / _varint_lens)
-            nb = np.ones(stream.size, dtype=np.int64)
-            for _shift in (7, 14, 21, 28, 35, 42, 49, 56, 63):
-                nb += stream >= np.uint64(1 << _shift)
-            val_bounds = np.concatenate(([0], np.cumsum(nb)))
+            # per-value byte widths → per-entry blob byte lengths →
+            # offsets — the codec's OWN width table, so the two can never
+            # desynchronize (blob offsets derive from these widths)
+            from whoosh_spark.codec.blocks import _varint_lens
+
+            val_bounds = np.concatenate(([0], np.cumsum(_varint_lens(stream))))
             ent_val_starts = cnt_idx  # index of each entry's first value (its count)
             ent_byte_off = np.empty(n_ent + 1, dtype=np.int32)
             ent_byte_off[:-1] = val_bounds[ent_val_starts]

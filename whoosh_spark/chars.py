@@ -31,11 +31,23 @@ CHARS_SCHEMA = T.StructType([
 
 
 def char_offsets(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 analyzer: str = "standard") -> DataFrame:
     """One row per (doc, term) with parallel char-span arrays, produced by
-    the SAME CPython tokenizer chain as the index (offset parity by
-    construction)."""
+    the SAME tokenizer chain as the index (offset parity by construction).
+
+    ``analyzer`` must match the index build: ``standard`` or ``stem``
+    (stemmed term, original token's span).  Shingling analyzers (biword,
+    ngram) have no single source span per term — explicitly unsupported."""
     import pandas as pd
+
+    if analyzer not in ("standard", "stem"):
+        raise ValueError(
+            f"char_offsets supports 'standard' and 'stem' chains, not "
+            f"{analyzer!r} (shingling analyzers have no 1:1 term span)")
+    stem_fn = None
+    if analyzer == "stem":
+        from whoosh_spark.analysis.porter import stem as stem_fn
 
     src = docs.selectExpr(f"cast({id_col} as long) as doc_id",
                           f"{text_col} as _text")
@@ -48,6 +60,8 @@ def char_offsets(docs: DataFrame, id_col: str = "doc_id",
                 for m in _TOKEN_RE.finditer(text or ""):
                     t = m.group(0).lower()
                     if len(t) >= MIN_WORD_SIZE and t not in STOP_WORDS:
+                        if stem_fn is not None:
+                            t = stem_fn(t)
                         s, e = spans.setdefault(t, ([], []))
                         s.append(m.start())
                         e.append(m.end())

@@ -30,7 +30,8 @@ class Searcher:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _wand_terms(q: Q.Query) -> tuple[list[str], str, float] | None:
+    def _wand_terms(q: Q.Query) -> tuple[list[str], str, float,
+                                         str | None] | None:
         """(term texts, agg mode, tiebreak) if q is WAND-eligible (Term /
         flat Or / flat DisMax of unboosted Terms) — mirrors Whoosh's
         optimized TopCollector applicability
@@ -140,9 +141,11 @@ class Searcher:
         if sortedby is not None:
             scores = scores.join(self.ix.docs.select("doc_id", sortedby), "doc_id")
             key = F.col(sortedby).desc() if reverse else F.col(sortedby).asc()
-            ordered = scores.orderBy(key, F.col("doc_id").asc())
+            order_keys = [key, F.col("doc_id").asc()]
+            ordered = scores.orderBy(*order_keys)
         else:
-            ordered = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            order_keys = [F.col("score").desc(), F.col("doc_id").asc()]
+            ordered = scores.orderBy(*order_keys)
 
         if offset:
             # search_page semantics: top (offset+limit), slice off the head.
@@ -164,9 +167,13 @@ class Searcher:
         if limit is not None:
             ordered = ordered.limit(limit)
         if with_stored:
+            # re-apply the CHOSEN ordering after the join (a sortedby result
+            # must not fall back to score order), and skip columns the frame
+            # already carries (sortedby joins its key in above)
+            extra = [c for c in with_stored if c not in ordered.columns]
             ordered = ordered.join(
-                self.ix.docs.select("doc_id", *with_stored), "doc_id", "left"
-            ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                self.ix.docs.select("doc_id", *extra), "doc_id", "left"
+            ).orderBy(*order_keys) if extra else ordered.orderBy(*order_keys)
         return ordered
 
     # ------------------------------------------------------------------
@@ -197,8 +204,12 @@ class Searcher:
         width_bucket as a column expression; out-of-range → bin -1/overflow."""
         scores = self.ev.evaluate(q)
         c = F.col(col).cast("double")
+        # overflow bin = CEIL((end-start)/gap): with a partial last bucket
+        # (range not divisible by gap) the floor id would collide with it
+        import math as _math
+
         bin_ = F.when(c < start, F.lit(-1)).when(
-            c >= end, F.lit(int((end - start) // gap))
+            c >= end, F.lit(int(_math.ceil((end - start) / gap)))
         ).otherwise(F.floor((c - start) / gap).cast("int"))
         return (
             scores.join(self.ix.docs.select("doc_id", col), "doc_id")
@@ -253,7 +264,9 @@ class Searcher:
         both engines agree without timezone parsing."""
         scores = self.ev.evaluate(q)
         ts = F.unix_timestamp(F.col(col))
-        nbins = int((end_epoch - start_epoch) // gap_seconds)
+        import math as _math
+
+        nbins = int(_math.ceil((end_epoch - start_epoch) / gap_seconds))
         bin_ = F.when(ts < start_epoch, F.lit(-1)).when(
             ts >= end_epoch, F.lit(nbins)
         ).otherwise(F.floor((ts - start_epoch) / gap_seconds).cast("int"))
@@ -271,7 +284,9 @@ class Searcher:
         scores = self.ev.evaluate(q)
         return (
             scores.join(self.ix.docs.select("doc_id", col), "doc_id")
-            .select("doc_id", F.explode(F.split(F.col(col), sep)).alias("value"))
+            .select("doc_id",
+                    F.explode(F.split(F.col(col), __import__("re").escape(sep)))
+                    .alias("value"))
             .groupBy("value")
             .agg(F.count("*").cast("long").alias("n"))
         )
@@ -300,8 +315,12 @@ class Searcher:
         interrupts every executor task), so an expired search yields no
         partial rows — the honest distributed semantics.
         """
-        return collect_with_timeout(
-            self.search(q, limit=limit, **kw), timelimit)
+        # the WHOLE search runs inside the watchdog scope: WAND's planning
+        # collects (theta seed, block-count probe) are themselves Spark jobs
+        # and must be cancellable, not just the final collect
+        return run_with_timeout(
+            self.ix.spark, timelimit,
+            lambda: self.search(q, limit=limit, **kw).collect())
 
     # ------------------------------------------------------------------
     def documents(self, **kw) -> DataFrame:
@@ -358,6 +377,9 @@ class Searcher:
     def key_terms(self, doc_ids: list[int], top: int = 5) -> DataFrame:
         """more_like/key-term extraction (``src/whoosh/classify.py::Expander
         ≈L60``): rank a doc-set's terms by tf·idf against the corpus."""
+        if not doc_ids:
+            return self.ix.spark.createDataFrame(
+                [], "term string, tf long, keyness double")
         n, _ = self.ix.global_stats()
         posts = self.ix.postings_where(
             (F.col("min_id") <= max(doc_ids)) & (F.col("max_id") >= min(doc_ids))
@@ -464,16 +486,16 @@ class TimeLimitError(Exception):
     (``src/whoosh/collectors.py::TimeLimit ≈L690``)."""
 
 
-def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
-    """Collect ``df`` under a dedicated Spark job group; a watchdog thread
-    cancels the group (interrupting executor tasks) once ``timelimit``
-    seconds elapse.  Cancellation is cooperative and distributed — the same
-    mechanism a cluster UI "kill" uses — so no orphaned tasks keep burning
-    executors after the deadline."""
+def run_with_timeout(spark, timelimit: float, fn):
+    """Run ``fn()`` (any driver code that launches Spark jobs) under a
+    dedicated job group; a watchdog thread cancels the group (interrupting
+    executor tasks) once ``timelimit`` seconds elapse.  Cancellation is
+    cooperative and distributed — the same mechanism a cluster UI "kill"
+    uses — so no orphaned tasks keep burning executors after the deadline."""
     import threading
     import uuid
 
-    sc = df.sparkSession.sparkContext
+    sc = spark.sparkContext
     gid = f"whoosh-timelimit-{uuid.uuid4().hex[:8]}"
     done = threading.Event()
     expired = threading.Event()
@@ -483,12 +505,12 @@ def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
             expired.set()
             sc.cancelJobGroup(gid)
 
-    sc.setJobGroup(gid, f"collect_with_timeout({timelimit}s)",
+    sc.setJobGroup(gid, f"run_with_timeout({timelimit}s)",
                    interruptOnCancel=True)
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     try:
-        rows = df.collect()
+        result = fn()
     except Exception as e:
         if expired.is_set():
             raise TimeLimitError(
@@ -498,6 +520,11 @@ def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
         done.set()
         sc.setLocalProperty("spark.jobGroup.id", None)
         sc.setLocalProperty("spark.job.description", None)
-    if expired.is_set():  # cancelled between last task and result fetch
+    if expired.is_set():  # cancelled between last job and result fetch
         raise TimeLimitError(f"collection exceeded {timelimit}s")
-    return rows
+    return result
+
+
+def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
+    """Collect ``df`` under :func:`run_with_timeout`."""
+    return run_with_timeout(df.sparkSession, timelimit, df.collect)

@@ -19,14 +19,13 @@ committed in _build_log.jsonl (kill-safe; see whoosh_spark/store.py).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
 # local runs: make the repo importable (on a cluster, --py-files ships the
 # package zip and this is a no-op)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import json
-import sys
 
 
 def main() -> None:
@@ -42,10 +41,11 @@ def main() -> None:
     ap.add_argument("--store-text", action="store_true")
     args = ap.parse_args()
 
-    # spark-submit provides master/conf; fall back to a local session
-    from pyspark.sql import SparkSession
+    # spark-submit provides master/conf; engine semantic configs (UTC,
+    # AQE, zstd, fine splits) come from the shared factory
+    from whoosh_spark.session import get_spark_submit
 
-    spark = SparkSession.builder.appName("whoosh-spark-build").getOrCreate()
+    spark = get_spark_submit("whoosh-spark-build")
     from whoosh_spark import store
     from whoosh_spark.corpus import pages_df
 
@@ -54,8 +54,7 @@ def main() -> None:
     elif args.input:
         docs = spark.read.parquet(args.input)
     else:
-        ap.error("need --input or --generate")
-        return
+        ap.error("need --input or --generate")  # raises SystemExit
 
     manifest = store.write_index(
         docs,

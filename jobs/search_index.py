@@ -33,9 +33,9 @@ def main() -> None:
                     help="SimpleParser mode: bare optional, +required, -excluded")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from whoosh_spark.session import get_spark_submit
 
-    spark = SparkSession.builder.appName("whoosh-spark-search").getOrCreate()
+    spark = get_spark_submit("whoosh-spark-search")
     from whoosh_spark import store
     from whoosh_spark.query import parse_query
     from whoosh_spark.query.parser import parse_simple
@@ -43,6 +43,9 @@ def main() -> None:
 
     s = Searcher(store.load_index(spark, args.index), weighting=args.weighting)
     dtf = [c for c in args.datetime_fields.split(",") if c] or None
+    if args.simple and dtf:
+        print("warning: --simple ignores --datetime-fields "
+              "(SimpleParser has no date syntax)", file=sys.stderr)
     q = parse_simple(args.query) if args.simple else \
         parse_query(args.query, datetime_fields=dtf)
     res = s.search(q, limit=args.limit, optimize=not args.no_wand)

@@ -75,3 +75,29 @@ def test_quantize_udf_matches_table(spark):
     got = {r["n"]: r["q"] for r in df.select("n", quantize_len_udf("n").alias("q")).collect()}
     for v in vals:
         assert got[v] == quantize_length(v), v
+
+
+def test_oracle_tokenizer_unicode_parity():
+    """The DuckDB index-oracle tokenizer ([\\p{L}\\p{N}_], SQL lower) must
+    reproduce the CPython re.UNICODE chain on non-ASCII corpus text —
+    RE2/Java \\w is ASCII-only, which silently diverged before round 2."""
+    import duckdb
+
+    from whoosh_spark.analysis.analyzers import analyze_text
+    from whoosh_spark.config import (MIN_WORD_SIZE, STOP_WORDS,
+                                     TOKEN_PATTERN_RE2_UNI)
+
+    con = duckdb.connect()
+    texts = [
+        "naïve résumé 東京 café data the v1.2.3 node.js münchen istanbul",
+        "Straße ŒUVRE mixed_under 123 a",
+        "big data and the query",
+    ]
+    for t in texts:
+        py = analyze_text(t)[0]
+        dd = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, TOKEN_PATTERN_RE2_UNI]
+        ).fetchone()[0]
+        dd = [x.lower() for x in dd]
+        dd = [x for x in dd if len(x) >= MIN_WORD_SIZE and x not in STOP_WORDS]
+        assert py == dd, (t, py, dd)

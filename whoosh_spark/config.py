@@ -22,6 +22,12 @@ TOKEN_PATTERN = r"\w+(\.?\w+)*"
 # RE2 (DuckDB) cannot express backrefs but this pattern is RE2-safe once the
 # group is non-capturing; group 0 (the full match) is what we extract.
 TOKEN_PATTERN_RE2 = r"\w+(?:\.?\w+)*"
+# Unicode twin for the INDEX oracles: RE2/Java \w is ASCII-only, while the
+# index analyzer runs CPython re.UNICODE — [\p{L}\p{N}_] reproduces
+# CPython \w for the corpus character set (verified vs analyze_text on the
+# generator's non-ASCII vocabulary).  Pipeline ops keep the ASCII pattern on
+# BOTH sides (their Spark twin is Java regex, also ASCII) — self-consistent.
+TOKEN_PATTERN_RE2_UNI = r"[\p{L}\p{N}_]+(?:\.?[\p{L}\p{N}_]+)*"
 
 # src/whoosh/analysis/filters.py::STOP_WORDS (≈L40) — includes the infamous
 # "tbd"; minsize=2 drops single-character tokens.

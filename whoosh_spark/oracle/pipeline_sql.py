@@ -175,8 +175,9 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     the query vector comes from the same table by id."""
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
-qn AS (SELECT sqrt((SELECT sum(x::DOUBLE * x::DOUBLE)
-                    FROM (SELECT unnest(qv) AS x FROM q))) AS qn),
+qn AS (SELECT CASE WHEN s = 0 THEN 1.0 ELSE sqrt(s) END AS qn FROM
+       (SELECT (SELECT sum(x::DOUBLE * x::DOUBLE)
+                FROM (SELECT unnest(qv) AS x FROM q)) AS s)),
 e AS (
   SELECT vec_id,
          (SELECT sum(x::DOUBLE * y::DOUBLE)
@@ -203,9 +204,9 @@ SELECT a.vec_id AS a, b.vec_id AS b,
               FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
              / (a.nrm * b.nrm), 6) AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE (SELECT sum(x::DOUBLE * y::DOUBLE)
+WHERE round((SELECT sum(x::DOUBLE * y::DOUBLE)
        FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
-      / (a.nrm * b.nrm) >= {tau}
+      / (a.nrm * b.nrm), 6) >= {tau}
 ORDER BY a, b
 """
 
@@ -251,7 +252,7 @@ def winnow_sql(k: int = 5, w: int = 4) -> str:
     for j in range(1, k):
         horner = f"(({horner}) * 1000003 + th[i+{j}]) % 2147483648"
     return f"""
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks FROM documents),
 h AS (
   SELECT doc_id,
          list_transform(toks, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS th
@@ -349,7 +350,7 @@ cand AS (
   SELECT e.vec_id, e.embedding FROM embeddings e
   JOIN code c USING (vec_id) WHERE c.bucket IN (SELECT p FROM probes)
 ),
-qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn FROM q),
+qn AS (SELECT CASE WHEN s = 0 THEN 1.0 ELSE sqrt(s) END AS qn FROM (SELECT list_sum(list_transform(qv, x -> x * x)) AS s FROM q)),
 scored AS (
   SELECT vec_id,
          list_sum(list_transform(range(1, {dim} + 1),
@@ -400,7 +401,7 @@ cand AS (
   SELECT e.vec_id, e.embedding FROM embeddings e
   JOIN cellof USING (vec_id) WHERE cellof.cell IN (SELECT cid FROM probes)
 ),
-qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn FROM q),
+qn AS (SELECT CASE WHEN s = 0 THEN 1.0 ELSE sqrt(s) END AS qn FROM (SELECT list_sum(list_transform(qv, x -> x * x)) AS s FROM q)),
 scored AS (
   SELECT vec_id,
          list_sum(list_transform(range(1, {dim} + 1),

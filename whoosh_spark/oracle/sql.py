@@ -18,7 +18,7 @@ from whoosh_spark.config import (
     BYTE_TO_LENGTH,
     LENGTH_BOUNDARIES,
     STOP_WORDS,
-    TOKEN_PATTERN_RE2,
+    TOKEN_PATTERN_RE2_UNI,
 )
 
 _STOPS = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
@@ -42,7 +42,7 @@ def base_ctes(extra: str = "") -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id, lower(toks[i]) AS term, i - 1 AS pos
-  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2}') AS toks FROM documents),
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
        UNNEST(generate_series(1, len(toks))) AS u(i)
 ),
 tokf AS (
@@ -73,6 +73,13 @@ sc AS (
 
 def _terms_in(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
+
+
+def _like_escape(s: str) -> str:
+    """LIKE-literal: _ and % are wildcards in LIKE but ordinary chars in the
+    engine's startswith — escape them (pair with ESCAPE '\\')."""
+    return (s.replace("\\", "\\\\").replace("_", "\\_")
+             .replace("%", "\\%"))
 
 
 def topk(inner_select: str, k: int = 10) -> str:
@@ -158,7 +165,8 @@ def phrase_sql(words: list[str], slop: int = 1, k: int = 10) -> str:
 
 def prefix_sql(prefix: str, k: int = 10) -> str:
     sel = (
-        f"SELECT doc_id, sum(score) AS score FROM sc WHERE term LIKE '{prefix}%' "
+        f"SELECT doc_id, sum(score) AS score FROM sc "
+        f"WHERE term LIKE '{_like_escape(prefix)}%' ESCAPE '\\' "
         f"GROUP BY doc_id"
     )
     return base_ctes() + topk(sel, k)
@@ -185,7 +193,7 @@ def fuzzy_sql(word: str, maxdist: int, prefixlength: int, k: int = 10) -> str:
       SELECT doc_id, sum(score) AS score FROM sc
       WHERE term IN (SELECT term FROM dfs
                      WHERE levenshtein(term, '{word}') <= {maxdist}
-                       AND term LIKE '{word[:prefixlength]}%')
+                       AND term LIKE '{_like_escape(word[:prefixlength])}%' ESCAPE '\\')
       GROUP BY doc_id
     """
     return base_ctes() + topk(sel, k)
@@ -259,19 +267,20 @@ def sequence_prefix_sql(first: str, prefix: str, slop: int = 1, k: int = 10) -> 
     match = f"""pm AS (
   SELECT DISTINCT p0.doc_id
   FROM (SELECT doc_id, pos FROM tokf WHERE term = '{first}') p0
-  JOIN (SELECT doc_id, pos FROM tokf WHERE term LIKE '{prefix}%') p1
+  JOIN (SELECT doc_id, pos FROM tokf WHERE term LIKE '{_like_escape(prefix)}%' ESCAPE '\\') p1
     ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos AND p1.pos <= p0.pos + {slop}
 )"""
     sel = f"""
 SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id)
-WHERE s.term = '{first}' OR s.term LIKE '{prefix}%' GROUP BY s.doc_id
+WHERE s.term = '{first}' OR s.term LIKE '{_like_escape(prefix)}%' ESCAPE '\\' GROUP BY s.doc_id
 """
     return base_ctes(match) + topk(sel, k)
 
 
 def range_facet_sql(term: str, col: str, start: float, end: float, gap: float) -> str:
     """RangeFacet over a stored numeric column for matches of ``term``."""
-    nbins = int((end - start) // gap)
+    import math
+    nbins = int(math.ceil((end - start) / gap))
     sel = f"""
 SELECT CASE WHEN d.{col} < {start} THEN -1
             WHEN d.{col} >= {end} THEN {nbins}
@@ -317,7 +326,7 @@ def spelling_sql(word: str, maxdist: int = 2, top: int = 3) -> str:
     return base_ctes() + f"""
       SELECT t.term AS term FROM
         (SELECT term, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term) t
-      WHERE levenshtein(t.term, '{word}') <= {maxdist} AND t.term LIKE '{word[:1]}%'
+      WHERE levenshtein(t.term, '{word}') <= {maxdist} AND t.term LIKE '{_like_escape(word[:1])}%' ESCAPE '\\'
       ORDER BY t.cf DESC, t.term ASC LIMIT {top}
     """
 
@@ -346,7 +355,7 @@ def _field_pipeline(name: str, col: str) -> str:
     return f"""
 tok_{name} AS (
   SELECT doc_id, lower(toks[i]) AS term, i - 1 AS pos
-  FROM (SELECT doc_id, regexp_extract_all({col}, '{TOKEN_PATTERN_RE2}') AS toks FROM documents),
+  FROM (SELECT doc_id, regexp_extract_all({col}, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
        UNNEST(generate_series(1, len(toks))) AS u(i)
 ),
 tokf_{name} AS (
@@ -679,7 +688,8 @@ def facet_function_sql(term: str, expr: str, name: str = "bucket") -> str:
 def facet_daterange_sql(term: str, epoch0: int, step: int, start: int,
                         end: int, gap: int) -> str:
     """DateRangeFacet over the synthetic warc_ts = epoch0 + doc_id*step."""
-    nbins = int((end - start) // gap)
+    import math
+    nbins = int(math.ceil((end - start) / gap))
     ts = f"({epoch0} + d.doc_id * {step})"
     return base_ctes() + f"""
       SELECT CASE WHEN {ts} < {start} THEN -1

@@ -17,11 +17,12 @@ def get_spark(master: str | None = None, shuffle_partitions: int | None = None,
               app: str = "whoosh_spark") -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
     cores = master.split("[")[-1].rstrip("]") if "[" in master else "8"
+    cores = cores.split(",")[0]  # 'local[2,3]' = cores,maxFailures
     try:
         ncores = int(cores.replace("*", str(os.cpu_count() or 8)))
     except ValueError:
         ncores = 8
-    sp = shuffle_partitions or max(4, ncores)
+    sp = shuffle_partitions if shuffle_partitions is not None else max(4, ncores)
     return (
         SparkSession.builder.master(master)
         .appName(app)
@@ -42,5 +43,25 @@ def get_spark(master: str | None = None, shuffle_partitions: int | None = None,
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def get_spark_submit(app: str = "whoosh_spark") -> SparkSession:
+    """Session for spark-submit entrypoints: master/cores/shuffle come from
+    the submit command, but the engine's semantic + layout configs (UTC
+    session TZ for oracle parity, AQE + skew join, Arrow batching, fine
+    parquet splits, zstd) still apply — a bare getOrCreate() silently runs
+    with machine-local TZ and snappy."""
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .getOrCreate()
     )

@@ -142,6 +142,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range": _q(Q.TermRange("da", "dz")),
         "filtered_and": _q(Q.And([Q.Term("data"), Q.Term("query")]),
                            filter=Q.Filter("lang = 'en'")),
+        # wrapper / constant-score ops (previously pytest-only)
+        "not_in_and": _q(Q.And([Q.Term("data"), Q.Not(Q.Term("vector"))])),
+        "require": _q(Q.Require(Q.Or([Q.Term("data"), Q.Term("vector")]),
+                                Q.Term("small"))),
+        "otherwise_fallback": _q(Q.Otherwise(Q.Term("zzzabsent"), Q.Term("data"))),
+        "every": _q(Q.Every()),
+        "constant_score": _q(Q.Constant(Q.Term("data"), score=1.5)),
+        "boosted_or": _q(Q.Or([Q.Term("data", boost=2.0), Q.Term("vector")])),
     }
 
     def collapse_source(spark, sf_dir):
@@ -294,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weighting_dfree=_weighted("dfree"),
         weighting_tfidf=_weighted("tfidf"),
         weighting_reverse=_weighted("reverse:bm25"),
+        weighting_frequency=_weighted("frequency"),
     )
 
     # ---- facet variants + parser plugins --------------------------------
@@ -532,6 +541,13 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy": OSQL.fuzzy_sql("dat", maxdist=1, prefixlength=1),
         "term_range": OSQL.term_range_sql("da", "dz"),
         "filtered_and": OSQL.filtered_and_sql(["data", "query"], "lang = 'en'"),
+        "not_in_and": OSQL.and_with_not_sql("data", "vector"),
+        "require": OSQL.require_sql(["data", "vector"], "small"),
+        "otherwise_fallback": OSQL.term_sql("data"),
+        "every": OSQL.every_sql(),
+        "constant_score": OSQL.constant_score_sql("data", 1.5),
+        "boosted_or": OSQL.boosted_or_sql([("data", 2.0), ("vector", 1.0)]),
+        "weighting_frequency": OSQL.frequency_or_sql(["data", "vector"]),
         "collapse_source": OSQL.collapse_sql("data", "source"),
         "facet_count_source": OSQL.facet_count_sql("data", "source"),
         "sortedby_nchars": OSQL.sortedby_sql("data", "n_chars"),

@@ -251,7 +251,7 @@ def winnow_sql(k: int = 5, w: int = 4) -> str:
     horner = "th[i]"
     for j in range(1, k):
         horner = f"(({horner}) * 1000003 + th[i+{j}]) % 2147483648"
-    return f"""
+    return rf"""
 WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks FROM documents),
 h AS (
   SELECT doc_id,

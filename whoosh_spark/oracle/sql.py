@@ -845,3 +845,70 @@ def phrase_freq_sql(words: list[str], slop: int = 1, k: int = 10) -> str:
       FROM pm m JOIN dlq q USING (doc_id)
     """
     return base_ctes(match) + topk(sel, k)
+
+
+# ---------------------------------------------------------------------------
+# Wrapper / constant-score query shapes (round-2 completion: driver entries
+# for the previously pytest-only ops — Not-in-And, Require, Otherwise,
+# Every, ConstantScore, boosted children, Frequency weighting).
+# ---------------------------------------------------------------------------
+
+
+def and_with_not_sql(a: str, b: str, k: int = 10) -> str:
+    """``And([Term(a), Not(Term(b))])``: the Not child evaluates to the
+    complement doc-set with constant score 1.0 (evaluate.py::_eval_not), and
+    And sums child scores — so matches score ``score(a) + 1.0``."""
+    sel = (
+        f"SELECT doc_id, score + 1.0 AS score FROM sc WHERE term = '{a}' "
+        f"AND doc_id NOT IN (SELECT doc_id FROM sc WHERE term = '{b}')"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def require_sql(a_terms: list[str], b_term: str, k: int = 10) -> str:
+    """``Require(Or(a_terms), Term(b))``: left semi — must match both sides,
+    score from the a side only (``compound.py::Require ≈L660``)."""
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc "
+        f"WHERE term IN ({_terms_in(a_terms)}) "
+        f"AND doc_id IN (SELECT doc_id FROM sc WHERE term = '{b_term}') "
+        f"GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def every_sql(k: int = 10) -> str:
+    """``Every()``: all docs, constant score 1.0, doc_id tie-break."""
+    return topk("SELECT doc_id, 1.0 AS score FROM documents", k)
+
+
+def constant_score_sql(term: str, score: float, k: int = 10) -> str:
+    """``Constant(Term(term), score)``: matching docs with a fixed score."""
+    sel = (
+        f"SELECT DISTINCT doc_id, {float(score)} AS score FROM sc "
+        f"WHERE term = '{term}'"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def boosted_or_sql(term_boosts: list[tuple[str, float]], k: int = 10) -> str:
+    """``Or`` with per-child boosts: each child's BM25 score is multiplied
+    by its boost before the per-doc sum (boost on every node)."""
+    case = " ".join(
+        f"WHEN term = '{t}' THEN score * {float(b)}" for t, b in term_boosts)
+    sel = (
+        f"SELECT doc_id, sum(CASE {case} END) AS score FROM sc "
+        f"WHERE term IN ({_terms_in([t for t, _ in term_boosts])}) "
+        f"GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
+def frequency_or_sql(terms: list[str], k: int = 10) -> str:
+    """Or under the Frequency model (``scoring.py::Frequency ≈L280``):
+    score = raw weight (tf)."""
+    sel = (
+        f"SELECT doc_id, sum(tf) AS score FROM tfs "
+        f"WHERE term IN ({_terms_in(terms)}) GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)

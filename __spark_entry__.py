@@ -202,6 +202,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.col("keyness").desc(), F.col("term").asc())
         )
 
+    def correct_query_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        corrected, _ = s.correct_query("dta AND query")
+        return spark.createDataFrame([(corrected,)], "corrected string")
+
+    def more_like_q(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.more_like([0, 1, 2, 3, 4], limit=10, numterms=5)
+        return _topk(res.select("doc_id", "score"))
+
     out.update(
         collapse_source=collapse_source,
         facet_count_source=facet_count_source,
@@ -211,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_lengths=doc_lengths_q,
         spelling=spelling_q,
         key_terms=key_terms_q,
+        correct_query=correct_query_q,
+        more_like=more_like_q,
     )
 
     def range_facet_nchars(spark, sf_dir):
@@ -556,6 +568,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": OSQL.doc_lengths_sql(100),
         "spelling": OSQL.spelling_sql("dat", 2, 3),
         "key_terms": OSQL.key_terms_sql([0, 1, 2, 3, 4], 5),
+        "correct_query": OSQL.correct_query_sql("dta", " AND query"),
+        "more_like": OSQL.more_like_sql([0, 1, 2, 3, 4], 5, 10),
         "range_facet_nchars": OSQL.range_facet_sql("data", "n_chars", 0.0, 1000.0, 250.0),
         "query_facet": OSQL.query_facet_sql(
             "data", {"has_vector": "vector", "has_window": "window"}),

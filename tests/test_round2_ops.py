@@ -347,3 +347,34 @@ class TestPhraseFreq:
         b = s.search(Q.Phrase(["big", "data"], scoring="terms"),
                      limit=10).collect()
         assert a == b
+
+
+class TestCorrectQuery:
+    def test_rewrites_unknown_terms(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        corrected, q = s.correct_query("dta AND tabel")
+        assert corrected == "data AND table"
+        assert sorted(t for t in q.terms()) == ["data", "table"]
+
+    def test_known_terms_untouched(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        corrected, _ = s.correct_query("data AND query")
+        assert corrected == "data AND query"
+
+    def test_syntax_adjacent_tokens_skipped(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        corrected, _ = s.correct_query("dta* AND tabl~1")
+        assert corrected == "dta* AND tabl~1"
+
+    def test_phrase_words_corrected(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        corrected, _ = s.correct_query('"big dta"')
+        assert corrected == '"big data"'

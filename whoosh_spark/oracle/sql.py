@@ -912,3 +912,38 @@ def frequency_or_sql(terms: list[str], k: int = 10) -> str:
         f"WHERE term IN ({_terms_in(terms)}) GROUP BY doc_id"
     )
     return base_ctes() + topk(sel, k)
+
+
+def correct_query_sql(unknown_word: str, suffix: str, maxdist: int = 2) -> str:
+    """Corrected query string for ``Searcher.correct_query``: the top
+    correction for the one unknown word (most frequent within levenshtein
+    ``maxdist``, sharing the first char — same ordering as spelling_sql)
+    concatenated with the untouched remainder of the query string."""
+    return base_ctes() + f"""
+      SELECT (SELECT t.term
+              FROM (SELECT term, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term) t
+              WHERE levenshtein(t.term, '{unknown_word}') <= {maxdist}
+                AND t.term LIKE '{_like_escape(unknown_word[:1])}%' ESCAPE '\\'
+              ORDER BY t.cf DESC, t.term ASC LIMIT 1) || '{suffix}' AS corrected
+    """
+
+
+def more_like_sql(doc_ids: list[int], numterms: int = 5, k: int = 10) -> str:
+    """``Searcher.more_like``: Or over the doc set's top key terms (tf·idf
+    keyness, key_terms_sql ranking), excluding the source docs."""
+    ids = ", ".join(str(d) for d in doc_ids)
+    extra = f"""
+kt AS (
+  SELECT t.term
+  FROM tfs t JOIN dfs d USING (term)
+  WHERE t.doc_id IN ({ids})
+  GROUP BY t.term, d.df
+  ORDER BY sum(t.tf) * (ln((SELECT n FROM nn) / (d.df + 1)) + 1) DESC, t.term ASC
+  LIMIT {numterms}
+)"""
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc "
+        f"WHERE term IN (SELECT term FROM kt) AND doc_id NOT IN ({ids}) "
+        f"GROUP BY doc_id"
+    )
+    return base_ctes(extra) + topk(sel, k)

@@ -476,6 +476,58 @@ class Searcher:
         )
         return [r["term"] for r in rows]
 
+    def correct_query(self, qstring: str, maxdist: int = 2):
+        """``searching.py::Searcher.correct_query (≈L640)``: rewrite the
+        query STRING, replacing each plain term absent from the lexicon with
+        its top correction (``correct_term`` ranking: most frequent within
+        levenshtein ``maxdist``, sharing the first character).  Operator
+        keywords and tokens adjacent to query syntax (wildcards, fuzzy,
+        boosts, ranges, field prefixes) are left untouched — only bare Term
+        and phrase words are corrected, like upstream's token-position
+        rewrite.  Returns ``(corrected_string, corrected_query)``."""
+        import re as _re
+
+        from whoosh_spark.analysis.analyzers import analyze_text
+        from whoosh_spark.query.parser import parse_query
+
+        keywords = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "TO"}
+        syntax = set("*?~^[]{}:")
+        cands: list[tuple[int, int, str]] = []  # (start, end, analyzed term)
+        for m in _re.finditer(r"\w+", qstring):
+            w = m.group(0)
+            if w in keywords:
+                continue
+            before = qstring[m.start() - 1] if m.start() else " "
+            after = qstring[m.end()] if m.end() < len(qstring) else " "
+            if before in syntax or after in syntax:
+                continue
+            toks, _ = analyze_text(w)
+            if len(toks) == 1:
+                cands.append((m.start(), m.end(), toks[0]))
+        terms = {t for _, _, t in cands}
+        known: set[str] = set()
+        if terms:
+            known = {
+                r["term"]
+                for r in self.ix.term_stats.where(
+                    F.col("term").isin(sorted(terms))).select("term").collect()
+            }
+        repl: dict[str, str] = {}
+        for _, _, t in cands:
+            if t not in known and t not in repl:
+                sugg = self.correct_term(t, maxdist=maxdist, top=1)
+                if sugg:
+                    repl[t] = sugg[0]
+        pieces, last = [], 0
+        for st, en, t in cands:
+            if t in repl:
+                pieces.append(qstring[last:st])
+                pieces.append(repl[t])
+                last = en
+        pieces.append(qstring[last:])
+        corrected = "".join(pieces)
+        return corrected, parse_query(corrected)
+
 
 # ---------------------------------------------------------------------------
 # time-limited collection (TimeLimitCollector analog)

@@ -212,6 +212,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = s.more_like([0, 1, 2, 3, 4], limit=10, numterms=5)
         return _topk(res.select("doc_id", "score"))
 
+    def highlight_upper_q(spark, sf_dir):
+        from whoosh_spark.highlight import uppercase_format, whole_fragment
+
+        s = _searcher(spark, sf_dir)
+        ids = [int(r["doc_id"])
+               for r in _topk(s.ev.evaluate(Q.Term("data")), 5).collect()]
+        texts = {
+            int(r["doc_id"]): r["text"]
+            for r in s.ix.docs.where(F.col("doc_id").isin(ids))
+            .select("doc_id", "text").collect()
+        }
+        rows = [(d, uppercase_format(texts[d],
+                                     whole_fragment(texts[d], {"data"})[0]))
+                for d in ids]
+        return spark.createDataFrame(rows, "doc_id long, hl string")
+
     out.update(
         collapse_source=collapse_source,
         facet_count_source=facet_count_source,
@@ -223,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key_terms=key_terms_q,
         correct_query=correct_query_q,
         more_like=more_like_q,
+        highlight_upper=highlight_upper_q,
     )
 
     def range_facet_nchars(spark, sf_dir):
@@ -570,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "key_terms": OSQL.key_terms_sql([0, 1, 2, 3, 4], 5),
         "correct_query": OSQL.correct_query_sql("dta", " AND query"),
         "more_like": OSQL.more_like_sql([0, 1, 2, 3, 4], 5, 10),
+        "highlight_upper": OSQL.highlight_upper_sql("data", 5),
         "range_facet_nchars": OSQL.range_facet_sql("data", "n_chars", 0.0, 1000.0, 250.0),
         "query_facet": OSQL.query_facet_sql(
             "data", {"has_vector": "vector", "has_window": "window"}),

@@ -947,3 +947,19 @@ kt AS (
         f"GROUP BY doc_id"
     )
     return base_ctes(extra) + topk(sel, k)
+
+
+def highlight_upper_sql(term: str, k: int = 5) -> str:
+    """WholeFragmenter + UppercaseFormatter over the top-k docs of a term
+    query (``src/whoosh/highlight.py::UppercaseFormatter ≈L480``): every
+    analyzed-token occurrence of the term is uppercased in the stored text.
+    ``\\b`` agrees with the tokenizer on this corpus (no dotted tokens; _
+    is \\w on both sides, - breaks tokens on both sides)."""
+    sel = f"SELECT doc_id, score FROM sc WHERE term = '{term}'"
+    return base_ctes() + f"""
+      SELECT t.doc_id,
+             regexp_replace(d.text, '\\b{term}\\b', '{term.upper()}', 'g') AS hl
+      FROM (SELECT doc_id FROM ({sel})
+            ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {k}) t
+      JOIN documents d USING (doc_id)
+    """

@@ -228,6 +228,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for d in ids]
         return spark.createDataFrame(rows, "doc_id long, hl string")
 
+    def highlight_chars_q(spark, sf_dir):
+        # Characters posting format: hit spans come from the index's
+        # char-offsets segment (term+doc pushdown scan of chars.py's side
+        # table), NOT from re-analyzing stored text; the oracle re-analyzes,
+        # proving the format invariant (offsets ≡ analysis)
+        from whoosh_spark.chars import char_offsets
+        from whoosh_spark.highlight import Fragment, uppercase_format
+
+        s = _searcher(spark, sf_dir)
+        key = ("char_offsets", id(spark), sf_dir)
+        if key not in _CACHE:
+            _CACHE[key] = char_offsets(s.ix.docs)
+        ids = [int(r["doc_id"])
+               for r in _topk(s.ev.evaluate(Q.Term("window")), 5).collect()]
+        texts = {
+            int(r["doc_id"]): r["text"]
+            for r in s.ix.docs.where(F.col("doc_id").isin(ids))
+            .select("doc_id", "text").collect()
+        }
+        span_rows = (_CACHE[key]
+                     .where((F.col("term") == "window")
+                            & F.col("doc_id").isin(ids)).collect())
+        hits = {d: [] for d in ids}
+        for r in span_rows:
+            hits[int(r["doc_id"])].extend(
+                (int(a), int(b), r["term"])
+                for a, b in zip(r["starts"], r["ends"]))
+        rows = [(d, uppercase_format(
+                    texts[d], Fragment(0, len(texts[d]), sorted(hits[d]))))
+                for d in ids]
+        return spark.createDataFrame(rows, "doc_id long, hl string")
+
     out.update(
         collapse_source=collapse_source,
         facet_count_source=facet_count_source,
@@ -240,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         correct_query=correct_query_q,
         more_like=more_like_q,
         highlight_upper=highlight_upper_q,
+        highlight_chars=highlight_chars_q,
     )
 
     def range_facet_nchars(spark, sf_dir):
@@ -588,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
         "correct_query": OSQL.correct_query_sql("dta", " AND query"),
         "more_like": OSQL.more_like_sql([0, 1, 2, 3, 4], 5, 10),
         "highlight_upper": OSQL.highlight_upper_sql("data", 5),
+        "highlight_chars": OSQL.highlight_upper_sql("window", 5),
         "range_facet_nchars": OSQL.range_facet_sql("data", "n_chars", 0.0, 1000.0, 250.0),
         "query_facet": OSQL.query_facet_sql(
             "data", {"has_vector": "vector", "has_window": "window"}),

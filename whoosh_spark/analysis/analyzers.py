@@ -98,6 +98,27 @@ def analyze_text(text: str) -> tuple[list[str], list[int]]:
     return tokens, positions
 
 
+def analyze_text_spans(text: str) -> list[tuple[str, int, int]]:
+    """Characters-format mirror of :func:`analyze_text`: the SAME chain
+    (tokenize → lower → minsize/stop), but emitting ``(term, startchar,
+    endchar)`` per surviving token (``src/whoosh/analysis/tokenizers.py::
+    RegexTokenizer ≈L140`` ``chars=True`` mode; ``formats.py::Characters
+    ≈L250`` stores exactly these spans per posting).
+
+    Invariant (tested): ``[t for t, _, _ in analyze_text_spans(x)] ==
+    analyze_text(x)[0]`` — the offsets segment can never disagree with the
+    postings about which occurrences exist.
+    """
+    if not text:
+        return []
+    out: list[tuple[str, int, int]] = []
+    for m in _TOKEN_RE.finditer(text):
+        t = m.group(0).lower()
+        if len(t) >= MIN_WORD_SIZE and t not in STOP_WORDS:
+            out.append((t, m.start(), m.end()))
+    return out
+
+
 def analyze_id(text: str) -> tuple[list[str], list[int]]:
     """IDTokenizer / ID field type (``analysis/tokenizers.py::IDTokenizer
     ≈L120``): the entire value is one untokenized term (exact-match keys

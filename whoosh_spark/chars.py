@@ -19,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from whoosh_spark.analysis.analyzers import _TOKEN_RE
-from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
+from whoosh_spark import fs as FS
+from whoosh_spark.analysis.analyzers import analyze_text_spans
 
 CHARS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -57,14 +57,15 @@ def char_offsets(docs: DataFrame, id_col: str = "doc_id",
             out_ids, out_terms, out_s, out_e = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
                 spans: dict[str, tuple[list[int], list[int]]] = {}
-                for m in _TOKEN_RE.finditer(text or ""):
-                    t = m.group(0).lower()
-                    if len(t) >= MIN_WORD_SIZE and t not in STOP_WORDS:
-                        if stem_fn is not None:
-                            t = stem_fn(t)
-                        s, e = spans.setdefault(t, ([], []))
-                        s.append(m.start())
-                        e.append(m.end())
+                # SAME chain as the postings (analyzers.analyze_text_spans
+                # is the tested span mirror of analyze_text); stem applies
+                # after minsize/stop, matching analyze_text_stemming
+                for t, ms, me in analyze_text_spans(text or ""):
+                    if stem_fn is not None:
+                        t = stem_fn(t)
+                    s, e = spans.setdefault(t, ([], []))
+                    s.append(ms)
+                    e.append(me)
                 for t, (ss, ee) in spans.items():
                     out_ids.append(doc_id)
                     out_terms.append(t)
@@ -74,3 +75,23 @@ def char_offsets(docs: DataFrame, id_col: str = "doc_id",
                                 "starts": out_s, "ends": out_e})
 
     return src.mapInPandas(gen, schema=CHARS_SCHEMA)
+
+
+def write_char_offsets(docs: DataFrame, path: str, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       analyzer: str = "standard") -> None:
+    """Persist the Characters segment under ``<index>/char_offsets``, range-
+    partitioned + sorted by (term, doc_id) so parquet row-group min/max
+    stats prune BOTH the term and the doc_id highlight predicates — the same
+    layout trick the ``blocks`` table uses (``write_index(store_offsets=
+    True)`` calls this; an index without the segment loads with
+    ``ix.char_offsets is None``, mirroring upstream's opt-in
+    ``TEXT(chars=True)``)."""
+    (char_offsets(docs, id_col, text_col, analyzer)
+     .repartitionByRange("term", "doc_id")
+     .sortWithinPartitions("term", "doc_id")
+     .write.mode("overwrite").parquet(FS.join(path, "char_offsets")))
+
+
+def read_char_offsets(spark, path: str) -> DataFrame:
+    return spark.read.parquet(FS.join(path, "char_offsets"))

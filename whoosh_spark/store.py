@@ -107,10 +107,14 @@ def write_index(
     chunk_bits: int = DEFAULT_CHUNK_BITS,
     chunks_per_commit: int = 16,
     store_text: bool = False,
+    store_offsets: bool = False,
     max_batches: int | None = None,
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
 
+    ``store_offsets`` additionally writes the Characters-format segment
+    (``char_offsets/``, see :mod:`whoosh_spark.offsets`) — opt-in exactly
+    like upstream's ``TEXT(chars=True)`` field declaration.
     ``max_batches`` limits analyze-phase commits (used by the resumability
     tests to simulate a mid-build kill).
     """
@@ -223,6 +227,11 @@ def write_index(
         stored = stored.withColumnRenamed(id_col, "doc_id")
     stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
     t = _mark("docs", t)
+    if store_offsets:
+        from whoosh_spark.chars import write_char_offsets
+
+        write_char_offsets(docs, path, id_col, text_col)
+        t = _mark("char_offsets", t)
     _append_log(
         path,
         {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
@@ -273,6 +282,11 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         deleted=deleted,
     )
     ix.manifest = manifest
+    offsets_dir = FS.join(path, "char_offsets")
+    ix.char_offsets = (
+        spark.read.parquet(offsets_dir)
+        if FS.isdir_nonempty(offsets_dir) else None
+    )
     return ix
 
 

@@ -229,17 +229,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "doc_id long, hl string")
 
     def highlight_chars_q(spark, sf_dir):
-        # Characters posting format: hit spans come from the index's
-        # char-offsets segment (term+doc pushdown scan of chars.py's side
-        # table), NOT from re-analyzing stored text; the oracle re-analyzes,
-        # proving the format invariant (offsets ≡ analysis)
-        from whoosh_spark.chars import char_offsets
+        # Characters posting format: hit spans come from the PERSISTED
+        # char-offsets segment (write_char_offsets → parquet → term+doc
+        # pushdown scan of chars.py's side table), NOT from re-analyzing
+        # stored text; the oracle re-analyzes, proving the format invariant
+        # (offsets ≡ analysis) end-to-end through the disk round-trip
+        from whoosh_spark.chars import read_char_offsets, write_char_offsets
         from whoosh_spark.highlight import Fragment, uppercase_format
 
         s = _searcher(spark, sf_dir)
         key = ("char_offsets", id(spark), sf_dir)
         if key not in _CACHE:
-            _CACHE[key] = char_offsets(s.ix.docs)
+            import tempfile
+
+            seg_dir = tempfile.mkdtemp(prefix="whoosh_chars_")
+            write_char_offsets(s.ix.docs, seg_dir)
+            _CACHE[key] = read_char_offsets(spark, seg_dir)
         ids = [int(r["doc_id"])
                for r in _topk(s.ev.evaluate(Q.Term("window")), 5).collect()]
         texts = {

@@ -74,3 +74,37 @@ def test_write_index_store_offsets_flag(spark, tmp_path):
     path2 = str(tmp_path / "ix3")
     write_index(docs, path2)
     assert load_index(spark, path2).char_offsets is None
+
+
+def test_segment_lifecycle_rebuild_upsert_purge(spark, tmp_path):
+    """The Characters segment must never go stale: a rebuild without the
+    flag drops it, an upsert extends it with the new docs' spans, and a
+    purge compaction removes the purged docs' rows."""
+    from whoosh_spark.store import (compact_index, load_index,
+                                    upsert_documents, write_index)
+
+    path = str(tmp_path / "ix4")
+    docs = _docs(spark).limit(30)
+    write_index(docs, path, store_offsets=True)
+    assert load_index(spark, path).char_offsets is not None
+
+    # upsert: a changed doc (same url) gets a fresh doc_id WITH spans
+    one = docs.where(F.col("doc_id") == 5).withColumn(
+        "text", F.lit("zebra quux zebra"))
+    upsert_documents(spark, path, one, key="doc_id")
+    ix = load_index(spark, path)
+    zeb = ix.char_offsets.where(F.col("term") == "zebra").collect()
+    assert len(zeb) == 1 and list(zeb[0]["starts"]) == [0, 11]
+    new_id = int(zeb[0]["doc_id"])
+    assert new_id >= 30  # renumbered above the old max
+
+    # purge: the soft-deleted old doc 5's rows leave the segment
+    compact_index(spark, path, purge_deleted=True)
+    ix = load_index(spark, path)
+    ids = {int(r["doc_id"]) for r in
+           ix.char_offsets.select("doc_id").distinct().collect()}
+    assert 5 not in ids and new_id in ids
+
+    # rebuild at the SAME path without the flag: stale segment dropped
+    write_index(docs, path)
+    assert load_index(spark, path).char_offsets is None

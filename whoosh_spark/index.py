@@ -59,7 +59,7 @@ class InvertedIndex:
         self.docs = docs
         self.field = field
         self.deleted = deleted  # (doc_id) soft-delete overlay, or None
-        self.char_offsets = None  # Characters-format segment (offsets.py), or None
+        self.char_offsets = None  # Characters-format segment (chars.py), or None
         self._global = None  # (N, avgdl) cache
 
     # ------------------------------------------------------------------

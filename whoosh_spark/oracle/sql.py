@@ -954,11 +954,14 @@ def highlight_upper_sql(term: str, k: int = 5) -> str:
     query (``src/whoosh/highlight.py::UppercaseFormatter ≈L480``): every
     analyzed-token occurrence of the term is uppercased in the stored text.
     ``\\b`` agrees with the tokenizer on this corpus (no dotted tokens; _
-    is \\w on both sides, - breaks tokens on both sides)."""
+    is \\w on both sides, - breaks tokens on both sides).  ``(?i)`` because
+    the engine matches ANALYZED (lowercased) tokens, so a capitalized
+    occurrence ('Data') is uppercased too — and upper(any case variant)
+    equals upper(term), so the literal replacement stays exact."""
     sel = f"SELECT doc_id, score FROM sc WHERE term = '{term}'"
     return base_ctes() + f"""
       SELECT t.doc_id,
-             regexp_replace(d.text, '\\b{term}\\b', '{term.upper()}', 'g') AS hl
+             regexp_replace(d.text, '(?i)\\b{term}\\b', '{term.upper()}', 'g') AS hl
       FROM (SELECT doc_id FROM ({sel})
             ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {k}) t
       JOIN documents d USING (doc_id)

@@ -476,6 +476,42 @@ class Searcher:
         )
         return [r["term"] for r in rows]
 
+    def correct_terms(self, words: list[str], maxdist: int = 2) -> dict[str, str]:
+        """Batched ``correct_term``: top correction for EVERY word in ONE
+        term_stats scan (one Spark job however many typos the query has).
+        The scan filter is the OR of the per-word levenshtein predicates;
+        the surviving candidate set (small) is then exploded against the
+        word list and ranked per word."""
+        import functools
+
+        from pyspark.sql.window import Window
+
+        words = [w for w in dict.fromkeys(words) if w]
+        if not words:
+            return {}
+        pred = functools.reduce(
+            lambda a, b: a | b,
+            ((F.levenshtein(F.col("term"), F.lit(w)) <= maxdist)
+             & F.col("term").startswith(w[:1]) for w in words),
+        )
+        cand = self.ix.term_stats.where(pred).select("term", "cf")
+        matched = (
+            cand.withColumn("word", F.explode(F.array(*[F.lit(w) for w in words])))
+            .where(
+                (F.levenshtein(F.col("term"), F.col("word")) <= maxdist)
+                & (F.substring("term", 1, 1) == F.substring("word", 1, 1))
+            )
+        )
+        w = Window.partitionBy("word").orderBy(
+            F.col("cf").desc(), F.col("term").asc())
+        best = (
+            matched.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("word", "term")
+            .collect()
+        )
+        return {r["word"]: r["term"] for r in best}
+
     def correct_query(self, qstring: str, maxdist: int = 2):
         """``searching.py::Searcher.correct_query (≈L640)``: rewrite the
         query STRING, replacing each plain term absent from the lexicon with
@@ -512,12 +548,8 @@ class Searcher:
                 for r in self.ix.term_stats.where(
                     F.col("term").isin(sorted(terms))).select("term").collect()
             }
-        repl: dict[str, str] = {}
-        for _, _, t in cands:
-            if t not in known and t not in repl:
-                sugg = self.correct_term(t, maxdist=maxdist, top=1)
-                if sugg:
-                    repl[t] = sugg[0]
+        unknown = [t for _, _, t in cands if t not in known]
+        repl = self.correct_terms(unknown, maxdist=maxdist)
         pieces, last = [], 0
         for st, en, t in cands:
             if t in repl:

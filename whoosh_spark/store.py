@@ -113,7 +113,7 @@ def write_index(
     """Build + persist the index; resumable.  Returns the manifest dict.
 
     ``store_offsets`` additionally writes the Characters-format segment
-    (``char_offsets/``, see :mod:`whoosh_spark.offsets`) — opt-in exactly
+    (``char_offsets/``, see :mod:`whoosh_spark.chars`) — opt-in exactly
     like upstream's ``TEXT(chars=True)`` field declaration.
     ``max_batches`` limits analyze-phase commits (used by the resumability
     tests to simulate a mid-build kill).
@@ -227,11 +227,16 @@ def write_index(
         stored = stored.withColumnRenamed(id_col, "doc_id")
     stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
     t = _mark("docs", t)
+    offsets_dir = FS.join(path, "char_offsets")
     if store_offsets:
         from whoosh_spark.chars import write_char_offsets
 
         write_char_offsets(docs, path, id_col, text_col)
         t = _mark("char_offsets", t)
+    elif FS.isdir_nonempty(offsets_dir):
+        # a previous generation at this path opted in; its spans describe
+        # the OLD corpus — drop them rather than attach stale offsets
+        FS.rmtree(offsets_dir)
     _append_log(
         path,
         {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
@@ -350,6 +355,16 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
                            "counters": {}, "note": "purge-compaction rewrite",
                            "wall_ms": 0, "ts": time.time()})
         analyzed = spark.read.parquet(an_dir).drop("chunk", "batch")
+        offsets_dir = FS.join(path, "char_offsets")
+        if FS.isdir_nonempty(offsets_dir):
+            # Characters segment is keyed by doc_id: rewrite it without the
+            # purged docs so a later lookup can't see spans for ghosts
+            kept = (spark.read.parquet(offsets_dir)
+                    .join(F.broadcast(dd), "doc_id", "left_anti"))
+            tmp_off = FS.join(path, "char_offsets_purge_tmp")
+            kept.write.mode("overwrite").parquet(tmp_off)
+            FS.rmtree(offsets_dir)
+            FS.rename(tmp_off, offsets_dir)
         FS.rmtree(deleted_dir)
     blocks = B.posting_blocks_from_analyzed(analyzed, field)
     blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
@@ -415,6 +430,15 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
         "doc_id", (F.lit(int(max_id)) + F.row_number().over(w)).cast("long"))
     analyzed = B.analyzed_docs(renumbered, "doc_id", text_col).withColumn(
         "chunk", F.lit(-1))
+    offsets_dir = FS.join(path, "char_offsets")
+    if FS.isdir_nonempty(offsets_dir):
+        # keep the Characters segment live across upserts: append spans for
+        # the new doc_ids (old versions are soft-deleted, so their rows are
+        # unreachable via search and get dropped at purge compaction)
+        from whoosh_spark.chars import char_offsets as _char_offsets
+
+        _char_offsets(renumbered, "doc_id", text_col).write.mode(
+            "append").parquet(offsets_dir)
     bid = f"upsert-{int(time.time() * 1000)}"
     analyzed.write.mode("overwrite").parquet(
         FS.join(path, "analyzed", f"batch={bid}"))

@@ -39,6 +39,14 @@ def _ingest_batch(path: str, id_col: str, text_col: str, run_id: str):
         )
         out = FS.join(path, "analyzed", f"batch=stream-{run_id}-{epoch_id}")
         analyzed.write.mode("overwrite").parquet(out)
+        off_dir = FS.join(path, "char_offsets")
+        if FS.isdir_nonempty(off_dir):
+            # keep the opt-in Characters segment live across streamed
+            # micro-segments, mirroring store.upsert_documents
+            from whoosh_spark.chars import char_offsets
+
+            char_offsets(batch_df, id_col, text_col).write.mode(
+                "append").parquet(off_dir)
         n = batch_df.sparkSession.read.parquet(out).count()
         store._append_log(
             path,

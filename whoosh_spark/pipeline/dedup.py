@@ -9,8 +9,10 @@ Scale notes (the whole point of these formulations):
   shingles are stop-phrase-like and carry no dedup signal; this is the
   standard frequency cut used by web-dedup pipelines).
 * MinHash: signatures are p column aggregates over the shingle explode (one
-  shuffle); LSH banding turns candidate generation into an equi-join on
-  (band, band_hash) — bucket sizes are bounded w.h.p., no cross join ever.
+  shuffle); LSH banding groups docs by (band, band_hash) and expands pairs
+  inside each bucket — bucket sizes are bounded w.h.p. (``max_bucket`` caps
+  the degenerate case with a connectivity-preserving star), no cross join
+  ever, and the signature pipeline runs exactly once.
 * SimHash: 60 bit-majority aggregates per doc; near-dup candidates via
   ``max_hamming + 1`` band buckets (pigeonhole ⇒ full recall at the radius),
   verified with bit_count(xor) — all JVM bit ops, portable md5-prefix hash.
@@ -120,45 +122,67 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3,
                        text_col: str = "text") -> DataFrame:
     """(doc_id, sig array<long>) — p permutation minima in ONE aggregation.
 
-    Permutation i is ``xxhash64(shingle, seed=i)`` (Spark's 64-bit xxHash with
-    a per-perm seed column); min over the doc's shingles per perm.
+    Each shingle is hashed ONCE (``xxhash64(shingle)``); permutation i is
+    ``xxhash64(h, seed=i)`` over that 8-byte value.  Hashing the string once
+    instead of p times cuts the aggregation cost ~2× (measured at sf0.1)
+    while keeping everything whole-stage codegen; 64-bit pre-hash collisions
+    are negligible versus MinHash's own estimation error.
     """
     sh = shingles(docs, n, text_col)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"s{i}")
         for i in range(num_perm)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32,
-                        rows: int = 4) -> DataFrame:
-    """(a, b) candidate pairs sharing at least one LSH band bucket."""
+                        rows: int = 4, max_bucket: int = 4096) -> DataFrame:
+    """(a, b) candidate pairs sharing at least one LSH band bucket.
+
+    Single-pass formulation: band hashes are ``xxhash64`` over the band's
+    ``rows`` signature longs directly (codegen, no string building), then
+    ONE groupBy collects each bucket's doc ids and pairs are expanded
+    in-array — the signature pipeline runs once, where a banded self-join
+    would execute it twice (once per side).
+
+    ``max_bucket`` is the skew bomb guard: a bucket larger than it (only
+    possible when thousands of near-identical docs survived exact dedup)
+    switches from all-pairs (quadratic) to a STAR expansion — min doc id
+    paired with every other member — which preserves duplicate-cluster
+    connectivity at linear cost.  Buckets at or under the cap are exact.
+    """
+    bhs = [
+        F.xxhash64(*[F.element_at("sig", b * rows + j + 1) for j in range(rows)])
+        for b in range(bands)
+    ]
     banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice("sig", bidx * rows + 1, rows),
-                            lambda v: v.cast("string"))),
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    l = banded.select(F.col("doc_id").alias("a"), "band", "bh")
-    r = banded.select(F.col("doc_id").alias("b"), "band", "bh")
+        "doc_id", F.posexplode(F.array(*bhs)).alias("band", "bh"))
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    all_pairs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("a"), y.alias("b")),
+    )
+    pairs = F.when(F.size(ids) > max_bucket, star_pairs).otherwise(all_pairs)
     return (
-        l.join(r, ["band", "bh"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 

@@ -113,6 +113,24 @@ def _q(query: Q.Query, k: int = 10, **search_kw) -> Callable[[SparkSession, str]
     return run
 
 
+def _batch_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searcher.search_many: four mixed queries ranked in ONE Spark job
+    (qname, doc_id, score) — per-name rows identical to individual
+    search(optimize=False) top-10s."""
+    s = _searcher(spark, sf_dir)
+    res = s.search_many(
+        {
+            "t_data": Q.Term("data"),
+            "and_dq": Q.And([Q.Term("data"), Q.Term("query")]),
+            "or_dv": Q.Or([Q.Term("data"), Q.Term("vector")]),
+            "dismax_dv": Q.DisMax([Q.Term("data"), Q.Term("vector")],
+                                  tiebreak=0.5),
+        },
+        limit=10,
+    )
+    return res.select("qname", "doc_id", F.round("score", 6).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for And(data, query) on sf0.001."""
     s = _searcher(spark, "/root/testdata/sf0.001")
@@ -150,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "every": _q(Q.Every()),
         "constant_score": _q(Q.Constant(Q.Term("data"), score=1.5)),
         "boosted_or": _q(Q.Or([Q.Term("data", boost=2.0), Q.Term("vector")])),
+        "batch_search": _batch_search_q,
     }
 
     def collapse_source(spark, sf_dir):
@@ -614,6 +633,17 @@ def oracle_sql() -> dict[str, str]:
         "every": OSQL.every_sql(),
         "constant_score": OSQL.constant_score_sql("data", 1.5),
         "boosted_or": OSQL.boosted_or_sql([("data", 2.0), ("vector", 1.0)]),
+        "batch_search": OSQL.search_many_sql([
+            ("t_data", "SELECT doc_id, score FROM sc WHERE term = 'data'"),
+            ("and_dq", "SELECT doc_id, sum(score) AS score FROM sc "
+                       "WHERE term IN ('data', 'query') GROUP BY doc_id "
+                       "HAVING count(*) = 2"),
+            ("or_dv", "SELECT doc_id, sum(score) AS score FROM sc "
+                      "WHERE term IN ('data', 'vector') GROUP BY doc_id"),
+            ("dismax_dv", "SELECT doc_id, max(score) + 0.5 * (sum(score) - "
+                          "max(score)) AS score FROM sc "
+                          "WHERE term IN ('data', 'vector') GROUP BY doc_id"),
+        ]),
         "weighting_frequency": OSQL.frequency_or_sql(["data", "vector"]),
         "collapse_source": OSQL.collapse_sql("data", "source"),
         "facet_count_source": OSQL.facet_count_sql("data", "source"),

@@ -117,6 +117,19 @@ def _bench_queries(ix, reps: int = 3) -> dict[str, float]:
             s.search(q, limit=10).collect()
             times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 4)
+
+    # batch throughput: ALL the cases above in ONE job (Searcher.search_many)
+    # — the qps headline; sequential cost is the sum of the singles above
+    batch = {f"q{i}_{n}": q for i, (n, q) in enumerate(cases.items())}
+    s.search_many(batch, limit=10).collect()  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s.search_many(batch, limit=10).collect()
+        times.append(time.perf_counter() - t0)
+    bt = statistics.median(times)
+    out["batch_9q"] = round(bt, 4)
+    out["batch_qps"] = round(len(batch) / bt, 2)
     return out
 
 

@@ -378,3 +378,33 @@ class TestCorrectQuery:
         s = Searcher(ix)
         corrected, _ = s.correct_query('"big dta"')
         assert corrected == '"big data"'
+
+
+class TestSearchMany:
+    def test_matches_individual_searches(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        qs = {
+            "t": Q.Term("data"),
+            "a": Q.And([Q.Term("big"), Q.Term("data")]),
+            "o": Q.Or([Q.Term("data"), Q.Term("vector")]),
+            "d": Q.DisMax([Q.Term("data"), Q.Term("vector")], tiebreak=0.5),
+            "none": Q.Term("zzzabsent"),
+        }
+        batch = s.search_many(qs, limit=3)
+        got: dict[str, list] = {}
+        for r in batch.collect():
+            got.setdefault(r["qname"], []).append(
+                (r["doc_id"], round(r["score"], 9)))
+        assert "none" not in got  # no matches -> no rows for that name
+        for name, q in qs.items():
+            want = [(r["doc_id"], round(r["score"], 9))
+                    for r in s.search(q, limit=3, optimize=False).collect()]
+            assert got.get(name, []) == want, name
+
+    def test_empty_batch_raises(self, ix):
+        from whoosh_spark.search import Searcher
+
+        with pytest.raises(ValueError):
+            Searcher(ix).search_many({})

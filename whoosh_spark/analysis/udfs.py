@@ -101,13 +101,13 @@ def make_analyze_batches(analyze_fn=None):
     def run(batches):
         import pyarrow as pa
 
-        from whoosh_spark.analysis.analyzers import _TOKEN_RE
+        from whoosh_spark.analysis.analyzers import _TOKEN_RE_NC
         from whoosh_spark.codec.blocks import varint_encode
         from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
 
         stop = STOP_WORDS
         minsize = MIN_WORD_SIZE
-        finditer = _TOKEN_RE.finditer
+        findall = _TOKEN_RE_NC.findall
 
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
@@ -123,8 +123,8 @@ def make_analyze_batches(analyze_fn=None):
             for text in texts:
                 d: dict[str, list[int]] = {}
                 if text and analyze_fn is None:
-                    for pos, m in enumerate(finditer(text)):
-                        t = m.group(0).lower()
+                    for pos, t in enumerate(findall(text)):
+                        t = t.lower()
                         if len(t) >= minsize and t not in stop:
                             lst = d.get(t)
                             if lst is None:

@@ -233,6 +233,18 @@ class Evaluator:
         name = type(q).__name__
         return getattr(self, f"_eval_{name.lower()}")(q)
 
+    def scored_terms_batch(self, terms: list[str]) -> DataFrame:
+        """Score a default-field term batch OUTSIDE ``evaluate()`` (the
+        ``Searcher.search_many`` shared-scan path): primes the per-field
+        stats cache ``_scored_terms`` reads, then applies the same
+        soft-delete overlay ``evaluate()`` would."""
+        ixf = self._ixf(None)
+        self._fglobal = {None: ixf.global_stats()}
+        st = ixf.stats_for_terms(sorted(set(terms)))
+        self._stats = {(None, t): v for t, v in st.items()}
+        self._n, self._avgdl = self._fglobal[None]
+        return self.ix.not_deleted(self._scored_terms(terms))
+
     def _scored_terms(self, terms: list[str],
                       fieldname: str | None = None) -> DataFrame:
         """Decode + score postings for a set of exact terms in ONE scan of

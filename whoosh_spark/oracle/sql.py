@@ -103,6 +103,22 @@ def and_sql(terms: list[str], k: int = 10) -> str:
     return base_ctes() + topk(sel, k)
 
 
+def search_many_sql(named_selects: list[tuple[str, str]], k: int = 10) -> str:
+    """Batch-search oracle: per-query top-k over the SHARED scored-postings
+    CTEs, one ranked window per query name (mirrors Searcher.search_many's
+    partitioned window; tie-break score DESC, doc_id ASC)."""
+    branches = " UNION ALL ".join(
+        f"SELECT '{name}' AS qname, doc_id, score, "
+        f"row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn "
+        f"FROM ({sel})"
+        for name, sel in named_selects
+    )
+    return base_ctes() + (
+        f"SELECT qname, doc_id, round(score, 6) AS score "
+        f"FROM ({branches}) WHERE rn <= {k}"
+    )
+
+
 def or_sql(terms: list[str], minmatch: int = 0, k: int = 10) -> str:
     having = f"HAVING count(*) >= {minmatch}" if minmatch > 1 else ""
     sel = (

@@ -177,6 +177,121 @@ class Searcher:
         return ordered
 
     # ------------------------------------------------------------------
+    def search_many(self, queries: dict[str, Q.Query],
+                    limit: int = 10) -> DataFrame:
+        """Evaluate MANY queries in ONE Spark job: (qname, doc_id, score)
+        top-``limit`` per query, each ranked with the reference tie-break
+        (score DESC, doc_id ASC — identical rows to ``search(q, limit,
+        optimize=False)`` per name).
+
+        Whoosh has no batch API (each ``search()`` walks the matcher tree
+        anew); on Spark the fixed job/scheduling overhead dominates a single
+        top-k at interactive corpus sizes, so unioning the per-query scored
+        subplans and ranking with one window amortizes that overhead across
+        the batch — N queries cost ~max (not sum) of their individual
+        latencies, the per-query subplans running concurrently within the
+        job.  The window partitions by query name, so no query's candidate
+        set ever sorts globally against another's."""
+        if not queries:
+            raise ValueError("search_many needs at least one query")
+        flat: dict[str, tuple[str, list[str], int, float]] = {}
+        rest: dict[str, Q.Query] = {}
+        for name, q in queries.items():
+            spec = self._flat_spec(q)
+            if spec is not None:
+                flat[str(name)] = spec
+            else:
+                rest[str(name)] = q
+        parts = []
+        if flat:
+            parts.append(self._flat_batch(flat))
+        parts.extend(
+            self.ev.evaluate(q).select(
+                F.lit(name).alias("qname"), "doc_id", "score")
+            for name, q in rest.items()
+        )
+        allq = parts[0]
+        for p in parts[1:]:
+            allq = allq.unionByName(p)
+        w = Window.partitionBy("qname").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            allq.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+
+    @staticmethod
+    def _flat_spec(q: Q.Query) -> tuple[str, list[str], int, float] | None:
+        """(kind, terms, minmatch, tiebreak) if q is a default-field batch-
+        aggregatable query: unboosted Term, or And/Or/DisMax whose children
+        are all unboosted default-field Terms with unique texts.  These all
+        reduce to sum/max/count aggregates over ONE shared postings scan."""
+
+        def flat_texts(children):
+            texts = []
+            for c in children:
+                if not (isinstance(c, Q.Term) and c.boost == 1.0
+                        and c.fieldname is None):
+                    return None
+                texts.append(c.text)
+            return texts if len(set(texts)) == len(texts) else None
+
+        if isinstance(q, Q.Term) and q.boost == 1.0 and q.fieldname is None:
+            return ("or", [q.text], 1, 0.0)
+        if isinstance(q, (Q.And, Q.Or, Q.DisMax)) and q.boost == 1.0:
+            texts = flat_texts(q.children)
+            if texts is None:
+                return None
+            if isinstance(q, Q.And):
+                return ("and", texts, len(texts), 0.0)
+            if isinstance(q, Q.Or):
+                return ("or", texts, max(1, q.minmatch), 0.0)
+            if 0.0 <= q.tiebreak <= 1.0:
+                return ("dismax", texts, 1, q.tiebreak)
+        return None
+
+    def _flat_batch(self, flat: dict[str, tuple[str, list[str], int, float]]
+                    ) -> DataFrame:
+        """All flat queries of the batch from ONE postings scan: score every
+        distinct term once (`Evaluator._scored_terms`), fan rows out to the
+        queries that reference each term via a broadcast (term, qname) map,
+        then one (qname, doc_id) aggregation applies each query's combine
+        rule (And: sum gated on full count; Or: sum gated on minmatch;
+        DisMax: max + tiebreak·(sum − max)).  N queries over shared terms
+        cost one scan + decode instead of N."""
+        spark = self.ix.spark
+        all_terms = sorted({t for _, ts, _, _ in flat.values() for t in ts})
+        scored = self.ev.scored_terms_batch(all_terms)
+        tmap = spark.createDataFrame(
+            [(t, name) for name, (_, ts, _, _) in flat.items() for t in ts],
+            "term string, qname string")
+        meta = spark.createDataFrame(
+            [(name, kind, len(ts), mm, tb)
+             for name, (kind, ts, mm, tb) in flat.items()],
+            "qname string, kind string, n_terms int, minmatch int, tiebreak double")
+        agg = (
+            scored.join(F.broadcast(tmap), "term")
+            .groupBy("qname", "doc_id")
+            .agg(F.sum("score").alias("_s"), F.max("score").alias("_mx"),
+                 F.count("*").alias("_n"))
+            .join(F.broadcast(meta), "qname")
+        )
+        score = (
+            F.when(F.col("kind") == "and",
+                   F.when(F.col("_n") == F.col("n_terms"), F.col("_s")))
+            .when(F.col("kind") == "dismax",
+                  F.col("_mx")
+                  + F.col("tiebreak") * (F.col("_s") - F.col("_mx")))
+            .otherwise(F.when(F.col("_n") >= F.col("minmatch"), F.col("_s")))
+        )
+        return (
+            agg.withColumn("score", score)
+            .where(F.col("score").isNotNull())
+            .select("qname", "doc_id", "score")
+        )
+
+    # ------------------------------------------------------------------
     def _collapse(self, scores: DataFrame, key: str, keep: int) -> DataFrame:
         """``collectors.py::CollapseCollector (≈L650)`` → window row_number."""
         with_key = scores.join(self.ix.docs.select("doc_id", key), "doc_id")

@@ -128,7 +128,7 @@ def _bench_queries(ix, reps: int = 3) -> dict[str, float]:
         s.search_many(batch, limit=10).collect()
         times.append(time.perf_counter() - t0)
     bt = statistics.median(times)
-    out["batch_9q"] = round(bt, 4)
+    out[f"batch_{len(batch)}q"] = round(bt, 4)
     out["batch_qps"] = round(len(batch) / bt, 2)
     return out
 

@@ -68,6 +68,34 @@ def test_minhash_matches_exact_jaccard(tiny):
     assert lsh == exact
 
 
+def test_lsh_pair_tiers_exact_and_star(spark):
+    """Tiered pair expansion: buckets over inline_cap pair via the
+    distributed equi-join (EXACT all-pairs, no giant cell); only above
+    max_bucket does the star degradation kick in; max_bucket=None is
+    exact at any size."""
+    sigs = spark.createDataFrame(
+        [(i, [1, 2, 3, 4]) for i in range(8)],  # one bucket of 8 per band
+        "doc_id long, sig array<long>")
+    allp = {(a, b) for a in range(8) for b in range(a + 1, 8)}
+    inline = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(
+        sigs, bands=2, rows=2).collect()}                      # in-array tier
+    big = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(
+        sigs, bands=2, rows=2, max_bucket=None, inline_cap=3).collect()}
+    star = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(
+        sigs, bands=2, rows=2, max_bucket=5, inline_cap=3).collect()}
+    assert inline == allp
+    assert big == allp                                          # join tier
+    assert star == {(0, i) for i in range(1, 8)}                # hub only
+
+
+def test_minhash_max_bucket_none_matches_exact(tiny):
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(tiny, n=3, tau=0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           dedup.minhash_near_dups(tiny, tau=0.5, n=3, max_bucket=None).collect()}
+    assert lsh == exact
+
+
 def test_simhash_identical_docs_distance_zero(tiny):
     out = {(r["a"], r["b"]): r["hamming"]
            for r in dedup.simhash_near_dups(tiny, max_hamming=16).collect()}

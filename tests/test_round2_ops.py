@@ -408,3 +408,34 @@ class TestSearchMany:
 
         with pytest.raises(ValueError):
             Searcher(ix).search_many({})
+
+    def test_normalizes_raw_input_like_search(self, ix):
+        """Raw (unanalyzed) query text must hit the same normalize() path
+        as search(): capitalization, multi-word terms, stop-word children."""
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        qs = {
+            "cap": Q.Term("Data"),                      # lowercases
+            "multi": Q.Term("big data"),                # → And(big, data)
+            "stop": Q.And([Q.Term("the"), Q.Term("data")]),  # stop drops
+        }
+        batch = s.search_many(qs, limit=3)
+        got: dict[str, list] = {}
+        for r in batch.collect():
+            got.setdefault(r["qname"], []).append(
+                (r["doc_id"], round(r["score"], 9)))
+        for name, q in qs.items():
+            want = [(r["doc_id"], round(r["score"], 9))
+                    for r in s.search(q, limit=3, optimize=False).collect()]
+            assert want, name  # the fixture corpus matches all three
+            assert got.get(name, []) == want, name
+
+    def test_limit_none_returns_all_matches(self, ix):
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        q = Q.Term("data")
+        n_all = s.search(q, limit=None).count()
+        batch = s.search_many({"q": q}, limit=None)
+        assert batch.count() == n_all > 3

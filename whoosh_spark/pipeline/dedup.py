@@ -141,20 +141,27 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32,
-                        rows: int = 4, max_bucket: int = 4096) -> DataFrame:
+                        rows: int = 4, max_bucket: int | None = 4096,
+                        inline_cap: int = 512) -> DataFrame:
     """(a, b) candidate pairs sharing at least one LSH band bucket.
 
     Single-pass formulation: band hashes are ``xxhash64`` over the band's
     ``rows`` signature longs directly (codegen, no string building), then
-    ONE groupBy collects each bucket's doc ids and pairs are expanded
-    in-array — the signature pipeline runs once, where a banded self-join
-    would execute it twice (once per side).
+    ONE groupBy collects each bucket's doc ids.  Pair expansion is tiered
+    by bucket size so no tier can blow up memory:
 
-    ``max_bucket`` is the skew bomb guard: a bucket larger than it (only
-    possible when thousands of near-identical docs survived exact dedup)
-    switches from all-pairs (quadratic) to a STAR expansion — min doc id
-    paired with every other member — which preserves duplicate-cluster
-    connectivity at linear cost.  Buckets at or under the cap are exact.
+    - ``<= inline_cap`` (virtually every real bucket): all pairs expanded
+      in-array — one row per bucket, at most C(inline_cap, 2) two-long
+      structs (~2 MB) per cell, no second pass over the signature pipeline.
+    - ``inline_cap < size <= max_bucket``: ids explode to rows and pair via
+      a per-bucket equi-join — still exact all-pairs, but distributed
+      instead of materialized inside one aggregation cell.
+    - ``> max_bucket`` (skew bomb: thousands of near-identical docs that
+      survived exact dedup): STAR expansion — min doc id paired with every
+      other member — linear cost.  This preserves duplicate-CLUSTER
+      connectivity but NOT pair completeness: downstream exact-verify can
+      only keep pairs that were generated, so callers needing every
+      verified pair must pass ``max_bucket=None`` (exact everywhere).
     """
     bhs = [
         F.xxhash64(*[F.element_at("sig", b * rows + j + 1) for j in range(rows)])
@@ -179,26 +186,45 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32,
         F.slice(ids, 2, F.size(ids)),
         lambda y: F.struct(F.element_at(ids, 1).alias("a"), y.alias("b")),
     )
-    pairs = F.when(F.size(ids) > max_bucket, star_pairs).otherwise(all_pairs)
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b")
-        .distinct()
+    size = F.size(ids)
+    if max_bucket is None:
+        inline = buckets.where(size <= inline_cap)
+        big = buckets.where(size > inline_cap)
+        pairs = all_pairs
+    else:
+        inline = buckets.where((size <= inline_cap) | (size > max_bucket))
+        big = buckets.where((size > inline_cap) & (size <= max_bucket))
+        pairs = F.when(size > max_bucket, star_pairs).otherwise(all_pairs)
+    inline_rows = (
+        inline.select(F.explode(pairs).alias("p")).select("p.a", "p.b"))
+    member = big.select("band", "bh", F.explode(ids).alias("id"))
+    big_rows = (
+        member.join(member.withColumnRenamed("id", "id2"), ["band", "bh"])
+        .where(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("a"), F.col("id2").alias("b"))
     )
+    return inline_rows.unionByName(big_rows).distinct()
 
 
 def minhash_near_dups(docs: DataFrame, tau: float = 0.8, num_perm: int = 128,
                       bands: int = 32, rows: int = 4, n: int = 3,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket: int | None = 4096) -> DataFrame:
     """LSH-accelerated near-dup pairs VERIFIED by exact Jaccard ≥ tau.
 
     Candidate recall at tau=0.8 with 32 bands × 4 rows is
     1−(1−0.8⁴)³² ≈ 1−6e−8 — the verify step makes survivors exact, so the
     result equals the brute-force Jaccard output w.o.p. while the join is
     linear in bucket sizes instead of quadratic in docs.
+
+    ``max_bucket`` caps pathological buckets (see ``lsh_candidate_pairs``):
+    above it candidate generation degrades to a connectivity-preserving
+    star, so pairs inside such a bucket whose hub fails the tau verify can
+    be missed.  Pass ``max_bucket=None`` to guarantee brute-force-equal
+    output regardless of skew (exact distributed pairing at any size).
     """
     cand = lsh_candidate_pairs(minhash_signatures(docs, num_perm, n, text_col),
-                               bands, rows)
+                               bands, rows, max_bucket)
     sh = shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (

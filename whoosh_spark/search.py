@@ -197,11 +197,15 @@ class Searcher:
         flat: dict[str, tuple[str, list[str], int, float]] = {}
         rest: dict[str, Q.Query] = {}
         for name, q in queries.items():
-            spec = self._flat_spec(q)
+            # normalize BEFORE classifying, exactly like evaluate() does —
+            # raw input may carry unanalyzed text ("Data", "big data") or
+            # stop-word children that must rewrite/vanish first
+            qn = q.normalize()
+            spec = self._flat_spec(qn)
             if spec is not None:
                 flat[str(name)] = spec
             else:
-                rest[str(name)] = q
+                rest[str(name)] = qn
         parts = []
         if flat:
             parts.append(self._flat_batch(flat))
@@ -215,11 +219,10 @@ class Searcher:
             allq = allq.unionByName(p)
         w = Window.partitionBy("qname").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
-        return (
-            allq.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= limit)
-            .drop("_rn")
-        )
+        ranked = allq.withColumn("_rn", F.row_number().over(w))
+        if limit is not None:  # None = all matches, like search(limit=None)
+            ranked = ranked.where(F.col("_rn") <= limit)
+        return ranked.drop("_rn")
 
     @staticmethod
     def _flat_spec(q: Q.Query) -> tuple[str, list[str], int, float] | None:

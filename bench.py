@@ -187,6 +187,9 @@ SCALE_IX_DIR = os.environ.get(
     else os.path.join(REPO, ".benchdata", "ix_scaling"),
 )
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+SCALE_MAX_REPS = max(
+    SCALE_REPS, int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "5"))
+)
 
 
 def _scaling_leg(cores: int) -> float:
@@ -232,22 +235,43 @@ def _scaling() -> dict:
                 while fh.read(1 << 22):
                     pass
     times: dict[int, list] = {lo: [], hi: []}
-    for _rnd in range(SCALE_REPS):
+
+    def _one_leg(cores: int) -> None:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scaling-leg", str(cores)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
+        )
+        times[cores].append(float(proc.stdout.strip().splitlines()[-1]))
+
+    # Adaptive rounds: run SCALE_REPS interleaved rounds, then keep going
+    # (symmetrically — BOTH legs every round) while the latest round still
+    # improved either leg's minimum by >2%, up to SCALE_MAX_REPS rounds.
+    # The min over reps estimates the noise-free compute floor (interference
+    # on this shared VM only ever ADDS time, 2-4x between identical reps —
+    # see BENCH.md), so extra rounds make the estimate strictly more
+    # accurate; the convergence rule just stops paying for rounds that no
+    # longer move it.
+    rnd = 0
+    while True:
+        mins_before = {c: min(ts) if ts else float("inf")
+                       for c, ts in times.items()}
         for cores in (hi, lo):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scaling-leg", str(cores)],
-                capture_output=True, text=True, check=True,
-                env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
-            )
-            times[cores].append(float(proc.stdout.strip().splitlines()[-1]))
+            _one_leg(cores)
+        rnd += 1
+        improved = any(min(times[c]) < 0.98 * mins_before[c] for c in (lo, hi))
+        if rnd >= SCALE_MAX_REPS or (rnd >= SCALE_REPS and not improved):
+            break
     res = {c: SCALE_DOCS / min(ts) for c, ts in times.items()}
     eff = (res[hi] / res[lo]) / (hi / lo)
     return {
         "corpus_docs": SCALE_DOCS,
         "cores_lo": lo,
         "cores_hi": hi,
-        "protocol": f"fresh subprocess per leg, interleaved, best-of-{SCALE_REPS}, "
+        "protocol": f"fresh subprocess per leg, interleaved, best-of-{rnd} "
+                    f"(adaptive: min {SCALE_REPS} / max {SCALE_MAX_REPS} rounds, "
+                    f"stop when neither leg's min improves >2%), "
                     f"page-cache-warmed corpus, warm slice build per leg, "
                     f"index store on tmpfs",
         "runs_lo_s": [round(t, 1) for t in times[lo]],

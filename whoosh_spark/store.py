@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from whoosh_spark import fs as FS
 
@@ -191,52 +192,85 @@ def write_index(
         return {"status": "partial", "chunks_done": sorted(completed_chunks(path))}
 
     # ---- phase 2: shuffle merge → blocks + stats + manifest --------------
+    # Four independent job chains run CONCURRENTLY (Python threads submitting
+    # Spark jobs; the scheduler packs their tasks into free slots).  At 1
+    # core they interleave at no cost; at N cores the stats/stored tail
+    # overlaps the big blocks shuffle instead of serializing after it —
+    # shrinking the Amdahl tail is where N→4N scaling efficiency lives.
+    #   chain A: blocks shuffle-merge → term_stats (+ n_terms/n_blocks counts)
+    #   chain B: doc_lengths → field_stats
+    #   chain C: stored docs
+    #   chain D: char_offsets (opt-in)
     t0 = time.perf_counter()
     steps: dict[str, int] = {}
 
-    def _mark(name: str, since: float) -> float:
-        now = time.perf_counter()
-        steps[name] = int(1000 * (now - since))
-        return now
-
     analyzed = spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch")
     analyzed = _rebalance(analyzed, spark)
-    t = time.perf_counter()
-    blocks = B.posting_blocks_from_analyzed(analyzed, field)
-    # already sorted by (field, term, bucket, blk) within partitions by
-    # construction (encode_sorted_stream preserves its input sort), so the
-    # parquet row-group min/max stats give term-pruning for free
-    blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
-    t = _mark("blocks", t)
-    blocks_r = spark.read.parquet(FS.join(path, "blocks"))
-    tstats = B.term_stats(blocks_r)
-    tstats.write.mode("overwrite").parquet(FS.join(path, "term_stats"))
-    t = _mark("term_stats", t)
-    lengths = B.doc_lengths(analyzed)
-    lengths.write.mode("overwrite").parquet(FS.join(path, "doc_lengths"))
-    lengths_r = spark.read.parquet(FS.join(path, "doc_lengths"))
-    B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
-        FS.join(path, "field_stats")
-    )
-    t = _mark("lengths", t)
-    # stored fields: analyzed text and raw binary (e.g. html) excluded by
-    # default — Whoosh stores only declared stored fields (fields.py STORED)
-    stored = docs if store_text else docs.drop(text_col)
-    stored = _drop_unstorable(stored)
-    if id_col != "doc_id":
-        stored = stored.withColumnRenamed(id_col, "doc_id")
-    stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
-    t = _mark("docs", t)
-    offsets_dir = FS.join(path, "char_offsets")
-    if store_offsets:
+    counts: dict[str, int] = {}
+
+    def _chain_blocks() -> None:
+        t = time.perf_counter()
+        blocks = B.posting_blocks_from_analyzed(analyzed, field)
+        # already sorted by (field, term, bucket, blk) within partitions by
+        # construction (encode_sorted_stream preserves its input sort), so
+        # the parquet row-group min/max stats give term-pruning for free
+        blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
+        steps["blocks"] = int(1000 * (time.perf_counter() - t))
+        t = time.perf_counter()
+        blocks_r = spark.read.parquet(FS.join(path, "blocks"))
+        tstats = B.term_stats(blocks_r)
+        tstats.write.mode("overwrite").parquet(FS.join(path, "term_stats"))
+        counts["n_terms"] = spark.read.parquet(
+            FS.join(path, "term_stats")).count()
+        counts["n_blocks"] = blocks_r.count()
+        steps["term_stats"] = int(1000 * (time.perf_counter() - t))
+
+    def _chain_lengths() -> None:
+        t = time.perf_counter()
+        lengths = B.doc_lengths(analyzed)
+        lengths.write.mode("overwrite").parquet(FS.join(path, "doc_lengths"))
+        lengths_r = spark.read.parquet(FS.join(path, "doc_lengths"))
+        B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
+            FS.join(path, "field_stats")
+        )
+        steps["lengths"] = int(1000 * (time.perf_counter() - t))
+
+    def _chain_docs() -> None:
+        t = time.perf_counter()
+        # stored fields: analyzed text and raw binary (e.g. html) excluded by
+        # default — Whoosh stores only declared stored fields (fields.py STORED)
+        stored = docs if store_text else docs.drop(text_col)
+        stored = _drop_unstorable(stored)
+        if id_col != "doc_id":
+            stored = stored.withColumnRenamed(id_col, "doc_id")
+        stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
+        steps["docs"] = int(1000 * (time.perf_counter() - t))
+
+    def _chain_chars() -> None:
+        t = time.perf_counter()
         from whoosh_spark.chars import write_char_offsets
 
         write_char_offsets(docs, path, id_col, text_col)
-        t = _mark("char_offsets", t)
+        steps["char_offsets"] = int(1000 * (time.perf_counter() - t))
+
+    chains = [_chain_blocks, _chain_lengths, _chain_docs]
+    offsets_dir = FS.join(path, "char_offsets")
+    if store_offsets:
+        chains.append(_chain_chars)
     elif FS.isdir_nonempty(offsets_dir):
         # a previous generation at this path opted in; its spans describe
         # the OLD corpus — drop them rather than attach stale offsets
         FS.rmtree(offsets_dir)
+    if spark.sparkContext.defaultParallelism >= 4:
+        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+            futures = [pool.submit(c) for c in chains]
+            for f in futures:
+                f.result()  # re-raise the first chain failure
+    else:
+        # 1-2 task slots: concurrent stages just interleave on the same
+        # slot (cache/GC thrash, no overlap to win) — run the tail serial
+        for c in chains:
+            c()
     _append_log(
         path,
         {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
@@ -252,8 +286,8 @@ def write_index(
         "chunk_bits": chunk_bits,
         "n_docs": int(fs_row["doc_count"]),
         "total_len": int(fs_row["total_len"]),
-        "n_terms": tstats.count(),
-        "n_blocks": blocks_r.count(),
+        "n_terms": counts["n_terms"],
+        "n_blocks": counts["n_blocks"],
         "store_text": store_text,
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }

@@ -260,7 +260,11 @@ def _scaling() -> dict:
         for cores in (hi, lo):
             _one_leg(cores)
         rnd += 1
-        improved = any(min(times[c]) < 0.98 * mins_before[c] for c in (lo, hi))
+        improved = any(
+            mins_before[c] != float("inf")
+            and min(times[c]) < 0.98 * mins_before[c]
+            for c in (lo, hi)
+        )
         if rnd >= SCALE_MAX_REPS or (rnd >= SCALE_REPS and not improved):
             break
     res = {c: SCALE_DOCS / min(ts) for c, ts in times.items()}

@@ -129,3 +129,37 @@ def test_write_index_extends_after_upsert(spark, tmp_path):
     assert manifest["status"] != "partial" if "status" in manifest else True
     ix = store.load_index(spark, path)
     assert ix.docs.where("doc_id = 131072").count() == 1
+
+
+def test_failed_tail_chain_invalidates_manifest(spark, tmp_path, monkeypatch):
+    """If one of the concurrent phase-2 tail chains fails mid-rebuild, the
+    sibling chains may already have overwritten their tables for the NEW
+    corpus while the manifest still describes the OLD generation.  The build
+    must drop the manifest (load_index refuses mixed state) and a re-run
+    must repair the index from the analyze checkpoints."""
+    from whoosh_spark import build as B
+    from whoosh_spark import store
+
+    path = str(tmp_path / "ix")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(8)], "doc_id long, text string")
+    store.write_index(docs, path)  # healthy generation exists
+
+    real = B.doc_lengths
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected chain failure")
+
+    monkeypatch.setattr(B, "doc_lengths", _boom)
+    docs2 = spark.createDataFrame(
+        [(i, f"gamma delta doc{i}") for i in range(8, 20)],
+        "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="injected chain failure"):
+        store.write_index(docs2, path)
+    with pytest.raises(FileNotFoundError):
+        store.load_index(spark, path)
+
+    monkeypatch.setattr(B, "doc_lengths", real)
+    manifest = store.write_index(docs2, path)  # resume rewrites the tail
+    ix = store.load_index(spark, path)
+    assert manifest["n_docs"] == ix.doc_lengths.count()

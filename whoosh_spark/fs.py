@@ -160,6 +160,20 @@ def append_text(path: str, line: str) -> None:
     write_text_atomic(path, cur + line)
 
 
+def remove(path: str) -> None:
+    """Delete a single FILE if it exists (no-op when absent) — rmtree's
+    local branch is directory-only (shutil.rmtree ignores files)."""
+    if not is_uri(path):
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        return
+    _, fs, p = _fs(path)
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
 def rmtree(path: str) -> None:
     if not is_uri(path):
         shutil.rmtree(path, ignore_errors=True)

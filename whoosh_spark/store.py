@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import time
 from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
 
 from whoosh_spark import fs as FS
 
@@ -204,54 +205,57 @@ def write_index(
     t0 = time.perf_counter()
     steps: dict[str, int] = {}
 
+    @contextmanager
+    def _timed(name: str):
+        t = time.perf_counter()
+        yield
+        steps[name] = int(1000 * (time.perf_counter() - t))
+
     analyzed = spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch")
     analyzed = _rebalance(analyzed, spark)
     counts: dict[str, int] = {}
 
     def _chain_blocks() -> None:
-        t = time.perf_counter()
-        blocks = B.posting_blocks_from_analyzed(analyzed, field)
-        # already sorted by (field, term, bucket, blk) within partitions by
-        # construction (encode_sorted_stream preserves its input sort), so
-        # the parquet row-group min/max stats give term-pruning for free
-        blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
-        steps["blocks"] = int(1000 * (time.perf_counter() - t))
-        t = time.perf_counter()
-        blocks_r = spark.read.parquet(FS.join(path, "blocks"))
-        tstats = B.term_stats(blocks_r)
-        tstats.write.mode("overwrite").parquet(FS.join(path, "term_stats"))
-        counts["n_terms"] = spark.read.parquet(
-            FS.join(path, "term_stats")).count()
-        counts["n_blocks"] = blocks_r.count()
-        steps["term_stats"] = int(1000 * (time.perf_counter() - t))
+        with _timed("blocks"):
+            blocks = B.posting_blocks_from_analyzed(analyzed, field)
+            # already sorted by (field, term, bucket, blk) within partitions
+            # by construction (encode_sorted_stream preserves its input
+            # sort), so parquet row-group min/max stats give term-pruning
+            # for free
+            blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
+        with _timed("term_stats"):
+            blocks_r = spark.read.parquet(FS.join(path, "blocks"))
+            tstats = B.term_stats(blocks_r)
+            tstats.write.mode("overwrite").parquet(FS.join(path, "term_stats"))
+            counts["n_terms"] = spark.read.parquet(
+                FS.join(path, "term_stats")).count()
+            counts["n_blocks"] = blocks_r.count()
 
     def _chain_lengths() -> None:
-        t = time.perf_counter()
-        lengths = B.doc_lengths(analyzed)
-        lengths.write.mode("overwrite").parquet(FS.join(path, "doc_lengths"))
-        lengths_r = spark.read.parquet(FS.join(path, "doc_lengths"))
-        B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
-            FS.join(path, "field_stats")
-        )
-        steps["lengths"] = int(1000 * (time.perf_counter() - t))
+        with _timed("lengths"):
+            lengths = B.doc_lengths(analyzed)
+            lengths.write.mode("overwrite").parquet(FS.join(path, "doc_lengths"))
+            lengths_r = spark.read.parquet(FS.join(path, "doc_lengths"))
+            B.field_stats(lengths_r, field).write.mode("overwrite").parquet(
+                FS.join(path, "field_stats")
+            )
 
     def _chain_docs() -> None:
-        t = time.perf_counter()
-        # stored fields: analyzed text and raw binary (e.g. html) excluded by
-        # default — Whoosh stores only declared stored fields (fields.py STORED)
-        stored = docs if store_text else docs.drop(text_col)
-        stored = _drop_unstorable(stored)
-        if id_col != "doc_id":
-            stored = stored.withColumnRenamed(id_col, "doc_id")
-        stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
-        steps["docs"] = int(1000 * (time.perf_counter() - t))
+        with _timed("docs"):
+            # stored fields: analyzed text and raw binary (e.g. html bytes)
+            # excluded by default — Whoosh stores only declared stored
+            # fields (fields.py STORED)
+            stored = docs if store_text else docs.drop(text_col)
+            stored = _drop_unstorable(stored)
+            if id_col != "doc_id":
+                stored = stored.withColumnRenamed(id_col, "doc_id")
+            stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
 
     def _chain_chars() -> None:
-        t = time.perf_counter()
-        from whoosh_spark.chars import write_char_offsets
+        with _timed("char_offsets"):
+            from whoosh_spark.chars import write_char_offsets
 
-        write_char_offsets(docs, path, id_col, text_col)
-        steps["char_offsets"] = int(1000 * (time.perf_counter() - t))
+            write_char_offsets(docs, path, id_col, text_col)
 
     chains = [_chain_blocks, _chain_lengths, _chain_docs]
     offsets_dir = FS.join(path, "char_offsets")
@@ -261,16 +265,25 @@ def write_index(
         # a previous generation at this path opted in; its spans describe
         # the OLD corpus — drop them rather than attach stale offsets
         FS.rmtree(offsets_dir)
-    if spark.sparkContext.defaultParallelism >= 4:
-        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
-            futures = [pool.submit(c) for c in chains]
-            for f in futures:
-                f.result()  # re-raise the first chain failure
-    else:
-        # 1-2 task slots: concurrent stages just interleave on the same
-        # slot (cache/GC thrash, no overlap to win) — run the tail serial
-        for c in chains:
-            c()
+    try:
+        if spark.sparkContext.defaultParallelism >= 4:
+            with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+                futures = [pool.submit(c) for c in chains]
+                for f in futures:
+                    f.result()  # re-raise the first chain failure
+        else:
+            # 1-2 task slots: concurrent stages just interleave on the same
+            # slot (cache/GC thrash, no overlap to win) — run the tail serial
+            for c in chains:
+                c()
+    except BaseException:
+        # A failed chain leaves sibling chains' tables describing the NEW
+        # corpus while the failed one (and any pre-existing manifest) still
+        # describes the OLD generation.  Drop the manifest so load_index
+        # refuses the mixed state; re-running write_index resumes from the
+        # analyze checkpoints and rewrites the whole tail.
+        FS.remove(FS.join(path, MANIFEST))
+        raise
     _append_log(
         path,
         {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),

@@ -491,7 +491,13 @@ class Evaluator:
     def _eval_daterange(self, q: Q.DateRange) -> DataFrame:
         """Native timestamp predicate — pushes to the parquet scan (row-group
         min/max + partition pruning), the 100 TB replacement for upstream's
-        tiered DATETIME terms."""
+        tiered DATETIME terms.
+
+        A column the index does not store matches NOTHING, like upstream's
+        unknown-field queries (``query.Term`` on an unindexed field), rather
+        than surfacing an AnalysisException from the docs scan."""
+        if q.column not in self.ix.docs.columns:
+            return self._empty()
         c = F.col(q.column)
 
         def ts(v):
@@ -508,6 +514,8 @@ class Evaluator:
             "doc_id", (F.lit(1.0) * q.boost).alias("score"))
 
     def _eval_numericrange(self, q: Q.NumericRange) -> DataFrame:
+        if q.column not in self.ix.docs.columns:
+            return self._empty()  # unknown stored column matches nothing
         c = F.col(q.column)
         pred = F.lit(True)
         if q.lo is not None:

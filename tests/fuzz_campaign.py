@@ -1,0 +1,125 @@
+"""Exploratory (non-derandomized) rank-identity fuzz campaign.
+
+NOT collected by pytest (no test_ prefix): run manually —
+
+    python tests/fuzz_campaign.py [n_queries] [seed]
+
+Generates random query ASTs (same shape-space as tests/test_rank_fuzz_deep,
+plus random depth/boost combos) and diffs Spark top-k ids+scores against the
+pure-Python oracle.  Failures print the repr(q) so it can be pinned into
+tests/test_dup_expansion.py / the derandomized suites.  Used for long
+background sweeps during development; the committed suites stay
+derandomized so the driver's `pytest -x -q` gate is deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.oracle.engine import PyIndex
+from whoosh_spark.query import ast as Q
+from whoosh_spark.search import Searcher
+from whoosh_spark.session import get_spark
+
+VOCAB = ["data", "query", "vector", "window", "hash", "join", "big",
+         "table", "scan", "sort", "filter", "merge", "stream", "order",
+         "line", "column", "key", "batch", "fast", "slow", "small",
+         "zzz_missing", "qqq_absent", "the"]
+BOOSTS = [0.5, 1.0, 1.0, 1.0, 2.0, 3.0]
+K = 10
+
+
+def rand_leaf(rng: random.Random) -> Q.Query:
+    r = rng.random()
+    if r < 0.40:
+        return Q.Term(rng.choice(VOCAB), rng.choice(BOOSTS))
+    if r < 0.52:
+        words = [rng.choice(VOCAB[:10] + ["the"])
+                 for _ in range(rng.randint(2, 3))]
+        return Q.Phrase(words, slop=rng.choice([1, 1, 2, 3]))
+    if r < 0.64:
+        return Q.Prefix(rng.choice(["da", "qu", "ve", "zz", "s"]),
+                        rng.choice(BOOSTS))
+    if r < 0.76:
+        return Q.Wildcard(rng.choice(["d*a", "s??t", "*dow", "q*", "*a*"]),
+                          rng.choice(BOOSTS))
+    if r < 0.84:
+        return Q.Fuzzy(rng.choice(["dat", "vectr", "joim", "zzzz"]),
+                       maxdist=rng.choice([1, 2]))
+    if r < 0.94:
+        los = [None, "a", "da", "m"]
+        his = [None, "dz", "m", "z"]
+        return Q.TermRange(rng.choice(los), rng.choice(his),
+                           incl_lo=rng.random() < 0.8,
+                           incl_hi=rng.random() < 0.8)
+    return Q.Every(rng.choice(BOOSTS))
+
+
+def rand_query(rng: random.Random, depth: int = 0) -> Q.Query:
+    if depth >= 3 or rng.random() < 0.35:
+        return rand_leaf(rng)
+    kids = lambda n: [rand_query(rng, depth + 1) for _ in range(n)]  # noqa: E731
+    r = rng.random()
+    if r < 0.22:
+        return Q.And(kids(rng.randint(1, 3)), boost=rng.choice(BOOSTS))
+    if r < 0.44:
+        return Q.Or(kids(rng.randint(1, 3)),
+                    minmatch=rng.choice([0, 0, 2, 3]),
+                    boost=rng.choice(BOOSTS))
+    if r < 0.58:
+        return Q.DisMax(kids(rng.randint(1, 3)),
+                        tiebreak=rng.choice([0.0, 0.3, 0.5, 1.0]))
+    if r < 0.70:
+        return Q.AndNot(rand_query(rng, depth + 1), rand_query(rng, depth + 1))
+    if r < 0.80:
+        return Q.AndMaybe(rand_query(rng, depth + 1), rand_query(rng, depth + 1))
+    if r < 0.90:
+        return Q.Require(rand_query(rng, depth + 1), rand_query(rng, depth + 1))
+    return Q.Not(rand_query(rng, depth + 1), boost=rng.choice(BOOSTS))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else random.randrange(2**31)
+    rng = random.Random(seed)
+    print(f"fuzz campaign: n={n} seed={seed}", flush=True)
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4,
+                      app="whoosh_spark_fuzz")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    searcher = Searcher(InvertedIndex.build(docs))
+    rows = docs.select("doc_id", "text").collect()
+    py = PyIndex([(int(r["doc_id"]), r["text"]) for r in rows])
+
+    fails = 0
+    t0 = time.time()
+    for i in range(n):
+        q = rand_query(rng)
+        try:
+            got = [(int(r["doc_id"]), float(r["score"]))
+                   for r in searcher.search(q, limit=K).collect()]
+            exp = py.search(q, K)
+        except Exception as e:  # noqa: BLE001
+            fails += 1
+            print(f"\nFAIL #{fails} (exception) q={q!r}\n  {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        ok = [g[0] for g in got] == [e[0] for e in exp] and all(
+            abs(g[1] - e[1]) <= 1e-9 * max(1.0, abs(e[1]))
+            for g, e in zip(got, exp))
+        if not ok:
+            fails += 1
+            print(f"\nFAIL #{fails} q={q!r}\n  spark={got}\n  oracle={exp}",
+                  flush=True)
+        if (i + 1) % 50 == 0:
+            el = time.time() - t0
+            print(f"  {i + 1}/{n} ({el:.0f}s, {fails} fails)", flush=True)
+    print(f"done: {n} queries, {fails} failures, seed={seed}", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -196,7 +196,12 @@ class Evaluator:
             return type(q)(a, b, q.boost)
         if isinstance(q, Q.Not):
             c = self._expand(q.child)
-            return Q.NullQuery if c is Q.NullQuery else Q.Not(c, q.boost)
+            # a child that EXPANDS to nothing (e.g. a Prefix/TermRange over
+            # zero terms) inverts to everything — matcher-layer semantics
+            # (``matching.InverseMatcher`` over a null child yields all
+            # docs, score 1.0).  Parse-layer Not(NullQuery) → NullQuery is
+            # handled in ast.normalize, same split as upstream.
+            return Q.Every(q.boost) if c is Q.NullQuery else Q.Not(c, q.boost)
         if isinstance(q, Q.Constant):
             c = self._expand(q.child)
             return Q.NullQuery if c is Q.NullQuery else Q.Constant(c, q.score, q.boost)
@@ -272,34 +277,48 @@ class Evaluator:
         return df
 
     def _split_term_children(self, children):
-        """({fkey: unique unboosted Term texts}, other children) — each
+        """({fkey: {term text: child multiplicity}}, other children) — each
         field's Term batch is evaluable in ONE postings scan + aggregation
         instead of per-child scans and a join chain (Whoosh's
         ArrayUnionMatcher TAAT insight, ``src/whoosh/matching/combo.py ≈L40``
-        — Spark is natively TAAT)."""
-        batches: dict[str | None, list[str]] = {}
+        — Spark is natively TAAT).  Multiplicity matters: distinct children
+        (e.g. a Prefix and a Wildcard) can expand to the SAME term, and each
+        child contributes its own score in the compound's matcher — only
+        identical pre-expansion children are deduped (by ast.normalize)."""
+        batches: dict[str | None, dict[str, int]] = {}
         others = []
         for c in children:
             if isinstance(c, Q.Term) and c.boost == 1.0:
-                lst = batches.setdefault(self._fkey(c.fieldname), [])
-                if c.text not in lst:
-                    lst.append(c.text)
+                mult = batches.setdefault(self._fkey(c.fieldname), {})
+                mult[c.text] = mult.get(c.text, 0) + 1
             else:
                 others.append(c)
         return batches, others
 
+    @staticmethod
+    def _mult_weighted(df: DataFrame, mult: dict[str, int]) -> DataFrame:
+        """Add ``_w`` = how many compound children each (term, doc) score
+        row stands for; all-1 batches skip the map lookup."""
+        if all(m == 1 for m in mult.values()):
+            return df.withColumn("_w", F.lit(1))
+        wmap = F.create_map(*[lit for t, m in mult.items()
+                              for lit in (F.lit(t), F.lit(m))])
+        return df.withColumn(
+            "_w", F.coalesce(wmap[F.col("term")], F.lit(1)))
+
     def _eval_and(self, q: Q.And) -> DataFrame:
         batches, others = self._split_term_children(q.children)
         dfs = []
-        for fk, terms in batches.items():
+        for fk, mult in batches.items():
             # one scan per field, doc-at-a-time conjunction within the field
-            present = [t for t in terms if (fk, t) in self._stats]
-            if len(present) < len(terms):
+            present = [t for t in mult if (fk, t) in self._stats]
+            if len(present) < len(mult):
                 return self._empty()  # a missing term empties the And
             batch = (
-                self._scored_terms(present, fk)
+                self._mult_weighted(self._scored_terms(present, fk), mult)
                 .groupBy("doc_id")
-                .agg(F.sum("score").alias("score"), F.count("*").alias("_m"))
+                .agg(F.sum(F.col("score") * F.col("_w")).alias("score"),
+                     F.count("*").alias("_m"))
                 .where(F.col("_m") == len(present))
                 .select("doc_id", "score")
             )
@@ -315,12 +334,20 @@ class Evaluator:
     def _eval_or(self, q: Q.Or) -> DataFrame:
         batches, others = self._split_term_children(q.children)
         parts = []
-        for fk, terms in batches.items():
-            parts.append(self._scored_terms(terms, fk).select("doc_id", "score"))
-        parts.extend(self._eval(c) for c in others)
+        for fk, mult in batches.items():
+            parts.append(
+                self._mult_weighted(self._scored_terms(list(mult), fk), mult)
+                .select("doc_id",
+                        (F.col("score") * F.col("_w")).alias("score"),
+                        F.col("_w")))
+        parts.extend(self._eval(c).select("doc_id", "score",
+                                          F.lit(1).alias("_w"))
+                     for c in others)
         u = reduce(lambda a, b: a.unionByName(b), parts)
+        # minmatch counts matching CHILDREN (union sub-matchers), so a term
+        # two children expanded to counts twice — hence sum(_w), not count
         agg = u.groupBy("doc_id").agg(
-            F.sum("score").alias("score"), F.count("*").alias("_m"))
+            F.sum("score").alias("score"), F.sum("_w").alias("_m"))
         if q.minmatch > 1:
             agg = agg.where(F.col("_m") >= q.minmatch)
         return agg.select("doc_id", (F.col("score") * q.boost).alias("score"))
@@ -329,23 +356,20 @@ class Evaluator:
         # Term children batch into ONE postings scan per field (same TAAT
         # reformulation as And/Or): each term's per-doc score row feeds the
         # max/sum aggregation directly — the per-child scan+decode of the
-        # naive plan is gone (round-1 verdict perf-weak item).
-        seen: set[tuple[str | None, str]] = set()
-        uniq_children, dup_children = [], []
-        for c in q.children:
-            if isinstance(c, Q.Term) and c.boost == 1.0:
-                key = (self._fkey(c.fieldname), c.text)
-                (dup_children if key in seen else uniq_children).append(c)
-                seen.add(key)
-            else:
-                uniq_children.append(c)
-        batches, others = self._split_term_children(uniq_children)
-        dfs = [self._scored_terms(terms, fk).select("doc_id", "score")
-               for fk, terms in batches.items()]
-        dfs.extend(self._eval(c) for c in others + dup_children)
+        # naive plan is gone (round-1 verdict perf-weak item).  Duplicate
+        # term children ride the same scan: they can't raise the max and
+        # contribute ×mult to the tiebreak sum.
+        batches, others = self._split_term_children(q.children)
+        dfs = [self._mult_weighted(self._scored_terms(list(mult), fk), mult)
+               .select("doc_id", "score",
+                       (F.col("score") * F.col("_w")).alias("_ws"))
+               for fk, mult in batches.items()]
+        dfs.extend(self._eval(c).select("doc_id", "score",
+                                        F.col("score").alias("_ws"))
+                   for c in others)
         u = reduce(lambda a, b: a.unionByName(b), dfs)
         agg = u.groupBy("doc_id").agg(
-            F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+            F.max("score").alias("_mx"), F.sum("_ws").alias("_sm"))
         score = (F.col("_mx") + q.tiebreak * (F.col("_sm") - F.col("_mx"))) * q.boost
         return agg.select("doc_id", score.alias("score"))
 
@@ -385,13 +409,17 @@ class Evaluator:
             return None
         fk, a_terms, a_mode = pa
         _, b_terms, b_mode = pb
-        a_present = [t for t in dict.fromkeys(a_terms) if (fk, t) in self._stats]
-        b_present = [t for t in dict.fromkeys(b_terms) if (fk, t) in self._stats]
-        if a_mode == "all" and len(a_present) < len(set(a_terms)):
+        # duplicate texts = distinct children that expanded to the same term;
+        # each still contributes its own score (see _split_term_children)
+        a_mult = {t: a_terms.count(t) for t in dict.fromkeys(a_terms)}
+        b_mult = {t: b_terms.count(t) for t in dict.fromkeys(b_terms)}
+        a_present = [t for t in a_mult if (fk, t) in self._stats]
+        b_present = [t for t in b_mult if (fk, t) in self._stats]
+        if a_mode == "all" and len(a_present) < len(a_mult):
             return self._empty()
         if not a_present:
             return self._empty()
-        if b_mode == "all" and len(b_present) < len(set(b_terms)):
+        if b_mode == "all" and len(b_present) < len(b_mult):
             # an And b-side with a missing term matches NO docs — for
             # Require that empties the result; for AndNot/AndMaybe the b
             # side is inert (do NOT test against the present subset only)
@@ -402,8 +430,10 @@ class Evaluator:
             if isinstance(q, Q.Require):
                 return self._empty()
             # b matches nothing: AndNot/AndMaybe degrade to the a side
-            agg = (self._scored_terms(a_present, fk).groupBy("doc_id")
-                   .agg(F.sum("score").alias("score"),
+            agg = (self._mult_weighted(self._scored_terms(a_present, fk),
+                                       a_mult)
+                   .groupBy("doc_id")
+                   .agg(F.sum(F.col("score") * F.col("_w")).alias("score"),
                         F.count("*").alias("_m")))
             if a_mode == "all":
                 agg = agg.where(F.col("_m") == len(a_present))
@@ -412,10 +442,14 @@ class Evaluator:
         scored = self._scored_terms(a_present + b_present, fk)
         in_a = F.col("term").isin(a_present)
         in_b = F.col("term").isin(b_present)
+        scored = self._mult_weighted(scored, a_mult) \
+            .withColumnRenamed("_w", "_wa")
+        scored = self._mult_weighted(scored, b_mult) \
+            .withColumnRenamed("_w", "_wb")
         agg = scored.groupBy("doc_id").agg(
-            F.sum(F.when(in_a, F.col("score"))).alias("_sa"),
+            F.sum(F.when(in_a, F.col("score") * F.col("_wa"))).alias("_sa"),
             F.sum(F.when(in_a, 1).otherwise(0)).alias("_ma"),
-            F.sum(F.when(in_b, F.col("score"))).alias("_sb"),
+            F.sum(F.when(in_b, F.col("score") * F.col("_wb"))).alias("_sb"),
             F.sum(F.when(in_b, 1).otherwise(0)).alias("_mb"),
         )
         a_ok = (F.col("_ma") == len(a_present)) if a_mode == "all" \

@@ -20,3 +20,26 @@ def sf0001_documents(spark):
 def docs_rows(sf0001_documents):
     rows = sf0001_documents.select("doc_id", "text").collect()
     return [(int(r["doc_id"]), r["text"]) for r in rows]
+
+
+@pytest.fixture(scope="session")
+def ix(spark, sf0001_documents):
+    """Session-shared sf0.001 index — modules needing a different corpus or
+    build config override with their own module-scoped fixture."""
+    from whoosh_spark.index import InvertedIndex
+
+    return InvertedIndex.build(sf0001_documents)
+
+
+@pytest.fixture(scope="session")
+def searcher(ix):
+    from whoosh_spark.search import Searcher
+
+    return Searcher(ix)
+
+
+@pytest.fixture(scope="session")
+def py(docs_rows):
+    from whoosh_spark.oracle.engine import PyIndex
+
+    return PyIndex(docs_rows)

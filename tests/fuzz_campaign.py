@@ -14,21 +14,20 @@ derandomized so the driver's `pytest -x -q` gate is deterministic.
 
 from __future__ import annotations
 
+import os
 import random
 import sys
 import time
 
-from whoosh_spark.index import InvertedIndex
-from whoosh_spark.oracle.engine import PyIndex
-from whoosh_spark.query import ast as Q
-from whoosh_spark.search import Searcher
-from whoosh_spark.session import get_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VOCAB = ["data", "query", "vector", "window", "hash", "join", "big",
-         "table", "scan", "sort", "filter", "merge", "stream", "order",
-         "line", "column", "key", "batch", "fast", "slow", "small",
-         "zzz_missing", "qqq_absent", "the"]
-BOOSTS = [0.5, 1.0, 1.0, 1.0, 2.0, 3.0]
+from fuzz_vocab import BOOSTS, FUZZIES, PREFIXES, VOCAB, WILDCARDS  # noqa: E402
+from whoosh_spark.index import InvertedIndex  # noqa: E402
+from whoosh_spark.oracle.engine import PyIndex  # noqa: E402
+from whoosh_spark.query import ast as Q  # noqa: E402
+from whoosh_spark.search import Searcher  # noqa: E402
+from whoosh_spark.session import get_spark  # noqa: E402
+
 K = 10
 
 
@@ -41,13 +40,13 @@ def rand_leaf(rng: random.Random) -> Q.Query:
                  for _ in range(rng.randint(2, 3))]
         return Q.Phrase(words, slop=rng.choice([1, 1, 2, 3]))
     if r < 0.64:
-        return Q.Prefix(rng.choice(["da", "qu", "ve", "zz", "s"]),
+        return Q.Prefix(rng.choice(PREFIXES),
                         rng.choice(BOOSTS))
     if r < 0.76:
-        return Q.Wildcard(rng.choice(["d*a", "s??t", "*dow", "q*", "*a*"]),
+        return Q.Wildcard(rng.choice(WILDCARDS),
                           rng.choice(BOOSTS))
     if r < 0.84:
-        return Q.Fuzzy(rng.choice(["dat", "vectr", "joim", "zzzz"]),
+        return Q.Fuzzy(rng.choice(FUZZIES),
                        maxdist=rng.choice([1, 2]))
     if r < 0.94:
         los = [None, "a", "da", "m"]

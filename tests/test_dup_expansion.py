@@ -18,10 +18,7 @@ from __future__ import annotations
 
 import pytest
 
-from whoosh_spark.index import InvertedIndex
-from whoosh_spark.oracle.engine import PyIndex
 from whoosh_spark.query import ast as Q
-from whoosh_spark.search import Searcher
 
 # both expand to exactly the term "data" on the sf0.001 vocabulary
 P = Q.Prefix("dat")
@@ -40,14 +37,7 @@ DUP_CASES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def searcher(spark, sf0001_documents):
-    return Searcher(InvertedIndex.build(sf0001_documents))
-
-
-@pytest.fixture(scope="module")
-def py(docs_rows):
-    return PyIndex(docs_rows)
+# searcher / py come from conftest (session-scoped, sf0.001 corpus)
 
 
 @pytest.mark.parametrize("q", DUP_CASES, ids=lambda q: repr(q)[:60])

@@ -4,13 +4,17 @@ engine and the pure-Python oracle (whoosh_spark/oracle/engine.py).
 
 This is the unknown-unknowns companion to tests/test_rank_identity.py's
 fixed reference set: hypothesis composes nested And/Or/DisMax/AndNot/
-AndMaybe/Require/Not/Phrase/Prefix/Wildcard/Fuzzy/TermRange shapes (depth
-≤ 3, with boosts/minmatch/slop) over the sf0.001 vocabulary plus missing
-terms and stopwords, so compound-rewrite corner cases (empty children,
-NullQuery propagation, nested normalization) get adversarial coverage.
+AndMaybe/Require/Not shapes (depth ≤ 3, with boosts/minmatch/tiebreak) over
+leaves spanning Term/Phrase (incl. a stopword)/boosted Prefix/boosted
+Wildcard/Fuzzy/TermRange/Every on the sf0.001 vocabulary plus missing
+terms, so compound-rewrite corner cases (empty children, NullQuery
+propagation, duplicate cross-child expansions, nested normalization) get
+adversarial coverage.  This suite found the duplicate-expansion scoring
+bug pinned in tests/test_dup_expansion.py.
 
-``derandomize=True`` keeps the example set fixed → stable suite runtime and
-reproducible failures.
+``derandomize=True`` keeps the example set fixed → stable suite runtime
+and reproducible failures; exploratory random-seed sweeps live in
+tests/fuzz_campaign.py (manual, not collected).
 """
 
 from __future__ import annotations
@@ -19,32 +23,23 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from whoosh_spark.index import InvertedIndex
-from whoosh_spark.oracle.engine import PyIndex
+from fuzz_vocab import BOOSTS, FUZZIES, PREFIXES, VOCAB, WILDCARDS
 from whoosh_spark.query import ast as Q
-from whoosh_spark.search import Searcher
 
 K = 10
 
-# sf0.001 documents vocabulary (FIXTURES.md) + absent terms + a stopword
-_VOCAB = ["data", "query", "vector", "window", "hash", "join", "big",
-          "table", "scan", "sort", "filter", "merge", "stream", "order",
-          "line", "column", "key", "batch", "fast", "slow", "small",
-          "zzz_missing", "qqq_absent", "the"]
-_BOOSTS = st.sampled_from([0.5, 1.0, 1.0, 1.0, 2.0, 3.0])
+_BOOSTS = st.sampled_from(BOOSTS)
 
-_term = st.builds(Q.Term, st.sampled_from(_VOCAB), boost=_BOOSTS)
+_term = st.builds(Q.Term, st.sampled_from(VOCAB), boost=_BOOSTS)
 _leaf = st.one_of(
     _term,
     st.builds(Q.Phrase,
-              st.lists(st.sampled_from(_VOCAB[:10] + ["the"]),
+              st.lists(st.sampled_from(VOCAB[:10] + ["the"]),
                        min_size=2, max_size=3),
               slop=st.sampled_from([1, 1, 2, 3])),
-    st.builds(Q.Prefix, st.sampled_from(["da", "qu", "ve", "zz", "s"]),
-              boost=_BOOSTS),
-    st.builds(Q.Wildcard, st.sampled_from(["d*a", "s??t", "*dow", "q*"]),
-              boost=_BOOSTS),
-    st.builds(Q.Fuzzy, st.sampled_from(["dat", "vectr", "joim", "zzzz"]),
+    st.builds(Q.Prefix, st.sampled_from(PREFIXES), boost=_BOOSTS),
+    st.builds(Q.Wildcard, st.sampled_from(WILDCARDS), boost=_BOOSTS),
+    st.builds(Q.Fuzzy, st.sampled_from(FUZZIES),
               maxdist=st.sampled_from([1, 2])),
     st.builds(Q.TermRange, st.sampled_from(["a", "da", "m"]),
               st.sampled_from(["dz", "m", "z"])),
@@ -68,15 +63,7 @@ def _compound(children):
 
 _query = st.recursive(_leaf, _compound, max_leaves=6)
 
-
-@pytest.fixture(scope="module")
-def searcher(spark, sf0001_documents):
-    return Searcher(InvertedIndex.build(sf0001_documents))
-
-
-@pytest.fixture(scope="module")
-def py(docs_rows):
-    return PyIndex(docs_rows)
+# searcher / py come from conftest (session-scoped, sf0.001 corpus)
 
 
 @given(_query)

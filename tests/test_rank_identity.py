@@ -7,28 +7,12 @@ from __future__ import annotations
 
 import pytest
 
-from whoosh_spark.index import InvertedIndex
-from whoosh_spark.oracle.engine import PyIndex
 from whoosh_spark.query import ast as Q
-from whoosh_spark.search import Searcher
 
 K = 10
 
 
-@pytest.fixture(scope="module")
-def ix(spark, sf0001_documents):
-    return InvertedIndex.build(sf0001_documents)
-
-
-@pytest.fixture(scope="module")
-def searcher(ix):
-    return Searcher(ix)
-
-
-@pytest.fixture(scope="module")
-def py(docs_rows):
-    return PyIndex(docs_rows)
-
+# ix / searcher / py come from conftest (session-scoped, sf0.001 corpus)
 
 # hot/rare/stop-adjacent terms per FIXTURES.md documents vocab
 QUERIES = {

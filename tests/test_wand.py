@@ -8,19 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from whoosh_spark.execution import wand as W
-from whoosh_spark.index import InvertedIndex
 from whoosh_spark.query import ast as Q
-from whoosh_spark.search import Searcher
 
-
-@pytest.fixture(scope="module")
-def ix(spark, sf0001_documents):
-    return InvertedIndex.build(sf0001_documents)
-
-
-@pytest.fixture(scope="module")
-def searcher(ix):
-    return Searcher(ix)
+# ix / searcher come from conftest (session-scoped, sf0.001 corpus)
 
 
 def _rows(df, k=10):

@@ -199,3 +199,50 @@ def _lev(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+class PyMultiIndex(PyIndex):
+    """Fielded oracle: one ``PyIndex`` per schema field, BM25F composition.
+
+    Mirrors ``MultiFieldIndex`` + the evaluator's fielded routing
+    (``scoring.py::BM25F ≈L140`` semantics): each leaf scores against ITS
+    field's statistics (df/avgdl/lengths) times that field's boost, and the
+    compound algebra (inherited unchanged from ``PyIndex``) mixes fields.
+    Per-field ``B`` overrides are not modeled (sub-indexes use the config
+    default), so differential tests pin specs with default B.
+    """
+
+    def __init__(self, fields: dict[str, "PyIndex"], default_field: str,
+                 boosts: dict[str, float] | None = None):
+        if default_field not in fields:
+            raise ValueError(f"default_field {default_field!r} not in fields")
+        self.fields = fields
+        self.default_field = default_field
+        self.boosts = boosts or {}
+        base = fields[default_field]
+        # doc universe for Not/Every/NumericRange — the engine routes these
+        # through the primary (default-field) index
+        self.len_raw = base.len_raw
+        self.dl = base.dl
+        self.stored = base.stored
+        self.n = base.n
+        self.avgdl = base.avgdl
+        self.postings = base.postings  # default-field compat for callers
+
+    def _fx(self, fieldname: str | None) -> "PyIndex":
+        return self.fields[fieldname or self.default_field]
+
+    def _route(self, q: Q.Query) -> dict[int, float]:
+        from dataclasses import replace
+
+        sub = self._fx(q.fieldname)
+        res = sub._eval(replace(q, fieldname=None))
+        fb = self.boosts.get(q.fieldname or self.default_field, 1.0)
+        return {d: s * fb for d, s in res.items()} if fb != 1.0 else res
+
+    _eval_term = _route
+    _eval_phrase = _route
+    _eval_prefix = _route
+    _eval_wildcard = _route
+    _eval_fuzzy = _route
+    _eval_termrange = _route

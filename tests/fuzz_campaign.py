@@ -2,13 +2,15 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields]
 
 Generates random query ASTs (same shape-space as tests/test_rank_fuzz_deep,
 plus random depth/boost combos) and diffs Spark top-k ids+scores against the
-pure-Python oracle.  Failures print the repr(q) so it can be pinned into
-tests/test_dup_expansion.py / the derandomized suites.  Used for long
-background sweeps during development; the committed suites stay
+pure-Python oracle.  With ``--fields`` the sweep runs the two-field
+(title/body) schema of tests/test_rank_fuzz_fields.py against PyMultiIndex,
+with random fieldnames on every leaf.  Failures print the repr(q) so it can
+be pinned into tests/test_dup_expansion.py / the derandomized suites.  Used
+for long background sweeps during development; the committed suites stay
 derandomized so the driver's `pytest -x -q` gate is deterministic.
 """
 
@@ -31,36 +33,42 @@ from whoosh_spark.session import get_spark  # noqa: E402
 K = 10
 
 
-def rand_leaf(rng: random.Random) -> Q.Query:
+def rand_leaf(rng: random.Random, fields: list[str | None]) -> Q.Query:
+    fn = rng.choice(fields)
     r = rng.random()
     if r < 0.40:
-        return Q.Term(rng.choice(VOCAB), rng.choice(BOOSTS))
+        return Q.Term(rng.choice(VOCAB), rng.choice(BOOSTS), fieldname=fn)
     if r < 0.52:
         words = [rng.choice(VOCAB[:10] + ["the"])
                  for _ in range(rng.randint(2, 3))]
-        return Q.Phrase(words, slop=rng.choice([1, 1, 2, 3]))
+        return Q.Phrase(words, slop=rng.choice([1, 1, 2, 3]), fieldname=fn)
     if r < 0.64:
-        return Q.Prefix(rng.choice(PREFIXES),
-                        rng.choice(BOOSTS))
+        return Q.Prefix(rng.choice(PREFIXES), rng.choice(BOOSTS),
+                        fieldname=fn)
     if r < 0.76:
-        return Q.Wildcard(rng.choice(WILDCARDS),
-                          rng.choice(BOOSTS))
+        return Q.Wildcard(rng.choice(WILDCARDS), rng.choice(BOOSTS),
+                          fieldname=fn)
     if r < 0.84:
-        return Q.Fuzzy(rng.choice(FUZZIES),
-                       maxdist=rng.choice([1, 2]))
+        return Q.Fuzzy(rng.choice(FUZZIES), maxdist=rng.choice([1, 2]),
+                       fieldname=fn)
     if r < 0.94:
         los = [None, "a", "da", "m"]
         his = [None, "dz", "m", "z"]
         return Q.TermRange(rng.choice(los), rng.choice(his),
                            incl_lo=rng.random() < 0.8,
-                           incl_hi=rng.random() < 0.8)
+                           incl_hi=rng.random() < 0.8,
+                           fieldname=fn)
     return Q.Every(rng.choice(BOOSTS))
 
 
-def rand_query(rng: random.Random, depth: int = 0) -> Q.Query:
+def rand_query(rng: random.Random, depth: int = 0,
+               fields: list[str | None] = (None,)) -> Q.Query:
+    fields = list(fields)
     if depth >= 3 or rng.random() < 0.35:
-        return rand_leaf(rng)
-    kids = lambda n: [rand_query(rng, depth + 1) for _ in range(n)]  # noqa: E731
+        return rand_leaf(rng, fields)
+    kids = lambda n: [rand_query(rng, depth + 1, fields)  # noqa: E731
+                      for _ in range(n)]
+    one = lambda: rand_query(rng, depth + 1, fields)  # noqa: E731
     r = rng.random()
     if r < 0.22:
         return Q.And(kids(rng.randint(1, 3)), boost=rng.choice(BOOSTS))
@@ -72,31 +80,57 @@ def rand_query(rng: random.Random, depth: int = 0) -> Q.Query:
         return Q.DisMax(kids(rng.randint(1, 3)),
                         tiebreak=rng.choice([0.0, 0.3, 0.5, 1.0]))
     if r < 0.70:
-        return Q.AndNot(rand_query(rng, depth + 1), rand_query(rng, depth + 1))
+        return Q.AndNot(one(), one())
     if r < 0.80:
-        return Q.AndMaybe(rand_query(rng, depth + 1), rand_query(rng, depth + 1))
+        return Q.AndMaybe(one(), one())
     if r < 0.90:
-        return Q.Require(rand_query(rng, depth + 1), rand_query(rng, depth + 1))
-    return Q.Not(rand_query(rng, depth + 1), boost=rng.choice(BOOSTS))
+        return Q.Require(one(), one())
+    return Q.Not(one(), boost=rng.choice(BOOSTS))
 
 
-def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else random.randrange(2**31)
-    rng = random.Random(seed)
-    print(f"fuzz campaign: n={n} seed={seed}", flush=True)
-
-    spark = get_spark(master="local[4]", shuffle_partitions=4,
-                      app="whoosh_spark_fuzz")
+def _build_single(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     searcher = Searcher(InvertedIndex.build(docs))
     rows = docs.select("doc_id", "text").collect()
     py = PyIndex([(int(r["doc_id"]), r["text"]) for r in rows])
+    return searcher, py, [None]
+
+
+def _build_fielded(spark):
+    from whoosh_spark import FieldSpec, MultiFieldIndex
+    from whoosh_spark.oracle.engine import PyMultiIndex
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(int(r["doc_id"]), " ".join((r["text"] or "").split()[:6]),
+             r["text"]) for r in raw.select("doc_id", "text").collect()]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    mix = MultiFieldIndex.build(
+        docs, fields={"title": FieldSpec("title"), "body": FieldSpec("body")},
+        default_field="body")
+    py = PyMultiIndex(
+        {"title": PyIndex([(d, t) for d, t, _ in rows]),
+         "body": PyIndex([(d, b) for d, _, b in rows])},
+        default_field="body")
+    return Searcher(mix), py, [None, "title", "body", "body"]
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--fields"]
+    fielded = "--fields" in sys.argv[1:]
+    n = int(argv[0]) if len(argv) > 0 else 500
+    seed = int(argv[1]) if len(argv) > 1 else random.randrange(2**31)
+    rng = random.Random(seed)
+    print(f"fuzz campaign: n={n} seed={seed} fielded={fielded}", flush=True)
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4,
+                      app="whoosh_spark_fuzz")
+    searcher, py, fields = (_build_fielded if fielded
+                            else _build_single)(spark)
 
     fails = 0
     t0 = time.time()
     for i in range(n):
-        q = rand_query(rng)
+        q = rand_query(rng, fields=fields)
         try:
             got = [(int(r["doc_id"]), float(r["score"]))
                    for r in searcher.search(q, limit=K).collect()]

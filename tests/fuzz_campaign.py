@@ -2,7 +2,7 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many]
 
 Generates random query ASTs (same shape-space as tests/test_rank_fuzz_deep,
 plus random depth/boost combos) and diffs Spark top-k ids+scores against the
@@ -114,18 +114,68 @@ def _build_fielded(spark):
     return Searcher(mix), py, [None, "title", "body", "body"]
 
 
+def _run_many(searcher, py, batch: list[Q.Query]) -> list[str]:
+    """Run a group through search_many and diff each vs the oracle;
+    returns failure descriptions (empty = all matched)."""
+    names = {f"q{i}": q for i, q in enumerate(batch)}
+    rows = searcher.search_many(names, limit=K).collect()
+    per: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        per.setdefault(r["qname"], []).append(
+            (int(r["doc_id"]), float(r["score"])))
+    fails = []
+    for name, q in names.items():
+        got = sorted(per.get(name, []), key=lambda t: (-t[1], t[0]))
+        exp = py.search(q, K)
+        ok = [g[0] for g in got] == [e[0] for e in exp] and all(
+            abs(g[1] - e[1]) <= 1e-9 * max(1.0, abs(e[1]))
+            for g, e in zip(got, exp))
+        if not ok:
+            fails.append(f"search_many[{name}] q={q!r}\n"
+                         f"  spark={got}\n  oracle={exp}")
+    return fails
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--fields"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     fielded = "--fields" in sys.argv[1:]
+    many = "--many" in sys.argv[1:]
     n = int(argv[0]) if len(argv) > 0 else 500
     seed = int(argv[1]) if len(argv) > 1 else random.randrange(2**31)
     rng = random.Random(seed)
-    print(f"fuzz campaign: n={n} seed={seed} fielded={fielded}", flush=True)
+    print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many}",
+          flush=True)
 
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")
     searcher, py, fields = (_build_fielded if fielded
                             else _build_single)(spark)
+
+    if many:
+        fails = 0
+        t0 = time.time()
+        group_size = 8
+        done = 0
+        while done < n:
+            batch = [rand_query(rng, fields=fields)
+                     for _ in range(min(group_size, n - done))]
+            done += len(batch)
+            try:
+                msgs = _run_many(searcher, py, batch)
+            except Exception as e:  # noqa: BLE001
+                fails += 1
+                print(f"\nFAIL (exception) batch={batch!r}\n"
+                      f"  {type(e).__name__}: {e}", flush=True)
+                continue
+            for m in msgs:
+                fails += 1
+                print(f"\nFAIL #{fails} {m}", flush=True)
+            if done % 80 == 0:
+                print(f"  {done}/{n} ({time.time() - t0:.0f}s, "
+                      f"{fails} fails)", flush=True)
+        print(f"done: {done} queries via search_many, {fails} failures, "
+              f"seed={seed}", flush=True)
+        return 1 if fails else 0
 
     fails = 0
     t0 = time.time()

@@ -41,13 +41,20 @@ def corpus(docs_rows):
     return [(d, _title(t), t) for d, t in docs_rows]
 
 
+# non-default per-field B and boost so the BM25F differentiators
+# (scoring.py::BM25F ≈L140 `<field>_B` kwargs + field weight) are what's
+# actually being diffed, not just the routing
+TITLE_B, TITLE_BOOST = 0.6, 2.0
+
+
 @pytest.fixture(scope="module")
 def fsearcher(spark, corpus):
     docs = spark.createDataFrame(
         corpus, "doc_id long, title string, body string")
     mix = MultiFieldIndex.build(
         docs,
-        fields={"title": FieldSpec("title"), "body": FieldSpec("body")},
+        fields={"title": FieldSpec("title", b=TITLE_B, boost=TITLE_BOOST),
+                "body": FieldSpec("body")},
         default_field="body",
     )
     return Searcher(mix)
@@ -56,9 +63,10 @@ def fsearcher(spark, corpus):
 @pytest.fixture(scope="module")
 def fpy(corpus):
     return PyMultiIndex(
-        {"title": PyIndex([(d, ti) for d, ti, _ in corpus]),
+        {"title": PyIndex([(d, ti) for d, ti, _ in corpus], b=TITLE_B),
          "body": PyIndex([(d, b) for d, _, b in corpus])},
         default_field="body",
+        boosts={"title": TITLE_BOOST},
     )
 
 

@@ -23,8 +23,12 @@ from whoosh_spark.query import ast as Q
 
 
 class PyIndex:
-    def __init__(self, docs: list[tuple[int, str]], stored: dict[int, dict] | None = None):
-        """docs: [(doc_id, text)]; stored: optional doc_id -> stored fields."""
+    def __init__(self, docs: list[tuple[int, str]],
+                 stored: dict[int, dict] | None = None,
+                 b: float = BM25_B):
+        """docs: [(doc_id, text)]; stored: optional doc_id -> stored fields;
+        b: BM25 length-normalization (per-field override under BM25F)."""
+        self.b = b
         self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
         self.len_raw: dict[int, int] = {}
         self.dl: dict[int, int] = {}
@@ -50,7 +54,7 @@ class PyIndex:
         tf = float(len(self.postings[term][doc_id]))
         dl = float(self.dl[doc_id])
         comp = (tf * (BM25_K1 + 1.0)) / (
-            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
+            tf + BM25_K1 * ((1.0 - self.b) + self.b * dl / self.avgdl)
         )
         return self.idf(term) * comp
 
@@ -208,8 +212,8 @@ class PyMultiIndex(PyIndex):
     (``scoring.py::BM25F ≈L140`` semantics): each leaf scores against ITS
     field's statistics (df/avgdl/lengths) times that field's boost, and the
     compound algebra (inherited unchanged from ``PyIndex``) mixes fields.
-    Per-field ``B`` overrides are not modeled (sub-indexes use the config
-    default), so differential tests pin specs with default B.
+    Per-field ``B`` overrides: build each sub-``PyIndex`` with its field's
+    ``b``; per-field boosts go in the ``boosts`` dict.
     """
 
     def __init__(self, fields: dict[str, "PyIndex"], default_field: str,
@@ -227,6 +231,7 @@ class PyMultiIndex(PyIndex):
         self.stored = base.stored
         self.n = base.n
         self.avgdl = base.avgdl
+        self.b = base.b
         self.postings = base.postings  # default-field compat for callers
 
     def _fx(self, fieldname: str | None) -> "PyIndex":

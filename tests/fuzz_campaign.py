@@ -83,8 +83,12 @@ def rand_query(rng: random.Random, depth: int = 0,
         return Q.AndNot(one(), one())
     if r < 0.80:
         return Q.AndMaybe(one(), one())
-    if r < 0.90:
+    if r < 0.86:
         return Q.Require(one(), one())
+    if r < 0.92:
+        return Q.Otherwise(one(), one())
+    if r < 0.96:
+        return Q.Constant(one(), score=rng.choice([0.5, 1.0, 2.0]))
     return Q.Not(one(), boost=rng.choice(BOOSTS))
 
 

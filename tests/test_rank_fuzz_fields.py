@@ -98,6 +98,9 @@ def _compound(children):
         st.builds(Q.AndNot, children, children),
         st.builds(Q.AndMaybe, children, children),
         st.builds(Q.Require, children, children),
+        st.builds(Q.Otherwise, children, children),
+        st.builds(Q.Constant, children,
+                  score=st.sampled_from([0.5, 1.0, 2.0])),
         st.builds(Q.Not, children),
     )
 

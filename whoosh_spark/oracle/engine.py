@@ -122,6 +122,14 @@ class PyIndex:
     def _eval_every(self, q: Q.Every) -> dict[int, float]:
         return {d: 1.0 * q.boost for d in self.len_raw}
 
+    def _eval_otherwise(self, q: Q.Otherwise) -> dict[int, float]:
+        a = self._eval(q.a)
+        out = a if a else self._eval(q.b)
+        return {d: s * q.boost for d, s in out.items()} if q.boost != 1.0 else out
+
+    def _eval_constant(self, q: Q.Constant) -> dict[int, float]:
+        return {d: float(q.score) * q.boost for d in self._eval(q.child)}
+
     def _eval_phrase(self, q: Q.Phrase) -> dict[int, float]:
         words = list(q.words)
         if any(w not in self.postings for w in set(words)):

@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_prefix": _q(Q.Sequence([Q.Term("big"), Q.Prefix("da")])),
         "prefix": _q(Q.Prefix("qu")),
         "wildcard": _q(Q.Wildcard("d*a")),
+        # Prefix + Wildcard both expanding to "data": the shared term scores
+        # once PER CHILD (dup-expansion semantics, tests/test_dup_expansion.py)
+        "and_dup_expansion": _q(Q.And([Q.Prefix("dat"), Q.Wildcard("d*a")])),
         "fuzzy": _q(Q.Fuzzy("dat", maxdist=1, prefixlength=1)),
         "term_range": _q(Q.TermRange("da", "dz")),
         "filtered_and": _q(Q.And([Q.Term("data"), Q.Term("query")]),
@@ -624,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_prefix": OSQL.sequence_prefix_sql("big", "da", slop=1),
         "prefix": OSQL.prefix_sql("qu"),
         "wildcard": OSQL.wildcard_sql("d%a"),
+        "and_dup_expansion": OSQL.and_expansions_sql("dat", "d%a"),
         "fuzzy": OSQL.fuzzy_sql("dat", maxdist=1, prefixlength=1),
         "term_range": OSQL.term_range_sql("da", "dz"),
         "filtered_and": OSQL.filtered_and_sql(["data", "query"], "lang = 'en'"),

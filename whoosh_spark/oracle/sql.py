@@ -204,6 +204,23 @@ def wildcard_sql(like_pattern: str, k: int = 10) -> str:
     return base_ctes() + topk(sel, k)
 
 
+def and_expansions_sql(prefix: str, like_pattern: str, k: int = 10) -> str:
+    """And(Prefix, Wildcard): each child contributes the sum of ITS matching
+    terms' BM25, so a term matched by BOTH expansions is counted once PER
+    CHILD (upstream matcher-per-child semantics; only IDENTICAL
+    pre-expansion children dedupe, in normalize()).  Conjunction = the doc
+    matches >= 1 term from each side."""
+    sel = f"""
+      SELECT doc_id, sum(score * (a + b)) AS score FROM (
+        SELECT doc_id, score,
+               CASE WHEN term LIKE '{_like_escape(prefix)}%' ESCAPE '\\' THEN 1 ELSE 0 END AS a,
+               CASE WHEN term LIKE '{like_pattern}' THEN 1 ELSE 0 END AS b
+        FROM sc) m
+      WHERE a + b > 0
+      GROUP BY doc_id HAVING sum(a) >= 1 AND sum(b) >= 1"""
+    return base_ctes() + topk(sel, k)
+
+
 def fuzzy_sql(word: str, maxdist: int, prefixlength: int, k: int = 10) -> str:
     sel = f"""
       SELECT doc_id, sum(score) AS score FROM sc

@@ -93,3 +93,56 @@ def test_parse_parens_and_field_strip():
     q = parse_query("(big OR data) query")
     assert isinstance(q, Q.And)
     assert parse_query("text:data") == Q.Term("data")
+
+
+# ---------------------------------------------------------------------------
+# normalize() idempotence + minmatch-gate preservation
+# (found by tests/fuzz_campaign.py --many: search() normalizes once,
+# search_many() twice; a non-idempotent normalize made them diverge)
+
+def test_nested_minmatch_or_not_flattened():
+    inner = Q.Or([Q.Term("data"), Q.Term("big"), Q.Term("scan")], minmatch=3)
+    q = Q.Or([Q.Term("query"), inner], minmatch=0).normalize()
+    assert isinstance(q, Q.Or)
+    # the minmatch=3 child keeps its gate (no hoisting)
+    assert any(isinstance(c, Q.Or) and c.minmatch == 3 for c in q.children)
+
+
+def test_minmatch_one_parent_still_flattens():
+    q = Q.Or([Q.Or([Q.Term("data"), Q.Term("big")]), Q.Term("scan")],
+             minmatch=1).normalize()
+    assert isinstance(q, Q.Or)
+    assert all(isinstance(c, Q.Term) for c in q.children)
+    assert len(q.children) == 3
+
+
+def test_deep_nested_gate_survives_double_normalize():
+    q = Q.Or([
+        Q.Wildcard("*dow"),
+        Q.Or([
+            Q.TermRange(None, "z"),
+            Q.TermRange(None, "dz"),
+            Q.Or([Q.TermRange("da", "m", incl_hi=False),
+                  Q.Fuzzy("vectr", maxdist=1, prefixlength=1)], minmatch=2),
+        ], minmatch=3),
+    ], minmatch=0)
+    n1 = q.normalize()
+    assert n1 == n1.normalize()
+    gated = [c for c in n1.children if isinstance(c, Q.Or)]
+    assert gated and gated[0].minmatch == 3
+    assert any(isinstance(g, Q.Or) and g.minmatch == 2
+               for g in gated[0].children)
+
+
+def test_normalize_idempotent_random_asts():
+    """Property: normalize(normalize(q)) == normalize(q) over the campaign
+    generator's full AST space (pure python — no Spark)."""
+    import random
+
+    import fuzz_campaign as FC
+
+    rng = random.Random(20260818)
+    for _ in range(3000):
+        q = FC.rand_query(rng, fields=[None, "title", "body"])
+        n1 = q.normalize()
+        assert n1 == n1.normalize(), repr(q)

@@ -439,3 +439,30 @@ class TestSearchMany:
         n_all = s.search(q, limit=None).count()
         batch = s.search_many({"q": q}, limit=None)
         assert batch.count() == n_all > 3
+
+
+class TestSearchManyNormalizeParity:
+    def test_nested_minmatch_query_matches_single_search(self, ix):
+        """search_many normalizes at classify time and evaluate() normalizes
+        again — a non-idempotent normalize() made the two paths diverge on
+        nested minmatch Ors (gate flattened away on the second pass; found
+        by tests/fuzz_campaign.py --many, seed 649038824)."""
+        from whoosh_spark.search import Searcher
+
+        s = Searcher(ix)
+        q = Q.Or([
+            Q.Wildcard("*dow"),
+            Q.Or([
+                Q.TermRange(None, "z"),
+                Q.TermRange(None, "dz"),
+                Q.Or([Q.TermRange("da", "m", incl_hi=False),
+                      Q.Fuzzy("vectr", maxdist=1, prefixlength=1)],
+                     minmatch=2),
+            ], minmatch=3),
+        ], minmatch=0)
+        direct = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                  for r in s.search(q, limit=10).collect()]
+        many = sorted(((int(r["doc_id"]), round(float(r["score"]), 9))
+                       for r in s.search_many({"q": q}, limit=10).collect()),
+                      key=lambda t: (-t[1], t[0]))
+        assert many == direct

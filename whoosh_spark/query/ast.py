@@ -91,7 +91,14 @@ def _norm_compound(cls, children, **kw):
         c = c.normalize()
         if c is NullQuery:
             continue
-        if isinstance(c, cls) and type(c) is cls and c.boost == 1.0 and not kw.get("keep_nested"):
+        # flatten same-class nesting — EXCEPT a child whose own minmatch
+        # gate is semantic (Or with minmatch > 1): hoisting its children
+        # would silently drop the gate.  Normalized children contain no
+        # further flattenable same-class nesting (their own normalize ran
+        # with the same rule), so one pass is idempotent.
+        if (isinstance(c, cls) and type(c) is cls and c.boost == 1.0
+                and not kw.get("keep_nested")
+                and getattr(c, "minmatch", 0) <= 1):
             flat.extend(c.children)
         else:
             flat.append(c)
@@ -152,7 +159,10 @@ class Or(Query):
         object.__setattr__(self, "minmatch", minmatch)
 
     def normalize(self) -> Query:
-        out = _norm_compound(Or, self.children, keep_nested=self.minmatch > 0)
+        # minmatch > 1 counts matching CHILDREN, so hoisting a nested Or's
+        # children into this node would inflate the count; minmatch <= 1
+        # ("any") is count-insensitive and flattens freely
+        out = _norm_compound(Or, self.children, keep_nested=self.minmatch > 1)
         if not out:
             return NullQuery
         if len(out) == 1 and self.boost == 1.0 and self.minmatch <= 1:

@@ -35,7 +35,7 @@ _mixed = st.lists(_soup | _keywords | _alpha, min_size=0, max_size=6).map(
 
 
 @given(_mixed)
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 def test_parse_total(s):
     try:
         q = parse_query(s, fields=["title", "text"],
@@ -50,7 +50,7 @@ def test_parse_total(s):
 
 
 @given(_mixed)
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_parse_simple_total(s):
     q = parse_simple(s, fields=["title", "text"])
     assert isinstance(q, Q.Query)

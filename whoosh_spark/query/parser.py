@@ -153,7 +153,8 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
     if is_dt:
         # dateparse-lite "at" semantics: warc_ts:2020-01-05 = that whole day,
         # warc_ts:[a TO b] handled in the RANGE branch below
-        if re.match(r"^[\[{].*[\]}]$", text, re.S):
+        if re.match(r"^[\[{].*[\]}]$", text, re.S) \
+                and re.search(r"\s+TO\s+", text[1:-1]):
             incl_lo = text[0] == "["
             incl_hi = text[-1] == "]"
             lo_s, hi_s = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
@@ -208,11 +209,13 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
                 return Term(words[0], boost=boost, fieldname=fieldname)
             return Phrase(words, slop=slop, boost=boost, fieldname=fieldname)
     if re.match(r"^[\[{].*[\]}]$", text, re.S):
-        incl_lo = text[0] == "["
-        incl_hi = text[-1] == "]"
-        lo, hi = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
-        return TermRange(lo.strip().lower() or None, hi.strip().lower() or None,
-                         incl_lo, incl_hi, boost=boost, fieldname=fieldname)
+        parts = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
+        if len(parts) == 2:  # no 'TO' → not a range literal; degrade to word
+            lo, hi = parts
+            return TermRange(lo.strip().lower() or None,
+                             hi.strip().lower() or None,
+                             text[0] == "[", text[-1] == "]",
+                             boost=boost, fieldname=fieldname)
     if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
         return Prefix(text[:-1].lower(), boost=boost, fieldname=fieldname)
     if "*" in text or "?" in text:

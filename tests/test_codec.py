@@ -21,7 +21,7 @@ from whoosh_spark.config import BLOCK_SIZE
 
 
 @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 def test_varint_roundtrip(values):
     a = np.asarray(values, dtype=np.uint64)
     assert np.array_equal(varint_decode(varint_encode(a)), a)
@@ -33,7 +33,7 @@ def test_varint_roundtrip(values):
         max_size=30,
     )
 )
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 def test_positions_roundtrip(pos_lists):
     dec = decode_positions(encode_positions(pos_lists), len(pos_lists))
     assert [list(x) for x in dec] == pos_lists

@@ -23,7 +23,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @given(st.text(max_size=300))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_spans_mirror_analyze_text(text):
     spans = analyze_text_spans(text)
     tokens, _ = analyze_text(text)

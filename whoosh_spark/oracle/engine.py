@@ -178,6 +178,147 @@ class PyIndex:
         terms = sorted(t for t in self.postings if ok(t))
         return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
 
+    # ------------------------------------------------------------------
+    # span queries (positional algebra — mirrors evaluate.py:_spans_df):
+    # spans are (s, e) position pairs; only non-emptiness gates scoring,
+    # which is the plain sum of the a-side terms' BM25 over matched docs.
+    def _span_tree(self, q):
+        """(doc -> [(s, e)], scoring terms) or None when a required leaf
+        term is absent (empty result; SpanNot degenerates to its a side)."""
+        if isinstance(q, Q.Term):
+            if q.text not in self.postings:
+                return None
+            return ({d: [(p, p) for p in ps]
+                     for d, ps in self.postings[q.text].items()}, [q.text])
+        if isinstance(q, Q.Or) and all(isinstance(c, Q.Term) for c in q.children):
+            present = [c.text for c in q.children if c.text in self.postings]
+            if not present:
+                return None
+            spans: dict[int, list] = defaultdict(list)
+            for t in present:
+                for d, ps in self.postings[t].items():
+                    spans[d].extend((p, p) for p in ps)
+            return {d: sorted(sp) for d, sp in spans.items()}, sorted(present)
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Fuzzy, Q.TermRange)):
+            # expand against the lexicon exactly like the evaluator's
+            # _expand, then recurse as an Or of Terms
+            terms = self._expand_terms(q)
+            if not terms:
+                return None
+            return self._span_tree(Q.Or([Q.Term(t) for t in terms]))
+        if isinstance(q, (Q.Phrase, Q.Sequence)):
+            if getattr(q, "slop", 1) > 1:
+                raise ValueError("span sub-queries require slop=1 phrases")
+            if isinstance(q, Q.Sequence) and not all(
+                    isinstance(c, Q.Term) for c in q.children):
+                raise ValueError("span Sequence slots must be single terms")
+            words = list(q.words) if isinstance(q, Q.Phrase) else [
+                c.text for c in q.children]
+            if any(w not in self.postings for w in set(words)):
+                return None
+            docs = set(self.postings[words[0]])
+            for w in words[1:]:
+                docs &= set(self.postings[w])
+            k = len(words)
+            out: dict[int, list] = {}
+            for d in docs:
+                cur = set(self.postings[words[0]][d])
+                for w in words[1:]:
+                    cur = {p + 1 for p in cur} & set(self.postings[w][d])
+                if cur:
+                    out[d] = sorted((e - (k - 1), e) for e in cur)
+            return (out, sorted(set(words))) if out else ({}, sorted(set(words)))
+        if isinstance(q, Q.SpanFirst):
+            sub = self._span_tree(q.child)
+            if sub is None:
+                return None
+            sp, terms = sub
+            kept = {d: [x for x in v if x[1] <= q.limit] for d, v in sp.items()}
+            return {d: v for d, v in kept.items() if v}, terms
+        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+            sa = self._span_tree(q.a)
+            sb = self._span_tree(q.b)
+            if sa is None:
+                return None
+            if sb is None:
+                return sa if isinstance(q, Q.SpanNot) else None
+            (da, ta), (db, tb) = sa, sb
+            out = {}
+            if isinstance(q, Q.SpanNear):
+                for d in set(da) & set(db):
+                    comb = []
+                    for a in da[d]:
+                        for b in db[d]:
+                            after = b[0] > a[1] and (b[0] - a[1]) <= q.slop
+                            before = a[0] > b[1] and (a[0] - b[1]) <= q.slop
+                            if after or (not q.ordered and before):
+                                comb.append((min(a[0], b[0]), max(a[1], b[1])))
+                    if comb:
+                        out[d] = comb
+                return out, sorted(set(ta + tb))
+            if isinstance(q, Q.SpanNot):
+                for d, va in da.items():
+                    vb = db.get(d)
+                    kept = va if vb is None else [
+                        a for a in va
+                        if not any(a[0] <= b[1] and b[0] <= a[1] for b in vb)]
+                    if kept:
+                        out[d] = kept
+                return out, ta
+            if isinstance(q, Q.SpanContains):
+                for d in set(da) & set(db):
+                    kept = [a for a in da[d]
+                            if any(a[0] <= b[0] and b[1] <= a[1] for b in db[d])]
+                    if kept:
+                        out[d] = kept
+                return out, ta
+            for d in set(da) & set(db):  # SpanBefore
+                kept = [a for a in da[d] if any(a[1] < b[0] for b in db[d])]
+                if kept:
+                    out[d] = kept
+            return out, ta
+        raise ValueError(f"not span-capable: {q!r}")
+
+    def _expand_terms(self, q) -> list[str]:
+        if isinstance(q, Q.Prefix):
+            return sorted(t for t in self.postings if t.startswith(q.text))
+        if isinstance(q, Q.Wildcard):
+            import fnmatch
+
+            return sorted(t for t in self.postings
+                          if fnmatch.fnmatchcase(t, q.pattern))
+        if isinstance(q, Q.Fuzzy):
+            return sorted(t for t in self.postings
+                          if t.startswith(q.text[: q.prefixlength])
+                          and _lev(t, q.text) <= q.maxdist)
+        if isinstance(q, Q.TermRange):
+            def ok(t):
+                if q.lo is not None and (t < q.lo or (t == q.lo and not q.incl_lo)):
+                    return False
+                if q.hi is not None and (t > q.hi or (t == q.hi and not q.incl_hi)):
+                    return False
+                return True
+
+            return sorted(t for t in self.postings if ok(t))
+        raise ValueError(f"not expandable: {q!r}")
+
+    def _eval_span(self, q) -> dict[int, float]:
+        sub = self._span_tree(q)
+        if sub is None:
+            return {}
+        spans, terms = sub
+        return {
+            d: sum(self.bm25(t, d) for t in terms
+                   if d in self.postings.get(t, {})) * q.boost
+            for d, v in spans.items() if v
+        }
+
+    _eval_spanfirst = _eval_span
+    _eval_spannear = _eval_span
+    _eval_spannot = _eval_span
+    _eval_spancontains = _eval_span
+    _eval_spanbefore = _eval_span
+
     def _eval_filter(self, q: Q.Filter) -> dict[int, float]:
         raise NotImplementedError("PyIndex.eval(Filter) — use stored-field predicates in tests")
 

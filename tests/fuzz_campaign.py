@@ -2,7 +2,7 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans]
 
 Generates random query ASTs (same shape-space as tests/test_rank_fuzz_deep,
 plus random depth/boost combos) and diffs Spark top-k ids+scores against the
@@ -59,6 +59,45 @@ def rand_leaf(rng: random.Random, fields: list[str | None]) -> Q.Query:
                            incl_hi=rng.random() < 0.8,
                            fieldname=fn)
     return Q.Every(rng.choice(BOOSTS))
+
+
+def rand_span_sub(rng: random.Random) -> Q.Query:
+    r = rng.random()
+    if r < 0.5:
+        return Q.Term(rng.choice(VOCAB))
+    if r < 0.8:
+        return Q.Phrase([rng.choice(VOCAB[:10]), rng.choice(VOCAB[:10])])
+    return Q.Prefix(rng.choice(PREFIXES))
+
+
+def rand_span(rng: random.Random, depth: int = 0) -> Q.Query:
+    if depth >= 2:
+        return rand_span_sub(rng)
+    sub = lambda: (rand_span(rng, depth + 1) if rng.random() < 0.3  # noqa: E731
+                   else rand_span_sub(rng))
+    r = rng.random()
+    if r < 0.35:
+        return Q.SpanNear(sub(), sub(), slop=rng.choice([1, 2, 3]),
+                          ordered=rng.random() < 0.5)
+    if r < 0.55:
+        return Q.SpanNot(sub(), sub())
+    if r < 0.7:
+        return Q.SpanContains(sub(), sub())
+    if r < 0.85:
+        return Q.SpanBefore(sub(), sub())
+    return Q.SpanFirst(sub(), limit=rng.choice([2, 5, 20]))
+
+
+def rand_span_query(rng: random.Random) -> Q.Query:
+    q = rand_span(rng)
+    r = rng.random()
+    if r < 0.6:
+        return q
+    if r < 0.75:
+        return Q.And([q, Q.Term(rng.choice(VOCAB))])
+    if r < 0.9:
+        return Q.Or([q, rand_span(rng)])
+    return Q.AndNot(q, Q.Term(rng.choice(VOCAB)))
 
 
 def rand_query(rng: random.Random, depth: int = 0,
@@ -144,11 +183,12 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     fielded = "--fields" in sys.argv[1:]
     many = "--many" in sys.argv[1:]
+    spans = "--spans" in sys.argv[1:]
     n = int(argv[0]) if len(argv) > 0 else 500
     seed = int(argv[1]) if len(argv) > 1 else random.randrange(2**31)
     rng = random.Random(seed)
-    print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many}",
-          flush=True)
+    print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many} "
+          f"spans={spans}", flush=True)
 
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")
@@ -161,8 +201,9 @@ def main() -> int:
         group_size = 8
         done = 0
         while done < n:
-            batch = [rand_query(rng, fields=fields)
-                     for _ in range(min(group_size, n - done))]
+            gen = (lambda: rand_span_query(rng)) if spans \
+                else (lambda: rand_query(rng, fields=fields))
+            batch = [gen() for _ in range(min(group_size, n - done))]
             done += len(batch)
             try:
                 msgs = _run_many(searcher, py, batch)
@@ -183,8 +224,10 @@ def main() -> int:
 
     fails = 0
     t0 = time.time()
+    gen = (lambda: rand_span_query(rng)) if spans \
+        else (lambda: rand_query(rng, fields=fields))
     for i in range(n):
-        q = rand_query(rng, fields=fields)
+        q = gen()
         try:
             got = [(int(r["doc_id"]), float(r["score"]))
                    for r in searcher.search(q, limit=K).collect()]

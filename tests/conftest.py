@@ -39,7 +39,10 @@ def searcher(ix):
 
 
 @pytest.fixture(scope="session")
-def py(docs_rows):
+def py(spark, sf0001_documents, docs_rows):
     from whoosh_spark.oracle.engine import PyIndex
 
-    return PyIndex(docs_rows)
+    stored = {int(r["doc_id"]): {"n_chars": int(r["n_chars"]),
+                                 "lang": r["lang"], "source": r["source"]}
+              for r in sf0001_documents.collect()}
+    return PyIndex(docs_rows, stored=stored)

@@ -44,6 +44,9 @@ _leaf = st.one_of(
     st.builds(Q.TermRange, st.sampled_from(["a", "da", "m"]),
               st.sampled_from(["dz", "m", "z"])),
     st.builds(Q.Every, boost=_BOOSTS),
+    st.builds(Q.Regex, st.sampled_from(["da.a", "^qu", "or$", "a.c",
+                                        "z{3}", "(big|fast)"]),
+              boost=_BOOSTS),
     st.builds(Q.NumericRange, st.just("n_chars"),
               st.sampled_from([None, 47, 150, 312]),
               st.sampled_from([None, 250, 400, 558]),

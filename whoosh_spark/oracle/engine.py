@@ -167,6 +167,16 @@ class PyIndex:
         )
         return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
 
+    def _eval_regex(self, q: Q.Regex) -> dict[int, float]:
+        import re
+
+        # Spark's rlike is an UNANCHORED search (Java regex); mirror with
+        # re.search, keeping test patterns to the RE2-safe common subset
+        rx = re.compile(q.pattern)
+        terms = sorted(t for t in self.postings if rx.search(t))
+        return self._eval(Q.Or([Q.Term(t) for t in terms],
+                               boost=q.boost)) if terms else {}
+
     def _eval_termrange(self, q: Q.TermRange) -> dict[int, float]:
         def ok(t: str) -> bool:
             if q.lo is not None and (t < q.lo or (t == q.lo and not q.incl_lo)):

@@ -70,9 +70,32 @@ def fpy(corpus):
     )
 
 
+@st.composite
+def _span_tree(draw):
+    """Single-field span tree: SpanNear/SpanNot/SpanFirst over Term/Prefix
+    leaves that all carry ONE drawn fieldname (the engine raises on mixed
+    fields inside a span)."""
+    fn = draw(_FIELD)
+    leaf = st.one_of(
+        st.builds(Q.Term, st.sampled_from(VOCAB), fieldname=st.just(fn)),
+        st.builds(Q.Prefix, st.sampled_from(PREFIXES), fieldname=st.just(fn)),
+    )
+    kind = draw(st.sampled_from(["near", "not", "first", "contains"]))
+    if kind == "near":
+        return Q.SpanNear(draw(leaf), draw(leaf),
+                          slop=draw(st.sampled_from([1, 2, 3])),
+                          ordered=draw(st.booleans()))
+    if kind == "not":
+        return Q.SpanNot(draw(leaf), draw(leaf))
+    if kind == "contains":
+        return Q.SpanContains(draw(leaf), draw(leaf))
+    return Q.SpanFirst(draw(leaf), limit=draw(st.sampled_from([2, 5, 20])))
+
+
 _leaf = st.one_of(
     st.builds(Q.Term, st.sampled_from(VOCAB), boost=_BOOSTS,
               fieldname=_FIELD),
+    _span_tree(),
     st.builds(Q.Phrase,
               st.lists(st.sampled_from(VOCAB[:10] + ["the"]),
                        min_size=2, max_size=3),

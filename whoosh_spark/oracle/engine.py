@@ -410,3 +410,41 @@ class PyMultiIndex(PyIndex):
     _eval_wildcard = _route
     _eval_fuzzy = _route
     _eval_termrange = _route
+
+
+def _strip_fields(q: Q.Query) -> Q.Query:
+    """Recursively clear leaf fieldnames (single-field sub-index form)."""
+    from dataclasses import replace
+
+    if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+        return replace(q, a=_strip_fields(q.a), b=_strip_fields(q.b))
+    if isinstance(q, Q.SpanFirst):
+        return replace(q, child=_strip_fields(q.child))
+    if isinstance(q, (Q.And, Q.Or, Q.DisMax, Q.Sequence)):
+        return type(q)(tuple(_strip_fields(c) for c in q.children),
+                       **{k: getattr(q, k)
+                          for k in ("boost", "minmatch", "tiebreak", "slop")
+                          if hasattr(q, k)})
+    if hasattr(q, "fieldname") and q.fieldname is not None:
+        return replace(q, fieldname=None)
+    return q
+
+
+def _multi_span(self, q) -> dict[int, float]:
+    """Route a (single-field) span tree to its field's sub-index and apply
+    the field boost — the evaluator's _span_fk + per-field scoring."""
+    fields = {f for f, _ in q.field_terms()}
+    if len(fields) > 1:
+        raise ValueError("span query must target a single field")
+    fn = next(iter(fields)) if fields else None
+    sub = self._fx(fn)
+    res = sub._eval_span(_strip_fields(q))
+    fb = self.boosts.get(fn or self.default_field, 1.0)
+    return {d: s * fb for d, s in res.items()} if fb != 1.0 else res
+
+
+PyMultiIndex._eval_spanfirst = _multi_span
+PyMultiIndex._eval_spannear = _multi_span
+PyMultiIndex._eval_spannot = _multi_span
+PyMultiIndex._eval_spancontains = _multi_span
+PyMultiIndex._eval_spanbefore = _multi_span

@@ -77,6 +77,7 @@ _E2E_CASES = [
     "AND", "OR", "NOT", "AND OR NOT", "a AND", "OR b", "NOT NOT a",
     "a^", "a^x", "^2", "~", "a~99", "*", "?", "*a", "a*b*c",
     "[ TO ]", "[a TO", "TO b]", "{a TO b", "a:[1 TO 2]",
+    "[da TO ]", "[ TO dz]", "[ab*]", "{]", "text:[ab*]", "[dat?]",
     "title:", ":a", "unknown:term", "text:(a OR b)",
     'big "data query"~1 -noise +must', "a:-b", "--a", "++a",
     "warc_ts:[2020-01-01 TO 2020-02-01]", "warc_ts:notadate",

@@ -106,6 +106,8 @@ _leaf = st.one_of(
               fieldname=_FIELD),
     st.builds(Q.Fuzzy, st.sampled_from(FUZZIES),
               maxdist=st.sampled_from([1, 2]), fieldname=_FIELD),
+    st.builds(Q.Regex, st.sampled_from(["da.a", "^qu", "(big|fast)"]),
+              boost=_BOOSTS, fieldname=_FIELD),
     st.builds(Q.TermRange, st.sampled_from(["a", "da", "m"]),
               st.sampled_from(["dz", "m", "z"]), fieldname=_FIELD),
 )

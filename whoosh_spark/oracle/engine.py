@@ -149,44 +149,18 @@ class PyIndex:
                 out[d] = sum(self.bm25(w, d) for w in sorted(set(words))) * q.boost
         return out
 
-    def _eval_prefix(self, q: Q.Prefix) -> dict[int, float]:
-        terms = sorted(t for t in self.postings if t.startswith(q.text))
-        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
-
-    def _eval_wildcard(self, q: Q.Wildcard) -> dict[int, float]:
-        import fnmatch
-
-        terms = sorted(t for t in self.postings if fnmatch.fnmatchcase(t, q.pattern))
-        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
-
-    def _eval_fuzzy(self, q: Q.Fuzzy) -> dict[int, float]:
-        terms = sorted(
-            t
-            for t in self.postings
-            if t.startswith(q.text[: q.prefixlength]) and _lev(t, q.text) <= q.maxdist
-        )
-        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
-
-    def _eval_regex(self, q: Q.Regex) -> dict[int, float]:
-        import re
-
-        # Spark's rlike is an UNANCHORED search (Java regex); mirror with
-        # re.search, keeping test patterns to the RE2-safe common subset
-        rx = re.compile(q.pattern)
-        terms = sorted(t for t in self.postings if rx.search(t))
+    def _eval_expansion(self, q) -> dict[int, float]:
+        """Prefix/Wildcard/Fuzzy/Regex/TermRange → Or of matching lexicon
+        terms (one expansion rule shared with the span path: _expand_terms)."""
+        terms = self._expand_terms(q)
         return self._eval(Q.Or([Q.Term(t) for t in terms],
                                boost=q.boost)) if terms else {}
 
-    def _eval_termrange(self, q: Q.TermRange) -> dict[int, float]:
-        def ok(t: str) -> bool:
-            if q.lo is not None and (t < q.lo or (t == q.lo and not q.incl_lo)):
-                return False
-            if q.hi is not None and (t > q.hi or (t == q.hi and not q.incl_hi)):
-                return False
-            return True
-
-        terms = sorted(t for t in self.postings if ok(t))
-        return self._eval(Q.Or([Q.Term(t) for t in terms], boost=q.boost)) if terms else {}
+    _eval_prefix = _eval_expansion
+    _eval_wildcard = _eval_expansion
+    _eval_fuzzy = _eval_expansion
+    _eval_regex = _eval_expansion
+    _eval_termrange = _eval_expansion
 
     # ------------------------------------------------------------------
     # span queries (positional algebra — mirrors evaluate.py:_spans_df):
@@ -209,7 +183,7 @@ class PyIndex:
                 for d, ps in self.postings[t].items():
                     spans[d].extend((p, p) for p in ps)
             return {d: sorted(sp) for d, sp in spans.items()}, sorted(present)
-        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Fuzzy, Q.TermRange)):
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Fuzzy, Q.Regex, Q.TermRange)):
             # expand against the lexicon exactly like the evaluator's
             # _expand, then recurse as an Or of Terms
             terms = self._expand_terms(q)
@@ -301,6 +275,13 @@ class PyIndex:
             return sorted(t for t in self.postings
                           if t.startswith(q.text[: q.prefixlength])
                           and _lev(t, q.text) <= q.maxdist)
+        if isinstance(q, Q.Regex):
+            import re
+
+            # Spark's rlike is an UNANCHORED search (Java regex); mirror
+            # with re.search (test patterns stay in the RE2-safe subset)
+            rx = re.compile(q.pattern)
+            return sorted(t for t in self.postings if rx.search(t))
         if isinstance(q, Q.TermRange):
             def ok(t):
                 if q.lo is not None and (t < q.lo or (t == q.lo and not q.incl_lo)):
@@ -409,6 +390,7 @@ class PyMultiIndex(PyIndex):
     _eval_prefix = _route
     _eval_wildcard = _route
     _eval_fuzzy = _route
+    _eval_regex = _route
     _eval_termrange = _route
 
 
@@ -430,10 +412,31 @@ def _strip_fields(q: Q.Query) -> Q.Query:
     return q
 
 
+def _leaf_fields(q: Q.Query) -> set:
+    """All leaf ``fieldname`` values in a span tree — including expansion
+    leaves (Prefix/Wildcard/Fuzzy/Regex/TermRange), whose ``field_terms()``
+    is empty because their terms aren't known until lexicon expansion."""
+    if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+        return _leaf_fields(q.a) | _leaf_fields(q.b)
+    if isinstance(q, Q.SpanFirst):
+        return _leaf_fields(q.child)
+    if hasattr(q, "children"):
+        out = set()
+        for c in q.children:
+            out |= _leaf_fields(c)
+        return out
+    if hasattr(q, "fieldname"):
+        return {q.fieldname}
+    return set()
+
+
 def _multi_span(self, q) -> dict[int, float]:
     """Route a (single-field) span tree to its field's sub-index and apply
-    the field boost — the evaluator's _span_fk + per-field scoring."""
-    fields = {f for f, _ in q.field_terms()}
+    the field boost — the evaluator's _span_fk + per-field scoring.  The
+    default field's own name canonicalizes to None (evaluator _fkey
+    behavior), so None/default mixes are still single-field."""
+    fields = {None if f in (None, self.default_field) else f
+              for f in _leaf_fields(q)}
     if len(fields) > 1:
         raise ValueError("span query must target a single field")
     fn = next(iter(fields)) if fields else None

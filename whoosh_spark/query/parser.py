@@ -153,11 +153,12 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
     if is_dt:
         # dateparse-lite "at" semantics: warc_ts:2020-01-05 = that whole day,
         # warc_ts:[a TO b] handled in the RANGE branch below
-        if re.match(r"^[\[{].*[\]}]$", text, re.S) \
-                and re.search(r"\s+TO\s+", text[1:-1]):
+        dt_parts = (re.split(r"\s+TO\s+", text[1:-1], maxsplit=1)
+                    if re.match(r"^[\[{].*[\]}]$", text, re.S) else [])
+        if len(dt_parts) == 2:
             incl_lo = text[0] == "["
             incl_hi = text[-1] == "]"
-            lo_s, hi_s = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
+            lo_s, hi_s = dt_parts
             lo = hi = None
             if lo_s.strip():
                 try:
@@ -209,13 +210,17 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
                 return Term(words[0], boost=boost, fieldname=fieldname)
             return Phrase(words, slop=slop, boost=boost, fieldname=fieldname)
     if re.match(r"^[\[{].*[\]}]$", text, re.S):
-        parts = re.split(r"\s+TO\s+", text[1:-1].strip(), maxsplit=1)
-        if len(parts) == 2:  # no 'TO' → not a range literal; degrade to word
+        # split the UNSTRIPPED inner so open bounds survive ('[da TO ]');
+        # a bracket token with no 'TO' is not a range literal — degrade to
+        # its inner text (word/glob handling below)
+        parts = re.split(r"\s+TO\s+", text[1:-1], maxsplit=1)
+        if len(parts) == 2:
             lo, hi = parts
             return TermRange(lo.strip().lower() or None,
                              hi.strip().lower() or None,
                              text[0] == "[", text[-1] == "]",
                              boost=boost, fieldname=fieldname)
+        text = text[1:-1]
     if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
         return Prefix(text[:-1].lower(), boost=boost, fieldname=fieldname)
     if "*" in text or "?" in text:

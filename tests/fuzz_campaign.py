@@ -51,30 +51,34 @@ def rand_leaf(rng: random.Random, fields: list[str | None]) -> Q.Query:
     if r < 0.84:
         return Q.Fuzzy(rng.choice(FUZZIES), maxdist=rng.choice([1, 2]),
                        fieldname=fn)
-    if r < 0.94:
+    if r < 0.90:
         los = [None, "a", "da", "m"]
         his = [None, "dz", "m", "z"]
         return Q.TermRange(rng.choice(los), rng.choice(his),
                            incl_lo=rng.random() < 0.8,
                            incl_hi=rng.random() < 0.8,
                            fieldname=fn)
+    if r < 0.96:
+        return Q.Regex(rng.choice(["da.a", "^qu", "or$", "(big|fast)"]),
+                       rng.choice(BOOSTS), fieldname=fn)
     return Q.Every(rng.choice(BOOSTS))
 
 
-def rand_span_sub(rng: random.Random) -> Q.Query:
+def rand_span_sub(rng: random.Random, fn=None) -> Q.Query:
     r = rng.random()
     if r < 0.5:
-        return Q.Term(rng.choice(VOCAB))
+        return Q.Term(rng.choice(VOCAB), fieldname=fn)
     if r < 0.8:
-        return Q.Phrase([rng.choice(VOCAB[:10]), rng.choice(VOCAB[:10])])
-    return Q.Prefix(rng.choice(PREFIXES))
+        return Q.Phrase([rng.choice(VOCAB[:10]), rng.choice(VOCAB[:10])],
+                        fieldname=fn)
+    return Q.Prefix(rng.choice(PREFIXES), fieldname=fn)
 
 
-def rand_span(rng: random.Random, depth: int = 0) -> Q.Query:
+def rand_span(rng: random.Random, depth: int = 0, fn=None) -> Q.Query:
     if depth >= 2:
-        return rand_span_sub(rng)
-    sub = lambda: (rand_span(rng, depth + 1) if rng.random() < 0.3  # noqa: E731
-                   else rand_span_sub(rng))
+        return rand_span_sub(rng, fn)
+    sub = lambda: (rand_span(rng, depth + 1, fn) if rng.random() < 0.3  # noqa: E731
+                   else rand_span_sub(rng, fn))
     r = rng.random()
     if r < 0.35:
         return Q.SpanNear(sub(), sub(), slop=rng.choice([1, 2, 3]),
@@ -88,15 +92,17 @@ def rand_span(rng: random.Random, depth: int = 0) -> Q.Query:
     return Q.SpanFirst(sub(), limit=rng.choice([2, 5, 20]))
 
 
-def rand_span_query(rng: random.Random) -> Q.Query:
-    q = rand_span(rng)
+def rand_span_query(rng: random.Random,
+                    fields: list[str | None] = (None,)) -> Q.Query:
+    fn = rng.choice(list(fields))  # ONE field per span tree (engine rule)
+    q = rand_span(rng, fn=fn)
     r = rng.random()
     if r < 0.6:
         return q
     if r < 0.75:
         return Q.And([q, Q.Term(rng.choice(VOCAB))])
     if r < 0.9:
-        return Q.Or([q, rand_span(rng)])
+        return Q.Or([q, rand_span(rng, fn=rng.choice(list(fields)))])
     return Q.AndNot(q, Q.Term(rng.choice(VOCAB)))
 
 
@@ -201,7 +207,7 @@ def main() -> int:
         group_size = 8
         done = 0
         while done < n:
-            gen = (lambda: rand_span_query(rng)) if spans \
+            gen = (lambda: rand_span_query(rng, fields)) if spans \
                 else (lambda: rand_query(rng, fields=fields))
             batch = [gen() for _ in range(min(group_size, n - done))]
             done += len(batch)
@@ -224,7 +230,7 @@ def main() -> int:
 
     fails = 0
     t0 = time.time()
-    gen = (lambda: rand_span_query(rng)) if spans \
+    gen = (lambda: rand_span_query(rng, fields)) if spans \
         else (lambda: rand_query(rng, fields=fields))
     for i in range(n):
         q = gen()

@@ -47,6 +47,12 @@ _leaf = st.one_of(
     st.builds(Q.Regex, st.sampled_from(["da.a", "^qu", "or$", "a.c",
                                         "z{3}", "(big|fast)"]),
               boost=_BOOSTS),
+    st.builds(Q.Sequence,
+              st.tuples(st.builds(Q.Term, st.sampled_from(VOCAB[:10])),
+                        st.one_of(
+                            st.builds(Q.Term, st.sampled_from(VOCAB[:10])),
+                            st.builds(Q.Prefix, st.sampled_from(PREFIXES)))),
+              slop=st.sampled_from([1, 2, 3])),
     st.builds(Q.NumericRange, st.just("n_chars"),
               st.sampled_from([None, 47, 150, 312]),
               st.sampled_from([None, 250, 400, 558]),

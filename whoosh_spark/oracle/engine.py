@@ -149,6 +149,51 @@ class PyIndex:
                 out[d] = sum(self.bm25(w, d) for w in sorted(set(words))) * q.boost
         return out
 
+    def _eval_sequence(self, q: Q.Sequence) -> dict[int, float]:
+        """Ordered proximity of term-set slots (evaluate.py:_eval_sequence):
+        slot i+1 matches at a position in (p_i, p_i + slop]; score = sum of
+        ALL present slot terms' BM25 over matched docs."""
+        slots = []
+        for c in q.children:
+            ts = self._slot_terms(c)
+            if ts is None:
+                raise ValueError(f"Sequence slot not positional: {c!r}")
+            present = [t for t in ts if t in self.postings]
+            if not present:
+                return {}
+            slots.append(present)
+        all_terms = sorted({t for s in slots for t in s})
+        docs: set | None = None
+        for s in slots:
+            ds = set().union(*(set(self.postings[t]) for t in s))
+            docs = ds if docs is None else docs & ds
+        out: dict[int, float] = {}
+        for d in docs or ():
+            cur = {p for t in slots[0] if d in self.postings[t]
+                   for p in self.postings[t][d]}
+            for s in slots[1:]:
+                nxt = {p for t in s if d in self.postings[t]
+                       for p in self.postings[t][d]}
+                cur = {p for c0 in cur
+                       for p in range(c0 + 1, c0 + q.slop + 1) if p in nxt}
+                if not cur:
+                    break
+            if cur:
+                out[d] = sum(self.bm25(t, d) for t in all_terms
+                             if d in self.postings.get(t, {})) * q.boost
+        return out
+
+    def _slot_terms(self, c: Q.Query) -> list[str] | None:
+        """Term texts a Sequence slot can match, expanding multiterm leaves
+        against the lexicon (the evaluator expands before slotting)."""
+        if isinstance(c, Q.Term):
+            return [c.text]
+        if isinstance(c, Q.Or) and all(isinstance(k, Q.Term) for k in c.children):
+            return [k.text for k in c.children]
+        if isinstance(c, (Q.Prefix, Q.Wildcard, Q.Fuzzy, Q.Regex, Q.TermRange)):
+            return self._expand_terms(c)
+        return None
+
     def _eval_expansion(self, q) -> dict[int, float]:
         """Prefix/Wildcard/Fuzzy/Regex/TermRange → Or of matching lexicon
         terms (one expansion rule shared with the span path: _expand_terms)."""
@@ -441,7 +486,7 @@ def _multi_span(self, q) -> dict[int, float]:
         raise ValueError("span query must target a single field")
     fn = next(iter(fields)) if fields else None
     sub = self._fx(fn)
-    res = sub._eval_span(_strip_fields(q))
+    res = sub._eval(_strip_fields(q))
     fb = self.boosts.get(fn or self.default_field, 1.0)
     return {d: s * fb for d, s in res.items()} if fb != 1.0 else res
 
@@ -451,3 +496,6 @@ PyMultiIndex._eval_spannear = _multi_span
 PyMultiIndex._eval_spannot = _multi_span
 PyMultiIndex._eval_spancontains = _multi_span
 PyMultiIndex._eval_spanbefore = _multi_span
+# Sequence slots are field-local too (evaluate.py derives ONE fk from the
+# slots' field_terms and raises on a mix) — same routing as span trees
+PyMultiIndex._eval_sequence = _multi_span

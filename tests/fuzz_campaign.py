@@ -58,9 +58,15 @@ def rand_leaf(rng: random.Random, fields: list[str | None]) -> Q.Query:
                            incl_lo=rng.random() < 0.8,
                            incl_hi=rng.random() < 0.8,
                            fieldname=fn)
-    if r < 0.96:
+    if r < 0.93:
         return Q.Regex(rng.choice(["da.a", "^qu", "or$", "(big|fast)"]),
                        rng.choice(BOOSTS), fieldname=fn)
+    if r < 0.97:
+        slot2 = (Q.Term(rng.choice(VOCAB[:10]), fieldname=fn)
+                 if rng.random() < 0.6
+                 else Q.Prefix(rng.choice(PREFIXES), fieldname=fn))
+        return Q.Sequence([Q.Term(rng.choice(VOCAB[:10]), fieldname=fn),
+                           slot2], slop=rng.choice([1, 2, 3]))
     return Q.Every(rng.choice(BOOSTS))
 
 

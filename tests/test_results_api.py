@@ -1,0 +1,67 @@
+"""Results / Hit API (``src/whoosh/searching.py::Results ≈L900``,
+``::Hit ≈L1300``): lazy stored fields, accessors, estimated_length,
+key_terms, per-hit highlights."""
+
+from __future__ import annotations
+
+from whoosh_spark.query import ast as Q
+
+
+def test_results_matches_search(searcher):
+    q = Q.And([Q.Term("data"), Q.Term("query")])
+    rows = searcher.search(q, limit=10).collect()
+    res = searcher.search_hits(q, limit=10)
+    assert len(res) == len(rows)
+    for n, r in enumerate(rows):
+        assert res.docnum(n) == int(r["doc_id"])
+        assert res.score(n) == float(r["score"])
+        assert res[n].doc_id == int(r["doc_id"])
+        assert abs(res[n].score - float(r["score"])) == 0.0
+
+
+def test_hit_lazy_stored_fields(searcher):
+    res = searcher.search_hits(Q.Term("data"), limit=5)
+    assert res._stored is None  # nothing fetched yet
+    h = res[0]
+    assert isinstance(h["text"], str) and "data" in h["text"].lower()
+    assert res._stored is not None and len(res._stored) == len(res)
+    # every hit served from the one cached batch
+    fetched = res._stored
+    assert all(res[i]["lang"] is not None or True for i in range(len(res)))
+    assert res._stored is fetched
+    assert h.get("no_such_field", "dflt") == "dflt"
+    assert "text" in h and sorted(h.keys())  # mapping surface
+
+
+def test_results_sequence_protocol(searcher):
+    res = searcher.search_hits(Q.Term("data"), limit=7)
+    assert bool(res) and not res.is_empty()
+    assert [h.doc_id for h in res] == [res.docnum(i) for i in range(len(res))]
+    assert [h.doc_id for h in res[1:3]] == [res.docnum(1), res.docnum(2)]
+    assert res[-1].doc_id == res.docnum(len(res) - 1)
+    assert res.docs() == {res.docnum(i) for i in range(len(res))}
+    assert res.fields(0) == res[0].fields()
+
+
+def test_estimated_length_bounds(searcher, py):
+    # full page: estimate >= true match count, >= scored length
+    q = Q.Term("data")
+    res = searcher.search_hits(q, limit=5)
+    true_n = len(py.eval_docset(q)) if hasattr(py, "eval_docset") else None
+    est = res.estimated_length()
+    assert est >= len(res)
+    if true_n is not None:
+        assert est >= true_n or est == len(res)
+    # short page (fewer matches than limit): exact
+    rare = searcher.search_hits(Q.Term("zzzabsent"), limit=5)
+    assert rare.is_empty() and rare.estimated_length() == 0
+    allres = searcher.search_hits(q, limit=None)
+    assert allres.estimated_length() == len(allres)
+
+
+def test_hit_highlights_and_key_terms(searcher):
+    res = searcher.search_hits(Q.Term("data"), limit=3)
+    frag = res[0].highlights("text")
+    assert "<b" in frag and "data" in frag.lower()
+    kt = res.key_terms(numterms=3)
+    assert len(kt) == 3 and all(isinstance(t, str) for t in kt)

@@ -90,6 +90,82 @@ def fold_accents(token: str) -> str:
     )
 
 
+def substitute(token: str, pattern: str, replacement: str) -> str:
+    """SubstitutionFilter (``analysis/filters.py::SubstitutionFilter
+    ≈L430``): regex substitution applied to every token."""
+    return re.sub(pattern, replacement, token)
+
+
+def make_substitution_analyzer(pattern: str, replacement: str,
+                               base=None) -> object:
+    """StandardAnalyzer | SubstitutionFilter chain: the substitution runs
+    AFTER the base chain, token-wise; empty results drop (position gaps
+    remain, same as StopFilter)."""
+    base_fn = base or analyze_text
+    pat = re.compile(pattern)
+
+    def analyze(text: str) -> tuple[list[str], list[int]]:
+        toks, poss = base_fn(text)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(toks, poss):
+            s = pat.sub(replacement, t)
+            if s:
+                out_t.append(s)
+                out_p.append(p)
+        return out_t, out_p
+
+    return analyze
+
+
+def strip_token(token: str, chars: str | None = None) -> str:
+    """StripFilter (``analysis/filters.py::StripFilter ≈L450``)."""
+    return token.strip(chars)
+
+
+def analyze_text_reversed(text: str) -> tuple[list[str], list[int]]:
+    """StandardAnalyzer | ReverseTextFilter (``analysis/filters.py::
+    ReverseTextFilter ≈L460``): each token reversed — the classic
+    leading-wildcard trick (index reversed terms, query ``*suffix`` as a
+    reversed Prefix)."""
+    toks, poss = analyze_text(text)
+    return [t[::-1] for t in toks], poss
+
+
+_DELIM_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$", re.S)
+
+
+def parse_delimited_boost(token: str, delimiter: str = "^") -> tuple[str, float]:
+    """DelimitedAttributeFilter (``analysis/filters.py::
+    DelimitedAttributeFilter ≈L470``): split a trailing ``^boost`` payload
+    off a raw token; returns (text, boost) with boost 1.0 when absent."""
+    if delimiter == "^":
+        m = _DELIM_BOOST_RE.match(token)
+    else:
+        m = re.match(rf"^(.+){re.escape(delimiter)}(\d+(?:\.\d+)?)$", token, re.S)
+    if m:
+        return m.group(1), float(m.group(2))
+    return token, 1.0
+
+
+def analyze_text_boosts(text: str) -> tuple[list[str], list[int], list[float]]:
+    """Whitespace-split ``word^boost`` attributes, then the standard chain
+    per word (KeywordAnalyzer+DelimitedAttributeFilter composition used by
+    boosted-tag fields): returns (tokens, positions, boosts).  Tokens a
+    word expands to share its boost; position = source-word ordinal."""
+    toks: list[str] = []
+    poss: list[int] = []
+    boosts: list[float] = []
+    for pos, raw in enumerate(text.split()):
+        word, b = parse_delimited_boost(raw)
+        ts, _ = analyze_text(word)
+        for t in ts:
+            toks.append(t)
+            poss.append(pos)
+            boosts.append(b)
+    return toks, poss, boosts
+
+
 def analyze_text(text: str) -> tuple[list[str], list[int]]:
     """Full chain: returns (tokens, positions) with stop-gap position semantics.
 
@@ -281,4 +357,5 @@ ANALYZERS: dict[str, object] = {
     "keyword": analyze_keyword,
     "comma": analyze_comma,
     "path": analyze_path,
+    "reversed": analyze_text_reversed,
 }

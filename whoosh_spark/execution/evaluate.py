@@ -122,6 +122,27 @@ class Evaluator:
     def _empty(self) -> DataFrame:
         return self.ix.spark.createDataFrame([], "doc_id long, score double")
 
+    def estimate(self, q: Q.Query) -> int:
+        """Public ``Query.estimate_size()`` analog (qcore.py ≈L260): an
+        upper bound on matching docs from broadcast term stats, without
+        running the query.  Primes the same per-field stats cache
+        ``evaluate()`` uses (tiny collect, memoized per index snapshot)."""
+        q = self._expand(q.normalize())
+        if q is Q.NullQuery:
+            return 0
+        self._stats = {}
+        self._fglobal = {}
+        by_field: dict[str | None, set[str]] = {}
+        for f, t in set(q.field_terms()):
+            by_field.setdefault(self._fkey(f), set()).add(t)
+        for fk in set(by_field) | {None}:
+            ixf = self._ixf(fk)
+            self._fglobal[fk] = ixf.global_stats()
+            st = ixf.stats_for_terms(sorted(by_field.get(fk, ())))
+            self._stats.update({(fk, t): v for t, v in st.items()})
+        self._n, _ = self._fglobal[None]
+        return min(self._estimate(q), self._n)
+
     # -- multi-term expansion (driver-side, term dict is term_stats) ----
     def _expand(self, q: Q.Query) -> Q.Query:
         if isinstance(q, Q.Prefix):

@@ -408,16 +408,21 @@ class Phrase(Query):
     scoring: str = "terms"  # "terms" (sum of term BM25) | "freq" (phrase-
     #                         frequency BM25: tf = occurrence count, idf
     #                         from the phrase's own doc frequency)
+    analyzed: bool = False  # words already in index-term form (a tee'd
+    #                         parser chain ran) — skip re-analysis
 
     def __init__(self, words, slop=1, boost=1.0, fieldname=None,
-                 scoring="terms"):
+                 scoring="terms", analyzed=False):
         object.__setattr__(self, "words", tuple(words))
         object.__setattr__(self, "slop", slop)
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "fieldname", fieldname)
         object.__setattr__(self, "scoring", scoring)
+        object.__setattr__(self, "analyzed", analyzed)
 
     def normalize(self) -> Query:
+        if self.analyzed:
+            return self
         toks: list[str] = []
         for w in self.words:
             t, _ = analyze_text(w)

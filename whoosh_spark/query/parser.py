@@ -90,7 +90,23 @@ def _lex(s: str) -> list[tuple[str, str]]:
     return out
 
 
-def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
+def _resolve_analyzer(analyzer):
+    """MultiFilter tee (``analysis/filters.py::MultiFilter ≈L60``): the
+    query-time chain is chosen INDEPENDENTLY of the index-time one — pass
+    the registry name the index was built with (e.g. ``"stemming"``) so
+    query terms normalize the same way, or any callable
+    ``text -> (tokens, positions)`` for an explicit tee."""
+    if analyzer is None:
+        return analyze_text
+    if callable(analyzer):
+        return analyzer
+    from whoosh_spark.analysis.analyzers import ANALYZERS
+
+    return ANALYZERS[analyzer]
+
+
+def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
+          analyzer=None) -> Query:
     boost = 1.0
     m = re.search(r"\^(\d+(\.\d+)?)$", text)
     if m:
@@ -202,13 +218,16 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
         else:
             # query text runs through the SAME analyzer as index time
             # (fields.py::FieldType.process_text ≈L200): lowercase + stops
-            words, _ = analyze_text(pm.group(1))
+            words, _ = _resolve_analyzer(analyzer)(pm.group(1))
             slop = int(pm.group(2)) if pm.group(2) else 1
+            done = analyzer is not None  # tee'd chain output is final
             if not words:
                 return NullQuery
             if len(words) == 1:
-                return Term(words[0], boost=boost, fieldname=fieldname)
-            return Phrase(words, slop=slop, boost=boost, fieldname=fieldname)
+                return Term(words[0], boost=boost, fieldname=fieldname,
+                            analyzed=done)
+            return Phrase(words, slop=slop, boost=boost, fieldname=fieldname,
+                          analyzed=done)
     if re.match(r"^[\[{].*[\]}]$", text, re.S):
         # split the UNSTRIPPED inner so open bounds survive ('[da TO ]');
         # a bracket token with no 'TO' is not a range literal — degrade to
@@ -225,22 +244,27 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None) -> Query:
         return Prefix(text[:-1].lower(), boost=boost, fieldname=fieldname)
     if "*" in text or "?" in text:
         return Wildcard(text.lower(), boost=boost, fieldname=fieldname)
-    toks, _ = analyze_text(text)  # query-time analysis (lowercase + stop)
+    # query-time analysis (lowercase + stop — or the index's own chain)
+    toks, _ = _resolve_analyzer(analyzer)(text)
+    done = analyzer is not None  # tee'd chain output is final
     if not toks:
         return NullQuery  # stopword / too-short term vanishes (Whoosh §3.2)
     if len(toks) == 1:
-        return Term(toks[0], boost=boost, fieldname=fieldname)
+        return Term(toks[0], boost=boost, fieldname=fieldname, analyzed=done)
     # the analyzer split one WORD into several tokens ("state-of-the-art"):
     # implicit And over all of them, same as ast.Term.normalize
-    return And([Term(t, fieldname=fieldname) for t in toks], boost=boost)
+    return And([Term(t, fieldname=fieldname, analyzed=done) for t in toks],
+               boost=boost)
 
 
 class _Parser:
-    def __init__(self, toks, fields=None, dt_fields=None, basedate=None):
+    def __init__(self, toks, fields=None, dt_fields=None, basedate=None,
+                 analyzer=None):
         self.toks = toks
         self.fields = fields
         self.dt_fields = dt_fields
         self.basedate = basedate
+        self.analyzer = analyzer
         self.i = 0
 
     def peek(self):
@@ -301,7 +325,8 @@ class _Parser:
             return Regex(text[2:-1], fieldname=fieldname)
         if kind in ("WORD", "PHRASE", "RANGE"):
             self.next()
-            return _leaf(text, self.fields, self.dt_fields, self.basedate)
+            return _leaf(text, self.fields, self.dt_fields, self.basedate,
+                         self.analyzer)
         return NullQuery
 
 
@@ -342,7 +367,7 @@ def _apply_multifield(q: Query, mfields: list[str]) -> Query:
 
 
 def parse_query(s: str, fields=None, multifield: list[str] | None = None,
-                datetime_fields=None, basedate=None) -> Query:
+                datetime_fields=None, basedate=None, analyzer=None) -> Query:
     """Parse a query string.
 
     ``fields`` — known schema field names: enables ``field:term`` routing
@@ -352,13 +377,18 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     ``datetime_fields`` — stored timestamp column names: ``col:[a TO b]``,
     ``col:2020-01-05`` and ``col:>2020-01-05`` become native DateRange
     predicates (dateparse-lite; bounds resolved to UTC epoch driver-side).
+    ``analyzer`` — query-time analysis chain for plain words and phrases
+    (MultiFilter tee, ``analysis/filters.py::MultiFilter ≈L60``): a
+    registry name (``"stemming"``, …) or a ``text -> (tokens, positions)``
+    callable; default is the standard chain.  Pass the name the index was
+    built with so query terms normalize identically.
     """
     toks = _lex(s)
     if not toks:
         return NullQuery
     p = _Parser(toks, fields=set(fields) if fields else None,
                 dt_fields=set(datetime_fields) if datetime_fields else None,
-                basedate=basedate)
+                basedate=basedate, analyzer=analyzer)
     parts = [p.parse_or()]
     # a stray ')' used to stop the parse silently, discarding the rest of
     # the query string; skip it and keep parsing (implicit And)

@@ -1,0 +1,165 @@
+"""Results / Hit — ranked-result API parity with upstream Whoosh.
+
+Reimplements the user-facing surface of ``src/whoosh/searching.py::Results
+(≈L900)`` and ``::Hit (≈L1300)`` over the Spark engine: a ``Results`` holds
+the collected top-k ``(doc_id, score)`` rows (k is small — same footprint as
+upstream's heap output), and ``Hit.__getitem__`` loads stored fields lazily.
+
+Spark-first adaptation of the laziness: upstream fetches stored fields one
+doc at a time from the per-doc storage; here the FIRST stored-field access
+fetches the stored rows for ALL k hits in ONE job (a broadcast-friendly
+``doc_id IN (...)`` lookup against the docs table) and caches them, so a
+page render costs one Spark job instead of k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class Hit:
+    """One ranked result (``searching.py::Hit ≈L1300``): mapping-style
+    access to stored fields, plus score/docnum/rank and highlights."""
+
+    def __init__(self, results: "Results", rank: int):
+        self.results = results
+        self.rank = rank
+
+    @property
+    def doc_id(self) -> int:
+        return self.results.docnum(self.rank)
+
+    docnum = doc_id
+
+    @property
+    def score(self) -> float:
+        return self.results.score(self.rank)
+
+    # -- stored fields --------------------------------------------------
+    def fields(self) -> dict:
+        """All stored fields of this hit (lazy batch fetch, cached)."""
+        return self.results._stored_fields(self.doc_id)
+
+    def __getitem__(self, fieldname: str):
+        flds = self.fields()
+        if fieldname not in flds:
+            raise KeyError(fieldname)
+        return flds[fieldname]
+
+    def get(self, fieldname: str, default=None):
+        return self.fields().get(fieldname, default)
+
+    def __contains__(self, fieldname: str) -> bool:
+        return fieldname in self.fields()
+
+    def keys(self):
+        return self.fields().keys()
+
+    def items(self):
+        return self.fields().items()
+
+    def highlights(self, fieldname: str = "text", top: int = 3,
+                   **fmt_kw) -> str:
+        """Highlighted context fragments of a stored text field for THIS
+        hit (``Hit.highlights ≈L1370``) — driver-side re-analysis of the
+        one stored string, no extra Spark job beyond the stored fetch."""
+        from whoosh_spark.highlight import highlight as _hl
+
+        text = self.get(fieldname) or ""
+        return _hl(text, self.results._terms(), top=top, **fmt_kw)
+
+    def __repr__(self) -> str:
+        return f"<Hit doc_id={self.doc_id} score={self.score:.6f}>"
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, Hit):
+            return self.doc_id == other.doc_id
+        if isinstance(other, dict):
+            return self.fields() == other
+        return NotImplemented
+
+
+class Results:
+    """Ranked search results (``searching.py::Results ≈L900``)."""
+
+    def __init__(self, searcher, q, rows, limit: int | None):
+        self.searcher = searcher
+        self.q = q
+        self._rows = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        self.limit = limit
+        self._stored: dict[int, dict] | None = None
+        self._terms_cache: set[str] | None = None
+
+    # -- sequence protocol ----------------------------------------------
+    def __len__(self) -> int:
+        return self.scored_length()
+
+    def __getitem__(self, n):
+        if isinstance(n, slice):
+            return [Hit(self, i) for i in range(*n.indices(len(self._rows)))]
+        if n < 0:
+            n += len(self._rows)
+        if not 0 <= n < len(self._rows):
+            raise IndexError(n)
+        return Hit(self, n)
+
+    def __iter__(self):
+        return (Hit(self, i) for i in range(len(self._rows)))
+
+    def __bool__(self) -> bool:
+        return bool(self._rows)
+
+    def is_empty(self) -> bool:
+        return not self._rows
+
+    def __repr__(self) -> str:
+        return (f"<Results top={len(self._rows)} "
+                f"estimated_length={self.estimated_length()}>")
+
+    # -- upstream accessors ----------------------------------------------
+    def score(self, n: int) -> float:
+        return self._rows[n][1]
+
+    def docnum(self, n: int) -> int:
+        return self._rows[n][0]
+
+    def docs(self) -> set[int]:
+        return {d for d, _ in self._rows}
+
+    def fields(self, n: int) -> dict:
+        return self._stored_fields(self.docnum(n))
+
+    def scored_length(self) -> int:
+        return len(self._rows)
+
+    def estimated_length(self) -> int:
+        """Upper bound on total matching docs (``Results.estimated_length
+        ≈L960``) — the query's estimate_size from broadcast term stats; the
+        scored length when every match was collected (limit=None)."""
+        if self.limit is None or len(self._rows) < (self.limit or 0):
+            return len(self._rows)
+        return max(len(self._rows), self.searcher.ev.estimate(self.q))
+
+    def key_terms(self, numterms: int = 5) -> list[str]:
+        """Most distinctive terms of the result docs (``Results.key_terms
+        ≈L1050``) — tf·idf expansion over the hit set."""
+        kt = self.searcher.key_terms(sorted(self.docs()), top=numterms)
+        return [r["term"] for r in kt.collect()]
+
+    # -- internals --------------------------------------------------------
+    def _stored_fields(self, doc_id: int) -> dict:
+        if self._stored is None:
+            if self._rows:
+                ids = [d for d, _ in self._rows]
+                docs = self.searcher.ix.docs
+                got = docs.where(F.col("doc_id").isin(ids)).collect()
+                self._stored = {int(r["doc_id"]): r.asDict() for r in got}
+            else:
+                self._stored = {}
+        return self._stored.get(doc_id, {})
+
+    def _terms(self) -> set[str]:
+        if self._terms_cache is None:
+            qn = self.q.normalize()
+            self._terms_cache = set(qn.terms()) | set(qn.phrase_terms())
+        return self._terms_cache

@@ -177,6 +177,17 @@ class Searcher:
         return ordered
 
     # ------------------------------------------------------------------
+    def search_hits(self, q: Q.Query, limit: int | None = 10, **kw):
+        """Run ``search()`` and wrap the collected top-k in a lazy
+        ``Results``/``Hit`` view (``searching.py::Results ≈L900``): scores
+        and doc ids are materialized (k rows), stored fields load in ONE
+        batched job on first ``hit[field]`` access."""
+        from whoosh_spark.results import Results
+
+        rows = self.search(q, limit=limit, **kw).select("doc_id", "score").collect()
+        return Results(self, q, rows, limit)
+
+    # ------------------------------------------------------------------
     def search_many(self, queries: dict[str, Q.Query],
                     limit: int = 10) -> DataFrame:
         """Evaluate MANY queries in ONE Spark job: (qname, doc_id, score)

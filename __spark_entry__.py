@@ -354,6 +354,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out.update(fielded_and=fielded_and, multifield_or=multifield_or)
 
+    # ---- per-posting boost weights (PositionBoosts overlay) --------------
+    def boosted_term(spark, sf_dir):
+        # synth corpus: 'boostterm^{1|2|3}' prepended per doc (boost =
+        # doc_id % 3 + 1); must stay byte-identical to OSQL.boosted_term_sql
+        from whoosh_spark.boosts import token_boost_overlay
+
+        key = ("boost", id(spark), sf_dir)
+        if key not in _CACHE:
+            docs = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .withColumn(
+                    "text",
+                    F.concat(
+                        F.lit("boostterm^"),
+                        (F.col("doc_id") % 3 + 1).cast("int").cast("string"),
+                        F.lit(" "), F.col("text")))
+            )
+            ix = InvertedIndex.build(docs, analyzer="boosted")
+            _CACHE[key] = Searcher(ix.with_boosts(token_boost_overlay(docs)))
+        s = _CACHE[key]
+        return _topk(s.search(Q.Term("boostterm"), limit=None,
+                              optimize=False).select("doc_id", "score"))
+
+    out["boosted_term"] = boosted_term
+
     # ---- round-2: regex/variations/dates/spans/nested/DFR ---------------
     out["regex"] = _q(Q.Regex("^d.t.$"))
     out["variations"] = _q(Q.Variations("query"))
@@ -670,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
             [("text", "data"), ("lang", "en")], MF_FIELDS),
         "multifield_or": OSQL.multifield_or_sql("data", MF_FIELDS),
         # round-2: regex/variations/dates/spans/nested/DFR
+        "boosted_term": OSQL.boosted_term_sql("boostterm", 3),
         "regex": OSQL.regex_sql("^d.t.$"),
         "variations": OSQL.variations_sql(_variation_forms("query")),
         "date_range": OSQL.date_range_and_sql(

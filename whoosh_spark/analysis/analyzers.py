@@ -166,6 +166,14 @@ def analyze_text_boosts(text: str) -> tuple[list[str], list[int], list[float]]:
     return toks, poss, boosts
 
 
+def analyze_text_boosted(text: str) -> tuple[list[str], list[int]]:
+    """The token stream of ``analyze_text_boosts`` without the boost channel
+    — the index-side analyzer that pairs with a ``boosts.token_boost_overlay``
+    side table (registry name ``"boosted"``)."""
+    toks, poss, _ = analyze_text_boosts(text)
+    return toks, poss
+
+
 def analyze_text(text: str) -> tuple[list[str], list[int]]:
     """Full chain: returns (tokens, positions) with stop-gap position semantics.
 
@@ -358,4 +366,5 @@ ANALYZERS: dict[str, object] = {
     "comma": analyze_comma,
     "path": analyze_path,
     "reversed": analyze_text_reversed,
+    "boosted": analyze_text_boosted,
 }

@@ -284,6 +284,19 @@ class Evaluator:
         cf_map = {t: float(self._stats[(fk, t)]["cf"]) for t in present}
         ixf = self._ixf(fieldname)
         posts = ixf.postings(present)
+        ov = getattr(ixf, "boosts", None)
+        if ov is not None:
+            # PositionBoosts overlay (boosts.py): weight = Σ occurrence
+            # boosts where it deviates from tf, else tf.  Both sides of the
+            # join are already term-pruned to the query's terms.
+            ovp = ov.where(F.col("term").isin(present)) \
+                    .withColumnRenamed("w", "_bw")
+            posts = (
+                posts.join(ovp, ["term", "doc_id"], "left")
+                .withColumn("tf", F.coalesce(F.col("_bw"),
+                                             F.col("tf").cast("double")))
+                .drop("_bw")
+            )
         b, fboost = self._bb(fieldname)
         return score_postings(
             posts, idf_map, avgdl, weighting=self._weighting_for(fk),

@@ -60,6 +60,7 @@ class InvertedIndex:
         self.field = field
         self.deleted = deleted  # (doc_id) soft-delete overlay, or None
         self.char_offsets = None  # Characters-format segment (chars.py), or None
+        self.boosts = None  # sparse (term, doc_id, w) boost overlay (boosts.py)
         self._global = None  # (N, avgdl) cache
 
     # ------------------------------------------------------------------
@@ -205,6 +206,23 @@ class InvertedIndex:
         ix._global = self._global
         # _total_len is set together with _global; copying one without the
         # other leaves total_field_length() raising AttributeError
+        if self._global is not None:
+            ix._total_len = self._total_len
+        return ix
+
+    def with_boosts(self, overlay: DataFrame) -> "InvertedIndex":
+        """Attach a ``boosts.token_boost_overlay`` side table (PositionBoosts
+        format, ``src/whoosh/formats.py::PositionBoosts ≈L300``): BM25
+        weight becomes ``coalesce(overlay.w, tf)`` for the overlaid (term,
+        doc) cells.  Block-max WAND is disabled on this snapshot (block
+        max_weight excludes boosts — the bound would not be an upper
+        bound)."""
+        ix = InvertedIndex(self.spark, self.blocks, self.term_stats,
+                           self.field_stats, self.doc_lengths, self.docs,
+                           self.field, deleted=self.deleted)
+        ix.char_offsets = self.char_offsets
+        ix.boosts = overlay.select("term", "doc_id", "w")
+        ix._global = self._global
         if self._global is not None:
             ix._total_len = self._total_len
         return ix

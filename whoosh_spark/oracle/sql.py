@@ -693,6 +693,54 @@ def weighting_or_sql(model: str, terms: list[str], reverse: bool = False,
     return base_ctes(extra) + topk(sel, k)
 
 
+def boosted_term_sql(token: str, mod: int = 3, k: int = 10) -> str:
+    """PositionBoosts-format oracle (``formats.py::PositionBoosts ≈L300``):
+    a synthetic ``token^boost`` marker (boost = doc_id % mod + 1) is
+    prepended to every doc; BM25 scores the marked term with weight = its
+    boost instead of tf.  Mirrors __spark_entry__._boost_searcher's corpus
+    byte-for-byte; single-digit boosts tokenize to a <2-char token the
+    minsize filter drops, so dl/df agree with the engine's stripped chain."""
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         '{token}^' || CAST(doc_id % {mod} + 1 AS INT) || ' ' || text AS text,
+         (doc_id % {mod} + 1)::DOUBLE AS bw
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lower(toks[i]) AS term
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM docs2),
+       UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+tokf AS (SELECT * FROM tok WHERE length(term) >= 2 AND term NOT IN ({_STOPS})),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS len_raw
+  FROM docs2 d LEFT JOIN tokf t USING (doc_id) GROUP BY d.doc_id
+),
+quant(lo, hi, qlen) AS (SELECT * FROM (VALUES {_quant_values()}) v(lo, hi, qlen)),
+dlq AS (
+  SELECT dl.doc_id, q.qlen::DOUBLE AS dl
+  FROM dl JOIN quant q ON dl.len_raw BETWEEN q.lo AND q.hi
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs2),
+ad AS (SELECT sum(len_raw)::DOUBLE / count(*) AS avgdl FROM dl),
+tfs AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokf GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
+wts AS (
+  SELECT t.doc_id, t.term,
+         CASE WHEN t.term = '{token}' THEN d2.bw ELSE t.tf END AS w
+  FROM tfs t JOIN docs2 d2 USING (doc_id)
+),
+sc AS (
+  SELECT t.doc_id, t.term,
+         (ln((SELECT n FROM nn) / (d.df + 1)) + 1)
+         * ((t.w * ({BM25_K1} + 1.0))
+            / (t.w + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * q.dl / (SELECT avgdl FROM ad)))) AS score
+  FROM wts t JOIN dfs d USING (term) JOIN dlq q USING (doc_id)
+)
+""" + topk(f"SELECT doc_id, score FROM sc WHERE term = '{token}'", k)
+
+
 # ---------------------------------------------------------------------------
 # Facet variants (MultiFacet / FunctionFacet / DateRangeFacet /
 # StoredFieldFacet) and parser-plugin query shapes (GtLt, PlusMinus,

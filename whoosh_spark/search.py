@@ -115,6 +115,12 @@ class Searcher:
                     raise KeyError(f"unknown field {wfield!r} (single-field "
                                    f"index {self.ix.field!r})")
                 ixf, wb, wmult = self.ix, None, 1.0
+            if getattr(ixf, "boosts", None) is not None:
+                # boost overlay: block max_weight excludes boosts, so the
+                # WAND bound is not an upper bound — score exhaustively
+                # (supports_block_quality() == False, mcore.py ≈L200)
+                wand = None
+        if wand is not None:
             scores = wand_topk(ixf, wterms, limit, mode=wmode, tiebreak=wtb,
                                b=wb, mult=wmult)
             ordered = scores.orderBy(

@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["boosted_term"] = boosted_term
 
+    # WeightingQuery: one And branch scored with PL2, the other with BM25
+    out["weighted_subtree"] = _q(Q.And([
+        Q.Weighted(Q.Term("data"), weighting="pl2"), Q.Term("vector")]))
+
     # ---- round-2: regex/variations/dates/spans/nested/DFR ---------------
     out["regex"] = _q(Q.Regex("^d.t.$"))
     out["variations"] = _q(Q.Variations("query"))
@@ -696,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_or": OSQL.multifield_or_sql("data", MF_FIELDS),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),
+        "weighted_subtree": OSQL.weighted_and_sql("pl2", "data", "vector"),
         "regex": OSQL.regex_sql("^d.t.$"),
         "variations": OSQL.variations_sql(_variation_forms("query")),
         "date_range": OSQL.date_range_and_sql(

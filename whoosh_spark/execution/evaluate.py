@@ -541,6 +541,22 @@ class Evaluator:
             out = out.withColumn("score", F.col("score") * q.boost)
         return out
 
+    def _eval_weighted(self, q: Q.Weighted) -> DataFrame:
+        """WeightingQuery (``wrappers.py ≈L160``): swap the scoring model
+        for the subtree.  Score expressions are CONSTRUCTED during _eval
+        (the returned DataFrame is lazy but its columns are fixed), so a
+        scoped swap of self.weighting is sound."""
+        saved = self.weighting
+        self.weighting = q.weighting
+        try:
+            child = self._eval(q.child)
+        finally:
+            self.weighting = saved
+        if q.boost != 1.0:
+            child = child.select(
+                "doc_id", (F.col("score") * q.boost).alias("score"))
+        return child
+
     def _eval_constant(self, q: Q.Constant) -> DataFrame:
         child = self._eval(q.child).select("doc_id")
         return child.select(

@@ -693,6 +693,18 @@ def weighting_or_sql(model: str, terms: list[str], reverse: bool = False,
     return base_ctes(extra) + topk(sel, k)
 
 
+def weighted_and_sql(model: str, wterm: str, bterm: str, k: int = 10) -> str:
+    """WeightingQuery oracle (``wrappers.py ≈L160``): And of a term scored
+    under ``model`` (DFR CTE) and a term scored under BM25; And semantics =
+    intersection, score = sum of the two branch scores."""
+    sel = f"""
+      SELECT w.doc_id, w.score + b.score AS score
+      FROM (SELECT doc_id, score FROM scw WHERE term = '{wterm}') w
+      JOIN (SELECT doc_id, score FROM sc WHERE term = '{bterm}') b USING (doc_id)
+    """
+    return base_ctes(_dfr_ctes(model)) + topk(sel, k)
+
+
 def boosted_term_sql(token: str, mod: int = 3, k: int = 10) -> str:
     """PositionBoosts-format oracle (``formats.py::PositionBoosts ≈L300``):
     a synthetic ``token^boost`` marker (boost = doc_id % mod + 1) is

@@ -370,6 +370,32 @@ class Constant(Query):
 
 
 @dataclass(frozen=True)
+class Weighted(Query):
+    """``wrappers.py::WeightingQuery (≈L160)``: score the subtree with a
+    DIFFERENT weighting model than the searcher's (e.g. one branch PL2,
+    the rest BM25); matches are unchanged."""
+
+    child: Query
+    weighting: str = "bm25"
+    boost: float = 1.0
+
+    def normalize(self) -> Query:
+        c = self.child.normalize()
+        if c is NullQuery:
+            return NullQuery
+        return Weighted(c, self.weighting, self.boost)
+
+    def terms(self):
+        return self.child.terms()
+
+    def field_terms(self):
+        return self.child.field_terms()
+
+    def phrase_terms(self):
+        return self.child.phrase_terms()
+
+
+@dataclass(frozen=True)
 class Require(Query):
     """``compound.py::Require (≈L660)`` → left semi join, score from a only."""
 

@@ -23,8 +23,8 @@ from whoosh_spark.execution.evaluate import Evaluator
 from whoosh_spark.index import InvertedIndex
 from whoosh_spark.oracle import pipeline_sql as PSQL
 from whoosh_spark.oracle import sql as OSQL
-from whoosh_spark.pipeline import (dedup, extract, multimodal, similarity,
-                                   textstats, urls)
+from whoosh_spark.pipeline import (components, dedup, extract, multimodal,
+                                   scrub, similarity, textstats, urls)
 from whoosh_spark.query import ast as Q
 from whoosh_spark.search import Searcher
 
@@ -63,6 +63,16 @@ URL_SYNTH_SQL = (
     "CASE WHEN doc_id % 2 = 0 "
     "THEN 'http://w' || (doc_id % 100) || '.example.com:80/x?a=1&b=2' "
     "ELSE 'HTTP://W' || (doc_id % 100) || '.Example.com/x?b=2&a=1#f' END"
+)
+
+# deterministic PII suffixes for the pii_redact entry — the SAME SQL CASE
+# runs through Spark F.expr and the DuckDB oracle (engine-portable)
+PII_SYNTH_SQL = (
+    "text || CASE doc_id % 4 "
+    "WHEN 0 THEN ' contact bob@example.com or (555) 123-4567' "
+    "WHEN 1 THEN ' from 192.168.' || (doc_id % 250) || '.7 ssn 123-45-6789' "
+    "WHEN 2 THEN ' call +1 555 867 5309 now' "
+    "ELSE ' no personal data here' END"
 )
 
 
@@ -629,6 +639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         url_host_stats=lambda s, d: urls.host_stats(
             _synth_urls(s, d).join(_docs(s, d).select("doc_id", "text"),
                                    "doc_id")).orderBy("host"),
+        pii_redact=lambda s, d: scrub.redact_pii(
+            _docs(s, d).select("doc_id",
+                               F.expr(PII_SYNTH_SQL).alias("text"))
+        ).orderBy("doc_id"),
+        # near-dup pairs → duplicate clusters (large-star/small-star CC)
+        dedup_components=lambda s, d: components.connected_components(
+            dedup.minhash_near_dups(
+                _docs(s, d), tau=0.5, num_perm=128, bands=32, rows=4, n=3)
+        ).orderBy("doc_id"),
     )
     return out
 
@@ -767,6 +786,8 @@ def oracle_sql() -> dict[str, str]:
                                               HTML_SYNTH_SUFFIX),
         "unicode_normalize": PSQL.normalize_text_sql(
             "text || ' cafe' || chr(769) || ' ' || chr(7) || 'end'"),
+        "pii_redact": PSQL.redact_pii_sql(f"({PII_SYNTH_SQL})"),
+        "dedup_components": PSQL.components_sql(3, 0.5),
         "url_canonical": PSQL.url_canonical_sql(URL_SYNTH_SQL),
         "url_dedup": PSQL.url_duplicates_sql(URL_SYNTH_SQL),
         "url_host_stats": PSQL.host_stats_sql(URL_SYNTH_SQL),

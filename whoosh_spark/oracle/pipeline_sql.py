@@ -548,6 +548,49 @@ def normalize_text_sql(synth: str = "text") -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def components_sql(n: int = 3, tau: float = 0.5) -> str:
+    """Twin of ``components.connected_components`` over the minhash
+    near-dup pairs: min-reachable-id per node via a recursive CTE (exact
+    transitive closure — fine at oracle scale; the engine side is the
+    O(log n)-round large-star/small-star dataflow)."""
+    pairs = ngram_jaccard_sql(n, tau, max_df=None)
+    return f"""
+WITH RECURSIVE p AS (SELECT a, b FROM ({pairs}) _pairs),
+und AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+walk(x, y) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM und) n0
+  UNION
+  SELECT w.x, u.y FROM walk w JOIN und u ON w.y = u.x
+)
+SELECT x::BIGINT AS doc_id, min(y)::BIGINT AS component
+FROM walk GROUP BY x ORDER BY doc_id
+"""
+
+
+def redact_pii_sql(synth: str = "text") -> str:
+    """Twin of ``scrub.redact_pii``: the same staged (email → ssn → phone →
+    ipv4) count+replace chain built from the SAME pattern constants."""
+    from whoosh_spark.pipeline.scrub import PII_STAGES
+
+    cur = synth
+    prev = "documents"
+    sql = ""
+    counts = []
+    for i, (col, pat, tok) in enumerate(PII_STAGES):
+        carried = ", ".join(counts)
+        sql += f"""{"WITH" if i == 0 else ","} s{i} AS (
+  SELECT doc_id{", " + carried if carried else ""},
+         len(regexp_extract_all({cur}, '{pat}'))::INT AS {col},
+         regexp_replace({cur}, '{pat}', '{tok}', 'g') AS _t
+  FROM {prev}
+)"""
+        cur, prev = "_t", f"s{i}"
+        counts.append(col)
+    cols = ", ".join(c for c, _, _ in PII_STAGES)
+    return sql + (f"\nSELECT doc_id, _t AS clean, {cols} "
+                  f"FROM {prev} ORDER BY doc_id")
+
+
 def line_dedup_sql(sep: str = " ", min_chars: int = 1) -> str:
     """Twin of ``dedup.line_dedup`` (first occurrence = min (doc_id, idx),
     expressed as one monotone combined key).  Emits md5(text) as ``fp`` —

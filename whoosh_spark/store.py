@@ -110,6 +110,8 @@ def write_index(
     chunks_per_commit: int = 16,
     store_text: bool = False,
     store_offsets: bool = False,
+    analyzer: str = "standard",
+    store_boosts: bool = False,
     max_batches: int | None = None,
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
@@ -117,9 +119,18 @@ def write_index(
     ``store_offsets`` additionally writes the Characters-format segment
     (``char_offsets/``, see :mod:`whoosh_spark.chars`) — opt-in exactly
     like upstream's ``TEXT(chars=True)`` field declaration.
+    ``analyzer`` is a registry name (``analysis.analyzers.ANALYZERS``) —
+    recorded in the manifest so upserts/streaming reuse the SAME chain and
+    query-time parsing can tee to it (Schema declares the analyzer once,
+    ``fields.py::FieldType.analyzer``).  ``store_boosts`` persists the
+    PositionBoosts overlay (``boosts/``, see :mod:`whoosh_spark.boosts`);
+    requires ``analyzer="boosted"`` so overlay tokens match the index.
     ``max_batches`` limits analyze-phase commits (used by the resumability
     tests to simulate a mid-build kill).
     """
+    if store_boosts and analyzer != "boosted":
+        raise ValueError("store_boosts requires analyzer='boosted' — the "
+                         "overlay's token stream must match the index chain")
     spark = docs.sparkSession
     t_start = time.perf_counter()
 
@@ -128,6 +139,14 @@ def write_index(
         r["_chunk"] for r in src.select("_chunk").distinct().collect()
     )
     log = _read_log(path)
+    # resume guard: analyzed/ checkpoints from a previous partial build are
+    # only reusable if they were produced by the SAME analyzer chain
+    prev_an = next((rec.get("analyzer", "standard") for rec in log
+                    if rec.get("phase") == "analyze"), None)
+    if prev_an is not None and prev_an != analyzer:
+        raise ValueError(
+            f"resume with analyzer={analyzer!r} over checkpoints analyzed "
+            f"with {prev_an!r} — wipe the index dir or keep the analyzer")
     done = completed_chunks(path)
     pending = [c for c in all_chunks if c not in done]
     # string batch ids ('upsert-<ts>', 'purge-<ts>', 'stream-<epoch>') live
@@ -160,7 +179,8 @@ def write_index(
             hi = ((c + 1) << chunk_bits) - 1
             rng_pred = rng_pred | id_col_l.between(lo, hi)
         part = src.where(rng_pred)
-        analyzed = B.analyzed_docs(part, id_col, text_col).withColumn(
+        analyzed = B.analyzed_docs(part, id_col, text_col,
+                                   analyzer=analyzer).withColumn(
             "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
         )
         batch_dir = FS.join(path, "analyzed", f"batch={bid}")
@@ -182,6 +202,7 @@ def write_index(
                 "batch": bid,
                 "chunks": [int(c) for c in batch],
                 "counters": counters,
+                "analyzer": analyzer,
                 "wall_ms": int(1000 * (time.perf_counter() - t0)),
                 "write_ms": int(1000 * t_write),
                 "ts": time.time(),
@@ -257,6 +278,13 @@ def write_index(
 
             write_char_offsets(docs, path, id_col, text_col)
 
+    def _chain_boosts() -> None:
+        with _timed("boosts"):
+            from whoosh_spark.boosts import token_boost_overlay
+
+            token_boost_overlay(docs, id_col, text_col).write.mode(
+                "overwrite").parquet(FS.join(path, "boosts"))
+
     chains = [_chain_blocks, _chain_lengths, _chain_docs]
     offsets_dir = FS.join(path, "char_offsets")
     if store_offsets:
@@ -265,6 +293,13 @@ def write_index(
         # a previous generation at this path opted in; its spans describe
         # the OLD corpus — drop them rather than attach stale offsets
         FS.rmtree(offsets_dir)
+    boosts_dir = FS.join(path, "boosts")
+    if store_boosts:
+        chains.append(_chain_boosts)
+    elif FS.isdir_nonempty(boosts_dir):
+        # same staleness rule as char_offsets: never attach a previous
+        # generation's overlay to a rebuilt corpus
+        FS.rmtree(boosts_dir)
     try:
         if spark.sparkContext.defaultParallelism >= 4:
             with ThreadPoolExecutor(max_workers=len(chains)) as pool:
@@ -302,6 +337,7 @@ def write_index(
         "n_terms": counts["n_terms"],
         "n_blocks": counts["n_blocks"],
         "store_text": store_text,
+        "analyzer": analyzer,
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -334,10 +370,16 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         deleted=deleted,
     )
     ix.manifest = manifest
+    ix.analyzer = manifest.get("analyzer", "standard")
     offsets_dir = FS.join(path, "char_offsets")
     ix.char_offsets = (
         spark.read.parquet(offsets_dir)
         if FS.isdir_nonempty(offsets_dir) else None
+    )
+    boosts_dir = FS.join(path, "boosts")
+    ix.boosts = (
+        spark.read.parquet(boosts_dir).select("term", "doc_id", "w")
+        if FS.isdir_nonempty(boosts_dir) else None
     )
     return ix
 
@@ -377,6 +419,11 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     the overlay — the physical purge that deleted-doc bitsets defer.
     """
     t0 = time.perf_counter()
+    # compaction re-merges already-analyzed tokens (no re-analysis), but the
+    # manifest must keep declaring the chain those tokens came from
+    prev_raw = FS.read_text(FS.join(path, MANIFEST))
+    prev_analyzer = (json.loads(prev_raw).get("analyzer", "standard")
+                     if prev_raw else "standard")
     analyzed = _rebalance(
         spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch"),
         spark)
@@ -412,6 +459,15 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
             kept.write.mode("overwrite").parquet(tmp_off)
             FS.rmtree(offsets_dir)
             FS.rename(tmp_off, offsets_dir)
+        boosts_dir = FS.join(path, "boosts")
+        if FS.isdir_nonempty(boosts_dir):
+            # boost overlay is keyed by doc_id too: purge its ghost rows
+            keptb = (spark.read.parquet(boosts_dir)
+                     .join(F.broadcast(dd), "doc_id", "left_anti"))
+            tmp_b = FS.join(path, "boosts_purge_tmp")
+            keptb.write.mode("overwrite").parquet(tmp_b)
+            FS.rmtree(boosts_dir)
+            FS.rename(tmp_b, boosts_dir)
         FS.rmtree(deleted_dir)
     blocks = B.posting_blocks_from_analyzed(analyzed, field)
     blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
@@ -440,6 +496,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "n_terms": blocks_r.select("term").distinct().count(),
         "n_blocks": blocks_r.count(),
         "store_text": False,
+        "analyzer": prev_analyzer,
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -475,7 +532,11 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     w = Window.orderBy(key)
     renumbered = new_docs.withColumn(
         "doc_id", (F.lit(int(max_id)) + F.row_number().over(w)).cast("long"))
-    analyzed = B.analyzed_docs(renumbered, "doc_id", text_col).withColumn(
+    raw_man = FS.read_text(FS.join(path, MANIFEST))
+    man_analyzer = (json.loads(raw_man).get("analyzer", "standard")
+                    if raw_man else "standard")
+    analyzed = B.analyzed_docs(renumbered, "doc_id", text_col,
+                               analyzer=man_analyzer).withColumn(
         "chunk", F.lit(-1))
     offsets_dir = FS.join(path, "char_offsets")
     if FS.isdir_nonempty(offsets_dir):
@@ -486,6 +547,13 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
 
         _char_offsets(renumbered, "doc_id", text_col).write.mode(
             "append").parquet(offsets_dir)
+    boosts_dir = FS.join(path, "boosts")
+    if FS.isdir_nonempty(boosts_dir):
+        # same liveness rule for the PositionBoosts overlay
+        from whoosh_spark.boosts import token_boost_overlay
+
+        token_boost_overlay(renumbered, "doc_id", text_col).write.mode(
+            "append").parquet(boosts_dir)
     bid = f"upsert-{int(time.time() * 1000)}"
     analyzed.write.mode("overwrite").parquet(
         FS.join(path, "analyzed", f"batch={bid}"))

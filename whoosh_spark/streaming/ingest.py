@@ -31,10 +31,12 @@ from whoosh_spark import store
 from whoosh_spark.config import TEXT_FIELD
 
 
-def _ingest_batch(path: str, id_col: str, text_col: str, run_id: str):
+def _ingest_batch(path: str, id_col: str, text_col: str, run_id: str,
+                  analyzer: str = "standard"):
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.perf_counter()
-        analyzed = B.analyzed_docs(batch_df, id_col, text_col).withColumn(
+        analyzed = B.analyzed_docs(batch_df, id_col, text_col,
+                                   analyzer=analyzer).withColumn(
             "chunk", F.lit(-1)
         )
         out = FS.join(path, "analyzed", f"batch=stream-{run_id}-{epoch_id}")
@@ -47,6 +49,13 @@ def _ingest_batch(path: str, id_col: str, text_col: str, run_id: str):
 
             char_offsets(batch_df, id_col, text_col).write.mode(
                 "append").parquet(off_dir)
+        boosts_dir = FS.join(path, "boosts")
+        if FS.isdir_nonempty(boosts_dir):
+            # same liveness rule for the PositionBoosts overlay
+            from whoosh_spark.boosts import token_boost_overlay
+
+            token_boost_overlay(batch_df, id_col, text_col).write.mode(
+                "append").parquet(boosts_dir)
         n = batch_df.sparkSession.read.parquet(out).count()
         store._append_log(
             path,
@@ -80,9 +89,13 @@ def stream_index(stream_df: DataFrame, path: str, checkpoint: str,
     import hashlib
 
     run_id = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    # micro-segments must be analyzed with the chain the index declares
+    raw_man = FS.read_text(FS.join(path, store.MANIFEST))
+    analyzer = (json.loads(raw_man).get("analyzer", "standard")
+                if raw_man else "standard")
     writer = (
         stream_df.writeStream.foreachBatch(
-            _ingest_batch(path, id_col, text_col, run_id))
+            _ingest_batch(path, id_col, text_col, run_id, analyzer))
         .option("checkpointLocation", checkpoint)
     )
     if trigger_once:

@@ -39,6 +39,14 @@ def main() -> None:
     ap.add_argument("--chunk-bits", type=int, default=16)
     ap.add_argument("--chunks-per-commit", type=int, default=8)
     ap.add_argument("--store-text", action="store_true")
+    ap.add_argument("--analyzer", default="standard",
+                    help="analysis chain (registry name; recorded in the "
+                         "manifest and reused by upserts/streaming)")
+    ap.add_argument("--store-offsets", action="store_true",
+                    help="persist the Characters-format char_offsets segment")
+    ap.add_argument("--store-boosts", action="store_true",
+                    help="persist the PositionBoosts overlay "
+                         "(requires --analyzer boosted)")
     args = ap.parse_args()
 
     # spark-submit provides master/conf; engine semantic configs (UTC,
@@ -64,6 +72,9 @@ def main() -> None:
         chunk_bits=args.chunk_bits,
         chunks_per_commit=args.chunks_per_commit,
         store_text=args.store_text,
+        store_offsets=args.store_offsets,
+        analyzer=args.analyzer,
+        store_boosts=args.store_boosts,
     )
     json.dump(manifest, sys.stdout, indent=1)
     print()

@@ -98,3 +98,11 @@ def test_rebuild_without_store_boosts_drops_stale_overlay(spark, tmp_path):
     # over existing analyzed checkpoints)
     store.write_index(_df(spark, BOOST_ROWS), p, analyzer="boosted")
     assert store.load_index(spark, p).boosts is None
+
+
+def test_searcher_parse_uses_schema(spark, tmp_path):
+    p = str(tmp_path / "ix_parse")
+    store.write_index(_df(spark, ROWS), p, analyzer="stemming")
+    s = Searcher(store.load_index(spark, p))
+    ids = [r["doc_id"] for r in s.search(s.parse("running"), limit=5).collect()]
+    assert ids == [0]  # the tee happened automatically

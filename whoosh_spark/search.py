@@ -183,6 +183,22 @@ class Searcher:
         return ordered
 
     # ------------------------------------------------------------------
+    def parse(self, qstring: str, **kw) -> Q.Query:
+        """Parse a query string against THIS index's schema: field names
+        (MultiFieldIndex) and the index's own analyzer chain (manifest
+        ``analyzer`` on loaded indexes) are applied automatically — the
+        ``QueryParser(schema)`` convenience (``qparser/default.py ≈L100``).
+        Keyword args pass through to ``parse_query``."""
+        from whoosh_spark.query.parser import parse_query
+
+        if hasattr(self.ix, "index_for"):  # MultiFieldIndex
+            kw.setdefault("fields", list(self.ix.indexes))
+        an = getattr(self.ix, "analyzer", None)
+        if an and an != "standard":
+            kw.setdefault("analyzer", an)
+        return parse_query(qstring, **kw)
+
+    # ------------------------------------------------------------------
     def search_hits(self, q: Q.Query, limit: int | None = 10, **kw):
         """Run ``search()`` and wrap the collected top-k in a lazy
         ``Results``/``Hit`` view (``searching.py::Results ≈L900``): scores

@@ -200,6 +200,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_chars")
         )
 
+    def sortedby_multi(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.search(Q.Term("data"), limit=10, sortedby=["lang", "n_chars"])
+            .select("doc_id", "lang", "n_chars")
+        )
+
     def term_stats_top20(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return (
@@ -301,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         collapse_source=collapse_source,
         facet_count_source=facet_count_source,
         sortedby_nchars=sortedby_nchars,
+        sortedby_multi=sortedby_multi,
         term_stats_top20=term_stats_top20,
         field_stats=field_stats_q,
         doc_lengths=doc_lengths_q,
@@ -700,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_source": OSQL.collapse_sql("data", "source"),
         "facet_count_source": OSQL.facet_count_sql("data", "source"),
         "sortedby_nchars": OSQL.sortedby_sql("data", "n_chars"),
+        "sortedby_multi": OSQL.sortedby_multi_sql("data", ["lang", "n_chars"]),
         "term_stats_top20": OSQL.term_stats_sql(20),
         "field_stats": OSQL.field_stats_sql(),
         "doc_lengths": OSQL.doc_lengths_sql(100),

@@ -1,0 +1,57 @@
+"""Round-2 session surface additions: multi-key sortedby, Sentence
+fragmenter, more_like from raw text."""
+
+from __future__ import annotations
+
+from whoosh_spark.highlight import highlight, sentence_fragments
+from whoosh_spark.query import ast as Q
+
+
+def test_sortedby_list(searcher):
+    one = searcher.search(Q.Term("data"), limit=10,
+                          sortedby="n_chars").collect()
+    multi = searcher.search(Q.Term("data"), limit=10,
+                            sortedby=["lang", "n_chars"],
+                            with_stored=["lang", "n_chars"]).collect()
+    keys = [(r["lang"], r["n_chars"], r["doc_id"]) for r in multi]
+    assert keys == sorted(keys)
+    assert len(one) == len(multi) == 10
+    rev = searcher.search(Q.Term("data"), limit=10,
+                          sortedby=["lang", "n_chars"], reverse=True,
+                          with_stored=["lang", "n_chars"]).collect()
+    rkeys = [(r["lang"], r["n_chars"]) for r in rev]
+    assert rkeys == sorted(rkeys, reverse=True)
+
+
+def test_sortedby_list_paging(searcher):
+    full = searcher.search(Q.Term("data"), limit=10,
+                           sortedby=["lang", "n_chars"]).collect()
+    page2 = searcher.search(Q.Term("data"), limit=5, offset=5,
+                            sortedby=["lang", "n_chars"]).collect()
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in full[5:]]
+
+
+def test_sentence_fragmenter():
+    text = "First sentence has data. Second one is empty! Third has data too? Tail"
+    frags = sentence_fragments(text, {"data"})
+    assert len(frags) == 2
+    assert text[frags[0].startchar:frags[0].endchar].startswith("First")
+    assert text[frags[1].startchar:frags[1].endchar].startswith("Third")
+    out = highlight(text, {"data"}, fragmenter="sentence",
+                    formatter=lambda t, f: t[f.startchar:f.endchar])
+    assert out == "First sentence has data....Third has data too?"
+
+
+def test_sentence_fragmenter_maxchars():
+    text = ("word " * 100) + "needle here."
+    frags = sentence_fragments(text, {"needle"}, maxchars=550)
+    assert len(frags) == 1
+    assert frags[0].endchar - frags[0].startchar <= 550
+
+
+def test_more_like_text(searcher):
+    res = searcher.more_like_text("data vector query windows", limit=5)
+    assert res.count() == 5
+    # unknown-vocab text → empty
+    assert searcher.more_like_text("zzz qqq xxyyzz", limit=5).count() == 0
+    assert searcher.more_like_text("", limit=5).count() == 0

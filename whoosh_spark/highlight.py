@@ -59,6 +59,33 @@ def context_fragments(text: str, terms: set[str], maxchars: int = 200,
     return fragments_from_spans(text, hits, maxchars, surround)
 
 
+_SENT_END = re.compile(r"[.!?](?=\s|$)")
+
+
+def sentence_fragments(text: str, terms: set[str],
+                       maxchars: int = 200) -> list[Fragment]:
+    """SentenceFragmenter (``src/whoosh/highlight.py::SentenceFragmenter
+    ≈L260``): fragments are whole sentences (split at . ! ? before
+    whitespace/end, capped at maxchars) that contain ≥1 hit."""
+    bounds = [0]
+    for m in _SENT_END.finditer(text):
+        bounds.append(m.end())
+    if bounds[-1] != len(text):
+        bounds.append(len(text))
+    spans = _token_spans(text)
+    frags: list[Fragment] = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        # strip leading whitespace so fragments start at the sentence
+        while lo < hi and text[lo].isspace():
+            lo += 1
+        hi = min(hi, lo + maxchars)
+        hits = [(s, e, t) for s, e, t in spans
+                if t in terms and lo <= s and e <= hi]
+        if hits:
+            frags.append(Fragment(lo, hi, hits))
+    return frags
+
+
 def whole_fragment(text: str, terms: set[str]) -> list[Fragment]:
     spans = _token_spans(text)
     return [Fragment(0, len(text), [(s, e, t) for s, e, t in spans if t in terms])]
@@ -95,9 +122,16 @@ def uppercase_format(text: str, frag: Fragment) -> str:
 
 def highlight(text: str, terms: set[str], top: int = 3, maxchars: int = 200,
               surround: int = 20, formatter=html_format,
-              sep: str = "...") -> str:
-    """Top-scoring fragments joined — the ``Hit.highlights()`` surface."""
-    frags = context_fragments(text, {t.lower() for t in terms}, maxchars, surround)
+              sep: str = "...", fragmenter: str = "context") -> str:
+    """Top-scoring fragments joined — the ``Hit.highlights()`` surface.
+    ``fragmenter``: "context" (default), "sentence", or "whole"."""
+    lowered = {t.lower() for t in terms}
+    if fragmenter == "sentence":
+        frags = sentence_fragments(text, lowered, maxchars)
+    elif fragmenter == "whole":
+        frags = whole_fragment(text, lowered)
+    else:
+        frags = context_fragments(text, lowered, maxchars, surround)
     frags.sort(key=lambda f: (-f.score(), f.startchar))
     chosen = sorted(frags[:top], key=lambda f: f.startchar)
     return sep.join(formatter(text, f) for f in chosen)

@@ -270,6 +270,18 @@ def sortedby_sql(term: str, col: str, k: int = 10) -> str:
     """
 
 
+def sortedby_multi_sql(term: str, cols: list[str], k: int = 10) -> str:
+    """Multi-level sort facet (``sorting.py::MultiFacet ≈L500``)."""
+    collist = ", ".join(f"d.{c} AS {c}" for c in cols)
+    order = ", ".join(f"d.{c} ASC" for c in cols)
+    return base_ctes() + f"""
+      SELECT sc.doc_id AS doc_id, {collist}
+      FROM sc JOIN documents d USING (doc_id)
+      WHERE sc.term = '{term}'
+      ORDER BY {order}, sc.doc_id ASC LIMIT {k}
+    """
+
+
 def term_stats_sql(top: int = 20) -> str:
     return base_ctes() + f"""
       SELECT t.term AS term, count(*)::BIGINT AS df, sum(t.tf)::BIGINT AS cf,

@@ -145,9 +145,15 @@ class Searcher:
             scores = self._collapse(scores, collapse, collapse_limit)
 
         if sortedby is not None:
-            scores = scores.join(self.ix.docs.select("doc_id", sortedby), "doc_id")
-            key = F.col(sortedby).desc() if reverse else F.col(sortedby).asc()
-            order_keys = [key, F.col("doc_id").asc()]
+            # multi-level sort facet (``sorting.py::MultiFacet ≈L500``): a
+            # list of column names sorts by each in turn; ``reverse``
+            # applies to every level (upstream semantics)
+            sort_cols = [sortedby] if isinstance(sortedby, str) else list(sortedby)
+            scores = scores.join(
+                self.ix.docs.select("doc_id", *sort_cols), "doc_id")
+            keys = [(F.col(c).desc() if reverse else F.col(c).asc())
+                    for c in sort_cols]
+            order_keys = [*keys, F.col("doc_id").asc()]
             ordered = scores.orderBy(*order_keys)
         else:
             order_keys = [F.col("score").desc(), F.col("doc_id").asc()]
@@ -163,8 +169,7 @@ class Searcher:
                 ordered = ordered.limit(offset + limit)
             w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             if sortedby is not None:
-                key = F.col(sortedby).desc() if reverse else F.col(sortedby).asc()
-                w = Window.orderBy(key, F.col("doc_id").asc())
+                w = Window.orderBy(*order_keys)
             ordered = (
                 ordered.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") > offset)
@@ -612,6 +617,32 @@ class Searcher:
             res.where(~F.col("doc_id").isin([int(d) for d in doc_ids]))
             .limit(limit)
         )
+
+    def more_like_text(self, text: str, limit: int = 10,
+                       numterms: int = 5) -> DataFrame:
+        """``more_like`` from RAW text (upstream ``Searcher.more_like(text=
+        ...)``): analyze driver-side, rank the text's terms by tf·idf
+        against the corpus (one tiny stats collect), search the Or of the
+        top key terms."""
+        from collections import Counter
+
+        from whoosh_spark.analysis.analyzers import ANALYZERS
+        from whoosh_spark.execution.score import idf_value
+
+        ixf = self.ix.primary if hasattr(self.ix, "index_for") else self.ix
+        an = ANALYZERS.get(getattr(ixf, "analyzer", "standard") or "standard",
+                           ANALYZERS["standard"])
+        toks, _ = an(text or "")
+        tf = Counter(toks)
+        stats = ixf.stats_for_terms(sorted(tf))
+        if not stats:
+            return self.ix.spark.createDataFrame([], "doc_id long, score double")
+        n, _ = ixf.global_stats()
+        ranked = sorted(
+            ((tf[t] * idf_value(n, st["df"]), t) for t, st in stats.items()),
+            key=lambda kv: (-kv[0], kv[1]))
+        q = Q.Or([Q.Term(t) for _, t in ranked[:numterms]])
+        return self.search(q, limit=limit)
 
     def correct_term(self, word: str, maxdist: int = 2, top: int = 3) -> list[str]:
         """Spelling corrector (``src/whoosh/spelling.py::ReaderCorrector ≈L80``):

@@ -87,3 +87,13 @@ def test_boosted_analyzer_strips_markers(spark):
     terms = {r["term"] for r in ix.term_stats.collect()}
     assert "alpha" in terms and "beta" in terms
     assert not any("^" in t for t in terms)
+
+
+def test_with_deleted_keeps_boost_overlay(spark, bix):
+    # review regression: snapshot clones must carry the overlay
+    deleted = spark.createDataFrame([(2,)], "doc_id long")
+    ix2 = bix.with_deleted(deleted)
+    assert ix2.boosts is not None
+    from whoosh_spark.search import Searcher
+    top = Searcher(ix2).search(Q.Term("alpha"), limit=5).collect()
+    assert int(top[0]["doc_id"]) == 0  # boost still applied

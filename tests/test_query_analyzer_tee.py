@@ -53,3 +53,12 @@ def test_callable_tee():
 def test_default_unchanged():
     q = parse_query("Running the tests")
     assert sorted(q.terms()) == ["running", "tests"]  # stopword dropped
+
+
+def test_inmemory_build_records_analyzer(stem_searcher):
+    # review regression: InvertedIndex.build sets ix.analyzer so
+    # Searcher.parse tees automatically for in-memory indexes too
+    assert stem_searcher.ix.analyzer == "stemming"
+    ids = [r["doc_id"] for r in
+           stem_searcher.search(stem_searcher.parse("running"), limit=5).collect()]
+    assert ids == [0]

@@ -55,3 +55,18 @@ def test_more_like_text(searcher):
     # unknown-vocab text → empty
     assert searcher.more_like_text("zzz qqq xxyyzz", limit=5).count() == 0
     assert searcher.more_like_text("", limit=5).count() == 0
+
+
+def test_unknown_fragmenter_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fragmenter"):
+        highlight("some text", {"text"}, fragmenter="sentance")
+
+
+def test_estimated_length_offset_not_exact(searcher):
+    res = searcher.search_hits(Q.Term("vector"), limit=50, offset=5)
+    # short page via offset must NOT report the page length as exact
+    full = searcher.search_hits(Q.Term("vector"), limit=None)
+    if len(res) < 50:
+        assert res.estimated_length() >= len(full)

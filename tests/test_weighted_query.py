@@ -54,3 +54,20 @@ def test_weighted_normalize_and_boost(searcher):
             .search(Q.Term("data"), limit=None).collect()}
     for d in got:
         assert got[d] == pytest.approx(2.0 * freq[d], rel=1e-12)
+
+
+def test_weighted_wraps_expansion_leaves(ix, searcher):
+    # review regression: _expand must recurse into Weighted
+    from whoosh_spark.search import Searcher
+
+    q = Q.Weighted(Q.Prefix("da"), weighting="pl2")
+    got = {int(r["doc_id"]): float(r["score"])
+           for r in searcher.search(q, limit=None).collect()}
+    ref = {int(r["doc_id"]): float(r["score"])
+           for r in Searcher(ix, weighting="pl2")
+           .search(Q.Prefix("da"), limit=None, optimize=False).collect()}
+    assert got == ref and got
+    # estimate follows the child, not corpus size
+    est = searcher.ev.estimate(Q.Weighted(Q.Term("vector"), weighting="pl2"))
+    n, _ = ix.global_stats()
+    assert est < n

@@ -102,7 +102,18 @@ class Evaluator:
         q = self._expand(q)
         if q is Q.NullQuery:
             return self._empty()
-        # per-field stats: {(fkey, term): {df, cf, max_weight}} + globals
+        self._prime_stats(q)
+        self._max_doc = getattr(self, "_max_doc", None)
+        # soft-delete overlay: drop deleted docs from the match set (stats
+        # still count them — Whoosh deleted-but-unpurged semantics)
+        return self.ix.not_deleted(self._eval(q))
+
+    def _empty(self) -> DataFrame:
+        return self.ix.spark.createDataFrame([], "doc_id long, score double")
+
+    def _prime_stats(self, q: Q.Query) -> None:
+        """Load per-field term stats for q's terms into the evaluator's
+        broadcast caches: {(fkey, term): {df, cf, max_weight}} + globals."""
         self._stats = {}
         self._fglobal = {}
         by_field: dict[str | None, set[str]] = {}
@@ -114,13 +125,6 @@ class Evaluator:
             st = ixf.stats_for_terms(sorted(by_field.get(fk, ())))
             self._stats.update({(fk, t): v for t, v in st.items()})
         self._n, self._avgdl = self._fglobal[None]
-        self._max_doc = getattr(self, "_max_doc", None)
-        # soft-delete overlay: drop deleted docs from the match set (stats
-        # still count them — Whoosh deleted-but-unpurged semantics)
-        return self.ix.not_deleted(self._eval(q))
-
-    def _empty(self) -> DataFrame:
-        return self.ix.spark.createDataFrame([], "doc_id long, score double")
 
     def estimate(self, q: Q.Query) -> int:
         """Public ``Query.estimate_size()`` analog (qcore.py ≈L260): an
@@ -130,17 +134,7 @@ class Evaluator:
         q = self._expand(q.normalize())
         if q is Q.NullQuery:
             return 0
-        self._stats = {}
-        self._fglobal = {}
-        by_field: dict[str | None, set[str]] = {}
-        for f, t in set(q.field_terms()):
-            by_field.setdefault(self._fkey(f), set()).add(t)
-        for fk in set(by_field) | {None}:
-            ixf = self._ixf(fk)
-            self._fglobal[fk] = ixf.global_stats()
-            st = ixf.stats_for_terms(sorted(by_field.get(fk, ())))
-            self._stats.update({(fk, t): v for t, v in st.items()})
-        self._n, _ = self._fglobal[None]
+        self._prime_stats(q)
         return min(self._estimate(q), self._n)
 
     # -- multi-term expansion (driver-side, term dict is term_stats) ----
@@ -226,6 +220,10 @@ class Evaluator:
         if isinstance(q, Q.Constant):
             c = self._expand(q.child)
             return Q.NullQuery if c is Q.NullQuery else Q.Constant(c, q.score, q.boost)
+        if isinstance(q, Q.Weighted):
+            c = self._expand(q.child)
+            return (Q.NullQuery if c is Q.NullQuery
+                    else Q.Weighted(c, q.weighting, q.boost))
         return q
 
     def _or_terms(self, terms: list[str], boost: float,
@@ -250,6 +248,8 @@ class Evaluator:
             return sum(self._estimate(c) for c in q.children)
         if isinstance(q, (Q.AndNot, Q.AndMaybe, Q.Require, Q.Otherwise)):
             return self._estimate(q.a)
+        if isinstance(q, (Q.Constant, Q.Weighted)):
+            return self._estimate(q.child)
         return self._n
 
     # -- node dispatch ---------------------------------------------------

@@ -130,8 +130,11 @@ def highlight(text: str, terms: set[str], top: int = 3, maxchars: int = 200,
         frags = sentence_fragments(text, lowered, maxchars)
     elif fragmenter == "whole":
         frags = whole_fragment(text, lowered)
-    else:
+    elif fragmenter == "context":
         frags = context_fragments(text, lowered, maxchars, surround)
+    else:
+        raise ValueError(f"unknown fragmenter {fragmenter!r} "
+                         f"(context | sentence | whole)")
     frags.sort(key=lambda f: (-f.score(), f.startchar))
     chosen = sorted(frags[:top], key=lambda f: f.startchar)
     return sep.join(formatter(text, f) for f in chosen)

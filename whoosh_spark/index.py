@@ -61,6 +61,7 @@ class InvertedIndex:
         self.deleted = deleted  # (doc_id) soft-delete overlay, or None
         self.char_offsets = None  # Characters-format segment (chars.py), or None
         self.boosts = None  # sparse (term, doc_id, w) boost overlay (boosts.py)
+        self.analyzer = "standard"  # registry name of the analysis chain
         self._global = None  # (N, avgdl) cache
 
     # ------------------------------------------------------------------
@@ -93,6 +94,7 @@ class InvertedIndex:
             docs=docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs,
             field=field,
         )
+        ix.analyzer = analyzer
         ix._flat_postings = postings  # kept for build-invariance tests
         return ix
 
@@ -203,6 +205,18 @@ class InvertedIndex:
         ix = InvertedIndex(self.spark, self.blocks, self.term_stats,
                            self.field_stats, self.doc_lengths, self.docs,
                            self.field, deleted=new.select("doc_id").distinct())
+        return self._copy_snapshot_attrs(ix)
+
+    def _copy_snapshot_attrs(self, ix: "InvertedIndex") -> "InvertedIndex":
+        """Carry immutable-snapshot attachments onto a clone: side segments
+        (char_offsets, boost overlay), the declared analyzer/manifest, and
+        the stats caches.  Every with_* clone must go through here — a
+        dropped attachment silently changes scoring/parsing semantics."""
+        ix.char_offsets = self.char_offsets
+        ix.boosts = self.boosts
+        ix.analyzer = self.analyzer
+        if hasattr(self, "manifest"):
+            ix.manifest = self.manifest
         ix._global = self._global
         # _total_len is set together with _global; copying one without the
         # other leaves total_field_length() raising AttributeError
@@ -220,11 +234,8 @@ class InvertedIndex:
         ix = InvertedIndex(self.spark, self.blocks, self.term_stats,
                            self.field_stats, self.doc_lengths, self.docs,
                            self.field, deleted=self.deleted)
-        ix.char_offsets = self.char_offsets
+        self._copy_snapshot_attrs(ix)
         ix.boosts = overlay.select("term", "doc_id", "w")
-        ix._global = self._global
-        if self._global is not None:
-            ix._total_len = self._total_len
         return ix
 
     def not_deleted(self, df: DataFrame) -> DataFrame:

@@ -82,11 +82,16 @@ class Hit:
 class Results:
     """Ranked search results (``searching.py::Results ≈L900``)."""
 
-    def __init__(self, searcher, q, rows, limit: int | None):
+    def __init__(self, searcher, q, rows, limit: int | None,
+                 exact_when_short: bool = True):
         self.searcher = searcher
         self.q = q
         self._rows = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         self.limit = limit
+        # a page shorter than limit counts every match ONLY if no
+        # offset/filter/mask trimmed it (search_hits sets this)
+        self._exact_when_short = exact_when_short
+        self._est: int | None = None
         self._stored: dict[int, dict] | None = None
         self._terms_cache: set[str] | None = None
 
@@ -113,8 +118,10 @@ class Results:
         return not self._rows
 
     def __repr__(self) -> str:
-        return (f"<Results top={len(self._rows)} "
-                f"estimated_length={self.estimated_length()}>")
+        # never launch Spark work from repr — show the estimate only if a
+        # caller already computed it
+        est = f" estimated_length={self._est}" if self._est is not None else ""
+        return f"<Results top={len(self._rows)} limit={self.limit}{est}>"
 
     # -- upstream accessors ----------------------------------------------
     def score(self, n: int) -> float:
@@ -135,10 +142,17 @@ class Results:
     def estimated_length(self) -> int:
         """Upper bound on total matching docs (``Results.estimated_length
         ≈L960``) — the query's estimate_size from broadcast term stats; the
-        scored length when every match was collected (limit=None)."""
-        if self.limit is None or len(self._rows) < (self.limit or 0):
-            return len(self._rows)
-        return max(len(self._rows), self.searcher.ev.estimate(self.q))
+        scored length when every match was provably collected (limit=None
+        or a short page with no offset/filter/mask).  Memoized — the stats
+        lookup runs once per Results."""
+        if self._est is None:
+            if self._exact_when_short and (
+                    self.limit is None or len(self._rows) < self.limit):
+                self._est = len(self._rows)
+            else:
+                self._est = max(len(self._rows),
+                                self.searcher.ev.estimate(self.q))
+        return self._est
 
     def key_terms(self, numterms: int = 5) -> list[str]:
         """Most distinctive terms of the result docs (``Results.key_terms

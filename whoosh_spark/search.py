@@ -212,7 +212,10 @@ class Searcher:
         from whoosh_spark.results import Results
 
         rows = self.search(q, limit=limit, **kw).select("doc_id", "score").collect()
-        return Results(self, q, rows, limit)
+        # a short page proves the total only when nothing else trimmed it
+        exact_when_short = not (kw.get("offset") or kw.get("filter") is not None
+                                or kw.get("mask") is not None)
+        return Results(self, q, rows, limit, exact_when_short=exact_when_short)
 
     # ------------------------------------------------------------------
     def search_many(self, queries: dict[str, Q.Query],

@@ -52,6 +52,14 @@ from whoosh_spark.config import TEXT_FIELD
 from whoosh_spark.index import InvertedIndex
 
 MANIFEST = "manifest.json"
+
+
+def manifest_analyzer(path: str) -> str:
+    """The analyzer chain this index's manifest declares ("standard" when
+    absent/pre-manifest) — the one source of truth for every writer that
+    re-analyzes docs into an existing index (upsert, streaming)."""
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    return json.loads(raw).get("analyzer", "standard") if raw else "standard"
 BUILD_LOG = "_build_log.jsonl"
 DEFAULT_CHUNK_BITS = 16  # 65536 docs per checkpoint chunk
 
@@ -421,9 +429,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     t0 = time.perf_counter()
     # compaction re-merges already-analyzed tokens (no re-analysis), but the
     # manifest must keep declaring the chain those tokens came from
-    prev_raw = FS.read_text(FS.join(path, MANIFEST))
-    prev_analyzer = (json.loads(prev_raw).get("analyzer", "standard")
-                     if prev_raw else "standard")
+    prev_analyzer = manifest_analyzer(path)
     analyzed = _rebalance(
         spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch"),
         spark)
@@ -532,11 +538,8 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     w = Window.orderBy(key)
     renumbered = new_docs.withColumn(
         "doc_id", (F.lit(int(max_id)) + F.row_number().over(w)).cast("long"))
-    raw_man = FS.read_text(FS.join(path, MANIFEST))
-    man_analyzer = (json.loads(raw_man).get("analyzer", "standard")
-                    if raw_man else "standard")
     analyzed = B.analyzed_docs(renumbered, "doc_id", text_col,
-                               analyzer=man_analyzer).withColumn(
+                               analyzer=manifest_analyzer(path)).withColumn(
         "chunk", F.lit(-1))
     offsets_dir = FS.join(path, "char_offsets")
     if FS.isdir_nonempty(offsets_dir):

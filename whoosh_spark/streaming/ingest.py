@@ -90,9 +90,7 @@ def stream_index(stream_df: DataFrame, path: str, checkpoint: str,
 
     run_id = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
     # micro-segments must be analyzed with the chain the index declares
-    raw_man = FS.read_text(FS.join(path, store.MANIFEST))
-    analyzer = (json.loads(raw_man).get("analyzer", "standard")
-                if raw_man else "standard")
+    analyzer = store.manifest_analyzer(path)
     writer = (
         stream_df.writeStream.foreachBatch(
             _ingest_batch(path, id_col, text_col, run_id, analyzer))

@@ -65,3 +65,28 @@ def test_hit_highlights_and_key_terms(searcher):
     assert "<b" in frag and "data" in frag.lower()
     kt = res.key_terms(numterms=3)
     assert len(kt) == 3 and all(isinstance(t, str) for t in kt)
+
+
+def test_results_page(searcher):
+    full = searcher.search_hits(Q.Term("data"), limit=15)
+    page2 = searcher.search_page(Q.Term("data"), pagenum=2, pagelen=5)
+    assert page2.offset == 5 and len(page2) == 5
+    assert [h.doc_id for h in page2] == [full.docnum(i) for i in range(5, 10)]
+    assert page2[0].doc_id == full.docnum(5)
+    assert page2[-1].doc_id == full.docnum(9)
+    assert not page2.is_last_page()  # "data" is hot: many pages remain
+    assert page2.total >= 15 and page2.pagecount >= 3
+    # a term with few matches: the prefix runs short → last page
+    n_vec = len(searcher.search_hits(Q.Term("vector"), limit=None))
+    lastpage = searcher.search_page(Q.Term("vector"), pagenum=2,
+                                    pagelen=n_vec)
+    assert lastpage.is_last_page() and len(lastpage) == 0
+    import pytest as _p
+    with _p.raises(ValueError):
+        searcher.search_page(Q.Term("data"), pagenum=0)
+
+
+def test_results_page_past_end(searcher):
+    rare = searcher.search_page(Q.Term("zzzabsent"), pagenum=3, pagelen=5)
+    assert len(rare) == 0 and list(rare) == []
+    assert rare.is_last_page()

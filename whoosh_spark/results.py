@@ -177,3 +177,52 @@ class Results:
             qn = self.q.normalize()
             self._terms_cache = set(qn.terms()) | set(qn.phrase_terms())
         return self._terms_cache
+
+
+class ResultsPage:
+    """One page of results (``searching.py::ResultsPage ≈L1500``): a view
+    over the TOP pagenum·pagelen hits, sliced driver-side — same shape as
+    upstream (one search collects the whole prefix; the page is a slice)."""
+
+    def __init__(self, results: Results, pagenum: int, pagelen: int):
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        self.results = results
+        self.pagenum = pagenum
+        self.pagelen = pagelen
+        self.offset = (pagenum - 1) * pagelen
+        self.total = results.estimated_length()
+
+    @property
+    def pagecount(self) -> int:
+        # upstream: ceil(total / pagelen) over the (estimated) total
+        return max(1, -(-self.total // self.pagelen))
+
+    def __len__(self) -> int:
+        hi = min(len(self.results), self.offset + self.pagelen)
+        return max(0, hi - self.offset)
+
+    def __getitem__(self, n):
+        if isinstance(n, slice):
+            lo, hi, step = n.indices(len(self))
+            return [self.results[self.offset + i] for i in range(lo, hi, step)]
+        if n < 0:
+            n += len(self)
+        if not 0 <= n < len(self):
+            raise IndexError(n)
+        return self.results[self.offset + n]
+
+    def __iter__(self):
+        return (self.results[i]
+                for i in range(self.offset, self.offset + len(self)))
+
+    def is_last_page(self) -> bool:
+        # the collected prefix ran short → certainly last; otherwise last
+        # only if even the (upper-bound) total fits within this page
+        if len(self.results) < self.pagenum * self.pagelen:
+            return True
+        return self.total <= self.offset + self.pagelen
+
+    def __repr__(self) -> str:
+        return (f"<ResultsPage {self.pagenum}/{self.pagecount} "
+                f"pagelen={self.pagelen}>")

@@ -218,6 +218,18 @@ class Searcher:
         return Results(self, q, rows, limit, exact_when_short=exact_when_short)
 
     # ------------------------------------------------------------------
+    def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw):
+        """``Searcher.search_page (≈L760)``: collect the top
+        pagenum·pagelen hits once, return a ``ResultsPage`` view of page
+        ``pagenum`` (1-based)."""
+        from whoosh_spark.results import ResultsPage
+
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        res = self.search_hits(q, limit=pagenum * pagelen, **kw)
+        return ResultsPage(res, pagenum, pagelen)
+
+    # ------------------------------------------------------------------
     def search_many(self, queries: dict[str, Q.Query],
                     limit: int = 10) -> DataFrame:
         """Evaluate MANY queries in ONE Spark job: (qname, doc_id, score)

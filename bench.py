@@ -138,7 +138,8 @@ def _bench_pipeline(spark, reps: int = 3) -> dict[str, float]:
     keys are prefixed ``pipe_``."""
     from pyspark.sql import functions as F
 
-    from whoosh_spark.pipeline import dedup, extract, similarity, textstats
+    from whoosh_spark.pipeline import (components, dedup, extract, scrub,
+                                       similarity, textstats)
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -153,6 +154,9 @@ def _bench_pipeline(spark, reps: int = 3) -> dict[str, float]:
         "minhash_lsh": lambda: dedup.minhash_near_dups(docs, tau=0.5).count(),
         "cosine_topk": lambda: similarity.cosine_topk(
             emb, similarity.query_vector(emb, 0), k=10).collect(),
+        "pii_redact": lambda: scrub.redact_pii(docs).count(),
+        "dedup_cc": lambda: components.connected_components(
+            dedup.minhash_near_dups(docs, tau=0.5)).count(),
     }
     out = {}
     for name, fn in cases.items():

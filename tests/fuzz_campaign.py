@@ -138,8 +138,11 @@ def rand_query(rng: random.Random, depth: int = 0,
         return Q.Require(one(), one())
     if r < 0.92:
         return Q.Otherwise(one(), one())
-    if r < 0.96:
+    if r < 0.93:
         return Q.Constant(one(), score=rng.choice([0.5, 1.0, 2.0]))
+    if r < 0.97:
+        return Q.Weighted(one(), weighting=rng.choice(
+            ["pl2", "dfree", "tfidf", "frequency", "reverse:bm25"]))
     return Q.Not(one(), boost=rng.choice(BOOSTS))
 
 

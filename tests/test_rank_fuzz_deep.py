@@ -75,6 +75,10 @@ def _compound(children):
         st.builds(Q.Constant, children,
                   score=st.sampled_from([0.5, 1.0, 2.0])),
         st.builds(Q.Not, children),
+        st.builds(Q.Weighted, children,
+                  weighting=st.sampled_from(
+                      ["pl2", "dfree", "tfidf", "frequency",
+                       "reverse:bm25"])),
     )
 
 

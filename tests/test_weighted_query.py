@@ -71,3 +71,17 @@ def test_weighted_wraps_expansion_leaves(ix, searcher):
     est = searcher.ev.estimate(Q.Weighted(Q.Term("vector"), weighting="pl2"))
     n, _ = ix.global_stats()
     assert est < n
+
+
+@pytest.mark.parametrize("model", ["pl2", "dfree", "tfidf", "frequency",
+                                   "reverse:bm25"])
+def test_weighted_oracle_matches_spark(searcher, py, model):
+    # the PyIndex score() mirror must rank-match Spark under every model
+    q = Q.Weighted(Q.Or([Q.Term("data"), Q.Term("vector")]),
+                   weighting=model)
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in searcher.search(q, limit=10, optimize=False).collect()]
+    exp = py.search(q, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-9)

@@ -21,6 +21,11 @@ from whoosh_spark.analysis.analyzers import analyze_text
 from whoosh_spark.config import BM25_B, BM25_K1, quantize_length
 from whoosh_spark.query import ast as Q
 
+# same literals as execution/score.py (kept local: the oracle must not
+# import pyspark)
+_LN2 = 0.6931471805599453
+_LOG2_E = 1.4426950408889634
+
 
 class PyIndex:
     def __init__(self, docs: list[tuple[int, str]],
@@ -42,10 +47,15 @@ class PyIndex:
         self.n = len(self.len_raw)
         total = sum(self.len_raw.values())
         self.avgdl = total / self.n if self.n else 0.0
+        self.fl = float(total)  # total raw field length (DFR models)
+        self.weighting = "bm25"  # active model (swapped by Q.Weighted)
 
     # ------------------------------------------------------------------
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
+
+    def cf(self, term: str) -> float:
+        return float(sum(len(ps) for ps in self.postings.get(term, {}).values()))
 
     def idf(self, term: str) -> float:
         return math.log(self.n / (self.df(term) + 1)) + 1.0
@@ -57,6 +67,45 @@ class PyIndex:
             tf + BM25_K1 * ((1.0 - self.b) + self.b * dl / self.avgdl)
         )
         return self.idf(term) * comp
+
+    def score(self, term: str, doc_id: int) -> float:
+        """Per-(term, doc) score under the ACTIVE weighting model — mirrors
+        execution/score.py::score_postings literal-for-literal (same op
+        order, same LN2/LOG2_E constants) so Spark and oracle agree."""
+        w = self.weighting
+        rev = w.startswith("reverse:")
+        if rev:
+            w = w[len("reverse:"):]
+        if w == "bm25":
+            s = self.bm25(term, doc_id)
+        else:
+            tf = float(len(self.postings[term][doc_id]))
+            dl = float(self.dl[doc_id])
+            log2 = lambda x: math.log(x) / _LN2  # noqa: E731
+            if w == "tfidf":
+                s = tf * self.idf(term)
+            elif w == "frequency":
+                s = tf
+            elif w == "dfree":
+                cf = self.cf(term)
+                prior = tf / dl
+                post = (tf + 1.0) / (dl + 1.0)
+                invprior = self.fl / cf
+                norm = tf * log2(post / prior)
+                s = norm * (tf * log2(prior * invprior)
+                            + (tf + 1.0) * log2(post * invprior)
+                            + 0.5 * log2(post / prior))
+            elif w == "pl2":
+                cf = self.cf(term)
+                TF = tf * log2(1.0 + (1.0 * self.avgdl) / dl)
+                norm = 1.0 / (TF + 1.0)
+                f = cf / float(self.n)
+                s = norm * (TF * log2(1.0 / f) + f * _LOG2_E
+                            + 0.5 * log2(2.0 * math.pi * TF)
+                            + TF * (log2(TF) - _LOG2_E))
+            else:
+                raise ValueError(f"unknown weighting {w!r}")
+        return 0.0 - s if rev else s
 
     # ------------------------------------------------------------------
     def eval(self, q: Q.Query) -> dict[int, float]:
@@ -72,7 +121,7 @@ class PyIndex:
     def _eval_term(self, q: Q.Term) -> dict[int, float]:
         if q.text not in self.postings:
             return {}
-        return {d: self.bm25(q.text, d) * q.boost for d in self.postings[q.text]}
+        return {d: self.score(q.text, d) * q.boost for d in self.postings[q.text]}
 
     def _eval_and(self, q: Q.And) -> dict[int, float]:
         sets = [self._eval(c) for c in q.children]
@@ -130,6 +179,25 @@ class PyIndex:
     def _eval_constant(self, q: Q.Constant) -> dict[int, float]:
         return {d: float(q.score) * q.boost for d in self._eval(q.child)}
 
+    def _weighting_targets(self) -> list["PyIndex"]:
+        return [self]
+
+    def _eval_weighted(self, q: "Q.Weighted") -> dict[int, float]:
+        """WeightingQuery: swap the model for the subtree (mirrors
+        Evaluator._eval_weighted's scoped swap)."""
+        targets = self._weighting_targets()
+        saved = [(t, t.weighting) for t in targets]
+        for t in targets:
+            t.weighting = q.weighting
+        try:
+            out = self._eval(q.child)
+        finally:
+            for t, w in saved:
+                t.weighting = w
+        if q.boost != 1.0:
+            out = {d: s * q.boost for d, s in out.items()}
+        return out
+
     def _eval_phrase(self, q: Q.Phrase) -> dict[int, float]:
         words = list(q.words)
         if any(w not in self.postings for w in set(words)):
@@ -146,7 +214,7 @@ class PyIndex:
                 if not cur:
                     break
             if cur:
-                out[d] = sum(self.bm25(w, d) for w in sorted(set(words))) * q.boost
+                out[d] = sum(self.score(w, d) for w in sorted(set(words))) * q.boost
         return out
 
     def _eval_sequence(self, q: Q.Sequence) -> dict[int, float]:
@@ -179,7 +247,7 @@ class PyIndex:
                 if not cur:
                     break
             if cur:
-                out[d] = sum(self.bm25(t, d) for t in all_terms
+                out[d] = sum(self.score(t, d) for t in all_terms
                              if d in self.postings.get(t, {})) * q.boost
         return out
 
@@ -344,7 +412,7 @@ class PyIndex:
             return {}
         spans, terms = sub
         return {
-            d: sum(self.bm25(t, d) for t in terms
+            d: sum(self.score(t, d) for t in terms
                    if d in self.postings.get(t, {})) * q.boost
             for d, v in spans.items() if v
         }
@@ -417,10 +485,16 @@ class PyMultiIndex(PyIndex):
         self.n = base.n
         self.avgdl = base.avgdl
         self.b = base.b
+        self.fl = base.fl
+        self.weighting = "bm25"
         self.postings = base.postings  # default-field compat for callers
 
     def _fx(self, fieldname: str | None) -> "PyIndex":
         return self.fields[fieldname or self.default_field]
+
+    def _weighting_targets(self) -> list["PyIndex"]:
+        # a Weighted subtree applies to every field its leaves route to
+        return [self, *self.fields.values()]
 
     def _route(self, q: Q.Query) -> dict[int, float]:
         from dataclasses import replace

@@ -118,18 +118,43 @@ def test_quality_monotone(spark):
     assert q[0] > q[1]
 
 
+LANG_SAMPLES = [
+    (0, "the cat and the dog sat in the house with a friend", "en"),
+    (1, "le chat et la maison les amis de la ville est une", "fr"),
+    (2, "der hund und die katze von dem haus mit den freunden", "de"),
+    (3, "東京 大阪 京都 名古屋 札幌 神戸 福岡 広島 仙台 千葉", "zh"),  # Kanji-only → zh (documented)
+    (4, "il gatto di casa che dorme con il cane della città per ore", "it"),
+    (5, "os gatos não dormem para sempre com os cães mais velhos dos vizinhos", "pt"),
+    (6, "het huis van een kat die niet op de hond wacht maar ook slaapt", "nl"),
+    (7, "он сказал что это не так как мы думали и по этому поводу", "ru"),
+    (8, "猫は家の中で犬と一緒に寝ています、とても静かです", "ja"),
+    (9, "고양이는 집에서 개와 함께 잠을 잡니다 아주 조용해요", "ko"),
+]
+
+
 def test_lang_id_profiles(spark):
-    df = spark.createDataFrame(
-        [
-            (0, "the cat and the dog sat in the house with a friend"),
-            (1, "le chat et la maison les amis de la ville est une"),
-            (2, "der hund und die katze von dem haus mit den freunden"),
-            (3, "東京 大阪 京都 名古屋 札幌 神戸 福岡 広島 仙台 千葉"),
-        ],
-        "doc_id long, text string",
-    )
+    df = spark.createDataFrame([(i, t) for i, t, _ in LANG_SAMPLES],
+                               "doc_id long, text string")
     out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(df).collect()}
-    assert out == {0: "en", 1: "fr", 2: "de", 3: "zh"}
+    assert out == {i: lang for i, _, lang in LANG_SAMPLES}
+
+
+def test_lang_id_oracle_parity(spark):
+    """Spark lang_id ≡ the DuckDB oracle SQL on multilingual text (the
+    driver's documents are English-only, so parity on the CJK/Cyrillic
+    branches is only proven here)."""
+    import duckdb
+    from whoosh_spark.oracle import pipeline_sql as PSQL
+    df = spark.createDataFrame([(i, t) for i, t, _ in LANG_SAMPLES],
+                               "doc_id long, text string")
+    got = [(r["doc_id"], r["lang_pred"], r["lang_score"])
+           for r in textstats.lang_id(df).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    exp = con.execute(PSQL.lang_id_sql()).fetchall()
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[2] == pytest.approx(e[2], abs=1e-9)
 
 
 def test_winnow_overlap_detection(spark):

@@ -127,10 +127,15 @@ def lang_id_sql() -> str:
         f"('{lang}', [{', '.join(repr(w) for w in words)}])"
         for lang, words in sorted(LANG_PROFILES.items())
     )
+    from whoosh_spark.pipeline.textstats import (
+        HAN_RE, HANGUL_RE, KANA_RE, LANG_WORD_RE)
+    # \x{...} is identical RE2 syntax; interpolated values need no brace
+    # doubling (only literal f-string text does)
+    han, hangul, kana = HAN_RE, HANGUL_RE, KANA_RE
     return f"""
 WITH w AS (
   SELECT doc_id, text,
-         regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS words
+         regexp_extract_all(lower(text), '{LANG_WORD_RE}') AS words
   FROM documents
 ),
 profiles(lang, plist) AS (SELECT * FROM (VALUES {profile_rows}) v(lang, plist)),
@@ -150,13 +155,25 @@ best AS (
 cjk AS (
   SELECT doc_id,
          CASE WHEN length(text) > 0 THEN
-           len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]'))::DOUBLE / length(text)
-         ELSE 0.0 END AS cjk_ratio
+           len(regexp_extract_all(text, '{hangul}'))::DOUBLE / length(text)
+         ELSE 0.0 END AS hangul_ratio,
+         CASE WHEN length(text) > 0 THEN
+           len(regexp_extract_all(text, '{kana}'))::DOUBLE / length(text)
+         ELSE 0.0 END AS kana_ratio,
+         CASE WHEN length(text) > 0 THEN
+           len(regexp_extract_all(text, '{han}'))::DOUBLE / length(text)
+         ELSE 0.0 END AS han_ratio
   FROM w
 )
 SELECT b.doc_id,
-       CASE WHEN c.cjk_ratio > 0.05 THEN 'zh' ELSE b.lang END AS lang_pred,
-       CASE WHEN c.cjk_ratio > 0.05 THEN round(c.cjk_ratio, 6) ELSE b.score END AS lang_score
+       CASE WHEN c.hangul_ratio > 0.05 THEN 'ko'
+            WHEN c.kana_ratio > 0.02 THEN 'ja'
+            WHEN c.han_ratio > 0.05 THEN 'zh'
+            ELSE b.lang END AS lang_pred,
+       CASE WHEN c.hangul_ratio > 0.05 THEN round(c.hangul_ratio, 6)
+            WHEN c.kana_ratio > 0.02 THEN round(c.kana_ratio + c.han_ratio, 6)
+            WHEN c.han_ratio > 0.05 THEN round(c.han_ratio, 6)
+            ELSE b.score END AS lang_score
 FROM best b JOIN cjk c USING (doc_id)
 WHERE b.rn = 1 ORDER BY doc_id
 """

@@ -28,7 +28,22 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
     "es": ("el", "la", "los", "de", "y", "que", "un", "una", "es", "en"),
     "de": ("der", "die", "das", "und", "von", "zu", "mit", "ist", "den", "ein"),
+    "it": ("il", "di", "che", "della", "per", "con", "sono", "non", "del", "gli"),
+    "pt": ("os", "das", "não", "uma", "para", "com", "por", "mais", "como", "dos"),
+    "nl": ("het", "een", "van", "ik", "dat", "op", "zijn", "niet", "aan", "ook"),
+    "ru": ("и", "в", "не", "на", "что", "он", "как", "это", "по", "его"),
 }
+
+# word shape for the profile hit-rate: Latin (incl. Latin-1 letters) or
+# Cyrillic runs — same literal class in Spark (Java regex) and DuckDB (RE2)
+LANG_WORD_RE = "[a-zà-ÿа-яё]+"
+
+# CJK script ranges (identical \x{...} syntax in Java regex and RE2):
+# Hangul syllables → ko; Hiragana/Katakana → ja; Han alone → zh (Kanji-only
+# Japanese is genuinely ambiguous without kana — Han defaults to zh)
+HANGUL_RE = r"[\x{AC00}-\x{D7AF}]"
+KANA_RE = r"[\x{3040}-\x{30FF}]"
+HAN_RE = r"[\x{4E00}-\x{9FFF}]"
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -80,11 +95,15 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, lang_score): stopword-profile hit-rate heuristic
-    + CJK codepoint detection.  Pure column expressions; argmax via
+    + CJK script detection.  Pure column expressions; argmax via
     sort_array over (score, lang) structs (deterministic tie-break: the
     lexicographically LARGEST lang among equals — fixed rule both engines).
+
+    Script precedence for CJK text: Hangul → ko, else Kana → ja, else
+    Han → zh; Kanji-only Japanese therefore labels zh (ambiguous without
+    kana — documented, mirrored in the oracle).
     """
-    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-zà-ÿ]+"), F.lit(0))
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(LANG_WORD_RE), F.lit(0))
     n_words = F.size(words)
     scores = []
     for lang, profile in sorted(LANG_PROFILES.items()):
@@ -98,13 +117,23 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
     best = F.sort_array(F.array(*scores), asc=False)[0]
-    n_cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[\x{4E00}-\x{9FFF}]"), F.lit(0)))
-    cjk_ratio = F.when(F.length(F.col(text_col)) > 0,
-                       n_cjk.cast("double") / F.length(F.col(text_col))).otherwise(0.0)
+    n_chars = F.length(F.col(text_col))
+
+    def _ratio(pattern: str):
+        n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+        return F.when(n_chars > 0, n.cast("double") / n_chars).otherwise(0.0)
+
+    hangul, kana, han = _ratio(HANGUL_RE), _ratio(KANA_RE), _ratio(HAN_RE)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.when(cjk_ratio > 0.05, F.lit("zh")).otherwise(best["lang"]).alias("lang_pred"),
-        F.when(cjk_ratio > 0.05, F.round(cjk_ratio, 6)).otherwise(best["score"]).alias("lang_score"),
+        F.when(hangul > 0.05, F.lit("ko"))
+        .when(kana > 0.02, F.lit("ja"))
+        .when(han > 0.05, F.lit("zh"))
+        .otherwise(best["lang"]).alias("lang_pred"),
+        F.when(hangul > 0.05, F.round(hangul, 6))
+        .when(kana > 0.02, F.round(kana + han, 6))
+        .when(han > 0.05, F.round(han, 6))
+        .otherwise(best["score"]).alias("lang_score"),
     )
 
 

@@ -109,6 +109,7 @@ def _bench_queries(ix, reps: int = 3) -> dict[str, float]:
         "andnot": Q.AndNot(Q.Term("data"), Q.Term("vector")),
     }
     out = {}
+    pooled = []  # every timed run across every case → query_p95_sec
     for name, q in cases.items():
         s.search(q, limit=10).collect()  # warm (plan + worker spin-up)
         times = []
@@ -117,6 +118,14 @@ def _bench_queries(ix, reps: int = 3) -> dict[str, float]:
             s.search(q, limit=10).collect()
             times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 4)
+        pooled.extend(times)
+    # north-metric headline: p95 of top-10 latency pooled over the query set
+    # (reps × cases warmed runs — linear-interpolated 95th percentile)
+    ps = sorted(pooled)
+    k = 0.95 * (len(ps) - 1)
+    f = int(k)
+    out["query_p95"] = round(
+        ps[f] + (ps[min(f + 1, len(ps) - 1)] - ps[f]) * (k - f), 4)
 
     # batch throughput: ALL the cases above in ONE job (Searcher.search_many)
     # — the qps headline; sequential cost is the sum of the singles above

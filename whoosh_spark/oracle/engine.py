@@ -51,14 +51,24 @@ class PyIndex:
         self.weighting = "bm25"  # active model (swapped by Q.Weighted)
 
     # ------------------------------------------------------------------
+    # per-term constants, memoized: score() runs once per (term, doc) and
+    # cf() is O(df) to compute — without the cache a hot term under
+    # dfree/pl2 fuzzing is quadratic in df per query
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
 
     def cf(self, term: str) -> float:
-        return float(sum(len(ps) for ps in self.postings.get(term, {}).values()))
+        cache = self.__dict__.setdefault("_cf_cache", {})
+        if term not in cache:
+            cache[term] = float(sum(
+                len(ps) for ps in self.postings.get(term, {}).values()))
+        return cache[term]
 
     def idf(self, term: str) -> float:
-        return math.log(self.n / (self.df(term) + 1)) + 1.0
+        cache = self.__dict__.setdefault("_idf_cache", {})
+        if term not in cache:
+            cache[term] = math.log(self.n / (self.df(term) + 1)) + 1.0
+        return cache[term]
 
     def bm25(self, term: str, doc_id: int) -> float:
         tf = float(len(self.postings[term][doc_id]))

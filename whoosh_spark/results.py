@@ -187,15 +187,23 @@ class ResultsPage:
     def __init__(self, results: Results, pagenum: int, pagelen: int):
         if pagenum < 1:
             raise ValueError("pagenum must be >= 1")
+        if pagelen < 1:
+            raise ValueError("pagelen must be >= 1")
         self.results = results
         self.pagenum = pagenum
         self.pagelen = pagelen
         self.offset = (pagenum - 1) * pagelen
-        self.total = results.estimated_length()
+
+    @property
+    def total(self) -> int:
+        # lazy: exact when the fetched prefix ran short of its limit
+        # (search_page fetches one row beyond the page to arrange that),
+        # else the query's upper-bound estimate — computed only on demand
+        return self.results.estimated_length()
 
     @property
     def pagecount(self) -> int:
-        # upstream: ceil(total / pagelen) over the (estimated) total
+        # upstream: ceil(total / pagelen) over the (possibly estimated) total
         return max(1, -(-self.total // self.pagelen))
 
     def __len__(self) -> int:
@@ -217,12 +225,18 @@ class ResultsPage:
                 for i in range(self.offset, self.offset + len(self)))
 
     def is_last_page(self) -> bool:
-        # the collected prefix ran short → certainly last; otherwise last
-        # only if even the (upper-bound) total fits within this page
-        if len(self.results) < self.pagenum * self.pagelen:
-            return True
+        # the fetched prefix ran short of its own limit → every match was
+        # collected, so the answer is exact; otherwise fall back to the
+        # (upper-bound) total estimate
+        fetched_all = (self.results.limit is None
+                       or len(self.results._rows) < self.results.limit)
+        if fetched_all:
+            return len(self.results._rows) <= self.offset + self.pagelen
         return self.total <= self.offset + self.pagelen
 
     def __repr__(self) -> str:
-        return (f"<ResultsPage {self.pagenum}/{self.pagecount} "
+        # never launch Spark work from repr: show the page count only if
+        # the underlying estimate is already memoized
+        pc = self.pagecount if self.results._est is not None else "?"
+        return (f"<ResultsPage {self.pagenum}/{pc} "
                 f"pagelen={self.pagelen}>")

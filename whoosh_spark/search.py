@@ -212,9 +212,10 @@ class Searcher:
         from whoosh_spark.results import Results
 
         rows = self.search(q, limit=limit, **kw).select("doc_id", "score").collect()
-        # a short page proves the total only when nothing else trimmed it
-        exact_when_short = not (kw.get("offset") or kw.get("filter") is not None
-                                or kw.get("mask") is not None)
+        # a short page proves the total of the search-as-run (filter/mask
+        # trim BEFORE top-k, so shortness still counts every surviving
+        # match) — only a skipped-head offset breaks that proof
+        exact_when_short = not kw.get("offset")
         return Results(self, q, rows, limit, exact_when_short=exact_when_short)
 
     # ------------------------------------------------------------------
@@ -226,7 +227,11 @@ class Searcher:
 
         if pagenum < 1:
             raise ValueError("pagenum must be >= 1")
-        res = self.search_hits(q, limit=pagenum * pagelen, **kw)
+        if pagelen < 1:
+            raise ValueError("pagelen must be >= 1")
+        # fetch ONE row beyond the page so a full page proves whether any
+        # further match exists (exact is_last_page without a count job)
+        res = self.search_hits(q, limit=pagenum * pagelen + 1, **kw)
         return ResultsPage(res, pagenum, pagelen)
 
     # ------------------------------------------------------------------

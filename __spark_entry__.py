@@ -27,6 +27,7 @@ from whoosh_spark.pipeline import (components, dedup, extract, multimodal,
                                    scrub, similarity, textstats, urls)
 from whoosh_spark.query import ast as Q
 from whoosh_spark.search import Searcher
+from whoosh_spark.streaming import windows
 
 _CACHE: dict = {}
 
@@ -656,6 +657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_near_dups(
                 _docs(s, d), tau=0.5, num_perm=128, bands=32, rows=4, n=3)
         ).orderBy("doc_id"),
+        # Structured Streaming: a REAL availableNow streaming query (append
+        # mode, watermarked tumbling windows) over the events table; emits
+        # exactly the watermark-finalized windows — the oracle restates that
+        # as a batch GROUP BY with the same finalization filter
+        stream_windowed_counts=lambda s, d: windows.stream_windowed_counts(
+            s, d + "/events.parquet", window="6 hours", delay="1 day")
+            .orderBy("w_start", "event_type"),
     )
     return out
 
@@ -800,4 +808,5 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": PSQL.url_canonical_sql(URL_SYNTH_SQL),
         "url_dedup": PSQL.url_duplicates_sql(URL_SYNTH_SQL),
         "url_host_stats": PSQL.host_stats_sql(URL_SYNTH_SQL),
+        "stream_windowed_counts": PSQL.windowed_events_sql(21600, "1 day"),
     }

@@ -672,3 +672,32 @@ FROM q JOIN l USING (doc_id) JOIN keep USING (doc_id)
 WHERE l.lang_pred = '{lang}' AND q.quality >= {min_quality}
 ORDER BY q.doc_id
 """
+
+def windowed_events_sql(window_s: int = 21600, delay: str = "1 day") -> str:
+    """Twin of ``streaming.windows.stream_windowed_counts``: tumbling
+    epoch-aligned windows (manual floor — origin-proof vs time_bucket),
+    decimal value sums, restricted to watermark-finalized windows
+    (w_end ≤ max event time − delay) exactly as append mode emits them."""
+    return f"""
+WITH e AS (
+  SELECT ts, event_type, value,
+         to_timestamp(floor(epoch(ts) / {window_s}) * {window_s})
+           ::TIMESTAMP AS w0
+  FROM events
+),
+agg AS (
+  SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS w_start,
+         strftime(w0 + INTERVAL {window_s} SECOND,
+                  '%Y-%m-%d %H:%M:%S') AS w_end,
+         w0 + INTERVAL {window_s} SECOND AS w_end_ts,
+         event_type,
+         count(*)::BIGINT AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_value
+  FROM e GROUP BY w0, event_type
+)
+SELECT w_start, w_end, event_type, n_events, sum_value
+FROM agg
+WHERE w_end_ts <= (SELECT max(ts) FROM events) - INTERVAL {delay}
+ORDER BY w_start, event_type
+"""

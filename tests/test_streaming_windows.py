@@ -5,7 +5,6 @@ held back), nothing less, identical counts and decimal-exact sums."""
 
 from __future__ import annotations
 
-import datetime
 
 import pytest
 from pyspark.sql import functions as F
@@ -22,8 +21,12 @@ def frames(spark):
     streamed = stream_windowed_counts(spark, EVENTS, WINDOW, DELAY).collect()
     ev = spark.read.parquet(EVENTS)
     batch = windowed_event_agg(ev, WINDOW, DELAY)
-    mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
-    wm = (mx - datetime.timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S")
+    # format the watermark INSIDE the UTC-pinned Spark session — a
+    # collect()ed timestamp goes through system-local datetime.fromtimestamp
+    # and would skew the string on a non-UTC host
+    wm = ev.agg(F.date_format(
+        F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 1 DAY"),
+        "yyyy-MM-dd HH:mm:ss")).first()[0]
     return streamed, batch, wm
 
 

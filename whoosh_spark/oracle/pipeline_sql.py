@@ -13,7 +13,9 @@ re-derive the same seeded hyperplanes / sha256 arithmetic in SQL.
 from __future__ import annotations
 
 from whoosh_spark.config import TOKEN_PATTERN_RE2
-from whoosh_spark.pipeline.textstats import BPE_ISH_PATTERN, LANG_PROFILES
+from whoosh_spark.pipeline.textstats import (BPE_ISH_PATTERN, HAN_RE,
+                                              HANGUL_RE, KANA_RE,
+                                              LANG_PROFILES, LANG_WORD_RE)
 
 
 def exact_duplicates_sql() -> str:
@@ -127,11 +129,8 @@ def lang_id_sql() -> str:
         f"('{lang}', [{', '.join(repr(w) for w in words)}])"
         for lang, words in sorted(LANG_PROFILES.items())
     )
-    from whoosh_spark.pipeline.textstats import (
-        HAN_RE, HANGUL_RE, KANA_RE, LANG_WORD_RE)
     # \x{...} is identical RE2 syntax; interpolated values need no brace
     # doubling (only literal f-string text does)
-    han, hangul, kana = HAN_RE, HANGUL_RE, KANA_RE
     return f"""
 WITH w AS (
   SELECT doc_id, text,
@@ -155,13 +154,13 @@ best AS (
 cjk AS (
   SELECT doc_id,
          CASE WHEN length(text) > 0 THEN
-           len(regexp_extract_all(text, '{hangul}'))::DOUBLE / length(text)
+           len(regexp_extract_all(text, '{HANGUL_RE}'))::DOUBLE / length(text)
          ELSE 0.0 END AS hangul_ratio,
          CASE WHEN length(text) > 0 THEN
-           len(regexp_extract_all(text, '{kana}'))::DOUBLE / length(text)
+           len(regexp_extract_all(text, '{KANA_RE}'))::DOUBLE / length(text)
          ELSE 0.0 END AS kana_ratio,
          CASE WHEN length(text) > 0 THEN
-           len(regexp_extract_all(text, '{han}'))::DOUBLE / length(text)
+           len(regexp_extract_all(text, '{HAN_RE}'))::DOUBLE / length(text)
          ELSE 0.0 END AS han_ratio
   FROM w
 )
@@ -677,12 +676,19 @@ def windowed_events_sql(window_s: int = 21600, delay: str = "1 day") -> str:
     """Twin of ``streaming.windows.stream_windowed_counts``: tumbling
     epoch-aligned windows (manual floor — origin-proof vs time_bucket),
     decimal value sums, restricted to watermark-finalized windows
-    (w_end ≤ max event time − delay) exactly as append mode emits them."""
+    (w_end ≤ max event time − delay) exactly as append mode emits them.
+
+    Stays in NAIVE timestamp arithmetic throughout: ``to_timestamp`` would
+    route through DuckDB's session ``TimeZone`` (system default) and shift
+    the window labels on any non-UTC host, while the Spark side is pinned
+    to UTC — epoch + INTERVAL on the naive ``ts`` is engine-tz-proof."""
     return f"""
 WITH e AS (
   SELECT ts, event_type, value,
-         to_timestamp(floor(epoch(ts) / {window_s}) * {window_s})
-           ::TIMESTAMP AS w0
+         TIMESTAMP '1970-01-01 00:00:00'
+           + CAST(floor(epoch(ts) / {window_s}) * {window_s} AS BIGINT)
+             * INTERVAL 1 SECOND
+           AS w0
   FROM events
 ),
 agg AS (

@@ -88,8 +88,9 @@ class Results:
         self.q = q
         self._rows = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         self.limit = limit
-        # a page shorter than limit counts every match ONLY if no
-        # offset/filter/mask trimmed it (search_hits sets this)
+        # a page shorter than limit counts every match ONLY if no offset
+        # trimmed it (filter/mask apply before top-k, so they preserve
+        # exactness; search_hits sets this)
         self._exact_when_short = exact_when_short
         self._est: int | None = None
         self._stored: dict[int, dict] | None = None
@@ -143,8 +144,9 @@ class Results:
         """Upper bound on total matching docs (``Results.estimated_length
         ≈L960``) — the query's estimate_size from broadcast term stats; the
         scored length when every match was provably collected (limit=None
-        or a short page with no offset/filter/mask).  Memoized — the stats
-        lookup runs once per Results."""
+        or a short page with no offset; filter/mask trim before top-k so
+        they keep short pages exact).  Memoized — the stats lookup runs
+        once per Results."""
         if self._est is None:
             if self._exact_when_short and (
                     self.limit is None or len(self._rows) < self.limit):
@@ -232,6 +234,10 @@ class ResultsPage:
                        or len(self.results._rows) < self.results.limit)
         if fetched_all:
             return len(self.results._rows) <= self.offset + self.pagelen
+        if len(self.results._rows) > self.offset + self.pagelen:
+            # the full prefix already extends past this page — a later row
+            # provably exists, no estimate (and no Spark work) needed
+            return False
         return self.total <= self.offset + self.pagelen
 
     def __repr__(self) -> str:

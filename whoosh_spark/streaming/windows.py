@@ -85,4 +85,10 @@ def stream_windowed_counts(spark: SparkSession, events_path: str,
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(name)
+    # detach the result from the memory sink so repeated calls in one
+    # session don't pin a uuid-named temp view (and its rows) forever;
+    # the sink is already driver-resident, so the collect adds nothing
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

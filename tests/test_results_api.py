@@ -90,3 +90,12 @@ def test_results_page_past_end(searcher):
     rare = searcher.search_page(Q.Term("zzzabsent"), pagenum=3, pagelen=5)
     assert len(rare) == 0 and list(rare) == []
     assert rare.is_last_page()
+
+
+def test_is_last_page_full_page_skips_estimate(searcher):
+    # the +1 over-fetch proves a later row exists: is_last_page must answer
+    # False WITHOUT running the estimate (no Spark/stats work on the hot
+    # paging path) — _est stays unmemoized
+    page = searcher.search_page(Q.Term("data"), pagenum=1, pagelen=5)
+    assert not page.is_last_page()
+    assert page.results._est is None

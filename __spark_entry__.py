@@ -664,6 +664,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_windowed_counts=lambda s, d: windows.stream_windowed_counts(
             s, d + "/events.parquet", window="6 hours", delay="1 day")
             .orderBy("w_start", "event_type"),
+        # session windows: dynamic gap-based sessions per event_type, same
+        # real-streaming append/watermark discipline; the oracle restates
+        # them as gaps-and-islands SQL with the finalization filter
+        stream_session_counts=lambda s, d: windows.stream_session_counts(
+            s, d + "/events.parquet", gap="2 hours", delay="1 day")
+            .orderBy("s_start", "event_type"),
     )
     return out
 
@@ -809,4 +815,5 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": PSQL.url_duplicates_sql(URL_SYNTH_SQL),
         "url_host_stats": PSQL.host_stats_sql(URL_SYNTH_SQL),
         "stream_windowed_counts": PSQL.windowed_events_sql(21600, "1 day"),
+        "stream_session_counts": PSQL.session_events_sql(7200, "1 day"),
     }

@@ -707,3 +707,44 @@ FROM agg
 WHERE w_end_ts <= (SELECT max(ts) FROM events) - INTERVAL {delay}
 ORDER BY w_start, event_type
 """
+
+
+def session_events_sql(gap_s: int = 7200, delay: str = "1 day") -> str:
+    """Twin of ``streaming.windows.stream_session_counts``: gaps-and-islands
+    sessionization per event_type.  A new session starts when the gap to the
+    previous event is >= ``gap_s`` (Spark's session interval is
+    [start, last+gap) — an event at exactly the previous end opens a new
+    session); session end = last event + gap.  Restricted to
+    watermark-finalized sessions (end ≤ max event time − delay) exactly as
+    append mode emits them.  All arithmetic stays in naive timestamps."""
+    return f"""
+WITH o AS (
+  SELECT event_type, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL {gap_s} SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+g AS (
+  SELECT event_type, ts, value,
+         sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+agg AS (
+  SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+         strftime(max(ts) + INTERVAL {gap_s} SECOND,
+                  '%Y-%m-%d %H:%M:%S') AS s_end,
+         max(ts) + INTERVAL {gap_s} SECOND AS s_end_ts,
+         event_type,
+         count(*)::BIGINT AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_value
+  FROM g GROUP BY event_type, sid
+)
+SELECT s_start, s_end, event_type, n_events, sum_value
+FROM agg
+WHERE s_end_ts <= (SELECT max(ts) FROM events) - INTERVAL {delay}
+ORDER BY s_start, event_type
+"""

@@ -117,3 +117,33 @@ def test_session_batch_counts_everything(spark, session_frames):
     _, batch, _ = session_frames
     total = batch.agg(F.sum("n_events")).first()[0]
     assert total == spark.read.parquet(EVENTS).count()
+
+
+def test_session_state_merges_across_micro_batches(spark, tmp_path):
+    # split the events by time into two files and force one file per
+    # trigger: sessions straddling the batch boundary must merge in state,
+    # so the two-batch run emits EXACTLY what the single-batch run does
+    ev = spark.read.parquet(EVENTS).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    mid = ev.selectExpr(
+        "percentile_approx(cast(ts as double), 0.5) p").first()["p"]
+    d = str(tmp_path / "split")
+    # lexicographic file order must equal time order (file sources list
+    # alphabetically): write early rows to a-, late rows to b-
+    ev.where(F.unix_timestamp("ts") <= mid).coalesce(1) \
+        .write.parquet(d + "/a_early.parquet")
+    ev.where(F.unix_timestamp("ts") > mid).coalesce(1) \
+        .write.parquet(d + "/b_late.parquet")
+    schema = ev.schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("latestFirst", "false")
+           .parquet(d + "/*/"))
+    from whoosh_spark.streaming.windows import (_run_available_now,
+                                                session_event_agg)
+    two_batch = _run_available_now(
+        session_event_agg(src, "2 hours", DELAY), spark).collect()
+    one_batch = stream_session_counts(spark, EVENTS, "2 hours", DELAY) \
+        .collect()
+    assert _skey(two_batch) == _skey(one_batch)
+    assert len(two_batch) == len(one_batch) > 0

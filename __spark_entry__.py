@@ -24,12 +24,17 @@ from whoosh_spark.index import InvertedIndex
 from whoosh_spark.oracle import pipeline_sql as PSQL
 from whoosh_spark.oracle import sql as OSQL
 from whoosh_spark.pipeline import (components, dedup, extract, multimodal,
+                                   sampling,
                                    scrub, similarity, textstats, urls)
 from whoosh_spark.query import ast as Q
 from whoosh_spark.search import Searcher
 from whoosh_spark.streaming import windows
 
 _CACHE: dict = {}
+
+# stratified-sampling plan shared by the Spark entry and its SQL oracle
+# (thresholds derived once via sampling.sample_thresholds — no drift)
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "zh": 0.1}
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
@@ -618,6 +623,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "n_lines", "n_dropped").orderBy("doc_id"),
         text_repetition=lambda s, d: textstats.repetition_features(
             _docs(s, d)).orderBy("doc_id"),
+        # deterministic hash sampling: same md5-prefix threshold rule on
+        # both engines — identical row SETS, not just equal counts
+        corpus_sample=lambda s, d: sampling.stratified_sample(
+            _docs(s, d), SAMPLE_FRACTIONS).orderBy("doc_id"),
+        # token-budget sequence packing: distributed two-phase prefix sum
+        # (bucket partials + per-bucket windows) vs the oracle's single
+        # global window cumsum — equality proves the prefix-sum decomposition
+        pack_sequences=lambda s, d: sampling.pack_sequences(
+            _docs(s, d), budget=512).orderBy("doc_id"),
         text_winnow=lambda s, d: textstats.winnow_fingerprints(
             _docs(s, d)).select("doc_id", F.explode("fingerprints").alias("fp"))
             .orderBy("doc_id", "fp"),
@@ -798,6 +812,9 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": PSQL.winnow_sql(5, 4),
         "text_repetition": PSQL.repetition_sql(),
         "dedup_lines": PSQL.line_dedup_sql(" ", 1),
+        "corpus_sample": PSQL.stratified_sample_sql(
+            sampling.sample_thresholds(SAMPLE_FRACTIONS)),
+        "pack_sequences": PSQL.pack_sequences_sql(512),
         "pipeline_prep": PSQL.prep_corpus_sql("en", 0.5),
         "sim_cosine_topk": PSQL.cosine_topk_sql(0, 10),
         "sim_ann_lsh": PSQL.ann_topk_sql(0, 10, bits=8, seed=42, dim=64),

@@ -1,0 +1,71 @@
+"""sampling.py: deterministic stratified hash sampling and token-budget
+sequence packing (distributed prefix sum)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from whoosh_spark.pipeline.sampling import (pack_sequences,
+                                            sample_thresholds,
+                                            stratified_sample)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+FRACS = {"en": 0.5, "de": 0.25}
+
+
+def test_sample_deterministic_and_stratified(spark):
+    docs = spark.read.parquet(DOCS)
+    a = stratified_sample(docs, FRACS)
+    rows1 = sorted(tuple(r) for r in a.collect())
+    rows2 = sorted(tuple(r) for r in stratified_sample(docs, FRACS).collect())
+    assert rows1 == rows2 and rows1
+    # only listed strata appear; rates land near the fractions
+    by = {s: n for s, n in a.groupBy("stratum").count().collect()}
+    assert set(by) <= set(FRACS)
+    totals = {s: n for s, n in docs.groupBy("lang").count().collect()}
+    for s, f in FRACS.items():
+        rate = by.get(s, 0) / totals[s]
+        assert abs(rate - f) < 0.15, (s, rate)
+    # threshold rule is the exact keep criterion
+    t = sample_thresholds(FRACS)
+    assert all(r["keep_hash"] < t[r["stratum"]] for r in a.collect())
+
+
+def test_sample_salt_changes_selection(spark):
+    docs = spark.read.parquet(DOCS)
+    a = {r["doc_id"] for r in stratified_sample(docs, FRACS, salt=42).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, FRACS, salt=43).collect()}
+    assert a != b and a and b
+
+
+def test_pack_prefix_sum_bucket_invariant(spark):
+    # the distributed decomposition must be invisible: any bucket count
+    # yields the identical global prefix sum, hence identical bins
+    docs = spark.read.parquet(DOCS)
+    ref = sorted(tuple(r) for r in
+                 pack_sequences(docs, budget=512, n_buckets=1).collect())
+    for nb in (3, 17, 64):
+        got = sorted(tuple(r) for r in
+                     pack_sequences(docs, budget=512, n_buckets=nb).collect())
+        assert got == ref, nb
+    assert ref
+
+
+def test_pack_bins_contiguous_and_bounded(spark):
+    docs = spark.read.parquet(DOCS)
+    rows = sorted(pack_sequences(docs, budget=512).collect(),
+                  key=lambda r: r["doc_id"])
+    # bin ids are non-decreasing in doc order and start at 0
+    bins = [r["bin_id"] for r in rows]
+    assert bins[0] == 0
+    assert all(b1 <= b2 for b1, b2 in zip(bins, bins[1:]))
+    # a doc starts bin b iff its exclusive prefix lands in [b*512, (b+1)*512)
+    cum = 0
+    for r in rows:
+        assert r["bin_id"] == cum // 512
+        cum += r["n_tokens"]
+
+
+def test_pack_empty_input(spark):
+    docs = spark.read.parquet(DOCS).where("doc_id < 0")
+    assert pack_sequences(docs, budget=512).count() == 0

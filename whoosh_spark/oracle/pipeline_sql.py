@@ -748,3 +748,46 @@ FROM agg
 WHERE s_end_ts <= (SELECT max(ts) FROM events) - INTERVAL {delay}
 ORDER BY s_start, event_type
 """
+
+def stratified_sample_sql(thresholds: dict[str, int],
+                          salt: int = 42) -> str:
+    """Twin of ``sampling.stratified_sample``: same md5-prefix keep-hash,
+    same exact integer thresholds (build both sides from
+    ``sampling.sample_thresholds`` so they can never drift)."""
+    cases = " OR ".join(
+        f"(stratum = '{s}' AND h < {t})"
+        for s, t in sorted(thresholds.items())
+    ) or "FALSE"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang AS stratum,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':{salt}'), 1, 15))::BIGINT
+           AS h
+  FROM documents
+)
+SELECT doc_id, stratum, h AS keep_hash
+FROM h WHERE {cases}
+ORDER BY doc_id
+"""
+
+
+def pack_sequences_sql(budget: int = 512) -> str:
+    """Twin of ``sampling.pack_sequences``: the single-node restatement is
+    one global window cumsum (the Spark side computes the identical prefix
+    sum via bucket partials + per-bucket windows)."""
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n
+)
+SELECT doc_id, n_tokens,
+       ((cum - n_tokens) // {budget})::BIGINT AS bin_id
+FROM c ORDER BY doc_id
+"""

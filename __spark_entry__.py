@@ -632,6 +632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # global window cumsum — equality proves the prefix-sum decomposition
         pack_sequences=lambda s, d: sampling.pack_sequences(
             _docs(s, d), budget=512).orderBy("doc_id"),
+        # benchmark decontamination: probes = docs 0..4 (deterministic
+        # self-probe set); the probe shingle set broadcasts, the corpus
+        # side streams — no corpus-shingle shuffle
+        decontaminate=lambda s, d: dedup.contamination(
+            _docs(s, d), _docs(s, d).where("doc_id <= 4"), n=3)
+            .orderBy("doc_id"),
         text_winnow=lambda s, d: textstats.winnow_fingerprints(
             _docs(s, d)).select("doc_id", F.explode("fingerprints").alias("fp"))
             .orderBy("doc_id", "fp"),
@@ -815,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": PSQL.stratified_sample_sql(
             sampling.sample_thresholds(SAMPLE_FRACTIONS)),
         "pack_sequences": PSQL.pack_sequences_sql(512),
+        "decontaminate": PSQL.contamination_sql(3, 4),
         "pipeline_prep": PSQL.prep_corpus_sql("en", 0.5),
         "sim_cosine_topk": PSQL.cosine_topk_sql(0, 10),
         "sim_ann_lsh": PSQL.ann_topk_sql(0, 10, bits=8, seed=42, dim=64),

@@ -69,3 +69,31 @@ def test_pack_bins_contiguous_and_bounded(spark):
 def test_pack_empty_input(spark):
     docs = spark.read.parquet(DOCS).where("doc_id < 0")
     assert pack_sequences(docs, budget=512).count() == 0
+
+
+def test_contamination_semantics_and_plan(spark):
+    from whoosh_spark.pipeline.dedup import contamination
+    docs = spark.read.parquet(DOCS)
+    probes = docs.where("doc_id <= 4")
+    out = contamination(docs, probes, n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # total verdict: every corpus doc present
+    assert len(rows) == docs.count()
+    # the probes are (trivially) contaminated by themselves
+    assert all(rows[i]["contaminated"] and rows[i]["n_hits"] > 0
+               for i in range(5))
+    # flag column is exactly n_hits > 0
+    assert all((r["n_hits"] > 0) == r["contaminated"] for r in rows.values())
+    # the probe side must broadcast — no shuffle of corpus shingles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_disjoint_probes(spark):
+    from whoosh_spark.pipeline.dedup import contamination
+    docs = spark.read.parquet(DOCS)
+    probes = docs.limit(0)
+    out = contamination(docs, probes, n=3)
+    assert out.where("contaminated").count() == 0
+    assert out.count() == docs.count()

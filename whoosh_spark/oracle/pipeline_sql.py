@@ -791,3 +791,23 @@ SELECT doc_id, n_tokens,
        ((cum - n_tokens) // {budget})::BIGINT AS bin_id
 FROM c ORDER BY doc_id
 """
+
+def contamination_sql(n: int = 3, probe_max_id: int = 4) -> str:
+    """Twin of ``dedup.contamination`` with probes = documents whose id is
+    ≤ ``probe_max_id`` (the contract's deterministic self-probe set)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+cs AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM t, UNNEST(generate_series(1, len(toks) - {n - 1})) AS u(i)
+),
+ps AS (SELECT DISTINCT shingle FROM cs WHERE doc_id <= {probe_max_id}),
+hits AS (
+  SELECT cs.doc_id, count(DISTINCT cs.shingle)::BIGINT AS n_hits
+  FROM cs JOIN ps USING (shingle) GROUP BY cs.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -381,3 +381,35 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                     "n_lines",
                     (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
                     .cast("long").alias("n_dropped")))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a probe set)
+# ---------------------------------------------------------------------------
+
+def contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, n_hits, contaminated) — flag corpus documents that share
+    any word ``n``-gram with the probe corpus (pre-training benchmark
+    decontamination: probes = eval-set texts, hits = leakage candidates).
+
+    Scale shape: the probe shingle set is DISTINCT and tiny relative to the
+    corpus (benchmarks are KBs against TBs), so it BROADCASTS and the
+    corpus side streams through a map-side hash semi-join — no shuffle of
+    corpus shingles, no skew (each corpus gram probes a read-only hash
+    set).  ``n_hits`` counts the distinct overlapping grams per document;
+    every corpus doc appears in the output (n_hits=0 rows included) so the
+    result is a total decontamination verdict, joinable as a keep-filter.
+    """
+    ps = shingles(probes, n, text_col).select("shingle").distinct()
+    cs = shingles(docs, n, text_col)
+    hits = (cs.join(F.broadcast(ps), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("shingle").alias("n_hits")))
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (ids.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+                    .alias("contaminated")))

@@ -97,3 +97,20 @@ def test_contamination_disjoint_probes(spark):
     out = contamination(docs, probes, n=3)
     assert out.where("contaminated").count() == 0
     assert out.count() == docs.count()
+
+
+def test_pack_offset_id_range(spark):
+    # ids far from 0 (e.g. 64-bit hash-derived) must bucket relative to
+    # min_id — same bins as the unshifted corpus, and NULL ids are dropped
+    docs = spark.read.parquet(DOCS)
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10**12))
+    ref = [(r["doc_id"], r["bin_id"]) for r in
+           pack_sequences(docs, budget=512, n_buckets=8)
+           .orderBy("doc_id").collect()]
+    got = [(r["doc_id"] - 10**12, r["bin_id"]) for r in
+           pack_sequences(shifted, budget=512, n_buckets=8)
+           .orderBy("doc_id").collect()]
+    assert got == ref and ref
+    withnull = docs.unionByName(
+        docs.limit(1).withColumn("doc_id", F.lit(None).cast("long")))
+    assert pack_sequences(withnull, budget=512).count() == docs.count()

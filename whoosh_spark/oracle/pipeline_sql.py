@@ -234,6 +234,14 @@ ORDER BY a, b
 # ---------------------------------------------------------------------------
 
 
+
+def md5_prefix_sql(expr: str, hexchars: int = 15) -> str:
+    """DuckDB side of the cross-engine md5-prefix hash contract (Spark twin:
+    ``pipeline.dedup.md5_prefix_long``) — keep every oracle's hash built
+    here so the two sides can never drift copy-by-copy."""
+    return f"('0x' || substr(md5({expr}), 1, {hexchars}))::BIGINT"
+
+
 def simhash_near_dups_sql(max_hamming: int = 3) -> str:
     """Brute-force twin of ``simhash_near_dups`` (banding there has FULL
     recall at the radius — bands = max_hamming + 1 — so exact equality)."""
@@ -243,7 +251,7 @@ WITH tf AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   GROUP BY doc_id, tok
 ),
-hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h, tf FROM tf),
+hh AS (SELECT doc_id, {md5_prefix_sql('tok')} AS h, tf FROM tf),
 votes AS (
   SELECT doc_id, i,
          sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
@@ -271,7 +279,7 @@ def winnow_sql(k: int = 5, w: int = 4) -> str:
 WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks FROM documents),
 h AS (
   SELECT doc_id,
-         list_transform(toks, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS th
+         list_transform(toks, s -> {md5_prefix_sql('s', 7)}) AS th
   FROM t WHERE len(toks) >= {k}
 ),
 kg AS (
@@ -716,19 +724,25 @@ def session_events_sql(gap_s: int = 7200, delay: str = "1 day") -> str:
     [start, last+gap) — an event at exactly the previous end opens a new
     session); session end = last event + gap.  Restricted to
     watermark-finalized sessions (end ≤ max event time − delay) exactly as
-    append mode emits them.  All arithmetic stays in naive timestamps."""
+    append mode emits them.  All arithmetic stays in naive timestamps.
+
+    Both window sorts carry ``event_id`` as a tiebreaker: with bare
+    ``ORDER BY ts`` the two sorts are independent, so tied timestamps at a
+    session boundary could see ``brk`` computed under one tie order and the
+    running sum under another (tied rows always share an island — the gap
+    test is 0 < gap — but only if both sorts agree on the row order)."""
     return f"""
 WITH o AS (
-  SELECT event_type, ts, value,
+  SELECT event_type, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL {gap_s} SECOND
               THEN 1 ELSE 0 END AS brk
   FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
 ),
 g AS (
   SELECT event_type, ts, value,
-         sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+         sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 ),
@@ -761,7 +775,7 @@ def stratified_sample_sql(thresholds: dict[str, int],
     return f"""
 WITH h AS (
   SELECT doc_id, lang AS stratum,
-         ('0x' || substr(md5(doc_id::VARCHAR || ':{salt}'), 1, 15))::BIGINT
+         {md5_prefix_sql(f"doc_id::VARCHAR || ':{salt}'")}
            AS h
   FROM documents
 )
@@ -779,7 +793,7 @@ def pack_sequences_sql(budget: int = 512) -> str:
 WITH n AS (
   SELECT doc_id,
          len(string_split(trim(text), ' '))::BIGINT AS n_tokens
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 c AS (
   SELECT doc_id, n_tokens,

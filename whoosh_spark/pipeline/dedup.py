@@ -252,6 +252,16 @@ def minhash_near_dups(docs: DataFrame, tau: float = 0.8, num_perm: int = 128,
 SIMHASH_BITS = 60  # 15 md5 hex chars → portable across engines, sign-safe
 
 
+def md5_prefix_long(col, hexchars: int = 15):
+    """First ``hexchars`` md5 hex chars read as a long — THE engine-portable
+    hash contract used by simhash/sampling and their oracles: Spark
+    ``conv(substring(md5(x),1,n),16,10)::long`` equals DuckDB
+    ``('0x' || substr(md5(x),1,n))::BIGINT`` bit-for-bit (SQL twin:
+    ``oracle.pipeline_sql.md5_prefix_sql``).  Keep both sides in these two
+    helpers so the contract can never drift copy-by-copy."""
+    return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("long")
+
+
 def simhash60(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash long) — 60 tf-weighted bit-majority votes per doc.
 
@@ -263,8 +273,7 @@ def simhash60(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    h = tok.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    h = tok.withColumn("h", md5_prefix_long(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,

@@ -26,15 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# 15 md5 hex chars → uniform integer in [0, 2^60): portable bit-for-bit
-# (Spark conv(substring(md5(x),1,15),16,10) == DuckDB
-# ('0x'||substr(md5(x),1,15))::BIGINT)
+from whoosh_spark.pipeline.dedup import md5_prefix_long
+
+# 15 md5 hex chars → uniform integer in [0, 2^60); the cross-engine hash
+# contract lives in md5_prefix_long / pipeline_sql.md5_prefix_sql
 _HASH_SPACE = 1 << 60
 
 
 def _keep_hash(id_col: str, salt: int):
     key = F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return md5_prefix_long(key)
 
 
 def sample_thresholds(fractions: dict[str, float]) -> dict[str, int]:
@@ -86,15 +87,25 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
     Token rule matches ``textstats.token_counts``'s ``n_ws``.
     """
     n = F.size(F.split(F.trim(F.col(text_col)), " "))
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       n.cast("long").alias("n_tokens"))
-    max_id = base.agg(F.max("doc_id")).first()[0]
-    if max_id is None:
+    # NULL ids have no place in the doc order — drop them explicitly
+    # (oracle twin filters identically) rather than crash or desync
+    base = (docs.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    n.cast("long").alias("n_tokens")))
+    lo_hi = base.agg(F.min("doc_id").alias("lo"),
+                     F.max("doc_id").alias("hi")).first()
+    if lo_hi["lo"] is None:
         return base.withColumn("bin_id", F.lit(0).cast("long")) \
                    .select("doc_id", "n_tokens", "bin_id")
-    span = max(1, (int(max_id) + n_buckets) // n_buckets)
-    base = base.withColumn("bucket",
-                           (F.col("doc_id") / span).cast("long"))
+    # range-bucket relative to min_id: an offset or outlier id range must
+    # not collapse everything into one bucket (that would BE the global
+    # single-partition window this design exists to avoid)
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    span = max(1, (hi - lo + n_buckets) // n_buckets)
+    # `div`, not `/`: Spark's `/` on longs goes through a double, which
+    # rounds past 2^53 — the oracle's integer `//` never does
+    base = base.withColumn(
+        "bucket", F.expr(f"(doc_id - {lo}) div {span}"))
     totals = {r["bucket"]: r["t"]
               for r in base.groupBy("bucket")
                            .agg(F.sum("n_tokens").alias("t")).collect()}
@@ -110,5 +121,5 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
     return (base.join(F.broadcast(off), "bucket")
             .withColumn("cum", F.sum("n_tokens").over(w) + F.col("off"))
             .select("doc_id", "n_tokens",
-                    (((F.col("cum") - F.col("n_tokens")) / budget)
-                     .cast("long")).alias("bin_id")))
+                    F.expr(f"(cum - n_tokens) div {budget}")
+                    .alias("bin_id")))

@@ -199,6 +199,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _searcher(spark, sf_dir)
         return s.facet_counts(Q.Term("data"), "source").select("source", "n")
 
+    def facet_doclists_source(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (s.facet_doclists(Q.Term("data"), "source")
+                .select("source", "doc_ids", "n"))
+
+    def docs_for_query_and(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.docs_for_query(Q.And([Q.Term("data"), Q.Term("vector")]))
+
     def sortedby_nchars(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return (
@@ -313,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(
         collapse_source=collapse_source,
         facet_count_source=facet_count_source,
+        facet_doclists_source=facet_doclists_source,
+        docs_for_query_and=docs_for_query_and,
         sortedby_nchars=sortedby_nchars,
         sortedby_multi=sortedby_multi,
         term_stats_top20=term_stats_top20,
@@ -741,6 +752,8 @@ def oracle_sql() -> dict[str, str]:
         "weighting_frequency": OSQL.frequency_or_sql(["data", "vector"]),
         "collapse_source": OSQL.collapse_sql("data", "source"),
         "facet_count_source": OSQL.facet_count_sql("data", "source"),
+        "facet_doclists_source": OSQL.facet_doclists_sql("data", "source"),
+        "docs_for_query_and": OSQL.docs_for_query_and_sql(["data", "vector"]),
         "sortedby_nchars": OSQL.sortedby_sql("data", "n_chars"),
         "sortedby_multi": OSQL.sortedby_multi_sql("data", ["lang", "n_chars"]),
         "term_stats_top20": OSQL.term_stats_sql(20),

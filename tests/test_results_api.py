@@ -99,3 +99,62 @@ def test_is_last_page_full_page_skips_estimate(searcher):
     page = searcher.search_page(Q.Term("data"), pagenum=1, pagelen=5)
     assert not page.is_last_page()
     assert page.results._est is None
+
+
+def test_results_combination_ops(searcher):
+    """extend/filter/upgrade/upgrade_and_extend (``searching.py::Results
+    ≈L1100-1160``): driver-side list surgery, stable order, cache reset."""
+    a = searcher.search_hits(Q.Term("data"), limit=8)
+    b = searcher.search_hits(Q.Term("vector"), limit=8)
+    a_ids = [h.doc_id for h in a]
+    b_ids = [h.doc_id for h in b]
+    aset, bset = set(a_ids), set(b_ids)
+    assert aset - bset and bset - aset  # both ops below must do real work
+
+    ext = searcher.search_hits(Q.Term("data"), limit=8)
+    ext.extend(b)
+    assert ([h.doc_id for h in ext]
+            == a_ids + [d for d in b_ids if d not in aset])
+
+    flt = searcher.search_hits(Q.Term("data"), limit=8)
+    flt.filter(b)
+    assert [h.doc_id for h in flt] == [d for d in a_ids if d in bset]
+
+    upg = searcher.search_hits(Q.Term("data"), limit=8)
+    upg.upgrade(b)
+    assert ([h.doc_id for h in upg]
+            == [d for d in a_ids if d in bset]
+            + [d for d in a_ids if d not in bset])
+
+    both = searcher.search_hits(Q.Term("data"), limit=8)
+    both.upgrade_and_extend(b)
+    assert ([h.doc_id for h in both]
+            == [d for d in a_ids if d in bset]
+            + [d for d in a_ids if d not in bset]
+            + [d for d in b_ids if d not in aset])
+    # mutation drops the stored cache and the short-page exactness claim
+    assert both._stored is None and both._est is None
+    assert both._exact_when_short is False
+    # and stored fields re-fetch covers the extended row set
+    last = both[len(both) - 1]
+    assert last.fields().get("doc_id") == last.doc_id
+
+
+def test_docs_for_query_matches_unlimited_search(searcher):
+    q = Q.And([Q.Term("data"), Q.Term("vector")])
+    via_docs = {int(r["doc_id"])
+                for r in searcher.docs_for_query(q).collect()}
+    via_search = {int(r["doc_id"])
+                  for r in searcher.search(q, limit=None).collect()}
+    assert via_docs == via_search and via_docs
+
+
+def test_facet_doclists_consistent_with_counts(searcher):
+    counts = {r["source"]: r["n"]
+              for r in searcher.facet_counts(Q.Term("data"), "source").collect()}
+    lists = searcher.facet_doclists(Q.Term("data"), "source").collect()
+    assert {r["source"] for r in lists} == set(counts)
+    for r in lists:
+        ids = [int(x) for x in r["doc_ids"].split(",")]
+        assert len(ids) == r["n"] == counts[r["source"]]
+        assert ids == sorted(ids)

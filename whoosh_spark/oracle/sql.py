@@ -249,6 +249,24 @@ def facet_count_sql(term: str, facet: str) -> str:
     """
 
 
+def docs_for_query_and_sql(terms: list[str]) -> str:
+    """Unscored doc set of an And over term children — every id, no top-k."""
+    return base_ctes() + f"""
+      SELECT doc_id FROM sc WHERE term IN ({_terms_in(terms)})
+      GROUP BY doc_id HAVING count(*) = {len(set(terms))}
+    """
+
+
+def facet_doclists_sql(term: str, facet: str) -> str:
+    return base_ctes() + f"""
+      SELECT d.{facet} AS {facet},
+             string_agg(sc.doc_id::VARCHAR, ',' ORDER BY sc.doc_id) AS doc_ids,
+             count(*)::BIGINT AS n
+      FROM sc JOIN documents d USING (doc_id)
+      WHERE sc.term = '{term}' GROUP BY d.{facet}
+    """
+
+
 def collapse_sql(term: str, key: str, k: int = 10) -> str:
     sel = f"""
       SELECT doc_id, score FROM (

@@ -156,6 +156,43 @@ class Results:
                                 self.searcher.ev.estimate(self.q))
         return self._est
 
+    # -- combination ops (searching.py::Results.extend/filter/upgrade
+    # ≈L1100-1160) — driver-side over the collected top-k rows, exactly
+    # like upstream's list surgery over Results.top_n; no Spark jobs -----
+    def extend(self, results: "Results") -> None:
+        """Append hits from ``results`` not already present, at the end."""
+        have = self.docs()
+        self._rows.extend(
+            (d, s) for d, s in results._rows if d not in have)
+        self._mutated()
+
+    def filter(self, results: "Results") -> None:
+        """Keep only hits that also appear in ``results``."""
+        keep = results.docs()
+        self._rows = [(d, s) for d, s in self._rows if d in keep]
+        self._mutated()
+
+    def upgrade(self, results: "Results") -> None:
+        """Raise hits that also appear in ``results`` above the rest,
+        preserving relative order within each group (stable partition)."""
+        up = results.docs()
+        self._rows = ([r for r in self._rows if r[0] in up]
+                      + [r for r in self._rows if r[0] not in up])
+        self._mutated()
+
+    def upgrade_and_extend(self, results: "Results") -> None:
+        """``upgrade`` then ``extend`` — upstream's combined operation."""
+        self.upgrade(results)
+        self.extend(results)
+
+    def _mutated(self) -> None:
+        # the row set changed: the stored-field batch cache may be stale /
+        # incomplete and the length-based estimate no longer reflects the
+        # original query alone
+        self._stored = None
+        self._est = None
+        self._exact_when_short = False
+
     def key_terms(self, numterms: int = 5) -> list[str]:
         """Most distinctive terms of the result docs (``Results.key_terms
         ≈L1050``) — tf·idf expansion over the hit set."""

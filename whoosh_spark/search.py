@@ -373,6 +373,33 @@ class Searcher:
             .agg(F.count("*").cast("long").alias("n"))
         )
 
+    def facet_doclists(self, q: Q.Query, facet: str) -> DataFrame:
+        """FieldFacet with the UnorderedList maptype (``src/whoosh/sorting.py::
+        UnorderedList ≈L120``): each facet group carries the LIST of matching
+        doc ids, not just a count.  The list is emitted as a comma-joined
+        string of ascending ids so every output column stays scalar
+        (hash/sort-friendly for the contract canonicalizer); collect_list is
+        a single map-side-combined aggregation — same one shuffle as the
+        Count maptype."""
+        scores = self.ev.evaluate(q)
+        return (
+            scores.join(self.ix.docs.select("doc_id", facet), "doc_id")
+            .groupBy(facet)
+            .agg(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.col("doc_id")))
+                ).alias("doc_ids"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+
+    def docs_for_query(self, q: Q.Query) -> DataFrame:
+        """All matching doc ids, unscored (``src/whoosh/searching.py::
+        Searcher.docs_for_query ≈L560``).  One row per matching doc —
+        evaluate() already deduplicates per doc, so no distinct/shuffle is
+        added on top of the query plan."""
+        return self.ev.evaluate(q).select("doc_id")
+
     def facet_range(self, q: Q.Query, col: str, start: float, end: float,
                     gap: float) -> DataFrame:
         """RangeFacet (``src/whoosh/sorting.py::RangeFacet ≈L300``): bucket a

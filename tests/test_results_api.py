@@ -158,3 +158,39 @@ def test_facet_doclists_consistent_with_counts(searcher):
         ids = [int(x) for x in r["doc_ids"].split(",")]
         assert len(ids) == r["n"] == counts[r["source"]]
         assert ids == sorted(ids)
+
+
+def test_results_groups(searcher):
+    """search_hits(groupedby=) + Results.groups() (``searching.py::
+    Results.groups ≈L1010``): groups cover ALL matches, lazy per facet."""
+    res = searcher.search_hits(Q.Term("data"), limit=5, groupedby="source")
+    assert res._groups_cache == {}  # nothing computed yet
+    groups = res.groups()  # single facet: name optional
+    all_ids = {int(r["doc_id"])
+               for r in searcher.docs_for_query(Q.Term("data")).collect()}
+    assert {d for ids in groups.values() for d in ids} == all_ids
+    assert all(ids == sorted(ids) for ids in groups.values())
+    assert res.groups("source") is groups  # cached
+
+    counts = searcher.search_hits(Q.Term("data"), limit=5,
+                                  groupedby="source", maptype="count").groups()
+    assert counts == {k: len(v) for k, v in groups.items()}
+
+    best = searcher.search_hits(Q.Term("data"), limit=5,
+                                groupedby="source", maptype="best").groups()
+    assert set(best) == set(groups)
+    assert all(best[k] in groups[k] for k in best)
+
+    import pytest as _p
+    with _p.raises(KeyError):
+        searcher.search_hits(Q.Term("data"), limit=5).groups()
+    with _p.raises(KeyError):
+        res.groups("no_such_facet")
+    multi = searcher.search_hits(Q.Term("data"), limit=5,
+                                 groupedby=["source", "lang"])
+    with _p.raises(KeyError):
+        multi.groups()  # ambiguous without a name
+    assert set(multi.groups("lang")) and set(multi.groups("source"))
+    with _p.raises(ValueError):
+        searcher.search_hits(Q.Term("data"), limit=5, groupedby="source",
+                             maptype="bogus")

@@ -95,6 +95,11 @@ class Results:
         self._est: int | None = None
         self._stored: dict[int, dict] | None = None
         self._terms_cache: set[str] | None = None
+        # groupedby facets (searching.py::Results.groups ≈L1010) — set by
+        # Searcher.search_hits(groupedby=...); computed lazily per facet
+        self._groupedby: list[str] = []
+        self._maptype: str = "list"
+        self._groups_cache: dict[str, dict] = {}
 
     # -- sequence protocol ----------------------------------------------
     def __len__(self) -> int:
@@ -155,6 +160,39 @@ class Results:
                 self._est = max(len(self._rows),
                                 self.searcher.ev.estimate(self.q))
         return self._est
+
+    def groups(self, name: str | None = None) -> dict:
+        """Facet groups of a ``groupedby=`` search (``searching.py::
+        Results.groups ≈L1010``): the grouping covers ALL matching docs
+        (upstream semantics), not just the collected top-k.  Lazy — the
+        facet job runs once per name on first access.  maptype ``list`` →
+        {key: [doc_id ascending]}, ``count`` → {key: n}, ``best`` →
+        {key: best-scoring doc_id}."""
+        if not self._groupedby:
+            raise KeyError("search was not run with groupedby=")
+        if name is None:
+            if len(self._groupedby) != 1:
+                raise KeyError(
+                    f"several facets were registered {self._groupedby}; "
+                    "pass a name")
+            name = self._groupedby[0]
+        if name not in self._groupedby:
+            raise KeyError(name)
+        if name not in self._groups_cache:
+            s = self.searcher
+            if self._maptype == "count":
+                rows = s.facet_counts(self.q, name).collect()
+                got = {r[name]: int(r["n"]) for r in rows}
+            elif self._maptype == "best":
+                rows = s.facet_best(self.q, name).collect()
+                got = {r[name]: int(r["doc_id"]) for r in rows}
+            else:
+                rows = s.facet_doclists(self.q, name).collect()
+                got = {r[name]: ([int(x) for x in r["doc_ids"].split(",")]
+                                 if r["doc_ids"] else [])
+                       for r in rows}
+            self._groups_cache[name] = got
+        return self._groups_cache[name]
 
     # -- combination ops (searching.py::Results.extend/filter/upgrade
     # ≈L1100-1160) — driver-side over the collected top-k rows, exactly

@@ -204,19 +204,34 @@ class Searcher:
         return parse_query(qstring, **kw)
 
     # ------------------------------------------------------------------
-    def search_hits(self, q: Q.Query, limit: int | None = 10, **kw):
+    def search_hits(self, q: Q.Query, limit: int | None = 10,
+                    groupedby: str | list[str] | None = None,
+                    maptype: str = "list", **kw):
         """Run ``search()`` and wrap the collected top-k in a lazy
         ``Results``/``Hit`` view (``searching.py::Results ≈L900``): scores
         and doc ids are materialized (k rows), stored fields load in ONE
-        batched job on first ``hit[field]`` access."""
+        batched job on first ``hit[field]`` access.
+
+        ``groupedby``/``maptype`` mirror upstream's faceted search
+        (``searching.py::Searcher.search(groupedby=...) ≈L700`` +
+        ``Results.groups ≈L1010``): facet names registered here are
+        grouped over ALL matching docs — lazily, one Spark job per facet
+        on the first ``results.groups(name)`` call, not at search time."""
         from whoosh_spark.results import Results
 
+        if maptype not in ("list", "count", "best"):
+            raise ValueError(f"unknown maptype: {maptype!r}")
         rows = self.search(q, limit=limit, **kw).select("doc_id", "score").collect()
         # a short page proves the total of the search-as-run (filter/mask
         # trim BEFORE top-k, so shortness still counts every surviving
         # match) — only a skipped-head offset breaks that proof
         exact_when_short = not kw.get("offset")
-        return Results(self, q, rows, limit, exact_when_short=exact_when_short)
+        res = Results(self, q, rows, limit, exact_when_short=exact_when_short)
+        if groupedby is not None:
+            res._groupedby = ([groupedby] if isinstance(groupedby, str)
+                              else list(groupedby))
+            res._maptype = maptype
+        return res
 
     # ------------------------------------------------------------------
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw):

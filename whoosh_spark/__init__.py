@@ -6,9 +6,10 @@ README.md for architecture.
 
 from whoosh_spark.index import InvertedIndex
 from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
+from whoosh_spark.reader import IndexReader, TermInfo
 from whoosh_spark.results import Hit, Results
 from whoosh_spark.search import Searcher
 
 __all__ = ["InvertedIndex", "MultiFieldIndex", "FieldSpec", "Searcher",
-           "Results", "Hit"]
+           "Results", "Hit", "IndexReader", "TermInfo"]
 __version__ = "0.1.0"

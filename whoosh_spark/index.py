@@ -251,3 +251,10 @@ class InvertedIndex:
         """Whoosh idf: log(N/(df+1)) + 1 (``src/whoosh/scoring.py ≈L70``)."""
         n, _ = self.global_stats()
         return math.log(n / (df + 1)) + 1.0
+
+    def reader(self):
+        """Low-level read surface over this snapshot
+        (``src/whoosh/reading.py::IndexReader`` — see reader.py)."""
+        from whoosh_spark.reader import IndexReader
+
+        return IndexReader(self)

@@ -169,3 +169,10 @@ class MultiFieldIndex:
 
     def idf(self, df: int) -> float:
         return self.primary.idf(df)
+
+    def reader(self):
+        """Low-level read surface (``reading.py::IndexReader``) — fielded
+        lookups route to the owning sub-index, like fielded query nodes."""
+        from whoosh_spark.reader import IndexReader
+
+        return IndexReader(self)

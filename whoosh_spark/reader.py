@@ -1,0 +1,264 @@
+"""IndexReader adapter — upstream ``src/whoosh/reading.py::IndexReader``
+(≈L300-900; cite per SURVEY provenance caveat: ``/root/reference`` is empty,
+anchors are the public whoosh 2.7.4 layout).
+
+Upstream exposes the low-level read surface of a segment: term lookup
+(``doc_frequency/frequency/term_info``), the ordered term dictionary
+(``lexicon/expand_prefix/all_terms``), per-document storage
+(``stored_fields/doc_field_length``), and corpus statistics
+(``doc_count/field_length/most_frequent_terms``).
+
+Spark-first restatement: every one of these is a query against an index
+TABLE, not a file cursor —
+
+- term lookups are O(terms) collects against the broadcast-sized
+  ``term_stats`` table (the TermInfo analog, one row per (field, term));
+- the "ordered term dictionary" is ``term_stats ORDER BY term`` with the
+  prefix/range predicate pushed to the parquet scan; ``lexicon`` streams it
+  through ``toLocalIterator`` so the driver never materializes a 100 TB
+  vocabulary at once;
+- per-doc reads are point lookups on ``doc_lengths`` / ``docs``;
+- ``postings`` reuses the block-decode kernel (term-pruned scan, positions
+  column only when asked — same plan as query execution).
+
+The reader is a VIEW over an immutable index snapshot (deletes and
+compactions hand out new ``InvertedIndex`` instances), matching upstream's
+reader-per-generation semantics.  It accepts a single-field
+``InvertedIndex`` or a ``MultiFieldIndex`` (fieldname routes to the right
+sub-index, like fielded query nodes do).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class TermInfo:
+    """``reading.py::TermInfo (≈L40)`` — per-term statistics, method-for-
+    method (upstream callers do ``ti.weight()`` etc., so these are methods
+    rather than attributes)."""
+
+    _weight: int
+    _df: int
+    _min_id: int
+    _max_id: int
+    _max_weight: float
+
+    def weight(self) -> int:
+        """Total term frequency across the corpus (cf)."""
+        return self._weight
+
+    def doc_frequency(self) -> int:
+        return self._df
+
+    def min_id(self) -> int:
+        return self._min_id
+
+    def max_id(self) -> int:
+        return self._max_id
+
+    def max_weight(self) -> float:
+        return self._max_weight
+
+
+class IndexReader:
+    """Low-level read surface over an index snapshot."""
+
+    def __init__(self, ix):
+        self.ix = ix
+
+    # -- routing ---------------------------------------------------------
+    def _sub(self, fieldname: str | None):
+        """Resolve a fieldname to the single-field index that owns it."""
+        if fieldname is None or fieldname == self.ix.field:
+            # MultiFieldIndex delegates the unfielded surface to its
+            # default field's index; InvertedIndex is its own answer
+            return getattr(self.ix, "primary", self.ix)
+        index_for = getattr(self.ix, "index_for", None)
+        if index_for is None:
+            raise KeyError(f"unknown field {fieldname!r} "
+                           f"(single-field index over {self.ix.field!r})")
+        return index_for(fieldname)
+
+    def _fields(self) -> list[str]:
+        idxs = getattr(self.ix, "indexes", None)
+        return sorted(idxs) if idxs is not None else [self.ix.field]
+
+    # -- corpus statistics -------------------------------------------------
+    def doc_count(self) -> int:
+        """Undeleted document count (``IndexReader.doc_count ≈L330``)."""
+        n = self.doc_count_all()
+        if getattr(self.ix, "deleted", None) is not None:
+            # the overlay is small (ids only); count it, don't scan docs
+            n -= self.ix.deleted.count()
+        return n
+
+    def doc_count_all(self) -> int:
+        """Total docs including deleted-but-unpurged (``≈L325``) — BM25's N,
+        from the already-collected field_stats row."""
+        n, _ = self._sub(None).global_stats()
+        return n
+
+    def field_length(self, fieldname: str | None = None) -> int:
+        """Total token count of the field (``≈L360``)."""
+        return self._sub(fieldname).total_field_length()
+
+    def min_field_length(self, fieldname: str | None = None) -> int:
+        return int(self._field_stats_row(fieldname)["min_len"] or 0)
+
+    def max_field_length(self, fieldname: str | None = None) -> int:
+        return int(self._field_stats_row(fieldname)["max_len"] or 0)
+
+    def _field_stats_row(self, fieldname: str | None):
+        rows = self._sub(fieldname).field_stats.collect()
+        return rows[0] if rows else {"min_len": 0, "max_len": 0}
+
+    # -- term lookup --------------------------------------------------------
+    def has_term(self, text: str, fieldname: str | None = None) -> bool:
+        return self.doc_frequency(text, fieldname) > 0
+
+    def __contains__(self, term) -> bool:
+        """``(fieldname, text) in reader`` — upstream's membership shape."""
+        fieldname, text = term
+        return self.has_term(text, fieldname)
+
+    def doc_frequency(self, text: str, fieldname: str | None = None) -> int:
+        """Number of docs containing the term; 0 when absent (``≈L400``)."""
+        st = self._sub(fieldname).stats_for_terms([text]).get(text)
+        return int(st["df"]) if st else 0
+
+    def frequency(self, text: str, fieldname: str | None = None) -> int:
+        """Total occurrences of the term (cf; ``≈L405``)."""
+        st = self._sub(fieldname).stats_for_terms([text]).get(text)
+        return int(st["cf"]) if st else 0
+
+    def term_info(self, text: str, fieldname: str | None = None) -> TermInfo:
+        """Full TermInfo; raises ``KeyError`` for an absent term like
+        upstream (``≈L390``)."""
+        sub = self._sub(fieldname)
+        rows = (
+            sub.term_stats.where(
+                (F.col("field") == sub.field) & (F.col("term") == text))
+            .select("df", "cf", "max_weight", "min_id", "max_id")
+            .collect()
+        )
+        if not rows:
+            raise KeyError((fieldname or sub.field, text))
+        r = rows[0]
+        return TermInfo(int(r["cf"]), int(r["df"]),
+                        int(r["min_id"]), int(r["max_id"]),
+                        float(r["max_weight"]))
+
+    # -- term dictionary ------------------------------------------------------
+    def lexicon(self, fieldname: str | None = None) -> Iterator[str]:
+        """All terms of a field in ascending order (``≈L420``) — streamed
+        partition-by-partition via toLocalIterator; the driver holds one
+        partition of the vocabulary at a time, never all of it."""
+        sub = self._sub(fieldname)
+        df = (sub.term_stats.where(F.col("field") == sub.field)
+              .select("term").orderBy("term"))
+        return (r["term"] for r in df.toLocalIterator())
+
+    def expand_prefix(self, prefix: str,
+                      fieldname: str | None = None) -> Iterator[str]:
+        """Terms starting with ``prefix``, ascending (``≈L430``).  The
+        startswith predicate reaches the parquet scan (StringStartsWith
+        pushdown) — same pruning as the Prefix query."""
+        sub = self._sub(fieldname)
+        df = (sub.term_stats.where(
+                (F.col("field") == sub.field)
+                & F.col("term").startswith(prefix))
+              .select("term").orderBy("term"))
+        return (r["term"] for r in df.toLocalIterator())
+
+    def all_terms(self) -> Iterator[tuple[str, str]]:
+        """(fieldname, text) across every field, field-major (``≈L415``)."""
+        for fld in self._fields():
+            for t in self.lexicon(fld):
+                yield (fld, t)
+
+    def most_frequent_terms(self, fieldname: str | None = None,
+                            number: int = 5,
+                            prefix: str = "") -> list[tuple[int, str]]:
+        """Top terms by total frequency (``≈L450``): (cf, term), cf DESC —
+        a TakeOrderedAndProject over term_stats, no full sort."""
+        sub = self._sub(fieldname)
+        pred = F.col("field") == sub.field
+        if prefix:
+            pred = pred & F.col("term").startswith(prefix)
+        rows = (sub.term_stats.where(pred)
+                .orderBy(F.col("cf").desc(), F.col("term").asc())
+                .select("cf", "term").limit(number).collect())
+        return [(int(r["cf"]), r["term"]) for r in rows]
+
+    def most_distinctive_terms(self, fieldname: str | None = None,
+                               number: int = 5,
+                               prefix: str = "") -> list[tuple[float, str]]:
+        """Top terms by cf·idf (``≈L460``) — rare-but-heavy terms rank up.
+        idf is whoosh's log(N/(df+1))+1, computed as a column expression so
+        the ranking runs JVM-side."""
+        sub = self._sub(fieldname)
+        n, _ = sub.global_stats()
+        pred = F.col("field") == sub.field
+        if prefix:
+            pred = pred & F.col("term").startswith(prefix)
+        score = F.col("cf") * (
+            F.log(F.lit(float(n)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+        rows = (sub.term_stats.where(pred)
+                .select(score.alias("score"), "term")
+                .orderBy(F.col("score").desc(), F.col("term").asc())
+                .limit(number).collect())
+        return [(float(r["score"]), r["term"]) for r in rows]
+
+    # -- postings ----------------------------------------------------------
+    def postings(self, text: str, fieldname: str | None = None,
+                 with_positions: bool = False) -> DataFrame:
+        """Decoded posting list of one term as a DataFrame — the Spark-first
+        restatement of ``IndexReader.postings → Matcher (≈L500)``: columns
+        (doc_id, tf[, positions]), deletion-filtered, term filter pushed to
+        the blocks scan before decode."""
+        sub = self._sub(fieldname)
+        out = sub.postings([text], with_positions=with_positions)
+        cols = ["doc_id", "tf"] + (["positions"] if with_positions else [])
+        return sub.not_deleted(out.select(*cols))
+
+    # -- per-document storage -------------------------------------------------
+    def doc_field_length(self, docnum: int, fieldname: str | None = None,
+                         default: int = 0) -> int:
+        """Stored per-doc field length (``≈L370``).  Returns the
+        byte-quantized dl — the same round-tripped value upstream reads back
+        from its per-doc storage and feeds to BM25."""
+        sub = self._sub(fieldname)
+        rows = (sub.doc_lengths.where(F.col("doc_id") == docnum)
+                .select("dl").collect())
+        return int(rows[0]["dl"]) if rows else default
+
+    def stored_fields(self, docnum: int) -> dict:
+        """Stored fields of one document (``≈L340``)."""
+        docs = self._sub(None).docs
+        rows = docs.where(F.col("doc_id") == docnum).collect()
+        if not rows:
+            raise KeyError(docnum)
+        return rows[0].asDict()
+
+    def all_stored_fields(self) -> Iterator[dict]:
+        """Every undeleted document's stored fields, doc_id ascending
+        (``≈L345``) — streamed, one partition driver-resident at a time."""
+        sub = self._sub(None)
+        df = sub.not_deleted(sub.docs).orderBy("doc_id")
+        return (r.asDict() for r in df.toLocalIterator())
+
+    # -- context manager (upstream readers are used in with-blocks) --------
+    def close(self) -> None:  # snapshot view: nothing to release
+        pass
+
+    def __enter__(self) -> "IndexReader":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.close()
+        return False

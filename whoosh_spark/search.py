@@ -188,6 +188,11 @@ class Searcher:
         return ordered
 
     # ------------------------------------------------------------------
+    def reader(self):
+        """The index's low-level read surface (``searching.py::
+        Searcher.reader ≈L330`` → ``reading.py::IndexReader``)."""
+        return self.ix.reader()
+
     def parse(self, qstring: str, **kw) -> Q.Query:
         """Parse a query string against THIS index's schema: field names
         (MultiFieldIndex) and the index's own analyzer chain (manifest

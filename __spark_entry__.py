@@ -222,6 +222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang", "n_chars")
         )
 
+    def reader_distinctive_terms(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.reader().distinctive_terms_df(number=10).select("score", "term")
+
     def term_stats_top20(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return (
@@ -327,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sortedby_nchars=sortedby_nchars,
         sortedby_multi=sortedby_multi,
         term_stats_top20=term_stats_top20,
+        reader_distinctive_terms=reader_distinctive_terms,
         field_stats=field_stats_q,
         doc_lengths=doc_lengths_q,
         spelling=spelling_q,
@@ -757,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "sortedby_nchars": OSQL.sortedby_sql("data", "n_chars"),
         "sortedby_multi": OSQL.sortedby_multi_sql("data", ["lang", "n_chars"]),
         "term_stats_top20": OSQL.term_stats_sql(20),
+        "reader_distinctive_terms": OSQL.distinctive_terms_sql(10),
         "field_stats": OSQL.field_stats_sql(),
         "doc_lengths": OSQL.doc_lengths_sql(100),
         "spelling": OSQL.spelling_sql("dat", 2, 3),

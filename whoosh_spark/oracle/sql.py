@@ -309,6 +309,17 @@ def term_stats_sql(top: int = 20) -> str:
     """
 
 
+def distinctive_terms_sql(top: int = 10) -> str:
+    """IndexReader.most_distinctive_terms: cf·(ln(N/(df+1))+1), score DESC."""
+    return base_ctes() + f"""
+      SELECT (cf * (ln(n / (df + 1.0)) + 1.0))::DOUBLE AS score, term
+      FROM (SELECT t.term AS term, count(*)::DOUBLE AS df,
+                   sum(t.tf)::DOUBLE AS cf FROM tfs t GROUP BY t.term)
+      CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM dl)
+      ORDER BY score DESC, term ASC LIMIT {top}
+    """
+
+
 def field_stats_sql() -> str:
     return base_ctes() + """
       SELECT count(*)::BIGINT AS doc_count, sum(len_raw)::BIGINT AS total_len,

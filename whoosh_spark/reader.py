@@ -195,12 +195,12 @@ class IndexReader:
                 .select("cf", "term").limit(number).collect())
         return [(int(r["cf"]), r["term"]) for r in rows]
 
-    def most_distinctive_terms(self, fieldname: str | None = None,
-                               number: int = 5,
-                               prefix: str = "") -> list[tuple[float, str]]:
-        """Top terms by cf·idf (``≈L460``) — rare-but-heavy terms rank up.
-        idf is whoosh's log(N/(df+1))+1, computed as a column expression so
-        the ranking runs JVM-side."""
+    def distinctive_terms_df(self, fieldname: str | None = None,
+                             number: int = 5, prefix: str = "") -> DataFrame:
+        """cf·idf term ranking as a DataFrame (the distributed form of
+        ``most_distinctive_terms``): idf is whoosh's log(N/(df+1))+1 as a
+        column expression, top-N via TakeOrderedAndProject — no full sort,
+        no driver-side vocabulary."""
         sub = self._sub(fieldname)
         n, _ = sub.global_stats()
         pred = F.col("field") == sub.field
@@ -208,10 +208,16 @@ class IndexReader:
             pred = pred & F.col("term").startswith(prefix)
         score = F.col("cf") * (
             F.log(F.lit(float(n)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
-        rows = (sub.term_stats.where(pred)
+        return (sub.term_stats.where(pred)
                 .select(score.alias("score"), "term")
                 .orderBy(F.col("score").desc(), F.col("term").asc())
-                .limit(number).collect())
+                .limit(number))
+
+    def most_distinctive_terms(self, fieldname: str | None = None,
+                               number: int = 5,
+                               prefix: str = "") -> list[tuple[float, str]]:
+        """Top terms by cf·idf (``≈L460``) — rare-but-heavy terms rank up."""
+        rows = self.distinctive_terms_df(fieldname, number, prefix).collect()
         return [(float(r["score"]), r["term"]) for r in rows]
 
     # -- postings ----------------------------------------------------------

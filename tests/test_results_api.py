@@ -194,3 +194,22 @@ def test_results_groups(searcher):
     with _p.raises(ValueError):
         searcher.search_hits(Q.Term("data"), limit=5, groupedby="source",
                              maptype="bogus")
+
+
+def test_results_groups_honor_filter_and_mask(searcher):
+    """groups() of a filtered search covers the FILTERED match set —
+    upstream's facet collector sits behind the filter wrapper, so docs the
+    filter/mask removed never reach a group."""
+    q = Q.Term("data")
+    flt = Q.Term("query")
+    msk = Q.Term("vector")
+    res = searcher.search_hits(q, limit=5, filter=flt, mask=msk,
+                               groupedby="source")
+    grouped = {d for ids in res.groups().values() for d in ids}
+    want = {int(r["doc_id"]) for r in searcher.docs_for_query(
+        Q.AndNot(Q.Require(q, flt), msk)).collect()}
+    assert grouped == want
+    # and the unfiltered set differs (the fixture corpus makes this real)
+    full = {int(r["doc_id"])
+            for r in searcher.docs_for_query(q).collect()}
+    assert grouped < full

@@ -100,6 +100,9 @@ class Results:
         self._groupedby: list[str] = []
         self._maptype: str = "list"
         self._groups_cache: dict[str, dict] = {}
+        # the query whose doc set the facets group — q plus any filter/mask
+        # the search ran with (search_hits overrides when they were given)
+        self._group_q = q
 
     # -- sequence protocol ----------------------------------------------
     def __len__(self) -> int:
@@ -181,13 +184,13 @@ class Results:
         if name not in self._groups_cache:
             s = self.searcher
             if self._maptype == "count":
-                rows = s.facet_counts(self.q, name).collect()
+                rows = s.facet_counts(self._group_q, name).collect()
                 got = {r[name]: int(r["n"]) for r in rows}
             elif self._maptype == "best":
-                rows = s.facet_best(self.q, name).collect()
+                rows = s.facet_best(self._group_q, name).collect()
                 got = {r[name]: int(r["doc_id"]) for r in rows}
             else:
-                rows = s.facet_doclists(self.q, name).collect()
+                rows = s.facet_doclists(self._group_q, name).collect()
                 got = {r[name]: ([int(x) for x in r["doc_ids"].split(",")]
                                  if r["doc_ids"] else [])
                        for r in rows}

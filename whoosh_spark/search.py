@@ -236,6 +236,16 @@ class Searcher:
             res._groupedby = ([groupedby] if isinstance(groupedby, str)
                               else list(groupedby))
             res._maptype = maptype
+            # upstream groups the FILTERED match set (the facet collector
+            # sits behind the filter wrapper in the collector chain) —
+            # restate search()'s semi/anti joins as query algebra so the
+            # lazy facet job sees the same doc set
+            gq = q
+            if kw.get("filter") is not None:
+                gq = Q.Require(gq, kw["filter"])
+            if kw.get("mask") is not None:
+                gq = Q.AndNot(gq, kw["mask"])
+            res._group_q = gq
         return res
 
     # ------------------------------------------------------------------

@@ -195,6 +195,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = s.search(Q.Term("data"), limit=None, collapse="source", collapse_limit=1)
         return _topk(res.select("doc_id", "score"))
 
+    def collapse_order_nchars(spark, sf_dir):
+        # collapse_order= picks the SURVIVOR per group (shortest doc wins
+        # via n_chars asc); ranking of the survivors stays score desc
+        s = _searcher(spark, sf_dir)
+        res = s.search(Q.Term("data"), limit=None, collapse="source",
+                       collapse_limit=1, collapse_order="n_chars")
+        return _topk(res.select("doc_id", "score"))
+
+    def term_vector(spark, sf_dir):
+        # forward index: reader.vector_df — stored-field point lookup
+        # re-analyzed through the index's own chain (reading.py ≈L430)
+        s = _searcher(spark, sf_dir)
+        return s.reader().vector_df(7).select("term", "tf", "positions")
+
     def facet_count_source(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return s.facet_counts(Q.Term("data"), "source").select("source", "n")
@@ -325,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out.update(
         collapse_source=collapse_source,
+        collapse_order_nchars=collapse_order_nchars,
+        term_vector=term_vector,
         facet_count_source=facet_count_source,
         facet_doclists_source=facet_doclists_source,
         docs_for_query_and=docs_for_query_and,
@@ -756,6 +772,8 @@ def oracle_sql() -> dict[str, str]:
         ]),
         "weighting_frequency": OSQL.frequency_or_sql(["data", "vector"]),
         "collapse_source": OSQL.collapse_sql("data", "source"),
+        "collapse_order_nchars": OSQL.collapse_order_sql("data", "source", "n_chars"),
+        "term_vector": OSQL.term_vector_sql(7),
         "facet_count_source": OSQL.facet_count_sql("data", "source"),
         "facet_doclists_source": OSQL.facet_doclists_sql("data", "source"),
         "docs_for_query_and": OSQL.docs_for_query_and_sql(["data", "vector"]),

@@ -1,0 +1,106 @@
+"""Term vectors (``src/whoosh/reading.py::IndexReader.vector ≈L430``) and
+collapse_order (``src/whoosh/collectors.py::CollapseCollector ≈L650``):
+the forward-index read surface and order-keyed collapse survivors.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whoosh_spark import FieldSpec, MultiFieldIndex, Searcher
+from whoosh_spark.analysis.analyzers import analyze_text
+from whoosh_spark.query import ast as Q
+
+
+def _expected_vector(text: str) -> dict[str, list[int]]:
+    toks, poss = analyze_text(text or "")
+    agg: dict[str, list[int]] = {}
+    for t, p in zip(toks, poss):
+        agg.setdefault(t, []).append(p)
+    return agg
+
+
+def test_vector_parity_with_analyzer(ix, docs_rows):
+    r = ix.reader()
+    doc_id, text = docs_rows[3]
+    exp = _expected_vector(text)
+    got = dict(r.vector_as("positions", doc_id))
+    assert got == exp
+    freqs = dict(r.vector_as("frequency", doc_id))
+    assert freqs == {t: len(ps) for t, ps in exp.items()}
+    weights = list(r.vector(doc_id))
+    assert weights == sorted((t, float(len(ps))) for t, ps in exp.items())
+    assert r.has_vector(doc_id)
+
+
+def test_vector_df_shape_and_order(ix, docs_rows):
+    doc_id, text = docs_rows[5]
+    df = ix.reader().vector_df(doc_id)
+    rows = df.collect()
+    terms = [row["term"] for row in rows]
+    assert terms == sorted(terms)
+    exp = _expected_vector(text)
+    assert {row["term"]: row["tf"] for row in rows} == {
+        t: len(ps) for t, ps in exp.items()}
+    # positions CSV is ascending tokenizer ordinals
+    for row in rows:
+        ps = [int(p) for p in row["positions"].split(",")]
+        assert ps == sorted(ps) == exp[row["term"]]
+
+
+def test_vector_missing_and_deleted(spark, ix):
+    r = ix.reader()
+    with pytest.raises(KeyError):
+        r.vector(10_000_000)
+    assert not r.has_vector(10_000_000)
+    dead = spark.createDataFrame([(0,)], "doc_id long")
+    ixd = ix.with_deleted(dead)
+    with pytest.raises(KeyError):
+        ixd.reader().vector(0)
+    assert not ixd.reader().has_vector(0)
+    assert ix.reader().has_vector(0)  # original snapshot untouched
+
+
+def test_vector_multifield_routing(spark):
+    rows = [
+        (0, "spark spark engine", "fast distributed search"),
+        (1, "whoosh library", "pure python search library"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    mix = MultiFieldIndex.build(
+        docs, fields={"title": FieldSpec("title"), "body": FieldSpec("body")},
+        default_field="body")
+    r = mix.reader()
+    assert dict(r.vector_as("frequency", 0, "title")) == {
+        "spark": 2, "engine": 1}
+    assert dict(r.vector_as("frequency", 1, "body")) == {
+        "pure": 1, "python": 1, "search": 1, "library": 1}
+    # unfielded routes to the default field (body)
+    assert dict(r.vector_as("frequency", 0)) == {
+        "fast": 1, "distributed": 1, "search": 1}
+    with pytest.raises(ValueError):
+        list(r.vector_as("nope", 0))
+
+
+def test_collapse_order_survivor(searcher, ix):
+    # default collapse keeps the best-scoring doc per key; collapse_order
+    # keeps the doc with the LOWEST order column instead — ranking of the
+    # survivors stays score desc
+    q = Q.Term("data")
+    plain = searcher.search(q, limit=None, collapse="source")
+    ordered = searcher.search(q, limit=None, collapse="source",
+                              collapse_order="n_chars")
+    scores = searcher.ev.evaluate(q)
+    keyed = scores.join(ix.docs.select("doc_id", "source", "n_chars"),
+                        "doc_id").collect()
+    by_key: dict[str, list] = {}
+    for row in keyed:
+        by_key.setdefault(row["source"], []).append(row)
+    exp_plain = {max(v, key=lambda r: (r["score"], -r["doc_id"]))["doc_id"]
+                 for v in by_key.values()}
+    exp_order = {min(v, key=lambda r: (r["n_chars"], r["doc_id"]))["doc_id"]
+                 for v in by_key.values()}
+    assert {r["doc_id"] for r in plain.collect()} == exp_plain
+    assert {r["doc_id"] for r in ordered.collect()} == exp_order
+    assert exp_plain != exp_order or len(by_key) == 0  # the corpus separates them

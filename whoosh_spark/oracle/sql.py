@@ -279,6 +279,33 @@ def collapse_sql(term: str, key: str, k: int = 10) -> str:
     return base_ctes() + topk(sel, k)
 
 
+def collapse_order_sql(term: str, key: str, order_col: str, k: int = 10,
+                       keep: int = 1) -> str:
+    """collapse= with collapse_order=: survivors per key are picked by the
+    order column ascending (lower wins), then ranked by score."""
+    sel = f"""
+      SELECT doc_id, score FROM (
+        SELECT sc.doc_id, sc.score,
+               row_number() OVER (PARTITION BY d.{key}
+                                  ORDER BY d.{order_col} ASC, sc.doc_id ASC) AS rn
+        FROM sc JOIN documents d USING (doc_id) WHERE sc.term = '{term}') t
+      WHERE rn <= {keep}
+    """
+    return base_ctes() + topk(sel, k)
+
+
+def term_vector_sql(doc_id: int) -> str:
+    """Forward-index term vector of one document: (term, tf, positions) with
+    tokenizer-ordinal positions (stop gaps preserved) — the DuckDB twin of
+    ``IndexReader.vector_df`` (same tokf token/positions CTE)."""
+    return base_ctes() + f"""
+      SELECT term, count(*)::BIGINT AS tf,
+             string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+      FROM tokf WHERE doc_id = {doc_id}
+      GROUP BY term ORDER BY term
+    """
+
+
 def sortedby_sql(term: str, col: str, k: int = 10) -> str:
     return base_ctes() + f"""
       SELECT sc.doc_id AS doc_id, d.{col} AS {col}

@@ -251,6 +251,101 @@ class IndexReader:
             raise KeyError(docnum)
         return rows[0].asDict()
 
+    # -- term vectors (forward index) ----------------------------------------
+    def vector_df(self, docnum: int, fieldname: str | None = None) -> DataFrame:
+        """Term vector of ONE document as a DataFrame — columns
+        (term, tf, positions), term-ascending; ``positions`` is the
+        comma-joined list of tokenizer ordinals (stop gaps preserved).
+
+        Upstream ``reading.py::IndexReader.vector (≈L430)`` reads a
+        doc-major vectors segment written at index time (``vector=True``
+        fields).  The Spark-first restatement re-derives the vector from
+        the stored field through the index's OWN analyzer chain — token
+        parity with the inverted file holds by construction (same analyzer
+        functions the build's Arrow kernel inlines) — so no second
+        persisted per-doc segment is needed.  Cost shape: a point lookup
+        with the doc_id filter pushed to the docs scan, then ONE document
+        analyzed driver-side (the ``more_like_text`` pattern — upstream's
+        vector read is also one-doc work).  Deleted docs have no vector
+        (the overlay filters them like every read).
+        """
+        sub = self._sub(fieldname)
+        specs = getattr(self.ix, "specs", None)
+        if specs is not None:
+            spec = self.ix.spec_for(fieldname)
+            src, analyzer = spec.source, spec.analyzer
+        else:
+            src = getattr(sub, "text_col", "text")
+            analyzer = sub.analyzer
+        docs = getattr(self.ix, "docs", None)
+        if docs is None:
+            raise ValueError("index has no stored docs table; vectors are "
+                             "derived from the stored field")
+        if src not in docs.columns:
+            raise ValueError(
+                f"stored docs table has no {src!r} column (index written "
+                f"with store_text=False?); vectors need the stored field")
+        one = sub.not_deleted(docs.where(F.col("doc_id") == int(docnum)))
+        rows = one.select(F.col(src).alias("_text")).collect()
+        spark = docs.sparkSession
+        schema = "term string, tf long, positions string"
+        if not rows:
+            return spark.createDataFrame([], schema)
+        from whoosh_spark.analysis.analyzers import ANALYZERS
+
+        an = ANALYZERS.get(analyzer or "standard", ANALYZERS["standard"])
+        toks, poss = an(rows[0]["_text"] or "")
+        agg: dict[str, list[int]] = {}
+        for t, p in zip(toks, poss):
+            agg.setdefault(t, []).append(p)
+        data = [
+            (t, len(ps), ",".join(str(p) for p in ps))
+            for t, ps in sorted(agg.items())
+        ]
+        return spark.createDataFrame(data, schema).orderBy("term")
+
+    def has_vector(self, docnum: int, fieldname: str | None = None) -> bool:
+        """True when the doc exists (undeleted) and stores the field —
+        every stored doc is vectorable here (``≈L420``)."""
+        try:
+            sub = self._sub(fieldname)
+        except KeyError:
+            return False
+        docs = getattr(self.ix, "docs", None)
+        if docs is None:
+            return False
+        return (sub.not_deleted(docs.where(F.col("doc_id") == int(docnum)))
+                .limit(1).count() > 0)
+
+    def vector(self, docnum: int,
+               fieldname: str | None = None) -> Iterator[tuple[str, float]]:
+        """(term, weight) pairs, term-ascending — the matcher-as-iterator
+        shape of ``IndexReader.vector (≈L430)``.  Raises ``KeyError`` for a
+        missing/deleted doc, like upstream's no-vector error."""
+        rows = self.vector_df(docnum, fieldname).collect()
+        if not rows:
+            raise KeyError(f"no vector for document {docnum}")
+        return iter((r["term"], float(r["tf"])) for r in rows)
+
+    def vector_as(self, astype: str, docnum: int,
+                  fieldname: str | None = None) -> Iterator[tuple]:
+        """``reading.py::IndexReader.vector_as (≈L450)``: the decoded
+        vector as (term, value) pairs — ``frequency`` → int tf, ``weight``
+        → float weight, ``positions`` → list of tokenizer ordinals."""
+        if astype not in ("frequency", "weight", "positions"):
+            raise ValueError(f"unknown vector astype {astype!r}")
+        rows = self.vector_df(docnum, fieldname).collect()
+        if not rows:
+            raise KeyError(f"no vector for document {docnum}")
+        if astype == "frequency":
+            return iter((r["term"], int(r["tf"])) for r in rows)
+        if astype == "weight":
+            return iter((r["term"], float(r["tf"])) for r in rows)
+        return iter(
+            (r["term"], [int(p) for p in r["positions"].split(",") if p])
+            for r in rows
+        )
+
     def all_stored_fields(self) -> Iterator[dict]:
         """Every undeleted document's stored fields, doc_id ascending
         (``≈L345``) — streamed, one partition driver-resident at a time."""

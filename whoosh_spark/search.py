@@ -75,6 +75,7 @@ class Searcher:
         reverse: bool = False,
         collapse: str | None = None,
         collapse_limit: int = 1,
+        collapse_order: str | None = None,
         offset: int = 0,
         with_stored: list[str] | None = None,
         optimize: bool = True,
@@ -142,7 +143,8 @@ class Searcher:
             scores = joined.select("doc_id", final(F.col("score")).alias("score"))
 
         if collapse is not None:
-            scores = self._collapse(scores, collapse, collapse_limit)
+            scores = self._collapse(scores, collapse, collapse_limit,
+                                    collapse_order)
 
         if sortedby is not None:
             # multi-level sort facet (``sorting.py::MultiFacet ≈L500``): a
@@ -383,10 +385,22 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
-    def _collapse(self, scores: DataFrame, key: str, keep: int) -> DataFrame:
-        """``collectors.py::CollapseCollector (≈L650)`` → window row_number."""
-        with_key = scores.join(self.ix.docs.select("doc_id", key), "doc_id")
-        w = Window.partitionBy(key).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    def _collapse(self, scores: DataFrame, key: str, keep: int,
+                  order: str | None = None) -> DataFrame:
+        """``collectors.py::CollapseCollector (≈L650)`` → window row_number.
+
+        ``order`` is the collapse_order facet: which docs SURVIVE within a
+        collapse group is decided by that stored column ascending (upstream:
+        lower sort key wins) instead of by score; the survivors still rank
+        by score in the final result."""
+        cols = ["doc_id", key] if order in (None, key) else ["doc_id", key, order]
+        with_key = scores.join(self.ix.docs.select(*cols), "doc_id")
+        if order is not None:
+            w = Window.partitionBy(key).orderBy(
+                F.col(order).asc(), F.col("doc_id").asc())
+        else:
+            w = Window.partitionBy(key).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc())
         return (
             with_key.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= keep)

@@ -104,3 +104,31 @@ def test_collapse_order_survivor(searcher, ix):
     assert {r["doc_id"] for r in plain.collect()} == exp_plain
     assert {r["doc_id"] for r in ordered.collect()} == exp_order
     assert exp_plain != exp_order or len(by_key) == 0  # the corpus separates them
+
+
+def test_corrector_suggest(searcher, ix):
+    # spelling.py::Corrector.suggest — closest-first, frequency within band
+    c = searcher.corrector()
+    sug = c.suggest("dta", limit=3)
+    assert sug and sug[0] == "data"
+    assert "dta" not in sug
+    # distance band ordering: a dist-1 term beats any dist-2 term
+    import pyspark.sql.functions as SF
+    stats = {r["term"]: int(r["cf"]) for r in
+             ix.term_stats.where(SF.levenshtein(SF.col("term"), SF.lit("dta")) <= 2)
+             .where(SF.col("term").startswith("d")).collect()}
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def rec(i, j):
+            if i == 0: return j
+            if j == 0: return i
+            return min(rec(i-1, j) + 1, rec(i, j-1) + 1,
+                       rec(i-1, j-1) + (a[i-1] != b[j-1]))
+        return rec(len(a), len(b))
+    exp = sorted((t for t in stats if t != "dta"),
+                 key=lambda t: (lev(t, "dta"), -stats[t], t))[:3]
+    assert sug == exp
+    # prefix pruning + empty input
+    assert c.suggest("") == []
+    assert all(s.startswith("q") for s in c.suggest("quury"))

@@ -749,6 +749,18 @@ class Searcher:
         )
         return [r["term"] for r in rows]
 
+    def corrector(self, fieldname: str | None = None) -> "Corrector":
+        """``searching.py::Searcher.corrector (≈L620)`` — a reusable
+        suggestion object over one field's lexicon."""
+        if hasattr(self.ix, "index_for"):
+            ixf = self.ix.index_for(fieldname)
+        elif fieldname is not None and fieldname != self.ix.field:
+            raise KeyError(f"unknown field {fieldname!r} (single-field "
+                           f"index {self.ix.field!r})")
+        else:
+            ixf = self.ix
+        return Corrector(ixf)
+
     def correct_terms(self, words: list[str], maxdist: int = 2) -> dict[str, str]:
         """Batched ``correct_term``: top correction for EVERY word in ONE
         term_stats scan (one Spark job however many typos the query has).
@@ -885,3 +897,39 @@ def run_with_timeout(spark, timelimit: float, fn):
 def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
     """Collect ``df`` under :func:`run_with_timeout`."""
     return run_with_timeout(df.sparkSession, timelimit, df.collect)
+
+
+class Corrector:
+    """``src/whoosh/spelling.py::Corrector/ReaderCorrector (≈L40-120)`` —
+    reusable spelling suggestions over one field's lexicon.
+
+    Upstream walks an FSA of the term dictionary distance-band by band
+    (closest first, frequency-ranked within a band).  The Spark restatement
+    is ONE term_stats scan with the levenshtein + shared-prefix predicate,
+    ranked (distance ASC, cf DESC, term ASC) — identical suggestion order,
+    TakeOrderedAndProject plan, no driver-side vocabulary."""
+
+    def __init__(self, ix):
+        self.ix = ix
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2,
+                prefix: int = 1) -> list[str]:
+        """Closest-first suggestions for ``text``; ``prefix`` leading chars
+        must match (upstream's prefix= pruning — also what keeps the scan
+        predicate selective on a 100 TB lexicon)."""
+        if not text:
+            return []
+        dist = F.levenshtein(F.col("term"), F.lit(text))
+        pred = dist <= maxdist
+        if prefix > 0:
+            pred = pred & F.col("term").startswith(text[:prefix])
+        rows = (
+            self.ix.term_stats.where(pred)
+            .select("term", "cf", dist.alias("_d"))
+            .where(F.col("term") != text)
+            .orderBy(F.col("_d").asc(), F.col("cf").desc(),
+                     F.col("term").asc())
+            .limit(limit)
+            .collect()
+        )
+        return [r["term"] for r in rows]

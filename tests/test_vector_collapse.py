@@ -132,3 +132,43 @@ def test_corrector_suggest(searcher, ix):
     # prefix pruning + empty input
     assert c.suggest("") == []
     assert all(s.startswith("q") for s in c.suggest("quury"))
+
+
+def test_register_analyzer_end_to_end(spark):
+    # §2.9 custom-Analyzer extension point: registered chains work in the
+    # build AND the query-time tee, like any built-in name
+    from whoosh_spark.analysis.analyzers import ANALYZERS, register_analyzer
+    from whoosh_spark.index import InvertedIndex
+
+    def shouty(text):
+        toks, poss = [], []
+        for pos, w in enumerate((text or "").split()):
+            w = w.strip(".,").upper()
+            if w:
+                toks.append(w)
+                poss.append(pos)
+        return toks, poss
+
+    with pytest.raises(ValueError):
+        register_analyzer("standard", shouty)  # built-ins are immutable
+    with pytest.raises(TypeError):
+        register_analyzer("broken", lambda t: "nope")
+    register_analyzer("shouty_test", shouty)
+    try:
+        docs = spark.createDataFrame(
+            [(0, "big data engine"), (1, "small data tool")],
+            "doc_id long, text string")
+        ix = InvertedIndex.build(docs, analyzer="shouty_test")
+        s = Searcher(ix)
+        # Query objects hold index-term form: analyzed=True skips the
+        # standard-chain re-analysis (upstream Term semantics; the
+        # parse_query(analyzer=) tee sets this for parsed strings)
+        got = {r["doc_id"] for r in
+               s.search(Q.Term("DATA", analyzed=True), limit=10).collect()}
+        assert got == {0, 1}
+        assert s.search(Q.Term("data", analyzed=True),
+                        limit=10).count() == 0  # chain applied at build
+        assert dict(ix.reader().vector_as("frequency", 0)) == {
+            "BIG": 1, "DATA": 1, "ENGINE": 1}
+    finally:
+        ANALYZERS.pop("shouty_test", None)

@@ -368,3 +368,34 @@ ANALYZERS: dict[str, object] = {
     "reversed": analyze_text_reversed,
     "boosted": analyze_text_boosted,
 }
+
+
+def register_analyzer(name: str, fn) -> None:
+    """Custom-Analyzer extension point (``analysis/analyzers.py::Analyzer
+    ≈L40`` — the §2.9 UDF surface): register ``fn(text) -> (tokens,
+    positions)`` under a schema name usable everywhere a chain name is —
+    ``FieldSpec(analyzer=...)``, ``write_index(analyzer=...)`` (persisted in
+    the manifest), the ``parse_query(analyzer=...)`` query-time tee.  The
+    function runs inside the Arrow batch kernel (one CPython call per doc,
+    vectorized transport), so it must be a plain picklable callable.
+
+    Overwriting a built-in chain name is refused — persisted manifests
+    reference chains by name, and silently changing "standard" would make
+    every existing index unreadable-as-written."""
+    if not callable(fn):
+        raise TypeError(f"analyzer {name!r} must be callable")
+    if name in _BUILTIN_ANALYZERS:
+        raise ValueError(f"cannot overwrite built-in analyzer {name!r}")
+    try:
+        toks, poss = fn("probe text")
+    except (TypeError, ValueError) as e:
+        raise TypeError("analyzer must return (tokens, positions) "
+                        f"parallel lists: {e}") from e
+    if not isinstance(toks, list) or not isinstance(poss, list) \
+            or len(toks) != len(poss):
+        raise TypeError("analyzer must return (tokens, positions) "
+                        "parallel lists")
+    ANALYZERS[name] = fn
+
+
+_BUILTIN_ANALYZERS = frozenset(ANALYZERS)

@@ -172,3 +172,78 @@ def test_register_analyzer_end_to_end(spark):
             "BIG": 1, "DATA": 1, "ENGINE": 1}
     finally:
         ANALYZERS.pop("shouty_test", None)
+
+
+def test_vector_review_regressions(spark, tmp_path):
+    # (a) empty-but-existing vector: stopword-only text yields an EMPTY
+    # iterator, not the missing-doc KeyError; has_vector stays True
+    from whoosh_spark.index import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(0, "the of and"), (1, "big data engine")],
+        "doc_id long, text string")
+    ix = InvertedIndex.build(docs)
+    r = ix.reader()
+    assert r.has_vector(0)
+    assert list(r.vector(0)) == []
+    assert list(r.vector_as("positions", 0)) == []
+
+    # (b) non-default text_col: the build records it; vectors read the
+    # right column even when an unrelated "text" column exists
+    docs2 = spark.createDataFrame(
+        [(0, "decoy words here", "real body tokens")],
+        "doc_id long, text string, body string")
+    ix2 = InvertedIndex.build(docs2, text_col="body")
+    assert dict(ix2.reader().vector_as("frequency", 0)) == {
+        "real": 1, "body": 1, "tokens": 1}
+    # snapshot clones carry it
+    dead = spark.createDataFrame([(99,)], "doc_id long")
+    assert ix2.with_deleted(dead).text_col == "body"
+
+    # (c) unknown analyzer chain = hard KeyError, never a silent
+    # standard-chain fallback
+    ix3 = InvertedIndex.build(docs)
+    ix3.analyzer = "not_registered_chain"
+    with pytest.raises(KeyError):
+        ix3.reader().vector(1)
+
+    # (d) store_text=False persisted index: has_vector False, vector
+    # raises the explicit ValueError
+    from whoosh_spark import store as S
+    p = str(tmp_path / "ixnt")
+    S.write_index(docs, p, store_text=False)
+    lx = S.load_index(spark, p)
+    assert lx.text_col == "text"
+    assert not lx.reader().has_vector(1)
+    with pytest.raises(ValueError):
+        lx.reader().vector(1)
+
+    # (e) boost overlay: vector_as('weight') returns the same
+    # coalesce(w, tf) weights the scorer uses; 'frequency' stays tf
+    overlay = spark.createDataFrame(
+        [("data", 1, 5.0)], "term string, doc_id long, w double")
+    ixb = ix.with_boosts(overlay)
+    wts = dict(ixb.reader().vector_as("weight", 1))
+    assert wts == {"big": 1.0, "data": 5.0, "engine": 1.0}
+    assert dict(ixb.reader().vector_as("frequency", 1)) == {
+        "big": 1, "data": 1, "engine": 1}
+
+
+def test_collapse_order_doc_id_and_nulls(spark):
+    # collapse_order='doc_id' must not produce an ambiguous-column plan,
+    # and NULL order keys lose (asc_nulls_last — matches the SQL oracle)
+    from whoosh_spark.index import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(0, "data alpha", "s1", None),
+         (1, "data beta", "s1", 10),
+         (2, "data gamma", "s2", 7)],
+        "doc_id long, text string, source string, n_chars int")
+    s = Searcher(InvertedIndex.build(docs))
+    by_id = s.search(Q.Term("data"), limit=None, collapse="source",
+                     collapse_order="doc_id")
+    assert {r["doc_id"] for r in by_id.collect()} == {0, 2}
+    by_nc = s.search(Q.Term("data"), limit=None, collapse="source",
+                     collapse_order="n_chars")
+    # NULL n_chars (doc 0) loses to doc 1 within s1
+    assert {r["doc_id"] for r in by_nc.collect()} == {1, 2}

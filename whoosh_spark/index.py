@@ -62,6 +62,7 @@ class InvertedIndex:
         self.char_offsets = None  # Characters-format segment (chars.py), or None
         self.boosts = None  # sparse (term, doc_id, w) boost overlay (boosts.py)
         self.analyzer = "standard"  # registry name of the analysis chain
+        self.text_col = "text"  # stored source column the field was built from
         self._global = None  # (N, avgdl) cache
 
     # ------------------------------------------------------------------
@@ -95,6 +96,7 @@ class InvertedIndex:
             field=field,
         )
         ix.analyzer = analyzer
+        ix.text_col = text_col
         ix._flat_postings = postings  # kept for build-invariance tests
         return ix
 
@@ -215,6 +217,7 @@ class InvertedIndex:
         ix.char_offsets = self.char_offsets
         ix.boosts = self.boosts
         ix.analyzer = self.analyzer
+        ix.text_col = self.text_col
         if hasattr(self, "manifest"):
             ix.manifest = self.manifest
         ix._global = self._global

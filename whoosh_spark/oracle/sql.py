@@ -287,7 +287,8 @@ def collapse_order_sql(term: str, key: str, order_col: str, k: int = 10,
       SELECT doc_id, score FROM (
         SELECT sc.doc_id, sc.score,
                row_number() OVER (PARTITION BY d.{key}
-                                  ORDER BY d.{order_col} ASC, sc.doc_id ASC) AS rn
+                                  ORDER BY d.{order_col} ASC NULLS LAST,
+                                           sc.doc_id ASC) AS rn
         FROM sc JOIN documents d USING (doc_id) WHERE sc.term = '{term}') t
       WHERE rn <= {keep}
     """

@@ -269,12 +269,24 @@ class IndexReader:
         vector read is also one-doc work).  Deleted docs have no vector
         (the overlay filters them like every read).
         """
+        exists, rows = self._vector_rows(docnum, fieldname)
+        data = [(t, len(ps), ",".join(str(p) for p in ps))
+                for t, _w, ps in rows]
+        return self.ix.spark.createDataFrame(
+            data, "term string, tf long, positions string").orderBy("term")
+
+    def _vector_source(self, fieldname: str | None):
+        """(sub_index, source column, analyzer name, docs table) for the
+        field — raising the same errors the build/parse paths raise for an
+        unknown field or chain."""
         sub = self._sub(fieldname)
         specs = getattr(self.ix, "specs", None)
         if specs is not None:
             spec = self.ix.spec_for(fieldname)
             src, analyzer = spec.source, spec.analyzer
         else:
+            # InvertedIndex.build records its text_col; pre-attr snapshots
+            # and loaded indexes default to the build default "text"
             src = getattr(sub, "text_col", "text")
             analyzer = sub.analyzer
         docs = getattr(self.ix, "docs", None)
@@ -285,34 +297,49 @@ class IndexReader:
             raise ValueError(
                 f"stored docs table has no {src!r} column (index written "
                 f"with store_text=False?); vectors need the stored field")
+        return sub, src, analyzer, docs
+
+    def _vector_rows(
+        self, docnum: int, fieldname: str | None
+    ) -> tuple[bool, list[tuple[str, float, list[int]]]]:
+        """(doc exists undeleted?, [(term, weight, positions)]) — the local
+        vector; a doc whose field analyzes to zero tokens exists with an
+        EMPTY vector (distinct from a missing/deleted doc).  Weight is the
+        boost-overlay weight when the index carries one (the same
+        ``coalesce(w, tf)`` the scorer uses), else tf."""
+        sub, src, analyzer, docs = self._vector_source(fieldname)
         one = sub.not_deleted(docs.where(F.col("doc_id") == int(docnum)))
-        rows = one.select(F.col(src).alias("_text")).collect()
-        spark = docs.sparkSession
-        schema = "term string, tf long, positions string"
-        if not rows:
-            return spark.createDataFrame([], schema)
+        found = one.select(F.col(src).alias("_text")).collect()
+        if not found:
+            return False, []
         from whoosh_spark.analysis.analyzers import ANALYZERS
 
-        an = ANALYZERS.get(analyzer or "standard", ANALYZERS["standard"])
-        toks, poss = an(rows[0]["_text"] or "")
+        # unknown chain = hard error, same as build.py/parser.py — a silent
+        # standard-chain fallback would contradict the inverted file
+        an = ANALYZERS[analyzer or "standard"]
+        toks, poss = an(found[0]["_text"] or "")
         agg: dict[str, list[int]] = {}
         for t, p in zip(toks, poss):
             agg.setdefault(t, []).append(p)
-        data = [
-            (t, len(ps), ",".join(str(p) for p in ps))
+        boosted: dict[str, float] = {}
+        if getattr(sub, "boosts", None) is not None:
+            boosted = {
+                r["term"]: float(r["w"])
+                for r in sub.boosts.where(
+                    F.col("doc_id") == int(docnum)).collect()
+            }
+        return True, [
+            (t, boosted.get(t, float(len(ps))), ps)
             for t, ps in sorted(agg.items())
         ]
-        return spark.createDataFrame(data, schema).orderBy("term")
 
     def has_vector(self, docnum: int, fieldname: str | None = None) -> bool:
-        """True when the doc exists (undeleted) and stores the field —
-        every stored doc is vectorable here (``≈L420``)."""
+        """True iff ``vector(docnum, fieldname)`` will succeed: the field is
+        vectorable (stored source column present) and the doc exists
+        undeleted (``≈L420``)."""
         try:
-            sub = self._sub(fieldname)
-        except KeyError:
-            return False
-        docs = getattr(self.ix, "docs", None)
-        if docs is None:
+            sub, _src, _an, docs = self._vector_source(fieldname)
+        except (KeyError, ValueError):
             return False
         return (sub.not_deleted(docs.where(F.col("doc_id") == int(docnum)))
                 .limit(1).count() > 0)
@@ -321,30 +348,29 @@ class IndexReader:
                fieldname: str | None = None) -> Iterator[tuple[str, float]]:
         """(term, weight) pairs, term-ascending — the matcher-as-iterator
         shape of ``IndexReader.vector (≈L430)``.  Raises ``KeyError`` for a
-        missing/deleted doc, like upstream's no-vector error."""
-        rows = self.vector_df(docnum, fieldname).collect()
-        if not rows:
+        missing/deleted doc (upstream's no-vector error); an existing doc
+        whose field analyzes to nothing yields an empty iterator."""
+        exists, rows = self._vector_rows(docnum, fieldname)
+        if not exists:
             raise KeyError(f"no vector for document {docnum}")
-        return iter((r["term"], float(r["tf"])) for r in rows)
+        return iter((t, w) for t, w, _ps in rows)
 
     def vector_as(self, astype: str, docnum: int,
                   fieldname: str | None = None) -> Iterator[tuple]:
         """``reading.py::IndexReader.vector_as (≈L450)``: the decoded
         vector as (term, value) pairs — ``frequency`` → int tf, ``weight``
-        → float weight, ``positions`` → list of tokenizer ordinals."""
+        → float weight (boost-overlay-aware), ``positions`` → list of
+        tokenizer ordinals."""
         if astype not in ("frequency", "weight", "positions"):
             raise ValueError(f"unknown vector astype {astype!r}")
-        rows = self.vector_df(docnum, fieldname).collect()
-        if not rows:
+        exists, rows = self._vector_rows(docnum, fieldname)
+        if not exists:
             raise KeyError(f"no vector for document {docnum}")
         if astype == "frequency":
-            return iter((r["term"], int(r["tf"])) for r in rows)
+            return iter((t, len(ps)) for t, _w, ps in rows)
         if astype == "weight":
-            return iter((r["term"], float(r["tf"])) for r in rows)
-        return iter(
-            (r["term"], [int(p) for p in r["positions"].split(",") if p])
-            for r in rows
-        )
+            return iter((t, w) for t, w, _ps in rows)
+        return iter((t, list(ps)) for t, _w, ps in rows)
 
     def all_stored_fields(self) -> Iterator[dict]:
         """Every undeleted document's stored fields, doc_id ascending

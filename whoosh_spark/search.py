@@ -393,11 +393,15 @@ class Searcher:
         collapse group is decided by that stored column ascending (upstream:
         lower sort key wins) instead of by score; the survivors still rank
         by score in the final result."""
-        cols = ["doc_id", key] if order in (None, key) else ["doc_id", key, order]
+        cols = list(dict.fromkeys(
+            ["doc_id", key] + ([order] if order is not None else [])))
         with_key = scores.join(self.ix.docs.select(*cols), "doc_id")
         if order is not None:
+            # NULL order keys lose (asc_nulls_last) — pins one semantics
+            # across engines (Spark asc defaults nulls FIRST, SQL engines
+            # commonly last)
             w = Window.partitionBy(key).orderBy(
-                F.col(order).asc(), F.col("doc_id").asc())
+                F.col(order).asc_nulls_last(), F.col("doc_id").asc())
         else:
             w = Window.partitionBy(key).orderBy(
                 F.col("score").desc(), F.col("doc_id").asc())

@@ -346,6 +346,7 @@ def write_index(
         "n_blocks": counts["n_blocks"],
         "store_text": store_text,
         "analyzer": analyzer,
+        "text_col": text_col,
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -379,6 +380,7 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     )
     ix.manifest = manifest
     ix.analyzer = manifest.get("analyzer", "standard")
+    ix.text_col = manifest.get("text_col", "text")
     offsets_dir = FS.join(path, "char_offsets")
     ix.char_offsets = (
         spark.read.parquet(offsets_dir)
@@ -428,8 +430,12 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     """
     t0 = time.perf_counter()
     # compaction re-merges already-analyzed tokens (no re-analysis), but the
-    # manifest must keep declaring the chain those tokens came from
+    # manifest must keep declaring the chain those tokens came from — and
+    # the source column they were analyzed out of
     prev_analyzer = manifest_analyzer(path)
+    _raw = FS.read_text(FS.join(path, MANIFEST))
+    prev_text_col = (json.loads(_raw).get("text_col", "text")
+                     if _raw else "text")
     analyzed = _rebalance(
         spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch"),
         spark)
@@ -503,6 +509,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "n_blocks": blocks_r.count(),
         "store_text": False,
         "analyzer": prev_analyzer,
+        "text_col": prev_text_col,
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))

@@ -247,3 +247,21 @@ def test_collapse_order_doc_id_and_nulls(spark):
                      collapse_order="n_chars")
     # NULL n_chars (doc 0) loses to doc 1 within s1
     assert {r["doc_id"] for r in by_nc.collect()} == {1, 2}
+
+
+def test_searcher_stats_conveniences(searcher, ix, spark):
+    # searching.py::Searcher.doc_count/doc_count_all/idf (≈L340-360)
+    import math
+    n = ix.docs.count()
+    assert searcher.doc_count_all() == n
+    assert searcher.doc_count() == n
+    df = int(ix.term_stats.where(F.col("term") == "data").collect()[0]["df"])
+    assert searcher.idf("data") == pytest.approx(math.log(n / (df + 1)) + 1)
+    # absent term: df=0 in the same formula (upstream semantics)
+    assert searcher.idf("zzzabsent") == pytest.approx(math.log(n / 1) + 1)
+    with pytest.raises(KeyError):
+        searcher.idf("data", "no_such_field")
+    dead = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    sd = Searcher(ix.with_deleted(dead))
+    assert sd.doc_count() == n - 2
+    assert sd.doc_count_all() == n  # BM25's N keeps counting until purge

@@ -195,6 +195,32 @@ class Searcher:
         Searcher.reader ≈L330`` → ``reading.py::IndexReader``)."""
         return self.ix.reader()
 
+    def doc_count(self) -> int:
+        """Undeleted doc count (``searching.py::Searcher.doc_count ≈L340``)."""
+        return self.reader().doc_count()
+
+    def doc_count_all(self) -> int:
+        """Total docs incl. deleted-but-unpurged (``≈L345``) — BM25's N."""
+        return self.reader().doc_count_all()
+
+    def idf(self, text: str, fieldname: str | None = None) -> float:
+        """``searching.py::Searcher.idf (≈L355)`` — the engine's exact idf
+        (ln(N/(df+1))+1) for one term, from the O(1) stats tables."""
+        from whoosh_spark.execution.score import idf_value
+
+        if hasattr(self.ix, "index_for"):
+            ixf = self.ix.index_for(fieldname)
+        elif fieldname is not None and fieldname != self.ix.field:
+            raise KeyError(f"unknown field {fieldname!r} (single-field "
+                           f"index {self.ix.field!r})")
+        else:
+            ixf = self.ix
+        n, _ = ixf.global_stats()
+        if n == 0:
+            return 0.0
+        st = ixf.stats_for_terms([text]).get(text)
+        return idf_value(n, st["df"] if st else 0)
+
     def parse(self, qstring: str, **kw) -> Q.Query:
         """Parse a query string against THIS index's schema: field names
         (MultiFieldIndex) and the index's own analyzer chain (manifest

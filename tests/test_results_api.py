@@ -213,3 +213,58 @@ def test_results_groups_honor_filter_and_mask(searcher):
     full = {int(r["doc_id"])
             for r in searcher.docs_for_query(q).collect()}
     assert grouped < full
+
+
+def test_matched_terms_surface(searcher):
+    # searching.py::Hit.matched_terms (≈L1340) / Results.matched_terms
+    q = Q.Or([Q.Term("data"), Q.Term("zzzabsent"), Q.Term("query")])
+    res = searcher.search_hits(q, limit=5, terms=True)
+    assert res.has_matched_terms()
+    union = res.matched_terms()
+    # absent leaf never appears; present leaves carry the field name
+    assert ("text", "zzzabsent") not in union
+    assert union <= {("text", "data"), ("text", "query")}
+    for h in res:
+        mt = h.matched_terms()
+        assert mt and mt <= union
+        # every reported term really occurs in the stored text
+        text = h["text"].lower()
+        assert all(t in text for _, t in mt)
+    # without terms=True the API refuses (upstream NoTermsException)
+    plain = searcher.search_hits(q, limit=5)
+    assert not plain.has_matched_terms()
+    try:
+        plain.matched_terms()
+        assert False, "expected RuntimeError"
+    except RuntimeError:
+        pass
+
+
+def test_hit_more_like_this(searcher):
+    res = searcher.search_hits(Q.Term("data"), limit=3, terms=True)
+    h = res[0]
+    alike = h.more_like_this(limit=5).collect()
+    assert 0 < len(alike) <= 5
+    assert h.doc_id not in {int(r["doc_id"]) for r in alike}
+
+
+def test_document_numbers(searcher, ix):
+    row = ix.docs.orderBy("doc_id").limit(1).collect()[0]
+    lang = row["lang"]
+    want = sorted(int(r["doc_id"]) for r in
+                  ix.docs.where(f"lang = '{lang}'").collect())
+    got = searcher.document_numbers(lang=lang)
+    assert got == want
+    assert searcher.document_number(lang=lang) == want[0]
+    assert searcher.document_number(lang="xx_nope") is None
+    assert searcher.document_numbers(lang="xx_nope") == []
+
+
+def test_key_terms_from_text(searcher):
+    df = searcher.key_terms_from_text(
+        "data data data query window zzzabsent", top=3)
+    rows = df.collect()
+    assert [r["term"] for r in rows][0] == "data"  # tf=3 dominates
+    assert all(r["keyness"] > 0 for r in rows)
+    assert "zzzabsent" not in {r["term"] for r in rows}  # df=0 → no stats row
+    assert searcher.key_terms_from_text("", top=3).count() == 0

@@ -58,6 +58,19 @@ class Hit:
     def items(self):
         return self.fields().items()
 
+    def matched_terms(self) -> set:
+        """(field, term) query leaves that occur in THIS hit
+        (``searching.py::Hit.matched_terms ≈L1340``).  Requires the search
+        to have run with ``terms=True``."""
+        return self.results._matched_for(self.doc_id)
+
+    def more_like_this(self, limit: int = 10, numterms: int = 5):
+        """Docs similar to this hit (``Hit.more_like_this ≈L1360``):
+        tf·idf key-term expansion, excluding the hit itself — returns the
+        engine's (doc_id, score) DataFrame."""
+        return self.results.searcher.more_like(
+            [self.doc_id], limit=limit, numterms=numterms)
+
     def highlights(self, fieldname: str = "text", top: int = 3,
                    **fmt_kw) -> str:
         """Highlighted context fragments of a stored text field for THIS
@@ -95,6 +108,9 @@ class Results:
         self._est: int | None = None
         self._stored: dict[int, dict] | None = None
         self._terms_cache: set[str] | None = None
+        # terms=True probe results: {doc_id: {(field, term)}} — set by
+        # Searcher.search_hits(terms=True); None = search ran without it
+        self._matched: dict[int, set] | None = None
         # groupedby facets (searching.py::Results.groups ≈L1010) — set by
         # Searcher.search_hits(groupedby=...); computed lazily per facet
         self._groupedby: list[str] = []
@@ -233,6 +249,32 @@ class Results:
         self._stored = None
         self._est = None
         self._exact_when_short = False
+        if self._matched is not None:
+            # extend() can introduce docs the terms=True probe never saw;
+            # keep only entries for rows still present (probe-covered docs
+            # keep their sets, foreign rows read as "no matched info")
+            self._matched = {d: s for d, s in self._matched.items()
+                             if d in {r[0] for r in self._rows}}
+
+    def has_matched_terms(self) -> bool:
+        """True if the search ran with ``terms=True`` (``Results.
+        has_matched_terms ≈L1040``)."""
+        return self._matched is not None
+
+    def matched_terms(self) -> set:
+        """Union of every hit's matched (field, term) leaves
+        (``Results.matched_terms ≈L1045``)."""
+        if self._matched is None:
+            raise RuntimeError("search was not run with terms=True")
+        out: set = set()
+        for s in self._matched.values():
+            out |= s
+        return out
+
+    def _matched_for(self, doc_id: int) -> set:
+        if self._matched is None:
+            raise RuntimeError("search was not run with terms=True")
+        return self._matched.get(int(doc_id), set())
 
     def key_terms(self, numterms: int = 5) -> list[str]:
         """Most distinctive terms of the result docs (``Results.key_terms

@@ -239,7 +239,7 @@ class Searcher:
     # ------------------------------------------------------------------
     def search_hits(self, q: Q.Query, limit: int | None = 10,
                     groupedby: str | list[str] | None = None,
-                    maptype: str = "list", **kw):
+                    maptype: str = "list", terms: bool = False, **kw):
         """Run ``search()`` and wrap the collected top-k in a lazy
         ``Results``/``Hit`` view (``searching.py::Results ≈L900``): scores
         and doc ids are materialized (k rows), stored fields load in ONE
@@ -260,6 +260,11 @@ class Searcher:
         # match) — only a skipped-head offset breaks that proof
         exact_when_short = not kw.get("offset")
         res = Results(self, q, rows, limit, exact_when_short=exact_when_short)
+        if terms:
+            # upstream search(terms=True): record which query leaves
+            # matched each hit (Hit.matched_terms ≈L1340)
+            res._matched = self._matched_terms_by_doc(
+                q, [int(r["doc_id"]) for r in rows])
         if groupedby is not None:
             res._groupedby = ([groupedby] if isinstance(groupedby, str)
                               else list(groupedby))
@@ -613,6 +618,20 @@ class Searcher:
         rows = self.documents(**kw).limit(1).collect()
         return rows[0] if rows else None
 
+    def document_number(self, **kw) -> int | None:
+        """First matching doc_id, or None (``searching.py::Searcher.
+        document_number ≈L300``)."""
+        rows = (self.documents(**kw).select("doc_id")
+                .orderBy("doc_id").limit(1).collect())
+        return int(rows[0]["doc_id"]) if rows else None
+
+    def document_numbers(self, **kw) -> list[int]:
+        """All matching doc_ids, ascending (``≈L310``).  Driver-
+        materializing like upstream's generator; for a distributed result
+        use ``documents(**kw).select("doc_id")``."""
+        return [int(r["doc_id"]) for r in
+                self.documents(**kw).select("doc_id").orderBy("doc_id").collect()]
+
     # ------------------------------------------------------------------
     def search_with_terms(self, q: Q.Query, limit: int | None = 10) -> DataFrame:
         """``search(..., terms=True)`` / ``Hit.matched_terms()``
@@ -650,6 +669,39 @@ class Searcher:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
 
+    def _matched_terms_by_doc(self, q: Q.Query,
+                              ids: list[int]) -> dict[int, set]:
+        """Which (field, term) leaves of ``q`` occur in each of ``ids`` —
+        the ``terms=True`` probe behind ``Hit.matched_terms()``
+        (``searching.py ≈L640``).  One term-pushed postings scan restricted
+        to the k result docs."""
+        out: dict[int, set] = {int(d): set() for d in ids}
+        if not ids:
+            return out
+        qe = self.ev._expand(q.normalize())
+        by_field: dict[str | None, set[str]] = {}
+        for f, t in set(qe.field_terms()):
+            by_field.setdefault(self.ev._fkey(f), set()).add(t)
+        parts = []
+        for fk, ts in by_field.items():
+            ixf = self.ev._ixf(fk)
+            present = sorted(
+                t for t in ts if t in ixf.stats_for_terms(sorted(ts)))
+            if present:
+                fname = getattr(ixf, "field", None) or "text"
+                parts.append(
+                    ixf.postings(present)
+                    .where(F.col("doc_id").isin([int(d) for d in ids]))
+                    .select("doc_id", F.lit(fname).alias("field"), "term"))
+        if not parts:
+            return out
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        for r in u.collect():
+            out[int(r["doc_id"])].add((r["field"], r["term"]))
+        return out
+
     # ------------------------------------------------------------------
     def key_terms(self, doc_ids: list[int], top: int = 5) -> DataFrame:
         """more_like/key-term extraction (``src/whoosh/classify.py::Expander
@@ -668,6 +720,32 @@ class Searcher:
             .withColumn("keyness", F.col("tf") * (F.log(F.lit(float(n)) / (F.col("df") + 1)) + 1.0))
         )
         return scored.orderBy(F.col("keyness").desc(), F.col("term").asc()).limit(top)
+
+    def key_terms_from_text(self, text: str, top: int = 5) -> DataFrame:
+        """``searching.py::Searcher.key_terms_from_text (≈L700)``: rank the
+        terms of RAW text by tf·idf against the corpus — driver-side
+        analysis of the one string plus an O(terms) broadcast stats lookup;
+        same (term, tf, keyness) shape as ``key_terms``."""
+        from collections import Counter
+
+        from whoosh_spark.analysis.analyzers import ANALYZERS
+        from whoosh_spark.execution.score import idf_value
+
+        schema = "term string, tf long, keyness double"
+        ixf = self.ix.primary if hasattr(self.ix, "index_for") else self.ix
+        an = ANALYZERS.get(getattr(ixf, "analyzer", "standard") or "standard",
+                           ANALYZERS["standard"])
+        toks, _ = an(text or "")
+        tf = Counter(toks)
+        stats = ixf.stats_for_terms(sorted(tf))
+        if not stats:
+            return self.ix.spark.createDataFrame([], schema)
+        n, _ = ixf.global_stats()
+        ranked = sorted(
+            ((t, int(tf[t]), float(tf[t] * idf_value(n, st["df"])))
+             for t, st in stats.items()),
+            key=lambda r: (-r[2], r[0]))
+        return self.ix.spark.createDataFrame(ranked[:top], schema)
 
     def highlights(self, q: Q.Query, limit: int = 10, text_col: str = "text",
                    top: int = 3, **fmt_kw) -> list[tuple[int, float, str]]:

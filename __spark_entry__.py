@@ -274,6 +274,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.col("keyness").desc(), F.col("term").asc())
         )
 
+    def _key_terms_model_q(model):
+        def run(spark, sf_dir):
+            s = _searcher(spark, sf_dir)
+            kt = s.key_terms([0, 1, 2, 3, 4], top=5, model=model)
+            return (
+                kt.select("term", F.round("keyness", 6).alias("keyness"))
+                .orderBy(F.col("keyness").desc(), F.col("term").asc())
+            )
+        return run
+
     def correct_query_q(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         corrected, _ = s.correct_query("dta AND query")
@@ -352,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_lengths=doc_lengths_q,
         spelling=spelling_q,
         key_terms=key_terms_q,
+        key_terms_bo1=_key_terms_model_q("bo1"),
+        key_terms_kl=_key_terms_model_q("kl"),
         correct_query=correct_query_q,
         more_like=more_like_q,
         highlight_upper=highlight_upper_q,
@@ -785,6 +797,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": OSQL.doc_lengths_sql(100),
         "spelling": OSQL.spelling_sql("dat", 2, 3),
         "key_terms": OSQL.key_terms_sql([0, 1, 2, 3, 4], 5),
+        "key_terms_bo1": OSQL.key_terms_model_sql([0, 1, 2, 3, 4], 5, "bo1"),
+        "key_terms_kl": OSQL.key_terms_model_sql([0, 1, 2, 3, 4], 5, "kl"),
         "correct_query": OSQL.correct_query_sql("dta", " AND query"),
         "more_like": OSQL.more_like_sql([0, 1, 2, 3, 4], 5, 10),
         "highlight_upper": OSQL.highlight_upper_sql("data", 5),

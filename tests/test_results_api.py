@@ -268,3 +268,24 @@ def test_key_terms_from_text(searcher):
     assert all(r["keyness"] > 0 for r in rows)
     assert "zzzabsent" not in {r["term"] for r in rows}  # df=0 → no stats row
     assert searcher.key_terms_from_text("", top=3).count() == 0
+
+
+def test_key_terms_expansion_models(searcher):
+    # classify.py::Bo1Model/Bo2Model/KLModel (≈L120-170): every model ranks
+    # a sane top set; values positive for genuinely-overrepresented terms
+    ids = [0, 1, 2]
+    base = {r["term"] for r in searcher.key_terms(ids, top=5).collect()}
+    for model in ("bo1", "bo2", "kl"):
+        rows = searcher.key_terms(ids, top=5, model=model).collect()
+        assert len(rows) == 5
+        assert all(r["keyness"] >= 0 for r in rows)
+        # DFR models and tf·idf broadly agree on what's key
+        assert base & {r["term"] for r in rows}
+    try:
+        searcher.key_terms(ids, top=5, model="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    # more_like threads the model through
+    got = searcher.more_like([0], limit=3, model="bo1").collect()
+    assert len(got) == 3 and 0 not in {int(r["doc_id"]) for r in got}

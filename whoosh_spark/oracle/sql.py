@@ -445,6 +445,41 @@ def key_terms_sql(doc_ids: list[int], top: int = 5) -> str:
     """
 
 
+def key_terms_model_sql(doc_ids: list[int], top: int = 5,
+                        model: str = "bo1") -> str:
+    """DFR expansion-model key terms (``classify.py::Bo1Model ≈L120 /
+    Bo2Model ≈L140 / KLModel ≈L160``) — wt = term weight in the doc set,
+    cf = collection frequency, ct = total field length, tt = doc-set total
+    length, all re-derived from the raw corpus."""
+    ids = ", ".join(str(d) for d in doc_ids)
+    stats = f"""
+      cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tfs GROUP BY term),
+      ct AS (SELECT sum(len_raw)::DOUBLE AS v FROM dl),
+      tt AS (SELECT sum(len_raw)::DOUBLE AS v FROM dl WHERE doc_id IN ({ids})),
+      wts AS (SELECT term, sum(tf)::DOUBLE AS wt FROM tfs
+              WHERE doc_id IN ({ids}) GROUP BY term)
+    """
+    if model == "bo1":
+        expr = ("w.wt * log2((1 + c.cf / (SELECT n FROM nn)) / (c.cf / (SELECT n FROM nn)))"
+                " + log2(1 + c.cf / (SELECT n FROM nn))")
+    elif model == "bo2":
+        expr = ("w.wt * log2((1 + w.wt * (SELECT v FROM tt) / (SELECT v FROM ct))"
+                " / (w.wt * (SELECT v FROM tt) / (SELECT v FROM ct)))"
+                " + log2(1 + w.wt * (SELECT v FROM tt) / (SELECT v FROM ct))")
+    elif model == "kl":
+        expr = ("CASE WHEN w.wt / (SELECT v FROM tt) >= c.cf / (SELECT v FROM ct)"
+                " THEN (w.wt / (SELECT v FROM tt))"
+                " * log2((w.wt / (SELECT v FROM tt)) / (c.cf / (SELECT v FROM ct)))"
+                " ELSE 0.0 END")
+    else:
+        raise ValueError(model)
+    return base_ctes(stats) + f"""
+      SELECT w.term AS term, round({expr}, 6) AS keyness
+      FROM wts w JOIN cfs c USING (term)
+      ORDER BY keyness DESC, term ASC LIMIT {top}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Multi-field (Schema/BM25F) oracles — one analysis pipeline per field over
 # its source column, then cross-field score algebra (round 2).

@@ -703,9 +703,26 @@ class Searcher:
         return out
 
     # ------------------------------------------------------------------
-    def key_terms(self, doc_ids: list[int], top: int = 5) -> DataFrame:
+    def key_terms(self, doc_ids: list[int], top: int = 5,
+                  model: str = "tfidf") -> DataFrame:
         """more_like/key-term extraction (``src/whoosh/classify.py::Expander
-        ≈L60``): rank a doc-set's terms by tf·idf against the corpus."""
+        ≈L60``): rank a doc-set's terms against the corpus.
+
+        ``model`` selects the expansion model (``classify.py::Bo1Model
+        ≈L120 / Bo2Model ≈L140 / KLModel ≈L160`` — the published DFR
+        query-expansion formulas; ``tfidf`` is the engine's default):
+
+        - ``tfidf``: wt · (ln(N/(df+1)) + 1)
+        - ``bo1``:   f = cf/N;       wt·log2((1+f)/f) + log2(1+f)
+        - ``bo2``:   f = wt·tt/ct;   wt·log2((1+f)/f) + log2(1+f)
+        - ``kl``:    t = wt/tt, c = cf/ct;  t·log2(t/c) if t ≥ c else 0
+
+        where wt = term weight inside the doc set, cf = collection
+        frequency, ct = total field length, tt = doc set's total length —
+        all from the O(1) stats tables plus one doc-pushed postings probe;
+        the formulas stay in JVM column expressions."""
+        if model not in ("tfidf", "bo1", "bo2", "kl"):
+            raise ValueError(f"unknown expansion model: {model!r}")
         if not doc_ids:
             return self.ix.spark.createDataFrame(
                 [], "term string, tf long, keyness double")
@@ -713,11 +730,31 @@ class Searcher:
         posts = self.ix.postings_where(
             (F.col("min_id") <= max(doc_ids)) & (F.col("max_id") >= min(doc_ids))
         ).where(F.col("doc_id").isin(doc_ids))
-        ts = self.ix.term_stats.select("term", "df")
+        ts = self.ix.term_stats.select("term", "df", "cf")
+        wt = F.col("tf").cast("double")
+        if model == "tfidf":
+            keyness = wt * (F.log(F.lit(float(n)) / (F.col("df") + 1)) + 1.0)
+        elif model == "bo1":
+            f = F.col("cf").cast("double") / F.lit(float(n))
+            keyness = wt * F.log2((1.0 + f) / f) + F.log2(1.0 + f)
+        else:
+            ct = float(self.ix.total_field_length())
+            tt_rows = (self.ix.doc_lengths
+                       .where(F.col("doc_id").isin(doc_ids))
+                       .agg(F.sum("len_raw").alias("tt")).collect())
+            tt = float(tt_rows[0]["tt"] or 0)
+            if model == "bo2":
+                f = wt * F.lit(tt) / F.lit(ct)
+                keyness = wt * F.log2((1.0 + f) / f) + F.log2(1.0 + f)
+            else:  # kl
+                t = wt / F.lit(tt)
+                c = F.col("cf").cast("double") / F.lit(ct)
+                keyness = F.when(t >= c, t * F.log2(t / c)).otherwise(F.lit(0.0))
         scored = (
             posts.groupBy("term").agg(F.sum("tf").alias("tf"))
             .join(F.broadcast(ts), "term")
-            .withColumn("keyness", F.col("tf") * (F.log(F.lit(float(n)) / (F.col("df") + 1)) + 1.0))
+            .withColumn("keyness", keyness)
+            .drop("cf")
         )
         return scored.orderBy(F.col("keyness").desc(), F.col("term").asc()).limit(top)
 
@@ -803,11 +840,12 @@ class Searcher:
         return out
 
     def more_like(self, doc_ids: list[int], limit: int = 10,
-                  numterms: int = 5) -> DataFrame:
+                  numterms: int = 5, model: str = "tfidf") -> DataFrame:
         """``searching.py::Searcher.more_like (≈L500)``: expand the doc set's
-        top key terms (tf·idf ranking, classify.py Expander) into an Or
-        query, excluding the source docs."""
-        kt = [r["term"] for r in self.key_terms(doc_ids, top=numterms).collect()]
+        top key terms (classify.py Expander; ``model`` picks
+        tfidf/bo1/bo2/kl) into an Or query, excluding the source docs."""
+        kt = [r["term"] for r in
+              self.key_terms(doc_ids, top=numterms, model=model).collect()]
         if not kt:
             return self.ix.spark.createDataFrame([], "doc_id long, score double")
         q = Q.Or([Q.Term(t) for t in kt])

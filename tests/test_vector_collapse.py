@@ -265,3 +265,24 @@ def test_searcher_stats_conveniences(searcher, ix, spark):
     sd = Searcher(ix.with_deleted(dead))
     assert sd.doc_count() == n - 2
     assert sd.doc_count_all() == n  # BM25's N keeps counting until purge
+
+
+def test_list_and_multi_corrector(searcher):
+    # spelling.py::ListCorrector (≈L130) / MultiCorrector (≈L150)
+    from whoosh_spark.search import ListCorrector, MultiCorrector
+
+    lc = ListCorrector(["date", "data", "dat", "dta", "other"])
+    sug = lc.suggest("dta", limit=5, maxdist=2)
+    # distance bands first (data d=1; date/dat d=2), LIST order within a band
+    assert sug == ["data", "date", "dat"]
+    assert lc.suggest("dta", limit=1) == ["data"]
+    assert lc.suggest("") == []
+    # prefix pruning
+    assert lc.suggest("xta", prefix=1) == []
+    # merged streams: closest band first across correctors, index corrector
+    # first within a band, dedup keeps the first occurrence
+    mc = MultiCorrector([searcher.corrector(), lc])
+    merged = mc.suggest("dta", limit=5, maxdist=1)
+    assert merged[0] == "data" and merged.count("data") == 1
+    ix_only = searcher.corrector().suggest("dta", limit=5, maxdist=1)
+    assert set(ix_only) <= set(merged)

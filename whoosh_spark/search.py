@@ -1079,3 +1079,61 @@ class Corrector:
             .collect()
         )
         return [r["term"] for r in rows]
+
+
+class ListCorrector:
+    """``spelling.py::ListCorrector (≈L130)`` — suggestions from a static
+    word list, driver-side (no index, no Spark jobs): ranked distance ASC,
+    then list position ASC (upstream preserves caller order within a
+    distance band)."""
+
+    def __init__(self, wordlist: list[str]):
+        self.wordlist = list(wordlist)
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2,
+                prefix: int = 1) -> list[str]:
+        from whoosh_spark.oracle.engine import _lev
+
+        if not text:
+            return []
+        out = []
+        for i, w in enumerate(self.wordlist):
+            if w == text or (prefix > 0 and not w.startswith(text[:prefix])):
+                continue
+            d = _lev(w, text)
+            if d <= maxdist:
+                out.append((d, i, w))
+        out.sort()
+        seen, res = set(), []
+        for _, _, w in out:
+            if w not in seen:
+                seen.add(w)
+                res.append(w)
+        return res[:limit]
+
+
+class MultiCorrector:
+    """``spelling.py::MultiCorrector (≈L150)`` — merge several correctors'
+    suggestion streams: distance band by band, sub-correctors in caller
+    order within a band, first occurrence wins."""
+
+    def __init__(self, correctors: list):
+        self.correctors = list(correctors)
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2,
+                prefix: int = 1) -> list[str]:
+        from whoosh_spark.oracle.engine import _lev
+
+        ranked = []
+        for ci, c in enumerate(self.correctors):
+            for ri, w in enumerate(
+                    c.suggest(text, limit=limit, maxdist=maxdist,
+                              prefix=prefix)):
+                ranked.append((_lev(w, text), ci, ri, w))
+        ranked.sort()
+        seen, res = set(), []
+        for _, _, _, w in ranked:
+            if w not in seen:
+                seen.add(w)
+                res.append(w)
+        return res[:limit]

@@ -353,6 +353,30 @@ def make_compound_analyzer(wordset) -> object:
     return analyze
 
 
+def analyze_text_phonetic(text: str) -> tuple[list[str], list[int]]:
+    """DoubleMetaphoneFilter chain (``src/whoosh/analysis/morph.py::
+    DoubleMetaphoneFilter ≈L60`` over ``lang/dmetaphone.py``): the standard
+    chain, then each surviving token is replaced by its metaphone key(s) —
+    primary always, secondary too when it differs, both at the token's
+    position (upstream emits the secondary as a same-position variant).
+    Index + query tee with this chain makes "smith" find "smyth"."""
+    if not text:
+        return [], []
+    from whoosh_spark.analysis.dmetaphone import double_metaphone
+
+    tokens: list[str] = []
+    positions: list[int] = []
+    for pos, t in enumerate(_TOKEN_RE_NC.findall(text)):
+        t = t.lower()
+        if len(t) >= MIN_WORD_SIZE and t not in STOP_WORDS:
+            p, s = double_metaphone(t)
+            for key in (p, s) if s else (p,):
+                if key:
+                    tokens.append(key.lower())
+                    positions.append(pos)
+    return tokens, positions
+
+
 # Named analyzer registry for per-field Schema configuration
 # (``src/whoosh/fields.py::FieldType.analyzer``).  "standard" is special-
 # cased to None in the build kernel (inlined fast path, identical output).
@@ -367,6 +391,7 @@ ANALYZERS: dict[str, object] = {
     "path": analyze_path,
     "reversed": analyze_text_reversed,
     "boosted": analyze_text_boosted,
+    "phonetic": analyze_text_phonetic,
 }
 
 

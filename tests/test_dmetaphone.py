@@ -97,3 +97,27 @@ def test_phonetic_index_retrieval(spark):
         q = parse_query(spelling, analyzer="phonetic")
         got = {int(r["doc_id"]) for r in s.search(q, limit=10).collect()}
         assert got == {0, 1}, spelling
+
+
+def test_phonetic_cross_key_retrieval(spark):
+    # smith and schmidt share ONLY one key (XMT): retrieval must work via
+    # the Or of primary+secondary, not And (review regression)
+    from whoosh_spark import InvertedIndex, Searcher
+    from whoosh_spark.query import parse_query, ast as Q
+
+    q = parse_query("smith", analyzer="phonetic")
+    assert isinstance(q, Q.Or)  # sm0 OR xmt
+
+    docs = spark.createDataFrame(
+        [(0, "mr schmidt wrote code"), (1, "ms smyth reviewed it")],
+        "doc_id long, text string")
+    s = Searcher(InvertedIndex.build(docs, analyzer="phonetic"))
+    got = {int(r["doc_id"]) for r in
+           s.search(q, limit=10).collect()}
+    assert got == {0, 1}
+
+
+def test_loop_termination_counts_chars():
+    # silent/alternate-only rules ('' adds) must not shorten keys
+    assert double_metaphone("arnowski") == ("ARNS", "ARNF")
+    assert double_metaphone("schwarzkopf")[0] == "XRSK"

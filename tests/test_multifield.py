@@ -171,3 +171,14 @@ def test_fielded_wand_matches_exhaustive(spark, monkeypatch):
     slow = s.search(q, limit=10, optimize=False).collect()
     assert [(r["doc_id"], round(r["score"], 9)) for r in fast] == \
            [(r["doc_id"], round(r["score"], 9)) for r in slow]
+
+
+def test_multifield_key_terms_dfr_models(mix):
+    # review regression: total_field_length must delegate to the primary
+    # sub-index so bo2/kl expansion models work on schema-backed searchers
+    from whoosh_spark.search import Searcher
+
+    s = Searcher(mix)
+    for model in ("bo1", "bo2", "kl"):
+        rows = s.key_terms([0, 1], top=3, model=model).collect()
+        assert rows and all(r["keyness"] >= 0 for r in rows), model

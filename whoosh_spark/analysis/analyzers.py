@@ -377,6 +377,11 @@ def analyze_text_phonetic(text: str) -> tuple[list[str], list[int]]:
     return tokens, positions
 
 
+# same-position tokens are ALTERNATIVE keys (primary/secondary), not
+# components — the query parser turns them into Or, not And
+analyze_text_phonetic.emits_variants = True
+
+
 # Named analyzer registry for per-field Schema configuration
 # (``src/whoosh/fields.py::FieldType.analyzer``).  "standard" is special-
 # cased to None in the build kernel (inlined fast path, identical output).

@@ -62,7 +62,10 @@ def double_metaphone(word: str) -> tuple[str, str | None]:
         add("S")
         current += 1
 
-    while (len(out0) < 4 or len(out1) < 4) and current < length:
+    # termination counts accumulated key CHARACTERS (empty-string chunks
+    # from silent/alternate-only rules must not shorten the keys)
+    while ((sum(map(len, out0)) < 4 or sum(map(len, out1)) < 4)
+           and current < length):
         c = w[current]
 
         if c in "AEIOUY":

@@ -146,6 +146,9 @@ class MultiFieldIndex:
     def global_stats(self):
         return self.primary.global_stats()
 
+    def total_field_length(self):
+        return self.primary.total_field_length()
+
     def stats_for_terms(self, terms):
         return self.primary.stats_for_terms(terms)
 

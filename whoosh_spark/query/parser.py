@@ -245,14 +245,36 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
     if "*" in text or "?" in text:
         return Wildcard(text.lower(), boost=boost, fieldname=fieldname)
     # query-time analysis (lowercase + stop — or the index's own chain)
-    toks, _ = _resolve_analyzer(analyzer)(text)
+    toks, poss = _resolve_analyzer(analyzer)(text)
     done = analyzer is not None  # tee'd chain output is final
     if not toks:
         return NullQuery  # stopword / too-short term vanishes (Whoosh §3.2)
     if len(toks) == 1:
         return Term(toks[0], boost=boost, fieldname=fieldname, analyzed=done)
-    # the analyzer split one WORD into several tokens ("state-of-the-art"):
-    # implicit And over all of them, same as ast.Term.normalize
+    # several tokens from one WORD.  Chains that declare ``emits_variants``
+    # (phonetic primary/secondary, synonym-style filters) produce
+    # ALTERNATIVES at one position → Or per position, And across
+    # positions.  Component-splitting chains (intraword, compound — where
+    # same-position subtokens all genuinely occur) keep the implicit And
+    # over all tokens, same as ast.Term.normalize.
+    if getattr(_resolve_analyzer(analyzer), "emits_variants", False):
+        by_pos: dict[int, list[str]] = {}
+        order: list[int] = []
+        for t, p in zip(toks, poss):
+            if p not in by_pos:
+                by_pos[p] = []
+                order.append(p)
+            by_pos[p].append(t)
+        def group(ts, b=1.0):
+            if len(ts) == 1:
+                return Term(ts[0], boost=b, fieldname=fieldname,
+                            analyzed=done)
+            return Or([Term(t, fieldname=fieldname, analyzed=done)
+                       for t in ts], boost=b)
+
+        if len(order) == 1:
+            return group(by_pos[order[0]], boost)
+        return And([group(by_pos[p]) for p in order], boost=boost)
     return And([Term(t, fieldname=fieldname, analyzed=done) for t in toks],
                boost=boost)
 

@@ -253,8 +253,9 @@ class Results:
             # extend() can introduce docs the terms=True probe never saw;
             # keep only entries for rows still present (probe-covered docs
             # keep their sets, foreign rows read as "no matched info")
+            live = {r[0] for r in self._rows}
             self._matched = {d: s for d, s in self._matched.items()
-                             if d in {r[0] for r in self._rows}}
+                             if d in live}
 
     def has_matched_terms(self) -> bool:
         """True if the search ran with ``terms=True`` (``Results.

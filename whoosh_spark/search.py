@@ -643,21 +643,9 @@ class Searcher:
         ordered = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         if limit is not None:
             ordered = ordered.limit(limit)
-        qe = self.ev._expand(q.normalize())
-        by_field: dict[str | None, set[str]] = {}
-        for f, t in set(qe.field_terms()):
-            by_field.setdefault(self.ev._fkey(f), set()).add(t)
-        parts = []
-        for fk, ts in by_field.items():
-            ixf = self.ev._ixf(fk)
-            present = sorted(t for t in ts if t in ixf.stats_for_terms(sorted(ts)))
-            if present:
-                parts.append(ixf.postings(present).select("doc_id", "term"))
-        if not parts:
+        u = self._query_term_postings(q)
+        if u is None:
             return ordered.withColumn("matched", F.lit(""))
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
         matched = (
             u.join(ordered.select("doc_id"), "doc_id", "left_semi")
             .groupBy("doc_id")
@@ -669,15 +657,11 @@ class Searcher:
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
 
-    def _matched_terms_by_doc(self, q: Q.Query,
-                              ids: list[int]) -> dict[int, set]:
-        """Which (field, term) leaves of ``q`` occur in each of ``ids`` —
-        the ``terms=True`` probe behind ``Hit.matched_terms()``
-        (``searching.py ≈L640``).  One term-pushed postings scan restricted
-        to the k result docs."""
-        out: dict[int, set] = {int(d): set() for d in ids}
-        if not ids:
-            return out
+    def _query_term_postings(self, q: Q.Query) -> DataFrame | None:
+        """(doc_id, field, term) postings of ``q``'s leaf terms that exist
+        in the index — the shared probe behind ``terms=True`` and
+        ``search_with_terms`` (``searching.py ≈L640``).  One term-pushed
+        postings scan per field; None when no leaf term exists."""
         qe = self.ev._expand(q.normalize())
         by_field: dict[str | None, set[str]] = {}
         for f, t in set(qe.field_terms()):
@@ -685,20 +669,31 @@ class Searcher:
         parts = []
         for fk, ts in by_field.items():
             ixf = self.ev._ixf(fk)
-            present = sorted(
-                t for t in ts if t in ixf.stats_for_terms(sorted(ts)))
+            stats = ixf.stats_for_terms(sorted(ts))
+            present = sorted(t for t in ts if t in stats)
             if present:
                 fname = getattr(ixf, "field", None) or "text"
                 parts.append(
                     ixf.postings(present)
-                    .where(F.col("doc_id").isin([int(d) for d in ids]))
                     .select("doc_id", F.lit(fname).alias("field"), "term"))
         if not parts:
-            return out
+            return None
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        for r in u.collect():
+        return u
+
+    def _matched_terms_by_doc(self, q: Q.Query,
+                              ids: list[int]) -> dict[int, set]:
+        """Which (field, term) leaves of ``q`` occur in each of ``ids`` —
+        behind ``Hit.matched_terms()``; probe restricted to the k result
+        docs (the isin filter pushes through the per-field union)."""
+        out: dict[int, set] = {int(d): set() for d in ids}
+        u = self._query_term_postings(q) if ids else None
+        if u is None:
+            return out
+        rows = u.where(F.col("doc_id").isin([int(d) for d in ids])).collect()
+        for r in rows:
             out[int(r["doc_id"])].add((r["field"], r["term"]))
         return out
 
@@ -758,17 +753,16 @@ class Searcher:
         )
         return scored.orderBy(F.col("keyness").desc(), F.col("term").asc()).limit(top)
 
-    def key_terms_from_text(self, text: str, top: int = 5) -> DataFrame:
-        """``searching.py::Searcher.key_terms_from_text (≈L700)``: rank the
-        terms of RAW text by tf·idf against the corpus — driver-side
-        analysis of the one string plus an O(terms) broadcast stats lookup;
-        same (term, tf, keyness) shape as ``key_terms``."""
+    def _ranked_text_terms(self, text: str) -> list[tuple[str, int, float]]:
+        """(term, tf, tf·idf keyness) of RAW text's terms that exist in the
+        index, keyness-descending — driver-side analysis of the one string
+        plus an O(terms) broadcast stats lookup.  Shared by
+        ``key_terms_from_text`` and ``more_like_text``."""
         from collections import Counter
 
         from whoosh_spark.analysis.analyzers import ANALYZERS
         from whoosh_spark.execution.score import idf_value
 
-        schema = "term string, tf long, keyness double"
         ixf = self.ix.primary if hasattr(self.ix, "index_for") else self.ix
         an = ANALYZERS.get(getattr(ixf, "analyzer", "standard") or "standard",
                            ANALYZERS["standard"])
@@ -776,13 +770,19 @@ class Searcher:
         tf = Counter(toks)
         stats = ixf.stats_for_terms(sorted(tf))
         if not stats:
-            return self.ix.spark.createDataFrame([], schema)
+            return []
         n, _ = ixf.global_stats()
-        ranked = sorted(
+        return sorted(
             ((t, int(tf[t]), float(tf[t] * idf_value(n, st["df"])))
              for t, st in stats.items()),
             key=lambda r: (-r[2], r[0]))
-        return self.ix.spark.createDataFrame(ranked[:top], schema)
+
+    def key_terms_from_text(self, text: str, top: int = 5) -> DataFrame:
+        """``searching.py::Searcher.key_terms_from_text (≈L700)`` — same
+        (term, tf, keyness) shape as ``key_terms``."""
+        schema = "term string, tf long, keyness double"
+        return self.ix.spark.createDataFrame(
+            self._ranked_text_terms(text)[:top], schema)
 
     def highlights(self, q: Q.Query, limit: int = 10, text_col: str = "text",
                    top: int = 3, **fmt_kw) -> list[tuple[int, float, str]]:
@@ -858,27 +858,13 @@ class Searcher:
     def more_like_text(self, text: str, limit: int = 10,
                        numterms: int = 5) -> DataFrame:
         """``more_like`` from RAW text (upstream ``Searcher.more_like(text=
-        ...)``): analyze driver-side, rank the text's terms by tf·idf
-        against the corpus (one tiny stats collect), search the Or of the
-        top key terms."""
-        from collections import Counter
-
-        from whoosh_spark.analysis.analyzers import ANALYZERS
-        from whoosh_spark.execution.score import idf_value
-
-        ixf = self.ix.primary if hasattr(self.ix, "index_for") else self.ix
-        an = ANALYZERS.get(getattr(ixf, "analyzer", "standard") or "standard",
-                           ANALYZERS["standard"])
-        toks, _ = an(text or "")
-        tf = Counter(toks)
-        stats = ixf.stats_for_terms(sorted(tf))
-        if not stats:
-            return self.ix.spark.createDataFrame([], "doc_id long, score double")
-        n, _ = ixf.global_stats()
-        ranked = sorted(
-            ((tf[t] * idf_value(n, st["df"]), t) for t, st in stats.items()),
-            key=lambda kv: (-kv[0], kv[1]))
-        q = Q.Or([Q.Term(t) for _, t in ranked[:numterms]])
+        ...)``): rank the text's terms via :meth:`_ranked_text_terms`,
+        search the Or of the top key terms."""
+        ranked = self._ranked_text_terms(text)
+        if not ranked:
+            return self.ix.spark.createDataFrame(
+                [], "doc_id long, score double")
+        q = Q.Or([Q.Term(t) for t, _, _ in ranked[:numterms]])
         return self.search(q, limit=limit)
 
     def correct_term(self, word: str, maxdist: int = 2, top: int = 3) -> list[str]:

@@ -409,6 +409,10 @@ def register_analyzer(name: str, fn) -> None:
     function runs inside the Arrow batch kernel (one CPython call per doc,
     vectorized transport), so it must be a plain picklable callable.
 
+    Set ``fn.emits_variants = True`` when same-position tokens are
+    ALTERNATIVE keys (phonetic/synonym-style chains): the query parser
+    then groups them as Or instead of the component-split And.
+
     Overwriting a built-in chain name is refused — persisted manifests
     reference chains by name, and silently changing "standard" would make
     every existing index unreadable-as-written."""

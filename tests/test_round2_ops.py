@@ -466,3 +466,62 @@ class TestSearchManyNormalizeParity:
                        for r in s.search_many({"q": q}, limit=10).collect()),
                       key=lambda t: (-t[1], t[0]))
         assert many == direct
+
+
+class TestReviewRegressions2:
+    """Round-2 execution-core review findings (session 2026-08-19)."""
+
+    def test_nested_parent_deleted_child(self, ix, spark):
+        # soft-deleted children must not match/score parents
+        term = {r["doc_id"]: r["score"] for r in
+                Evaluator(ix).evaluate(Q.Term("data")).collect()}
+        dead = spark.createDataFrame([(1,), (7,)], "doc_id long")
+        ev = Evaluator(ix.with_deleted(dead))
+        q = Q.NestedParent(Q.Filter("doc_id % 5 = 0"), Q.Term("data"))
+        rows = {r["doc_id"]: r["score"] for r in ev.evaluate(q).collect()}
+        # block 5's only data-child (7) is deleted → parent 5 gone;
+        # parent 0 rescored without child 1
+        assert sorted(rows) == [0]
+        assert rows[0] == pytest.approx(
+            sum(term[d] for d in (2, 3, 4)), rel=1e-12)
+
+    def test_sequence_or_slot_minmatch_gates(self, ix):
+        ev = Evaluator(ix)
+        base = Q.Sequence(
+            [Q.Or([Q.Term("big"), Q.Term("fast")]), Q.Term("data")], slop=2)
+        gated = Q.Sequence(
+            [Q.Or([Q.Term("big"), Q.Term("fast")], minmatch=2),
+             Q.Term("data")], slop=2)
+        ids_base = _ids(ev.evaluate(base))
+        ids_gated = _ids(ev.evaluate(gated))
+        assert set(ids_gated) <= set(ids_base)
+        # the gate = docs containing BOTH or-terms
+        both = set(_ids(ev.evaluate(Q.And([Q.Term("big"), Q.Term("fast")]))))
+        assert set(ids_gated) == set(ids_base) & both
+
+    def test_sequence_slot_boost_scores(self, ix):
+        ev = Evaluator(ix)
+        plain = {r["doc_id"]: r["score"] for r in ev.evaluate(
+            Q.Sequence([Q.Term("big"), Q.Term("data")], slop=1)).collect()}
+        boosted = {r["doc_id"]: r["score"] for r in ev.evaluate(
+            Q.Sequence([Q.Term("big", boost=3.0), Q.Term("data")],
+                       slop=1)).collect()}
+        assert sorted(plain) == sorted(boosted) and plain
+        term_big = {r["doc_id"]: r["score"] for r in
+                    ev.evaluate(Q.Term("big")).collect()}
+        for d in plain:
+            # boosted = plain + 2x the big-term component
+            assert boosted[d] == pytest.approx(
+                plain[d] + 2.0 * term_big[d], rel=1e-9)
+
+    def test_date_range_fractional_bound(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "x", 1000.2), (1, "y", 1000.9)],
+            "doc_id long, text string, _es double"
+        ).withColumn("ts", F.timestamp_seconds(F.col("_es"))).drop("_es")
+        ix2 = InvertedIndex.build(docs.select("doc_id", "text", "ts"))
+        ev = Evaluator(ix2)
+        # exclusive fractional lower bound 1000.5 must exclude t=1000.2
+        got = _ids(ev.evaluate(
+            Q.DateRange("ts", lo=1000.5, hi=None, incl_lo=False)))
+        assert got == [1]

@@ -58,6 +58,8 @@ class Evaluator:
         # is MultiWeighting (``scoring.py::MultiWeighting ≈L430``): per-field
         # model with the None entry as the default.
         self.weighting = weighting
+        # per-evaluator memo consumed by _bucketed_range_join
+        self._max_doc: int | None = None
 
     def _weighting_for(self, fk: str | None) -> str:
         if isinstance(self.weighting, dict):
@@ -103,7 +105,6 @@ class Evaluator:
         if q is Q.NullQuery:
             return self._empty()
         self._prime_stats(q)
-        self._max_doc = getattr(self, "_max_doc", None)
         # soft-delete overlay: drop deleted docs from the match set (stats
         # still count them — Whoosh deleted-but-unpurged semantics)
         return self.ix.not_deleted(self._eval(q))
@@ -529,7 +530,10 @@ class Evaluator:
         return out.select("doc_id", (F.col("score") * q.boost).alias("score"))
 
     def _eval_otherwise(self, q: Q.Otherwise) -> DataFrame:
-        a = self._eval(q.a)
+        # materialize a's plan once (localCheckpoint, same device as
+        # _bucketed_range_join) so the existence probe below doesn't
+        # re-execute the whole a subtree when the caller collects
+        a = self._eval(q.a).localCheckpoint(eager=False)
         # cheap existence probe (driver-side if/else, compound.py ≈L750) —
         # through the deletion overlay, else a side whose every match is
         # soft-deleted wins and yields an empty result
@@ -586,7 +590,9 @@ class Evaluator:
 
         def ts(v):
             if isinstance(v, (int, float)):
-                return F.timestamp_seconds(F.lit(int(v)))
+                # keep fractional epoch seconds — int() would shift an
+                # exclusive bound by up to a second
+                return F.timestamp_seconds(F.lit(v))
             return F.lit(str(v)).cast("timestamp")
 
         pred = F.lit(True)
@@ -632,8 +638,15 @@ class Evaluator:
         fk = next(iter(fks))
         ixf = self._ixf(fk)
         slots = []
+        # per-term score weight = Σ over slots containing the term of the
+        # slot child's boost (a term in two slots scores once per slot,
+        # like compound dup-expansion); Or slots with minmatch > 1 gate the
+        # doc match set on the child's own semantics
+        wmap: dict[str, float] = {}
+        gates: list[Q.Query] = []
         for c in q.children:
-            ts = self._slot_terms(c)
+            ce = self._expand(c)
+            ts = self._slot_terms(ce)
             if ts is None:
                 raise ValueError(f"Sequence slot not positional: {c!r}")
             st = ixf.stats_for_terms(ts)
@@ -641,7 +654,12 @@ class Evaluator:
             if not present:
                 return self._empty()
             slots.append(present)
-        all_terms = sorted({t for s in slots for t in s})
+            cb = float(getattr(ce, "boost", 1.0))
+            for t in present:
+                wmap[t] = wmap.get(t, 0.0) + cb
+            if isinstance(ce, Q.Or) and getattr(ce, "minmatch", 1) > 1:
+                gates.append(ce)
+        all_terms = sorted(wmap)
         self._stats.update(
             {(fk, t): v for t, v in ixf.stats_for_terms(all_terms).items()})
         pos = ixf.postings(all_terms, with_positions=True).select(
@@ -656,25 +674,45 @@ class Evaluator:
                 .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias(f"_p{i}"))
             )
             slot_dfs.append((df_est, i, sdf))
-        ordered = sorted(slot_dfs, key=lambda t: t[0])
-        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"),
-                        [d for _, _, d in ordered])
-        cur = F.col("_p0")
-        for i in range(1, len(slots)):
-            if q.slop <= 1:
-                cand = F.transform(cur, lambda c: c + 1)
-            else:
-                cand = F.flatten(F.transform(cur, lambda c: F.sequence(c + 1, c + q.slop)))
-            cur = F.array_intersect(cand, F.col(f"_p{i}"))
+        joined, cur = self._adjacency_fold(slot_dfs, len(slots), q.slop)
         matched = joined.where(F.size(cur) > 0).select("doc_id")
+        for g in gates:
+            matched = matched.join(
+                self._eval(g).select("doc_id"), "doc_id", "left_semi")
+        scored_src = self._scored_terms(all_terms, fk)
+        if any(w != 1.0 for w in wmap.values()):
+            wm = F.create_map(*[x for t, w in wmap.items()
+                                for x in (F.lit(t), F.lit(float(w)))])
+            scored_src = scored_src.withColumn(
+                "score",
+                F.col("score") * F.coalesce(wm[F.col("term")], F.lit(1.0)))
         scored = (
-            self._scored_terms(all_terms, fk)
+            scored_src
             .groupBy("doc_id").agg(F.sum("score").alias("score"))
             .join(matched, "doc_id", "left_semi")
         )
         if q.boost != 1.0:
             scored = scored.withColumn("score", F.col("score") * q.boost)
         return scored
+
+    @staticmethod
+    def _adjacency_fold(slot_dfs, n: int, slop: int):
+        """Shared positional kernel (phrase / sequence / span paths):
+        df-ordered reduce-join of per-slot ``(doc_id, _p{i})`` position
+        frames, then the fold C_{i+1} = (C_i ⊕ [1..slop]) ∩ P_{i+1} —
+        returns (joined frame, end-position array column)."""
+        ordered = sorted(slot_dfs, key=lambda t: t[0])
+        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"),
+                        [d for _, _, d in ordered])
+        cur = F.col("_p0")
+        for i in range(1, n):
+            if slop <= 1:
+                cand = F.transform(cur, lambda c: c + 1)
+            else:
+                cand = F.flatten(
+                    F.transform(cur, lambda c: F.sequence(c + 1, c + slop)))
+            cur = F.array_intersect(cand, F.col(f"_p{i}"))
+        return joined, cur
 
     # -- Phrase: positional join (SURVEY.md §2.4 Phrase row) -------------
     def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
@@ -692,16 +730,7 @@ class Evaluator:
                 (self._stats[(fk, w)]["df"], i,
                  pos.where(F.col("term") == w).select("doc_id", F.col("positions").alias(f"_p{i}")))
             )
-        ordered = sorted(slot_dfs, key=lambda t: t[0])
-        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), [d for _, _, d in ordered])
-        # adjacency fold in phrase order: C_{i+1} = (C_i ⊕ [1..slop]) ∩ P_{i+1}
-        cur = F.col("_p0")
-        for i in range(1, len(words)):
-            if q.slop <= 1:
-                cand = F.transform(cur, lambda c: c + 1)
-            else:
-                cand = F.flatten(F.transform(cur, lambda c: F.sequence(c + 1, c + q.slop)))
-            cur = F.array_intersect(cand, F.col(f"_p{i}"))
+        joined, cur = self._adjacency_fold(slot_dfs, len(words), q.slop)
         if getattr(q, "scoring", "terms") == "freq":
             # phrase-frequency scoring: tf = number of phrase occurrences
             # (distinct end positions of the adjacency fold), idf from the
@@ -796,11 +825,7 @@ class Evaluator:
                 (st[w]["df"], i,
                  pos.where(F.col("term") == w).select("doc_id", F.col("positions").alias(f"_p{i}")))
             )
-        ordered = sorted(slot_dfs, key=lambda t: t[0])
-        joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), [d for _, _, d in ordered])
-        cur = F.col("_p0")
-        for i in range(1, len(words)):
-            cur = F.array_intersect(F.transform(cur, lambda c: c + 1), F.col(f"_p{i}"))
+        joined, cur = self._adjacency_fold(slot_dfs, len(words), 1)
         k = len(words)
         spans = F.transform(cur, lambda e: F.struct((e - (k - 1)).alias("s"), e.alias("e")))
         out = joined.select("doc_id", spans.alias("spans")).where(F.size("spans") > 0)
@@ -988,7 +1013,11 @@ class Evaluator:
 
     def _eval_nestedparent(self, q: Q.NestedParent) -> DataFrame:
         ranges = self._parent_ranges(q.parents)
-        kids = self._eval(q.child).withColumnRenamed("score", "_cs")
+        # soft-deleted children must not match/score parents (upstream
+        # wraps child matchers in the deletion filter); evaluate()'s final
+        # overlay only filters the returned PARENT ids
+        kids = self.ix.not_deleted(
+            self._eval(q.child)).withColumnRenamed("score", "_cs")
         joined = self._bucketed_range_join(kids, ranges, "inner")
         if joined is None:
             return self._empty()
@@ -1001,6 +1030,8 @@ class Evaluator:
         )
 
     def _eval_nestedchildren(self, q: Q.NestedChildren) -> DataFrame:
+        # (no deletion filter needed here: the output ids ARE the child
+        # ids, so evaluate()'s final overlay covers them)
         ranges = self._parent_ranges(q.parents)
         kids = self._eval(q.child)
         joined = self._bucketed_range_join(kids, ranges, "left_semi")

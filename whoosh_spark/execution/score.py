@@ -35,10 +35,15 @@ def _log2(c: Column) -> Column:
 
 
 def _case_map(values: dict[str, float], default: float = 0.0) -> Column:
-    out = F.lit(float(default))
-    for t, v in values.items():
-        out = F.when(F.col("term") == t, F.lit(float(v))).otherwise(out)
-    return out
+    """term → literal lookup as a FLAT MapType literal (create_map +
+    getItem).  A nested WHEN/OTHERWISE chain is O(n) expression-tree deep —
+    at the engine's 1024-term expansion limit that risks quadratic Catalyst
+    analysis or a StackOverflowError; the map literal is one node."""
+    if not values:
+        return F.lit(float(default))
+    m = F.create_map(*[x for t, v in values.items()
+                       for x in (F.lit(t), F.lit(float(v)))])
+    return F.coalesce(m[F.col("term")], F.lit(float(default)))
 
 
 def dfree_score(tf: Column, dl: Column, cf: Column, fl: float,
@@ -97,14 +102,9 @@ def bm25_component(tf: Column, dl: Column, avgdl: float,
     return (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / float(avgdl)))
 
 
-def bm25_upper_bound(n_docs: int, df: int, max_weight: float, min_len: int,
-                     avgdl: float, k1: float = BM25_K1, b: float = BM25_B) -> float:
-    """Per-block score upper bound for block-max WAND (SURVEY.md §4.1):
-    best case = max weight at the minimum quantized length in the block."""
-    idf = idf_value(n_docs, df)
-    tf = float(max_weight)
-    dl = float(min_len)
-    return idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / float(avgdl)))
+# (the per-block WAND upper bound lives in wand.py::_ub_col, built from
+# bm25_component — one spelling only, so the bound can't drift from the
+# score it must dominate)
 
 
 # FunctionWeighting (``src/whoosh/scoring.py::FunctionWeighting ≈L430``):
@@ -180,10 +180,7 @@ def score_postings(postings: DataFrame, idf_by_term: dict[str, float],
     if reverse:
         score = F.lit(0.0) - score
     if boost_by_term:
-        boost_col = F.lit(1.0)
-        for t, v in boost_by_term.items():
-            boost_col = F.when(F.col("term") == t, F.lit(float(v))).otherwise(boost_col)
-        score = score * boost_col
+        score = score * _case_map(boost_by_term, 1.0)
     if mult != 1.0:
         score = score * float(mult)
     return postings.withColumn("score", score)

@@ -229,9 +229,14 @@ class PyIndex:
 
     def _eval_sequence(self, q: Q.Sequence) -> dict[int, float]:
         """Ordered proximity of term-set slots (evaluate.py:_eval_sequence):
-        slot i+1 matches at a position in (p_i, p_i + slop]; score = sum of
-        ALL present slot terms' BM25 over matched docs."""
+        slot i+1 matches at a position in (p_i, p_i + slop].  Score = Σ over
+        slots of slot-child boost × Σ present slot terms' BM25 (a term in
+        two slots scores once per slot); an Or slot with minmatch > 1 also
+        gates the doc set on the child's own semantics — mirrors the Spark
+        evaluator exactly."""
         slots = []
+        wmap: dict[str, float] = {}
+        gates: list[Q.Query] = []
         for c in q.children:
             ts = self._slot_terms(c)
             if ts is None:
@@ -240,7 +245,12 @@ class PyIndex:
             if not present:
                 return {}
             slots.append(present)
-        all_terms = sorted({t for s in slots for t in s})
+            cb = float(getattr(c, "boost", 1.0))
+            for t in present:
+                wmap[t] = wmap.get(t, 0.0) + cb
+            if isinstance(c, Q.Or) and getattr(c, "minmatch", 1) > 1:
+                gates.append(c)
+        gate_docs = [set(self._eval(g)) for g in gates]
         docs: set | None = None
         for s in slots:
             ds = set().union(*(set(self.postings[t]) for t in s))
@@ -256,8 +266,8 @@ class PyIndex:
                        for p in range(c0 + 1, c0 + q.slop + 1) if p in nxt}
                 if not cur:
                     break
-            if cur:
-                out[d] = sum(self.score(t, d) for t in all_terms
+            if cur and all(d in g for g in gate_docs):
+                out[d] = sum(self.score(t, d) * w for t, w in wmap.items()
                              if d in self.postings.get(t, {})) * q.boost
         return out
 

@@ -375,3 +375,100 @@ def test_host_stats(spark):
     out = {r["host"]: (r["n_docs"], r["n_chars"])
            for r in host_stats(df).collect()}
     assert out == {"a.com": (2, 8), "b.org": (1, 2)}
+
+
+class TestPipelineReviewRegressions:
+    """Round-2 pipeline review findings (session 2026-08-19)."""
+
+    def test_schemeless_urls_not_fused(self, spark):
+        from whoosh_spark.pipeline import urls
+
+        docs = spark.createDataFrame(
+            [(0, "www.example.com/a"), (1, "mailto:x@y.com"),
+             (2, "//cdn.z.com/q"), (3, "HTTP://A.com/p#frag"),
+             (4, "http://a.com/p")],
+            "doc_id long, url string")
+        canon = {r["doc_id"]: r["url_canon"]
+                 for r in urls.canonical_urls(docs).collect()}
+        # schemeless/malformed pass through unchanged (fragment dropped)
+        assert canon[0] == "www.example.com/a"
+        assert canon[2] == "//cdn.z.com/q"
+        assert "" not in canon.values()
+        # real duplicates still group (case-folded scheme+host, no frag)
+        assert canon[3] == canon[4] == "http://a.com/p"
+        dups = urls.url_duplicates(docs).collect()
+        assert {int(r["doc_id"]) for r in dups} == {3, 4}
+
+    def test_extract_survives_malformed_utf8(self, spark):
+        from whoosh_spark.pipeline import extract
+
+        docs = spark.createDataFrame(
+            [(0, bytearray(b"<p>ok</p>")),
+             (1, bytearray(b"<p>bad \xff\xfe bytes</p>"))],
+            "doc_id long, html binary")
+        rows = {r["doc_id"]: r["text"]
+                for r in extract.extract_text(docs).collect()}
+        assert rows[0] == "ok"
+        assert "bad" in rows[1] and "bytes" in rows[1]  # no job abort
+
+    def test_pack_sequences_null_text(self, spark):
+        from whoosh_spark.pipeline import sampling
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, None), (3, "d e")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+                for r in sampling.pack_sequences(docs, budget=4).collect()}
+        assert rows[2][0] == 0  # NULL text = 0 tokens, not a crash
+        # exclusive prefix sums: doc1 at 0 → bin 0; doc3 at 3 → 3//4 = 0
+        assert rows[1] == (3, 0) and rows[3] == (2, 0)
+
+    def test_lsh_width_validation(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c d e f g"), (1, "a b c d e f h")],
+            "doc_id long, text string")
+        with pytest.raises(ValueError, match="num_perm"):
+            dedup.minhash_near_dups(docs, num_perm=8, bands=4, rows=4)
+
+    def test_winnow_matches_oracle_on_unicode_ws(self, spark):
+        # NBSP must NOT split tokens - the DuckDB oracle's RE2 '\\s' is
+        # ASCII-only, and the Python side must match it exactly
+        import duckdb
+
+        from whoosh_spark.oracle import pipeline_sql as P
+
+        text = "aa\u00a0bb cc dd ee ff gg\thh\u2028ii"
+        docs = spark.createDataFrame(
+            [(0, text)], "doc_id long, text string")
+        got = sorted(
+            int(fp)
+            for r in textstats.winnow_fingerprints(docs, k=3, w=2).collect()
+            for fp in r["fingerprints"])
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = sorted(int(b) for _, b in
+                      con.execute(P.winnow_sql(3, 2)).fetchall())
+        assert got == want and got
+
+    def test_prep_corpus_gates_before_dedup(self, spark):
+        # fingerprint ignores case/punct; doc 1 (min id, fails quality gate)
+        # must not evict its passing duplicate doc 9
+        good = "the cat sat on the mat and looked at the big warm sun"
+        docs = spark.createDataFrame(
+            [(1, good + " !!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"),
+             (9, good)],
+            "doc_id long, text string")
+        kept = {int(r["doc_id"])
+                for r in textstats.prep_corpus(docs, min_quality=0.5).collect()}
+        assert 9 in kept
+
+    def test_similarity_empty_and_guards(self, spark):
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>")
+        assert similarity.ann_topk(empty, [1.0, 0.0], k=3).count() == 0
+        assert similarity.ivf_topk(empty, [1.0, 0.0], k=3).count() == 0
+        assert similarity.embedding_near_dups(empty).count() == 0
+        with pytest.raises(ValueError, match="bits"):
+            similarity.rp_lsh_buckets(empty, bits=72)
+        with pytest.raises(ValueError, match="band width"):
+            similarity.embedding_near_dups(empty, bits=256, bands=2)

@@ -521,8 +521,10 @@ def _canon_cte_sql(synth: str) -> str:
 u0 AS (SELECT doc_id, {synth} AS u FROM documents),
 u1 AS (SELECT doc_id, regexp_replace(u, '{FRAGMENT_PATTERN}', '') AS u FROM u0),
 u2 AS (SELECT doc_id,
-              lower(regexp_extract(u, '{SCHEME_HOST_PATTERN}', 1)) ||
-              regexp_extract(u, '{SCHEME_HOST_PATTERN}', 2) AS u
+              CASE WHEN regexp_matches(u, '{SCHEME_HOST_PATTERN}')
+                   THEN lower(regexp_extract(u, '{SCHEME_HOST_PATTERN}', 1)) ||
+                        regexp_extract(u, '{SCHEME_HOST_PATTERN}', 2)
+                   ELSE u END AS u
        FROM u1),
 u3 AS (SELECT doc_id,
               regexp_replace(regexp_replace(u, '{DEFAULT_PORT_HTTP}', '\\1\\2'),
@@ -664,20 +666,26 @@ GROUP BY 1 ORDER BY host
 
 
 def prep_corpus_sql(lang: str = "en", min_quality: float = 0.5) -> str:
-    """Composed twin: quality + lang-ID + fingerprint-dedup gates."""
+    """Composed twin: lang/quality gates FIRST, then fingerprint dedup
+    among the survivors (mirrors prep_corpus's gate-then-dedup order)."""
     return f"""
 WITH q AS (SELECT * FROM ({quality_sql()})),
 l AS (SELECT * FROM ({lang_id_sql()})),
-f AS (SELECT * FROM ({content_fingerprint_sql()})),
+gated AS (
+  SELECT q.doc_id, q.quality
+  FROM q JOIN l USING (doc_id)
+  WHERE l.lang_pred = '{lang}' AND q.quality >= {min_quality}
+),
+f AS (SELECT * FROM ({content_fingerprint_sql()})
+      WHERE doc_id IN (SELECT doc_id FROM gated)),
 keep AS (
   SELECT f.doc_id FROM f
   JOIN (SELECT fp, min(doc_id) AS first FROM f GROUP BY fp) g
     ON g.fp = f.fp AND g.first = f.doc_id
 )
-SELECT q.doc_id, q.quality
-FROM q JOIN l USING (doc_id) JOIN keep USING (doc_id)
-WHERE l.lang_pred = '{lang}' AND q.quality >= {min_quality}
-ORDER BY q.doc_id
+SELECT gated.doc_id, gated.quality
+FROM gated JOIN keep USING (doc_id)
+ORDER BY gated.doc_id
 """
 
 def windowed_events_sql(window_s: int = 21600, delay: str = "1 day") -> str:
@@ -792,7 +800,7 @@ def pack_sequences_sql(budget: int = 512) -> str:
     return f"""
 WITH n AS (
   SELECT doc_id,
-         len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+         coalesce(len(string_split(trim(text), ' ')), 0)::BIGINT AS n_tokens
   FROM documents WHERE doc_id IS NOT NULL
 ),
 c AS (

@@ -142,7 +142,8 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3,
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32,
                         rows: int = 4, max_bucket: int | None = 4096,
-                        inline_cap: int = 512) -> DataFrame:
+                        inline_cap: int = 512,
+                        num_perm: int | None = None) -> DataFrame:
     """(a, b) candidate pairs sharing at least one LSH band bucket.
 
     Single-pass formulation: band hashes are ``xxhash64`` over the band's
@@ -163,6 +164,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32,
       only keep pairs that were generated, so callers needing every
       verified pair must pass ``max_bucket=None`` (exact everywhere).
     """
+    if num_perm is not None and bands * rows > num_perm:
+        # fail fast with a clear message — otherwise element_at past the
+        # signature's end throws an opaque INVALID_ARRAY_INDEX mid-job
+        # (or, with ANSI off, silently hashes NULLs into one shared bucket)
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds the signature width "
+            f"num_perm = {num_perm}")
     bhs = [
         F.xxhash64(*[F.element_at("sig", b * rows + j + 1) for j in range(rows)])
         for b in range(bands)
@@ -224,7 +232,7 @@ def minhash_near_dups(docs: DataFrame, tau: float = 0.8, num_perm: int = 128,
     output regardless of skew (exact distributed pairing at any size).
     """
     cand = lsh_candidate_pairs(minhash_signatures(docs, num_perm, n, text_col),
-                               bands, rows, max_bucket)
+                               bands, rows, max_bucket, num_perm=num_perm)
     sh = shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (

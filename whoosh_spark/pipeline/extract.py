@@ -51,7 +51,12 @@ ENTITIES: tuple[tuple[str, str], ...] = (
 def extract_expr(html_col) -> "F.Column":
     """The full extraction pipeline as one column expression over a
     ``binary`` html column (stays inside whole-stage codegen)."""
-    s = F.decode(html_col, "UTF-8")
+    # binary → string via CAST, not decode('UTF-8'): Spark 4's ANSI coding
+    # check makes decode THROW on the first malformed byte sequence, and
+    # Common-Crawl-style html routinely contains non-UTF-8 bytes — one bad
+    # page must not kill a 100 TB extraction job.  The cast wraps the bytes
+    # without validation (byte-identical for valid UTF-8 input).
+    s = html_col.cast("string")
     for pat in DROP_PATTERNS:
         s = F.regexp_replace(s, pat, " ")
     s = F.regexp_replace(s, TAG_PATTERN, " ")

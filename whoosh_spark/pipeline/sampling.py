@@ -86,12 +86,15 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
     single-partition window, so the plan survives any corpus size.
     Token rule matches ``textstats.token_counts``'s ``n_ws``.
     """
-    n = F.size(F.split(F.trim(F.col(text_col)), " "))
-    # NULL ids have no place in the doc order — drop them explicitly
-    # (oracle twin filters identically) rather than crash or desync
+    # NULL text counts 0 tokens (coalesce) — an all-NULL bucket would sum
+    # to NULL and crash the driver's offset loop; NULL ids have no place in
+    # the doc order — drop them explicitly (oracle twin mirrors both)
+    n = F.coalesce(
+        F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long"),
+        F.lit(0).cast("long"))
     base = (docs.where(F.col(id_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
-                    n.cast("long").alias("n_tokens")))
+                    n.alias("n_tokens")))
     lo_hi = base.agg(F.min("doc_id").alias("lo"),
                      F.max("doc_id").alias("hi")).first()
     if lo_hi["lo"] is None:

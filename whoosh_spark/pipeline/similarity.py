@@ -66,11 +66,35 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def _vec_dim(embeddings: DataFrame, vec_col: str,
+             dim: int | None = None) -> int:
+    """Vector dimensionality: caller-provided when already known (saves an
+    eager Spark job), else probed from the first non-null embedding; 0 on
+    an empty/all-null table (callers return an empty result instead of
+    crashing on len(None))."""
+    if dim is not None:
+        return int(dim)
+    row = (embeddings.where(F.col(vec_col).isNotNull())
+           .select(vec_col).first())
+    return len(row[0]) if row is not None else 0
+
+
 def rp_lsh_buckets(embeddings: DataFrame, bits: int = 12, seed: int = 42,
-                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   dim: int | None = None) -> DataFrame:
     """(vec_id, bucket, embedding): bucket = sign-bit code under ``bits``
     seeded random hyperplanes (broadcast literals, JVM dot products)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    if not 0 < bits <= 63:
+        # shiftleft wraps the shift amount mod 64 — bits > 63 would
+        # silently collide hyperplane i with hyperplane i-64
+        raise ValueError(f"bits must be in 1..63 for a packed long code, "
+                         f"got {bits}")
+    dim = _vec_dim(embeddings, vec_col, dim)
+    if dim == 0:
+        return embeddings.where(F.lit(False)).select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.lit(0).cast("long").alias("bucket"),
+            F.col(vec_col).alias("embedding"))
     planes = _hyperplanes(dim, bits, seed)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
@@ -98,7 +122,8 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         if float(planes[i] @ qv) > 0:
             qsig |= 1 << i
     probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
-    bucketed = rp_lsh_buckets(embeddings, bits, seed, vec_col, id_col)
+    bucketed = rp_lsh_buckets(embeddings, bits, seed, vec_col, id_col,
+                              dim=dim)
     cand = bucketed.where(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, "embedding", "vec_id")
 
@@ -161,10 +186,16 @@ def embedding_near_dups(embeddings: DataFrame, tau: float = 0.95,
     if bits % bands:
         raise ValueError("bits must be divisible by bands")
     w = bits // bands
+    if w > 63:
+        raise ValueError(f"band width bits/bands = {w} exceeds a packed "
+                         "long (63 bits) — raise bands")
     # per-band keys assembled directly from sign bits (bits may exceed 64,
     # so no single packed code); planes are broadcast literals as in
     # rp_lsh_buckets
-    dim = len(embeddings.select(vec_col).first()[0])
+    dim = _vec_dim(embeddings, vec_col)
+    if dim == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "a long, b long, cos double")
     planes = _hyperplanes(dim, bits, seed)
     v = F.col(vec_col).cast("array<double>")
     keys = []
@@ -218,13 +249,19 @@ def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
 
 
 def ivf_assign(embeddings: DataFrame, n_cells: int = 16, seed: int = 42,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: int | None = None) -> DataFrame:
     """(vec_id, cell, embedding): cell = argmax centroid dot product (first
     max wins on exact ties — mirrored by the oracle's ORDER BY d DESC,
     cid ASC LIMIT 1).  Centroid dots are JVM column expressions over
     broadcast literals; at scale, write this table partitioned BY cell so a
     probe reads only its cells' files."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    dim = _vec_dim(embeddings, vec_col, dim)
+    if dim == 0:
+        return embeddings.where(F.lit(False)).select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.lit(0).cast("int").alias("cell"),
+            F.col(vec_col).alias("embedding"))
     cents = _ivf_centroids(dim, n_cells, seed)
     v = F.col(vec_col).cast("array<double>")
     dots = F.array(*[
@@ -249,6 +286,6 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     qd = cents @ np.asarray(query_vec, dtype=np.float64)
     order = sorted(range(n_cells), key=lambda c: (-qd[c], c))
     probes = order[:n_probe]
-    cand = ivf_assign(embeddings, n_cells, seed, vec_col, id_col) \
+    cand = ivf_assign(embeddings, n_cells, seed, vec_col, id_col, dim=dim) \
         .where(F.col("cell").isin(probes))
     return cosine_topk(cand, query_vec, k, "embedding", "vec_id")

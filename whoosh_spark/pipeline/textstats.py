@@ -158,6 +158,11 @@ _WINNOW_SCHEMA = T.StructType(
     ]
 )
 
+import re as _re
+
+# RE2's '\s' is exactly [\t\n\f\r ] — see winnow tokenization note below
+_WS_RE2 = _re.compile(r"[\t\n\f\r ]+")
+
 _B = np.uint64(1_000_003)        # polynomial base (< 2^20)
 _M = np.uint64(1 << 31)          # modulus: kg < 2^31 ⇒ kg*B + h < 2^51, no
                                  # uint64 overflow, BIGINT-safe in any engine
@@ -177,7 +182,12 @@ def _winnow_batch(k: int, w: int):
         for pdf in batches:
             out_ids, out_fps = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = (text or "").lower().split()
+                # split on the RE2 '\s' class [\t\n\f\r ] exactly — Python
+                # str.split() also breaks on Unicode whitespace (NBSP,
+                # U+2028, …) and would diverge from the DuckDB oracle's
+                # regexp_split_to_array(text, '\s+') on real web text
+                toks = [t for t in
+                        _WS_RE2.split((text or "").lower()) if t]
                 h = np.array([_tok_hash28(t) for t in toks], dtype=np.uint64)
                 if h.size < k:
                     out_ids.append(int(did)); out_fps.append([])
@@ -285,12 +295,18 @@ def prep_corpus(docs: DataFrame, text_col: str = "text",
     fingerprint groupBy; the shape every corpus-prep job starts from."""
     q = quality_features(docs, text_col).select("doc_id", "quality")
     l = lang_id(docs, text_col).select("doc_id", "lang_pred")
-    f = content_fingerprint(docs, text_col)
+    # gate FIRST, dedup second: if the survivor (min doc_id) of a
+    # fingerprint cluster were picked before the lang/quality gates, a
+    # cluster whose min-id member fails a gate would lose EVERY member —
+    # including ones that pass.  Gated docs also shrink the dedup shuffle.
+    gated = (q.join(l, "doc_id")
+             .where((F.col("lang_pred") == lang)
+                    & (F.col("quality") >= min_quality)))
+    f = content_fingerprint(docs, text_col).join(
+        gated.select("doc_id"), "doc_id", "left_semi")
     firsts = f.groupBy("fp").agg(F.min("doc_id").alias("_first"))
     keep = (f.join(firsts, "fp")
             .where(F.col("doc_id") == F.col("_first"))
             .select("doc_id"))
-    return (q.join(l, "doc_id").join(keep, "doc_id", "left_semi")
-            .where((F.col("lang_pred") == lang)
-                   & (F.col("quality") >= min_quality))
+    return (gated.join(keep, "doc_id", "left_semi")
             .select("doc_id", "quality"))

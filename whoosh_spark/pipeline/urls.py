@@ -30,7 +30,12 @@ def canonical_url_expr(url_col) -> "F.Column":
     u = F.regexp_replace(url_col, FRAGMENT_PATTERN, "")
     head = F.lower(F.regexp_extract(u, SCHEME_HOST_PATTERN, 1))
     tail = F.regexp_extract(u, SCHEME_HOST_PATTERN, 2)
-    u = F.concat(head, tail)
+    # schemeless/malformed urls pass through UNCHANGED — regexp_extract
+    # returns '' on no-match, and concat('','') would canonicalize every
+    # such url to the same empty string, fusing unrelated pages into one
+    # bogus duplicate group
+    u = F.when(u.rlike(SCHEME_HOST_PATTERN), F.concat(head, tail)) \
+         .otherwise(u)
     u = F.regexp_replace(u, DEFAULT_PORT_HTTP, r"$1$2")
     u = F.regexp_replace(u, DEFAULT_PORT_HTTPS, r"$1$2")
     # sort query params: path?a=1&b=2 — split once on the FIRST '?'

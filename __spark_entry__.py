@@ -236,6 +236,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang", "n_chars")
         )
 
+    def sortedby_score_facet(spark, sf_dir):
+        from whoosh_spark.search import SCORE
+
+        s = _searcher(spark, sf_dir)
+        return (
+            s.search(Q.Term("data"), limit=10, sortedby=["lang", SCORE])
+            .select("doc_id", "lang", "score")
+        )
+
     def reader_distinctive_terms(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return s.reader().distinctive_terms_df(number=10).select("score", "term")
@@ -356,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_for_query_and=docs_for_query_and,
         sortedby_nchars=sortedby_nchars,
         sortedby_multi=sortedby_multi,
+        sortedby_score_facet=sortedby_score_facet,
         term_stats_top20=term_stats_top20,
         reader_distinctive_terms=reader_distinctive_terms,
         field_stats=field_stats_q,
@@ -463,6 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Q.SpanNear(Q.Term("big"), Q.Term("merge"), slop=3, ordered=True),
         Q.Term("data")))
     out["span_before"] = _q(Q.SpanBefore(Q.Term("vector"), Q.Term("small")))
+    out["span_or"] = _q(Q.SpanOr([Q.Phrase(["big", "data"]), Q.Term("vector")]))
+    out["span_condition"] = _q(Q.SpanCondition(
+        Q.Phrase(["big", "data"]), Q.Term("merge")))
     out["nested_parent"] = _q(Q.NestedParent(
         Q.Filter("doc_id % 20 = 0"), Q.Term("data"), score_fn="sum"))
     out["nested_children"] = _q(Q.NestedChildren(
@@ -791,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_for_query_and": OSQL.docs_for_query_and_sql(["data", "vector"]),
         "sortedby_nchars": OSQL.sortedby_sql("data", "n_chars"),
         "sortedby_multi": OSQL.sortedby_multi_sql("data", ["lang", "n_chars"]),
+        "sortedby_score_facet": OSQL.sortedby_score_facet_sql("data", "lang"),
         "term_stats_top20": OSQL.term_stats_sql(20),
         "reader_distinctive_terms": OSQL.distinctive_terms_sql(10),
         "field_stats": OSQL.field_stats_sql(),
@@ -824,6 +838,8 @@ def oracle_sql() -> dict[str, str]:
         "span_not": OSQL.span_not_sql(["big", "data"], ["data", "merge"]),
         "span_contains": OSQL.span_near_contains_sql("big", "merge", 3, "data"),
         "span_before": OSQL.span_before_sql("vector", "small"),
+        "span_or": OSQL.span_or_sql(["big", "data"], "vector"),
+        "span_condition": OSQL.span_condition_sql(["big", "data"], "merge"),
         "nested_parent": OSQL.nested_parent_sql("doc_id % 20 = 0", "data", "sum"),
         "nested_children": OSQL.nested_children_sql("doc_id % 20 = 0", "vector"),
         "weighting_pl2": OSQL.weighting_or_sql("pl2", ["data", "vector"]),

@@ -93,8 +93,12 @@ def rand_span(rng: random.Random, depth: int = 0, fn=None) -> Q.Query:
         return Q.SpanNot(sub(), sub())
     if r < 0.7:
         return Q.SpanContains(sub(), sub())
-    if r < 0.85:
+    if r < 0.8:
         return Q.SpanBefore(sub(), sub())
+    if r < 0.88:
+        return Q.SpanOr([sub() for _ in range(rng.choice([2, 3]))])
+    if r < 0.94:
+        return Q.SpanCondition(sub(), sub())
     return Q.SpanFirst(sub(), limit=rng.choice([2, 5, 20]))
 
 

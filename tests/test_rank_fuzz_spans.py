@@ -1,7 +1,7 @@
 """Span-query differential rank-identity fuzz: random span trees
-(SpanNear/SpanNot/SpanContains/SpanBefore/SpanFirst over Term / slop-1
-Phrase / Prefix leaves, nested up to depth 2, also wrapped in ordinary
-compounds) must produce IDENTICAL top-k ids and BM25 scores from the Spark
+(SpanNear/SpanNot/SpanContains/SpanBefore/SpanFirst/SpanOr/SpanCondition
+over Term / slop-1 Phrase / Prefix leaves, nested up to depth 2, also
+wrapped in ordinary compounds) must produce IDENTICAL top-k ids and BM25 scores from the Spark
 positional kernel (evaluate.py::_spans_df) and the pure-Python span oracle
 (PyIndex._span_tree — same (s, e) span algebra in dicts).
 
@@ -39,6 +39,8 @@ def _span_level(children):
         st.builds(Q.SpanContains, children, children),
         st.builds(Q.SpanBefore, children, children),
         st.builds(Q.SpanFirst, children, limit=st.sampled_from([2, 5, 20])),
+        st.builds(Q.SpanOr, st.lists(children, min_size=2, max_size=3)),
+        st.builds(Q.SpanCondition, children, children),
     )
 
 

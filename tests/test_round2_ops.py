@@ -95,6 +95,38 @@ class TestSpans:
         q = Q.SpanBefore(Q.Term("vector"), Q.Term("small"))
         assert _ids(ev.evaluate(q)) == [5]
 
+    def test_span_or_union(self, ix):
+        ev = Evaluator(ix)
+        # "big data" phrase spans (docs 0,1) ∪ "merge" unit spans (docs 0,2)
+        q = Q.SpanOr([Q.Phrase(["big", "data"]), Q.Term("merge")])
+        assert _ids(ev.evaluate(q)) == [0, 1, 2]
+
+    def test_span_or_inside_combinator(self, ix):
+        ev = Evaluator(ix)
+        # SpanOr spans not overlapping any "table" position: doc 0 keeps
+        # both spans ([0,1] phrase, [2,2] merge — table@3); doc 1 keeps
+        # [0,1] (table@2); doc 2's merge@4 survives (table@1)
+        q = Q.SpanNot(
+            Q.SpanOr([Q.Phrase(["big", "data"]), Q.Term("merge")]),
+            Q.Term("table"))
+        assert _ids(ev.evaluate(q)) == [0, 1, 2]
+
+    def test_span_condition(self, ix):
+        ev = Evaluator(ix)
+        # docs with a "big data" span where "merge" also matches: {0,1}∩{0,2}
+        q = Q.SpanCondition(Q.Phrase(["big", "data"]), Q.Term("merge"))
+        assert _ids(ev.evaluate(q)) == [0]
+        # scored from the a side only: equals And(big, data) score on doc 0
+        s = {r["doc_id"]: r["score"] for r in ev.evaluate(q).collect()}
+        both = {r["doc_id"]: r["score"] for r in
+                ev.evaluate(Q.And([Q.Term("big"), Q.Term("data")])).collect()}
+        assert s[0] == pytest.approx(both[0], rel=1e-12)
+
+    def test_span_condition_b_absent(self, ix):
+        ev = Evaluator(ix)
+        q = Q.SpanCondition(Q.Phrase(["big", "data"]), Q.Term("zzzq"))
+        assert _ids(ev.evaluate(q)) == []
+
     def test_span_score_is_term_sum(self, ix):
         ev = Evaluator(ix)
         spans = {r["doc_id"]: r["score"] for r in

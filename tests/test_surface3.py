@@ -23,6 +23,25 @@ def test_sortedby_list(searcher):
     assert rkeys == sorted(rkeys, reverse=True)
 
 
+def test_sortedby_score_facet(searcher):
+    from whoosh_spark.search import SCORE
+
+    rows = searcher.search(Q.Term("data"), limit=10,
+                           sortedby=["lang", SCORE]).collect()
+    # lang ASC, then score DESC (ScoreFacet keys on 0-score), then doc_id
+    keys = [(r["lang"], -r["score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    rev = searcher.search(Q.Term("data"), limit=10,
+                          sortedby=["lang", SCORE], reverse=True).collect()
+    rkeys = [(r["lang"], -r["score"]) for r in rev]
+    assert rkeys == sorted(rkeys, reverse=True)
+    # pure-ScoreFacet sortedby degenerates to the default ranking
+    plain = searcher.search(Q.Term("data"), limit=10).collect()
+    only = searcher.search(Q.Term("data"), limit=10, sortedby=SCORE,
+                           optimize=False).collect()
+    assert [r["doc_id"] for r in only] == [r["doc_id"] for r in plain]
+
+
 def test_sortedby_list_paging(searcher):
     full = searcher.search(Q.Term("data"), limit=10,
                            sortedby=["lang", "n_chars"]).collect()

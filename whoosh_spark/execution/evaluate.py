@@ -174,7 +174,8 @@ class Evaluator:
             return self._or_terms(
                 self._ixf(q.fieldname).expand_terms(F.col("term").isin(forms)),
                 q.boost, q.fieldname)
-        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore,
+                          Q.SpanCondition)):
             a, b = self._expand(q.a), self._expand(q.b)
             if a is Q.NullQuery or b is Q.NullQuery:
                 return a if (isinstance(q, Q.SpanNot) and a is not Q.NullQuery) else Q.NullQuery
@@ -251,6 +252,11 @@ class Evaluator:
             return self._estimate(q.a)
         if isinstance(q, (Q.Constant, Q.Weighted)):
             return self._estimate(q.child)
+        if isinstance(q, Q.SpanOr):
+            return sum(self._estimate(c) for c in q.children)
+        if isinstance(q, (Q.SpanNot, Q.SpanContains, Q.SpanBefore,
+                          Q.SpanCondition)):
+            return self._estimate(q.a)
         return self._n
 
     # -- node dispatch ---------------------------------------------------
@@ -859,7 +865,24 @@ class Evaluator:
             df, terms = sub
             kept = F.filter("spans", lambda sp: sp["e"] <= q.limit)
             return df.select("doc_id", kept.alias("spans")).where(F.size("spans") > 0), terms
-        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+        if isinstance(q, Q.SpanOr):
+            subs = [self._spans_df(c, fk) for c in q.children]
+            subs = [s for s in subs if s is not None]
+            if not subs:
+                return None
+            terms = sorted({t for _, ts in subs for t in ts})
+            if len(subs) == 1:
+                return subs[0][0], terms
+            u = subs[0][0].select("doc_id", "spans")
+            for df, _ in subs[1:]:
+                u = u.unionByName(df.select("doc_id", "spans"))
+            merged = (
+                u.groupBy("doc_id")
+                .agg(F.array_sort(F.flatten(F.collect_list("spans"))).alias("spans"))
+            )
+            return merged, terms
+        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore,
+                          Q.SpanCondition)):
             sa = self._spans_df(q.a, fk)
             sb = self._spans_df(q.b, fk)
             if sa is None:
@@ -901,6 +924,12 @@ class Evaluator:
                     "_sb", lambda sb_: (sa_["s"] <= sb_["s"]) & (sb_["e"] <= sa_["e"])))
                 out = j.select("doc_id", kept.alias("spans"))
                 return out.where(F.size("spans") > 0), ta
+            if isinstance(q, Q.SpanCondition):
+                # doc-level gate: keep a's spans wholesale in docs where b
+                # yields any span (a semi-join — b's positions never read)
+                out = (da.join(db.select("doc_id"), "doc_id", "left_semi")
+                       .select("doc_id", F.col("_sa").alias("spans")))
+                return out.where(F.size("spans") > 0), ta
             # SpanBefore
             j = da.join(db, "doc_id", "inner")
             kept = F.filter("_sa", lambda sa_: F.exists(
@@ -936,6 +965,8 @@ class Evaluator:
     _eval_spannot = _eval_span_common
     _eval_spancontains = _eval_span_common
     _eval_spanbefore = _eval_span_common
+    _eval_spanor = _eval_span_common
+    _eval_spancondition = _eval_span_common
 
     # ------------------------------------------------------------------
     # Nested block-join (nested.py ≈L40/L150).  Blocks are doc-id runs from

@@ -352,7 +352,19 @@ class PyIndex:
             sp, terms = sub
             kept = {d: [x for x in v if x[1] <= q.limit] for d, v in sp.items()}
             return {d: v for d, v in kept.items() if v}, terms
-        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+        if isinstance(q, Q.SpanOr):
+            subs = [self._span_tree(c) for c in q.children]
+            subs = [s for s in subs if s is not None]
+            if not subs:
+                return None
+            terms = sorted({t for _, ts in subs for t in ts})
+            spans: dict[int, list] = defaultdict(list)
+            for sp, _ in subs:
+                for d, v in sp.items():
+                    spans[d].extend(v)
+            return {d: sorted(v) for d, v in spans.items()}, terms
+        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore,
+                          Q.SpanCondition)):
             sa = self._span_tree(q.a)
             sb = self._span_tree(q.b)
             if sa is None:
@@ -361,6 +373,9 @@ class PyIndex:
                 return sa if isinstance(q, Q.SpanNot) else None
             (da, ta), (db, tb) = sa, sb
             out = {}
+            if isinstance(q, Q.SpanCondition):
+                # doc-level gate: a's spans survive intact where b matches
+                return {d: da[d] for d in set(da) & set(db)}, ta
             if isinstance(q, Q.SpanNear):
                 for d in set(da) & set(db):
                     comb = []
@@ -442,6 +457,8 @@ class PyIndex:
     _eval_spannot = _eval_span
     _eval_spancontains = _eval_span
     _eval_spanbefore = _eval_span
+    _eval_spanor = _eval_span
+    _eval_spancondition = _eval_span
 
     def _eval_filter(self, q: Q.Filter) -> dict[int, float]:
         raise NotImplementedError("PyIndex.eval(Filter) — use stored-field predicates in tests")
@@ -537,11 +554,12 @@ def _strip_fields(q: Q.Query) -> Q.Query:
     """Recursively clear leaf fieldnames (single-field sub-index form)."""
     from dataclasses import replace
 
-    if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+    if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore,
+                      Q.SpanCondition)):
         return replace(q, a=_strip_fields(q.a), b=_strip_fields(q.b))
     if isinstance(q, Q.SpanFirst):
         return replace(q, child=_strip_fields(q.child))
-    if isinstance(q, (Q.And, Q.Or, Q.DisMax, Q.Sequence)):
+    if isinstance(q, (Q.And, Q.Or, Q.DisMax, Q.Sequence, Q.SpanOr)):
         return type(q)(tuple(_strip_fields(c) for c in q.children),
                        **{k: getattr(q, k)
                           for k in ("boost", "minmatch", "tiebreak", "slop")
@@ -555,7 +573,8 @@ def _leaf_fields(q: Q.Query) -> set:
     """All leaf ``fieldname`` values in a span tree — including expansion
     leaves (Prefix/Wildcard/Fuzzy/Regex/TermRange), whose ``field_terms()``
     is empty because their terms aren't known until lexicon expansion."""
-    if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore)):
+    if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore,
+                      Q.SpanCondition)):
         return _leaf_fields(q.a) | _leaf_fields(q.b)
     if isinstance(q, Q.SpanFirst):
         return _leaf_fields(q.child)
@@ -590,6 +609,8 @@ PyMultiIndex._eval_spannear = _multi_span
 PyMultiIndex._eval_spannot = _multi_span
 PyMultiIndex._eval_spancontains = _multi_span
 PyMultiIndex._eval_spanbefore = _multi_span
+PyMultiIndex._eval_spanor = _multi_span
+PyMultiIndex._eval_spancondition = _multi_span
 # Sequence slots are field-local too (evaluate.py derives ONE fk from the
 # slots' field_terms and raises on a mix) — same routing as span trees
 PyMultiIndex._eval_sequence = _multi_span

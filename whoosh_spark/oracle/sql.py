@@ -328,6 +328,19 @@ def sortedby_multi_sql(term: str, cols: list[str], k: int = 10) -> str:
     """
 
 
+def sortedby_score_facet_sql(term: str, col: str, k: int = 10) -> str:
+    """ScoreFacet inside a multi-level sort (``sorting.py::ScoreFacet
+    ≈L380``): stored column ASC, then score DESC (the facet keys on
+    0-score), then doc_id ASC."""
+    return base_ctes() + f"""
+      SELECT x.doc_id AS doc_id, d.{col} AS {col}, x.score AS score
+      FROM (SELECT doc_id, sum(score) AS score FROM sc
+            WHERE term = '{term}' GROUP BY doc_id) x
+      JOIN documents d USING (doc_id)
+      ORDER BY d.{col} ASC, x.score DESC, x.doc_id ASC LIMIT {k}
+    """
+
+
 def term_stats_sql(top: int = 20) -> str:
     return base_ctes() + f"""
       SELECT t.term AS term, count(*)::BIGINT AS df, sum(t.tf)::BIGINT AS cf,
@@ -695,6 +708,47 @@ pm AS (
                   AND sa.s <= ti.pos AND ti.pos <= sa.e)
 )"""
     ta = sorted({a, b})
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ({_terms_in(ta)}) GROUP BY s.doc_id"
+    )
+    return base_ctes(ctes) + topk(sel, k)
+
+
+def span_or_sql(phrase_words: list[str], term: str, k: int = 10) -> str:
+    """SpanOr([Phrase(a...), Term(t)]): union of the children's span sets —
+    a doc matches when ANY child yields a span; score = sum of the UNION of
+    the children's terms' BM25 (engine convention: the scoring side is the
+    term union, regardless of which child matched)."""
+    ctes = (
+        _phrase_spans_cte("spa", phrase_words) + ",\n"
+        + f"""pm AS (
+  SELECT DISTINCT doc_id FROM spa
+  UNION
+  SELECT DISTINCT doc_id FROM tokf WHERE term = '{term}'
+)"""
+    )
+    ts = sorted(set(phrase_words) | {term})
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ({_terms_in(ts)}) GROUP BY s.doc_id"
+    )
+    return base_ctes(ctes) + topk(sel, k)
+
+
+def span_condition_sql(a_words: list[str], b_term: str, k: int = 10) -> str:
+    """SpanCondition(Phrase(a...), Term(b)): a's spans survive wholesale in
+    docs where b also matches (doc-level gate, b positions ignored); scored
+    from a's terms only."""
+    ctes = (
+        _phrase_spans_cte("spa", a_words) + ",\n"
+        + f"""pm AS (
+  SELECT DISTINCT sa.doc_id FROM spa sa
+  WHERE EXISTS (SELECT 1 FROM tokf tb
+                WHERE tb.doc_id = sa.doc_id AND tb.term = '{b_term}')
+)"""
+    )
+    ta = sorted(set(a_words))
     sel = (
         f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
         f"WHERE s.term IN ({_terms_in(ta)}) GROUP BY s.doc_id"

@@ -648,6 +648,43 @@ class SpanBefore(Query):
 
 
 @dataclass(frozen=True)
+class SpanOr(Query):
+    """``spans.py::SpanOr (≈L300)``: per-document union of the children's
+    span sets (a doc matches when ANY child yields a span); scored from the
+    union of the children's terms (engine And/Or sum convention)."""
+
+    children: tuple
+    boost: float = 1.0
+
+    def __init__(self, children, boost=1.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+
+    def terms(self):
+        return [t for c in self.children for t in c.terms()]
+
+    def field_terms(self):
+        return [ft for c in self.children for ft in c.field_terms()]
+
+
+@dataclass(frozen=True)
+class SpanCondition(Query):
+    """``spans.py::SpanCondition (≈L600)``: spans of ``a`` in documents
+    where ``b`` also yields at least one span (doc-level gate — b's span
+    positions are irrelevant); scored from ``a``."""
+
+    a: Query
+    b: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def field_terms(self):
+        return self.a.field_terms() + self.b.field_terms()
+
+
+@dataclass(frozen=True)
 class NestedParent(Query):
     """``src/whoosh/query/nested.py::NestedParent (≈L40)``: block-join —
     parent docs (matching ``parents``) whose child block contains a doc

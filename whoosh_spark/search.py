@@ -22,6 +22,21 @@ from whoosh_spark.index import InvertedIndex
 from whoosh_spark.query import ast as Q
 
 
+class ScoreFacet:
+    """``src/whoosh/sorting.py::ScoreFacet (≈L380)``: lets the relevance
+    score participate in a multi-level ``sortedby`` list (e.g.
+    ``sortedby=["lang", SCORE]`` — group by language, best score first
+    within each).  Upstream's categorizer keys on ``0 - score`` so the
+    facet's natural ascending order puts HIGHER scores first; ``reverse``
+    flips it like every other level.  Use the module singleton ``SCORE``."""
+
+    def __repr__(self):
+        return "ScoreFacet()"
+
+
+SCORE = ScoreFacet()
+
+
 class Searcher:
     def __init__(self, ix: InvertedIndex, weighting: str = "bm25"):
         self.ix = ix
@@ -150,11 +165,20 @@ class Searcher:
             # multi-level sort facet (``sorting.py::MultiFacet ≈L500``): a
             # list of column names sorts by each in turn; ``reverse``
             # applies to every level (upstream semantics)
-            sort_cols = [sortedby] if isinstance(sortedby, str) else list(sortedby)
-            scores = scores.join(
-                self.ix.docs.select("doc_id", *sort_cols), "doc_id")
-            keys = [(F.col(c).desc() if reverse else F.col(c).asc())
-                    for c in sort_cols]
+            sort_cols = [sortedby] if isinstance(sortedby, (str, ScoreFacet)) \
+                else list(sortedby)
+            stored_cols = [c for c in sort_cols if not isinstance(c, ScoreFacet)]
+            if stored_cols:
+                scores = scores.join(
+                    self.ix.docs.select("doc_id", *stored_cols), "doc_id")
+            keys = [
+                # ScoreFacet keys on 0-score: ascending facet order = best
+                # score first; reverse flips it like every stored level
+                (F.col("score").asc() if reverse else F.col("score").desc())
+                if isinstance(c, ScoreFacet)
+                else (F.col(c).desc() if reverse else F.col(c).asc())
+                for c in sort_cols
+            ]
             order_keys = [*keys, F.col("doc_id").asc()]
             ordered = scores.orderBy(*order_keys)
         else:

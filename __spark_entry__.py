@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from whoosh_spark.analysis.analyzers import ngram_tokens as _ngram_tokens
 from whoosh_spark.execution.evaluate import Evaluator
 from whoosh_spark.index import InvertedIndex
 from whoosh_spark.oracle import pipeline_sql as PSQL
@@ -94,6 +95,15 @@ def _ts_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             .withColumn("tags", F.concat_ws(",", F.col("source"), F.col("lang")))
         )
         _CACHE[key] = Searcher(InvertedIndex.build(docs))
+    return _CACHE[key]
+
+
+def _ngram_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the NGRAMWORDS chain (substring search)."""
+    key = ("ngram", id(spark), sf_dir)
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _CACHE[key] = Searcher(InvertedIndex.build(docs, analyzer="ngram"))
     return _CACHE[key]
 
 
@@ -476,6 +486,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_or"] = _q(Q.SpanOr([Q.Phrase(["big", "data"]), Q.Term("vector")]))
     out["span_condition"] = _q(Q.SpanCondition(
         Q.Phrase(["big", "data"]), Q.Term("merge")))
+
+    def ngram_substring(spark, sf_dir):
+        # NGRAMWORDS substring search: the query word n-grams through the
+        # same chain at parse time → And of gram Terms over the gram index
+        from whoosh_spark.query.parser import parse_query
+
+        s = _ngram_searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(parse_query("tabl", analyzer="ngram")))
+
+    out["ngram_substring"] = ngram_substring
     out["nested_parent"] = _q(Q.NestedParent(
         Q.Filter("doc_id % 20 = 0"), Q.Term("data"), score_fn="sum"))
     out["nested_children"] = _q(Q.NestedChildren(
@@ -840,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "span_before": OSQL.span_before_sql("vector", "small"),
         "span_or": OSQL.span_or_sql(["big", "data"], "vector"),
         "span_condition": OSQL.span_condition_sql(["big", "data"], "merge"),
+        "ngram_substring": OSQL.ngram_and_sql(_ngram_tokens("tabl", 2, 4)),
         "nested_parent": OSQL.nested_parent_sql("doc_id % 20 = 0", "data", "sum"),
         "nested_children": OSQL.nested_children_sql("doc_id % 20 = 0", "vector"),
         "weighting_pl2": OSQL.weighting_or_sql("pl2", ["data", "vector"]),

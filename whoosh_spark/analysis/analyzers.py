@@ -69,6 +69,21 @@ def ngram_words(text: str, minsize: int = 2, maxsize: int = 4) -> list[str]:
     return out
 
 
+def analyze_text_ngram(text: str) -> tuple[list[str], list[int]]:
+    """NGRAMWORDS field chain (``src/whoosh/fields.py::NGRAMWORDS ≈L1150``:
+    RegexTokenizer | Lowercase | NgramFilter(2, 4)): every word expands to
+    its char 2..4-grams, ALL carrying the word's tokenizer ordinal as
+    position (NgramFilter does not renumber) — substring search indexing.
+    No stop/minsize word filter (1-char words simply yield no grams)."""
+    toks: list[str] = []
+    poss: list[int] = []
+    for i, word in enumerate(tokenize_raw(text)):
+        grams = ngram_tokens(word, 2, 4)
+        toks.extend(grams)
+        poss.extend([i] * len(grams))
+    return toks, poss
+
+
 def analyze_text_stemming(text: str) -> tuple[list[str], list[int]]:
     """StemmingAnalyzer chain (``src/whoosh/analysis/analyzers.py::
     StemmingAnalyzer``): RegexTokenizer | Lowercase | Stop | StemFilter
@@ -397,6 +412,7 @@ ANALYZERS: dict[str, object] = {
     "reversed": analyze_text_reversed,
     "boosted": analyze_text_boosted,
     "phonetic": analyze_text_phonetic,
+    "ngram": analyze_text_ngram,
 }
 
 

@@ -36,18 +36,12 @@ def _quant_values() -> str:
     return ",".join(rows)
 
 
-def base_ctes(extra: str = "") -> str:
-    """Shared CTE prefix: tokf (analyzed tokens w/ stop-gap positions),
-    dlq (quantized lengths), nn/ad (N, avgdl), tfs/dfs, sc (scored postings)."""
+def _scoring_ctes(tok_ctes: str, extra: str = "") -> str:
+    """Scoring CTE suffix shared by every analysis chain: given CTEs ending
+    in ``tokf(doc_id, term, pos)``, derive dlq (quantized lengths), nn/ad
+    (N, avgdl), tfs/dfs, sc (scored postings)."""
     return f"""
-WITH tok AS (
-  SELECT doc_id, lower(toks[i]) AS term, i - 1 AS pos
-  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
-       UNNEST(generate_series(1, len(toks))) AS u(i)
-),
-tokf AS (
-  SELECT * FROM tok WHERE length(term) >= 2 AND term NOT IN ({_STOPS})
-),
+WITH {tok_ctes},
 dl AS (
   SELECT d.doc_id, count(t.term)::BIGINT AS len_raw
   FROM documents d LEFT JOIN tokf t USING (doc_id) GROUP BY d.doc_id
@@ -69,6 +63,54 @@ sc AS (
   FROM tfs t JOIN dfs d USING (term) JOIN dlq q USING (doc_id)
 ){"," if extra else ""}{extra}
 """
+
+
+_STANDARD_TOK = f"""tok AS (
+  SELECT doc_id, lower(toks[i]) AS term, i - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+tokf AS (
+  SELECT * FROM tok WHERE length(term) >= 2 AND term NOT IN ({_STOPS})
+)"""
+
+# NGRAMWORDS chain (fields.py::NGRAMWORDS ≈L1150): every lowercased word →
+# its char 2..4-grams, all at the word's tokenizer ordinal; no stop/minsize
+# word filter (generate_series is empty when the word is shorter than n)
+_NGRAM_TOK = f"""tok AS (
+  SELECT doc_id, lower(toks[i]) AS word, i - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+tokf AS (
+  SELECT doc_id, substring(word, j, n) AS term, pos
+  FROM tok,
+       UNNEST(generate_series(2, 4)) AS gn(n),
+       UNNEST(generate_series(1, length(word) - n + 1)) AS gj(j)
+)"""
+
+
+def base_ctes(extra: str = "") -> str:
+    """Shared CTE prefix: tokf (analyzed tokens w/ stop-gap positions) +
+    the scoring suffix."""
+    return _scoring_ctes(_STANDARD_TOK, extra)
+
+
+def ngram_base_ctes(extra: str = "") -> str:
+    """base_ctes over the NGRAMWORDS token stream (substring index)."""
+    return _scoring_ctes(_NGRAM_TOK, extra)
+
+
+def ngram_and_sql(grams: list[str], k: int = 10) -> str:
+    """Substring search against an NGRAMWORDS index: the parser's
+    query-time tee splits the query word into its grams → And of gram
+    Terms (all must hit, score = sum)."""
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc "
+        f"WHERE term IN ({_terms_in(sorted(set(grams)))}) "
+        f"GROUP BY doc_id HAVING count(*) = {len(set(grams))}"
+    )
+    return ngram_base_ctes() + topk(sel, k)
 
 
 def _terms_in(terms: list[str]) -> str:

@@ -770,10 +770,18 @@ def span_or_sql(phrase_words: list[str], term: str, k: int = 10) -> str:
   SELECT DISTINCT doc_id FROM tokf WHERE term = '{term}'
 )"""
     )
-    ts = sorted(set(phrase_words) | {term})
+    pw = sorted(set(phrase_words))
+    # engine parity: a phrase child with ANY word absent from the lexicon
+    # yields no span tree at all, so its words drop out of the scoring
+    # union too (evaluate.py::_phrase_spans returns None) — gate the
+    # phrase terms on all of them existing
+    phrase_gate = (
+        f"(s.term IN ({_terms_in(pw)}) AND (SELECT count(DISTINCT term) "
+        f"FROM dfs WHERE term IN ({_terms_in(pw)})) = {len(pw)})"
+    )
     sel = (
         f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
-        f"WHERE s.term IN ({_terms_in(ts)}) GROUP BY s.doc_id"
+        f"WHERE s.term = '{term}' OR {phrase_gate} GROUP BY s.doc_id"
     )
     return base_ctes(ctes) + topk(sel, k)
 

@@ -65,11 +65,17 @@ sc AS (
 """
 
 
-_STANDARD_TOK = f"""tok AS (
-  SELECT doc_id, lower(toks[i]) AS term, i - 1 AS pos
+# ONE raw-tokenizer building block (regexp findall + ordinal positions) so
+# the standard and ngram chains can never drift apart in tokenization
+def _raw_tok(word_col: str) -> str:
+    return f"""tok AS (
+  SELECT doc_id, lower(toks[i]) AS {word_col}, i - 1 AS pos
   FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
        UNNEST(generate_series(1, len(toks))) AS u(i)
-),
+)"""
+
+
+_STANDARD_TOK = _raw_tok("term") + f""",
 tokf AS (
   SELECT * FROM tok WHERE length(term) >= 2 AND term NOT IN ({_STOPS})
 )"""
@@ -77,11 +83,7 @@ tokf AS (
 # NGRAMWORDS chain (fields.py::NGRAMWORDS ≈L1150): every lowercased word →
 # its char 2..4-grams, all at the word's tokenizer ordinal; no stop/minsize
 # word filter (generate_series is empty when the word is shorter than n)
-_NGRAM_TOK = f"""tok AS (
-  SELECT doc_id, lower(toks[i]) AS word, i - 1 AS pos
-  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
-       UNNEST(generate_series(1, len(toks))) AS u(i)
-),
+_NGRAM_TOK = _raw_tok("word") + """,
 tokf AS (
   SELECT doc_id, substring(word, j, n) AS term, pos
   FROM tok,
@@ -104,7 +106,12 @@ def ngram_base_ctes(extra: str = "") -> str:
 def ngram_and_sql(grams: list[str], k: int = 10) -> str:
     """Substring search against an NGRAMWORDS index: the parser's
     query-time tee splits the query word into its grams → And of gram
-    Terms (all must hit, score = sum)."""
+    Terms (all must hit, score = sum; like and_sql, the multi-term sum
+    relies on 6dp rounding absorbing FP order differences)."""
+    if not grams:
+        # engine parity: a sub-2-char query word parses to NullQuery
+        return ngram_base_ctes() + topk(
+            "SELECT doc_id, score FROM sc WHERE FALSE", k)
     sel = (
         f"SELECT doc_id, sum(score) AS score FROM sc "
         f"WHERE term IN ({_terms_in(sorted(set(grams)))}) "

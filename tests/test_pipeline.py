@@ -207,6 +207,43 @@ def test_embedding_near_dups_exact_vs_lsh_recall(spark):
     assert lsh == exact            # full recall at the operating point
 
 
+def test_embedding_near_dups_skew_bomb_tiers(spark):
+    """Degenerate corpus region: thousands of IDENTICAL embeddings share every
+    band key.  The tiered bucket expansion (ported from MinHash LSH) must keep
+    the pair count linear above ``max_bucket`` (connectivity-preserving star),
+    stay exact all-pairs in the mid tier, and equal brute force with
+    ``max_bucket=None``."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=[13, 0]))
+    v = [float(x) for x in rng.standard_normal(8)]
+    n = 2000
+    rows = [(i, v) for i in range(n)]
+    # a few distinct background vectors that must NOT pair with the clone blob
+    rows += [(10_000 + i, [float(x) for x in rng.standard_normal(8)])
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # star tier: bucket of 2000 clones > max_bucket → n-1 pairs, not C(n,2)
+    star = similarity.embedding_near_dups(
+        df, tau=0.99, bits=64, bands=8, max_bucket=256).collect()
+    assert len(star) == n - 1                     # linear, bounded expansion
+    assert all(r["a"] == 0 and r["cos"] == 1.0 for r in star)  # star center=min id
+    assert {r["b"] for r in star} == set(range(1, n))  # cluster connectivity
+
+    # mid tier (inline_cap < size <= max_bucket): distributed per-bucket
+    # equi-join stays EXACT all-pairs
+    small = spark.createDataFrame(rows[:300], "vec_id long, embedding array<float>")
+    mid = similarity.embedding_near_dups(
+        small, tau=0.99, bits=64, bands=8, inline_cap=64, max_bucket=4096)
+    assert mid.count() == 300 * 299 // 2
+
+    # max_bucket=None: brute-force-equal under any skew
+    exact = similarity.embedding_near_dups(
+        small, tau=0.99, bits=64, bands=8, max_bucket=None)
+    assert exact.count() == 300 * 299 // 2
+
+
 def test_multimodal_shapes(spark):
     from whoosh_spark.corpus import pages_df
 

@@ -182,6 +182,17 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32,
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    return tiered_bucket_pairs(buckets, inline_cap=inline_cap,
+                               max_bucket=max_bucket)
+
+
+def tiered_bucket_pairs(buckets: DataFrame, inline_cap: int = 512,
+                        max_bucket: int | None = 4096) -> DataFrame:
+    """Distinct (a, b) pairs (a < b) from bucket membership lists, tiered by
+    bucket size so no tier can blow up a task (the shared skew armor for
+    MinHash-LSH and embedding-LSH banding — see ``lsh_candidate_pairs`` for
+    the tier semantics).  ``buckets`` must have columns
+    ``(band, bh, ids array<long>)`` with ``ids`` sorted ascending."""
     ids = F.col("ids")
     all_pairs = F.flatten(F.transform(
         ids,

@@ -9,8 +9,9 @@
   Hamming-1 neighbors (multi-probe), then exact-scores candidates only.
   Hyperplanes are seeded Philox draws broadcast as literals — deterministic
   across partitionings and sessions.
-* ``embedding_near_dups`` — all-pairs cosine ≥ tau via bucket-equi-join
-  (candidates) + exact verify, never a full cross join.
+* ``embedding_near_dups`` — all-pairs cosine ≥ tau via banded buckets
+  (candidates, tiered by bucket size like MinHash LSH) + exact verify,
+  never a full cross join and never an unbounded in-bucket expansion.
 """
 
 from __future__ import annotations
@@ -18,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from whoosh_spark.pipeline.dedup import tiered_bucket_pairs
 
 
 def _dot(a, b) -> F.Column:
@@ -172,17 +175,29 @@ def embedding_near_dups_exact(embeddings: DataFrame, tau: float = 0.5,
 
 def embedding_near_dups(embeddings: DataFrame, tau: float = 0.95,
                         bits: int = 128, bands: int = 16, seed: int = 42,
-                        vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        max_bucket: int | None = 4096,
+                        inline_cap: int = 512) -> DataFrame:
     """(a, b, cos) pairs with cosine ≥ tau — banded sign-bit LSH candidates +
-    exact verify.  The scale path: candidates come from equi-joins on
-    (band, band-key), never an all-pairs comparison.
+    exact verify.  The scale path: candidates come from per-bucket expansion
+    on (band, band-key), never an all-pairs comparison.
 
     Banding math (per-bit flip prob p = acos(cos)/π): a pair collides in a
     band of width w with prob (1−p)^w; missing all ``bands`` bands has prob
     (1−(1−p)^w)^bands.  Defaults (128 bits, 16×8-bit bands) give miss prob
     ≈1.3e-4 at cos 0.95 and ≈6e-9 at cos 0.99; the verify step makes every
-    reported pair exact, so errors are only possible as recall misses."""
+    reported pair exact, so errors are only possible as recall misses.
+
+    Bucket sizes are tiered exactly like MinHash LSH
+    (``dedup.tiered_bucket_pairs``): all-pairs in-array below ``inline_cap``,
+    a distributed per-bucket equi-join up to ``max_bucket``, and above that a
+    connectivity-preserving star — the skew armor for the degenerate corpus
+    region (thousands of identical/near-zero embeddings sharing every band
+    key) whose in-bucket expansion is otherwise quadratic.  As with MinHash,
+    the star tier preserves duplicate-CLUSTER connectivity but not pair
+    completeness; pass ``max_bucket=None`` for exact all-pairs candidates
+    under any skew.  Candidate pairs dedupe across bands BEFORE the verify
+    join, so each surviving pair's cosine is computed once."""
     if bits % bands:
         raise ValueError("bits must be divisible by bands")
     w = bits // bands
@@ -206,28 +221,32 @@ def embedding_near_dups(embeddings: DataFrame, tau: float = 0.95,
             key = key + F.when(_dot(v, p) > 0,
                                F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
         keys.append(key)
-    banded = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
+        F.col(vec_col).alias("v"))
+    banded = embeddings.select(
+        F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
+            F.struct(F.lit(b).alias("band"), keys[b].alias("bh"))
             for b in range(bands)
         ])).alias("bk"),
-    ).select("vec_id", "embedding", F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
-    l = banded.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
-                      "band", "key")
-    r = banded.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
-                      "band", "key")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = tiered_bucket_pairs(buckets, inline_cap=inline_cap,
+                               max_bucket=max_bucket)
     va = F.col("va").cast("array<double>")
     vb = F.col("vb").cast("array<double>")
     cos = _dot(va, vb) / (_norm(va) * _norm(vb))
     return (
-        l.join(r, ["band", "key"])
-        .where(F.col("a") < F.col("b"))
+        cand
+        .join(base.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
+        .join(base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
         .select("a", "b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= tau)
-        .distinct()
     )
 
 

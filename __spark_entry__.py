@@ -366,7 +366,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for d in ids]
         return spark.createDataFrame(rows, "doc_id long, hl string")
 
+    def highlight_pinpoint_q(spark, sf_dir):
+        # PinpointFragmenter (non-retokenizing) over the SAME persisted
+        # char-offsets segment as highlight_chars: at maxchars=len(term)
+        # every hit is its own fragment, so the first fragment is the
+        # ±surround window around the FIRST analyzed occurrence — exactly
+        # what the oracle computes with a lazy-prefix regexp capture
+        from whoosh_spark.chars import read_char_offsets, write_char_offsets
+        from whoosh_spark.highlight import pinpoint_fragments, uppercase_format
+
+        term, surround = "vector", 20
+        s = _searcher(spark, sf_dir)
+        key = ("char_offsets", id(spark), sf_dir)
+        if key not in _CACHE:
+            import tempfile
+
+            seg_dir = tempfile.mkdtemp(prefix="whoosh_chars_")
+            write_char_offsets(s.ix.docs, seg_dir)
+            _CACHE[key] = read_char_offsets(spark, seg_dir)
+        ids = [int(r["doc_id"])
+               for r in _topk(s.ev.evaluate(Q.Term(term)), 5).collect()]
+        texts = {
+            int(r["doc_id"]): r["text"]
+            for r in s.ix.docs.where(F.col("doc_id").isin(ids))
+            .select("doc_id", "text").collect()
+        }
+        span_rows = (_CACHE[key]
+                     .where((F.col("term") == term)
+                            & F.col("doc_id").isin(ids)).collect())
+        hits = {d: [] for d in ids}
+        for r in span_rows:
+            hits[int(r["doc_id"])].extend(
+                (int(a), int(b), r["term"])
+                for a, b in zip(r["starts"], r["ends"]))
+        rows = []
+        for d in ids:
+            frags = pinpoint_fragments(texts[d], hits[d],
+                                       maxchars=len(term), surround=surround)
+            rows.append((d, uppercase_format(texts[d], frags[0])))
+        return spark.createDataFrame(rows, "doc_id long, hl string")
+
     out.update(
+        highlight_pinpoint=highlight_pinpoint_q,
         collapse_source=collapse_source,
         collapse_order_nchars=collapse_order_nchars,
         term_vector=term_vector,
@@ -837,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like": OSQL.more_like_sql([0, 1, 2, 3, 4], 5, 10),
         "highlight_upper": OSQL.highlight_upper_sql("data", 5),
         "highlight_chars": OSQL.highlight_upper_sql("window", 5),
+        "highlight_pinpoint": OSQL.highlight_pinpoint_sql("vector", 5),
         "range_facet_nchars": OSQL.range_facet_sql("data", "n_chars", 0.0, 1000.0, 250.0),
         "query_facet": OSQL.query_facet_sql(
             "data", {"has_vector": "vector", "has_window": "window"}),

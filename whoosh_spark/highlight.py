@@ -86,6 +86,54 @@ def sentence_fragments(text: str, terms: set[str],
     return frags
 
 
+def _trim_to_whitespace(text: str, frag: Fragment) -> Fragment:
+    """Pinpoint ``autotrim``: snap a fragment that starts/ends mid-word to
+    the nearest whitespace boundary inside the window (never past a hit)."""
+    s, e = frag.startchar, frag.endchar
+    first_hit = frag.hits[0][0] if frag.hits else e
+    last_hit = frag.hits[-1][1] if frag.hits else s
+    if s > 0 and not text[s - 1].isspace() and not text[s].isspace():
+        nxt = text.find(" ", s, first_hit)
+        if nxt >= 0:
+            s = nxt + 1
+    if e < len(text) and not text[e - 1].isspace() \
+            and not text[e].isspace():
+        prev = text.rfind(" ", last_hit, e)
+        if prev >= 0:
+            e = prev
+    return Fragment(s, e, frag.hits)
+
+
+def pinpoint_fragments(text: str, hits: list[tuple[int, int, str]],
+                       maxchars: int = 200, surround: int = 20,
+                       autotrim: bool = False) -> list[Fragment]:
+    """PinpointFragmenter (``src/whoosh/highlight.py::PinpointFragmenter
+    ≈L430``): the NON-RETOKENIZING fragmenter — windows are built directly
+    from matched-term char spans (the Characters-format side table,
+    ``whoosh_spark.chars``), never from re-analyzing stored text.
+
+    Greedy grouping in startchar order: a group absorbs the next hit while
+    the group's matched span (next.endchar - first.startchar) stays within
+    ``maxchars``; each group becomes a fragment padded by ±``surround``
+    chars.  ``autotrim`` snaps mid-word window edges to whitespace
+    (upstream's autotrim flag).  Fragments are returned in startchar order
+    and never overlap on their hit groups."""
+    hits = sorted(hits)
+    frags: list[Fragment] = []
+    i, n = 0, len(hits)
+    while i < n:
+        left = hits[i][0]
+        j = i
+        while j + 1 < n and hits[j + 1][1] - left <= maxchars:
+            j += 1
+        right = hits[j][1]
+        frag = Fragment(max(0, left - surround),
+                        min(len(text), right + surround), hits[i:j + 1])
+        frags.append(_trim_to_whitespace(text, frag) if autotrim else frag)
+        i = j + 1
+    return frags
+
+
 def whole_fragment(text: str, terms: set[str]) -> list[Fragment]:
     spans = _token_spans(text)
     return [Fragment(0, len(text), [(s, e, t) for s, e, t in spans if t in terms])]

@@ -1274,3 +1274,35 @@ def highlight_upper_sql(term: str, k: int = 5) -> str:
             ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {k}) t
       JOIN documents d USING (doc_id)
     """
+
+
+def highlight_pinpoint_sql(term: str, k: int = 5, surround: int = 20) -> str:
+    """PinpointFragmenter + UppercaseFormatter, first-occurrence fragment
+    (``src/whoosh/highlight.py::PinpointFragmenter ≈L430``): the engine takes
+    hit spans from the PERSISTED char-offsets segment and, at
+    ``maxchars=len(term)``, every group is a single hit, so the first
+    fragment is exactly ``text[max(0, s-surround) : s+len+surround]`` with
+    the matched span uppercased (``s`` = first analyzed occurrence).  The
+    oracle finds ``s`` via the lazy-prefix capture — ``(?is)`` because the
+    engine matches ANALYZED (lowercased) tokens across newlines; the ``\\b``
+    agreement argument is highlight_upper_sql's (this corpus has no dotted
+    tokens, ``_`` is ``\\w`` and ``-`` breaks tokens on both engines)."""
+    L = len(term)
+    sel = f"SELECT doc_id, score FROM sc WHERE term = '{term}'"
+    return base_ctes() + f"""
+      , pin AS (
+        SELECT t.doc_id, d.text,
+               length(regexp_extract(d.text,
+                      '(?is)^(.*?)\\b{term}\\b', 1)) AS s
+        FROM (SELECT doc_id FROM ({sel})
+              ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {k}) t
+        JOIN documents d USING (doc_id))
+      SELECT doc_id,
+             substr(text, greatest(1, s + 1 - {surround}),
+                    s - greatest(0, s - {surround}))
+             || upper(substr(text, s + 1, {L}))
+             || substr(text, s + 1 + {L},
+                       least(length(text), s + {L} + {surround}) - (s + {L}))
+               AS hl
+      FROM pin
+    """

@@ -830,8 +830,14 @@ class Searcher:
         """Characters-format highlighting (``formats.py::Characters ≈L250``):
         hit char spans come from the ``chars`` side table
         (``whoosh_spark.chars.char_offsets``) instead of re-analyzing the
-        stored text — term-pushed scan semi-joined to the k result docs."""
-        from whoosh_spark.highlight import fragments_from_spans, html_format
+        stored text — term-pushed scan semi-joined to the k result docs.
+
+        ``fragmenter="context"`` (default) merges surround windows like
+        ContextFragmenter; ``fragmenter="pinpoint"`` is upstream's
+        PinpointFragmenter (``highlight.py::PinpointFragmenter ≈L430``) —
+        greedy match-span grouping, optional ``autotrim``."""
+        from whoosh_spark.highlight import (fragments_from_spans, html_format,
+                                            pinpoint_fragments)
 
         qn = q.normalize()
         terms = {t for t in qn.terms()} | set(qn.phrase_terms())
@@ -852,11 +858,18 @@ class Searcher:
         maxchars = fmt_kw.pop("maxchars", 200)
         surround = fmt_kw.pop("surround", 20)
         sep = fmt_kw.pop("sep", "...")
+        fragmenter = fmt_kw.pop("fragmenter", "context")
+        autotrim = fmt_kw.pop("autotrim", False)
         out = []
         for r in rows:
             text = r[text_col] or ""
-            frags = fragments_from_spans(text, by_doc.get(int(r["doc_id"]), []),
-                                         maxchars, surround)
+            doc_hits = by_doc.get(int(r["doc_id"]), [])
+            if fragmenter == "pinpoint":
+                frags = pinpoint_fragments(text, doc_hits, maxchars,
+                                           surround, autotrim)
+            else:
+                frags = fragments_from_spans(text, doc_hits,
+                                             maxchars, surround)
             frags.sort(key=lambda f: (-f.score(), f.startchar))
             chosen = sorted(frags[:top], key=lambda f: f.startchar)
             out.append((int(r["doc_id"]), float(r["score"]),

@@ -620,6 +620,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         basedate=datetime(2020, 1, 13, 9, 0, 0))
         return _topk(s.ev.evaluate(q))
 
+    def parsed_nl_date_2_q(spark, sf_dir):
+        # times-of-day grammar: day-grain NL phrase + "at" + time tail;
+        # '[' anchors at the lo span's START, ']' includes the hi span
+        from datetime import datetime
+
+        from whoosh_spark.query.parser import parse_query
+
+        s = _ts_searcher(spark, sf_dir)
+        q = parse_query(
+            "data AND warc_ts:[yesterday at 3pm TO tomorrow at noon]",
+            datetime_fields=["warc_ts"],
+            basedate=datetime(2020, 1, 13, 9, 0, 0))
+        return _topk(s.ev.evaluate(q))
+
     def parsed_dismax_q(spark, sf_dir):
         from whoosh_spark.query.parser import parse_dismax
 
@@ -657,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parsed_regex=parsed_regex_q,
         parsed_datetime=parsed_datetime_q,
         parsed_nl_date=parsed_nl_date_q,
+        parsed_nl_date_2=parsed_nl_date_2_q,
         parsed_dismax=parsed_dismax_q,
     )
 
@@ -929,6 +944,11 @@ def oracle_sql() -> dict[str, str]:
         "parsed_nl_date": OSQL.date_range_iso_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,
             1578787200, 1578960000, incl_hi=False),
+        # [yesterday at 3pm TO tomorrow at noon] @ 2020-01-13T09:
+        # 2020-01-12 15:00:00 .. < 2020-01-14 12:01:00
+        "parsed_nl_date_2": OSQL.date_range_iso_and_sql(
+            "data", WARC_EPOCH0, WARC_STEP,
+            1578841200, 1579003260, incl_hi=False),
         "parsed_dismax": OSQL.multifield_dismax_sql(
             "data", {"text": 2.0, "lang": 1.0}, MF_FIELDS),
         # pipeline ops — every entry has a full value oracle (round 2: the

@@ -12,8 +12,15 @@ deterministic under an explicit ``basedate`` (tests/entries always pin it).
 Supported: ``now``, ``today``/``yesterday``/``tomorrow``,
 ``this|last|next week|month|year``, month names w/ optional year/day
 ("march 2020", "mar", "20 march 2020", "march 20 2020"), bare years
-("2020"), and signed deltas ``±N s|min|h|d|w|mo|y`` (span at the delta's
-grain, e.g. ``-2d`` = that whole day).
+("2020"), signed deltas ``±N s|min|h|d|w|mo|y`` (span at the delta's
+grain, e.g. ``-2d`` = that whole day), times of day (``3pm``,
+``3:05pm``, ``15:30``, ``16:20:11``, ``noon``, ``midnight`` — span at
+the expressed grain within the base day; a bare hour needs am/pm or a
+colon so day numbers stay dates), and combined day+time phrases
+(``tomorrow at 3pm``, ``next friday 15:30``, ``20 march 2020 at
+16:20:11`` — any DAY-grain phrase, optional ``at``).  Fuzzy *ranges*
+compose through the query parser's bracket syntax — each side of
+``[last tuesday TO next friday at noon]`` goes through ``nl_span``.
 """
 
 from __future__ import annotations
@@ -66,6 +73,43 @@ def _add_months(d: datetime, n: int) -> datetime:
 
     return d.replace(year=y, month=m,
                      day=min(d.day, calendar.monthrange(y, m)[1]))
+
+
+# time-of-day tail: noon | midnight | H[:MM[:SS]] with am/pm | H:MM[:SS]
+# (a BARE hour without am/pm or colon is NOT a time — "20 march" day nums
+# and "2020" years must keep parsing as dates)
+_TIME_TAIL_RE = re.compile(
+    r"(?:^|\s)(noon|midnight"
+    r"|\d{1,2}(?::\d{2}(?::\d{2})?)?\s*(?:am|pm)"
+    r"|\d{1,2}:\d{2}(?::\d{2})?)$")
+_TIME_RE = re.compile(
+    r"^(\d{1,2})(?::(\d{2})(?::(\d{2}))?)?\s*(am|pm)?$")
+
+
+def _time_of_day(t: str) -> tuple[int, int] | None:
+    """(seconds-from-midnight, grain-seconds) for a time-of-day string, at
+    the expressed precision: "3pm" = the whole hour, "3:05pm" = the minute,
+    "16:20:11" = the second.  noon/midnight are minute-grain points."""
+    if t in ("noon", "midnight"):
+        return (12 * 3600 if t == "noon" else 0), 60
+    m = _TIME_RE.match(t)
+    if not m:
+        return None
+    h, mi, sec, ampm = m.groups()
+    h = int(h)
+    if ampm:
+        if not 1 <= h <= 12:
+            return None
+        h = h % 12 + (12 if ampm == "pm" else 0)
+    elif h > 23 or mi is None:
+        return None  # bare no-colon hour stays a date token
+    if mi is not None and int(mi) > 59:
+        return None
+    if sec is not None and int(sec) > 59:
+        return None
+    off = h * 3600 + int(mi or 0) * 60 + int(sec or 0)
+    grain = 3600 if mi is None else (60 if sec is None else 1)
+    return off, grain
 
 
 def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
@@ -132,4 +176,24 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
         if day:
             return _day(datetime(year, month, int(day)))
         return _month(year, month)
+    # time-of-day, optionally after a DAY-grain date phrase (+ optional "at"):
+    # "3pm", "15:30", "noon", "tomorrow at 3pm", "next friday 16:20:11"
+    m = _TIME_TAIL_RE.search(s)
+    if m:
+        tod = _time_of_day(m.group(1))
+        if tod is not None:
+            head = s[: m.start()].strip()
+            if head.endswith(" at"):
+                head = head[: -3].rstrip()
+            elif head == "at":
+                head = ""
+            if not head:
+                day_lo, _ = _day(base)
+            else:
+                span = nl_span(head, base)
+                if span is None or span[1] - span[0] != 86400:
+                    return None  # only day-grain phrases take a time
+                day_lo = span[0]
+            off, grain = tod
+            return day_lo + off, day_lo + off + grain
     return None

@@ -68,6 +68,9 @@ _TOKEN_SPEC = [
     ("REGEX", r'(\w+:)?r"[^"]*"'),
     ("PHRASE", r'(\w+:)?"[^"]*"(~\d+)?(\^\d+(\.\d+)?)?'),
     ("RANGE", r"(\w+:)?[\[{][^\]}]*?\s+TO\s+[^\]}]*?[\]}]"),
+    # SingleQuotePlugin / DateParserPlugin quoted syntax: field:'one token'
+    # (keeps inner whitespace — the qparser date idiom warc_ts:'next friday')
+    ("SQUOTE", r"(\w+:)?(>=|<=|>|<)?'[^']*'(\^\d+(\.\d+)?)?"),
     ("AND", r"AND\b"),
     ("OR", r"OR\b"),
     ("NOT", r"NOT\b"),
@@ -126,11 +129,22 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
             fieldname = fm.group(1)
         text = fm.group(2)
     is_dt = bool(dt_fields and fieldname in dt_fields)
+    # SingleQuotePlugin (``qparser/plugins.py::SingleQuotePlugin ≈L100``):
+    # 'quoted text' is ONE verbatim token; on a datetime field it is the
+    # DateParserPlugin idiom — the inner text continues to the date grammar
+    # below (warc_ts:'tomorrow at 3pm')
+    if len(text) >= 2 and text[0] == "'" and text[-1] == "'":
+        text = text[1:-1].strip()
+        if not is_dt:
+            if not text:
+                return NullQuery
+            return Term(text.lower(), boost=boost, fieldname=fieldname,
+                        analyzed=True)
     # GtLt (``qparser/plugins.py::GtLtPlugin ≈L500``): field:>x field:<=y →
     # open-ended TermRange (or DateRange on a declared datetime column)
     gm = re.match(r"^(>=|<=|>|<)(.+)$", text, re.S)
     if gm and not text.startswith('"'):
-        op, val = gm.group(1), gm.group(2).strip()
+        op, val = gm.group(1), gm.group(2).strip().strip("'")
         if is_dt:
             try:
                 ep, date_only = _iso_epoch(val)
@@ -345,7 +359,7 @@ class _Parser:
                     fieldname = fm.group(1)
                 text = text[fm.end():]
             return Regex(text[2:-1], fieldname=fieldname)
-        if kind in ("WORD", "PHRASE", "RANGE"):
+        if kind in ("WORD", "PHRASE", "RANGE", "SQUOTE"):
             self.next()
             return _leaf(text, self.fields, self.dt_fields, self.basedate,
                          self.analyzer)

@@ -481,7 +481,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = parse_query("data", fields=list(MF_FIELDS), multifield=["text", "lang"])
         return _topk(s.search(q, limit=None, optimize=False).select("doc_id", "score"))
 
-    out.update(fielded_and=fielded_and, multifield_or=multifield_or)
+    def glob_fielded_and(spark, sf_dir):
+        # dynamic-field schema: "lang" is NOT declared — the "*g" glob
+        # expands over the docs table's string columns at build time
+        # (fields.py::Schema.add("*_tag", glob=True) ≈L1250); the query
+        # then uses it like any declared field
+        from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
+        from whoosh_spark.query.parser import parse_query
+
+        key = ("mfglob", id(spark), sf_dir)
+        if key not in _CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            mix = MultiFieldIndex.build(
+                docs, fields={"text": FieldSpec("text"),
+                              "*g": FieldSpec("*g")},
+                default_field="text")
+            assert set(mix.indexes) == {"text", "lang"}, sorted(mix.indexes)
+            _CACHE[key] = Searcher(mix)
+        s = _CACHE[key]
+        q = parse_query("text:data AND lang:en", fields=["text", "lang"])
+        return _topk(s.search(q, limit=None, optimize=False)
+                     .select("doc_id", "score"))
+
+    def charset_term(spark, sf_dir):
+        # CharsetTokenizer chain end-to-end: index built with the fused
+        # fold-while-tokenizing chain, query tee'd through the same chain —
+        # the accented query word folds to the ASCII term
+        from whoosh_spark.query.parser import parse_query
+
+        key = ("charset", id(spark), sf_dir)
+        if key not in _CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            _CACHE[key] = Searcher(
+                InvertedIndex.build(docs, analyzer="charset"))
+        s = _CACHE[key]
+        q = parse_query("dáta", analyzer="charset")
+        return _topk(s.ev.evaluate(q))
+
+    out.update(fielded_and=fielded_and, multifield_or=multifield_or,
+               glob_fielded_and=glob_fielded_and, charset_term=charset_term)
 
     # ---- per-posting boost weights (PositionBoosts overlay) --------------
     def boosted_term(spark, sf_dir):
@@ -902,6 +940,12 @@ def oracle_sql() -> dict[str, str]:
         "fielded_and": OSQL.fielded_and_sql(
             [("text", "data"), ("lang", "en")], MF_FIELDS),
         "multifield_or": OSQL.multifield_or_sql("data", MF_FIELDS),
+        # glob schema resolves to the same {text, lang} family, so the
+        # fielded-and oracle is shared; charset('dáta') folds to 'data'
+        # and charset(ASCII corpus) ≡ standard, so term_sql twins it
+        "glob_fielded_and": OSQL.fielded_and_sql(
+            [("text", "data"), ("lang", "en")], MF_FIELDS),
+        "charset_term": OSQL.term_sql("data"),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),
         "weighted_subtree": OSQL.weighted_and_sql("pl2", "data", "vector"),

@@ -105,6 +105,58 @@ def fold_accents(token: str) -> str:
     )
 
 
+def charset_tokenize(text: str, charmap=None) -> list[str]:
+    """CharsetTokenizer (``src/whoosh/analysis/tokenizers.py::
+    CharsetTokenizer ≈L300``): loops char by char through a character map —
+    a char mapping to None is a token BREAK, any other char is appended
+    TRANSLATED (case/accent folding fused into tokenization, unlike
+    CharsetFilter which folds after a regex tokenizer).
+
+    The default map translates word chars (``\\w`` semantics: alnum + _)
+    to their lowercased accent-fold and breaks on everything else; a
+    combining mark folds to '' (skipped, NOT a break) so decomposed
+    "cafe\\u0301" tokenizes identically to composed "café"."""
+    if charmap is None:
+        charmap = _default_charmap
+    tokens: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        t = charmap(ch)
+        if t is None:
+            if cur:
+                tokens.append("".join(cur))
+                cur = []
+        else:
+            cur.append(t)
+    if cur:
+        tokens.append("".join(cur))
+    return tokens
+
+
+def _default_charmap(ch: str) -> str | None:
+    if ch.isalnum() or ch == "_":
+        return fold_accents(ch).lower()
+    import unicodedata
+
+    # a bare combining mark continues the current token (folds away)
+    return "" if unicodedata.combining(ch) else None
+
+
+def analyze_text_charset(text: str) -> tuple[list[str], list[int]]:
+    """"charset" chain: CharsetTokenizer + stop filter at ordinal
+    positions — the tokenizer-level folding twin of the standard chain
+    (identical output on ASCII corpora, accent/case-fused elsewhere)."""
+    if not text:
+        return [], []
+    tokens: list[str] = []
+    positions: list[int] = []
+    for pos, t in enumerate(charset_tokenize(text)):
+        if len(t) >= MIN_WORD_SIZE and t not in STOP_WORDS:
+            tokens.append(t)
+            positions.append(pos)
+    return tokens, positions
+
+
 def substitute(token: str, pattern: str, replacement: str) -> str:
     """SubstitutionFilter (``analysis/filters.py::SubstitutionFilter
     ≈L430``): regex substitution applied to every token."""
@@ -413,6 +465,7 @@ ANALYZERS: dict[str, object] = {
     "boosted": analyze_text_boosted,
     "phonetic": analyze_text_phonetic,
     "ngram": analyze_text_ngram,
+    "charset": analyze_text_charset,
 }
 
 

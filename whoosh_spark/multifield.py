@@ -81,11 +81,39 @@ class MultiFieldIndex:
         its own analyze pass + one posting shuffle; fields build as
         independent Spark jobs (a cluster runs them back-to-back; there is
         no cross-field barrier in the dataflow).
+
+        Glob/dynamic fields (``fields.py::Schema.add("*_tag", glob=True)
+        ≈L1250``): a field NAME containing ``* ? [`` is a pattern — it
+        expands over the docs table's string columns (the Spark analog of
+        "any document field matching the glob gets this FieldType"),
+        skipping ``id_col`` and any explicitly declared field.  A glob
+        spec's ``source`` normally names the matched column itself; pass
+        the pattern (or any glob) as ``source`` to mean "the matched
+        column".
         """
-        specs = {
-            name: (spec if isinstance(spec, FieldSpec) else FieldSpec(spec))
-            for name, spec in fields.items()
-        }
+        explicit = {}
+        globs = {}
+        for name, spec in fields.items():
+            spec = spec if isinstance(spec, FieldSpec) else FieldSpec(spec)
+            (globs if any(c in name for c in "*?[") else explicit)[name] = spec
+        specs = dict(explicit)
+        if globs:
+            import fnmatch
+
+            str_cols = [f.name for f in docs.schema.fields
+                        if f.dataType.simpleString() == "string"
+                        and f.name != id_col]
+            for pat, spec in globs.items():
+                for col in str_cols:
+                    if col in specs or not fnmatch.fnmatchcase(col, pat):
+                        continue
+                    src = (col if any(c in spec.source for c in "*?[")
+                           else spec.source)
+                    specs[col] = FieldSpec(src, spec.analyzer, spec.b,
+                                           spec.boost)
+            if not specs:
+                raise ValueError(
+                    f"no docs column matches schema globs {sorted(globs)}")
         default_field = default_field or next(iter(specs))
         indexes = {
             name: InvertedIndex.build(

@@ -610,23 +610,43 @@ class Searcher:
 
     # ------------------------------------------------------------------
     def search_with_timeout(self, q: Q.Query, timelimit: float,
-                            limit: int | None = 10, **kw) -> list:
+                            limit: int | None = 10, partial: bool = False,
+                            chunks: int = 8, **kw) -> list:
         """``TimeLimitCollector`` analog
         (``src/whoosh/collectors.py::TimeLimitCollector ≈L700``): collect the
         top-k rows, cancelling the distributed job and raising
         :class:`TimeLimitError` if it exceeds ``timelimit`` seconds.
 
-        The reference interrupts a generator loop and can surface partial
-        results; Spark's unit of cancellation is the job (job-group cancel
-        interrupts every executor task), so an expired search yields no
-        partial rows — the honest distributed semantics.
+        Default (``partial=False``): Spark's unit of cancellation is the
+        job (job-group cancel interrupts every executor task), so an
+        expired search yields no partial rows — the honest distributed
+        semantics when the whole search is one job.
+
+        ``partial=True`` reproduces upstream's contract — after a timeout
+        the rows collected SO FAR are available — by collecting in
+        ``chunks`` disjoint doc-space slices (``doc_id % chunks``), each
+        its own cancellable job under the shared deadline.  Scoring stats
+        (idf, avgdl) stay GLOBAL, so every returned score is identical to
+        an unlimited search; when all chunks finish, the merged top-k IS
+        the exact result.  On expiry the raised :class:`TimeLimitError`
+        carries ``.partial`` (merged top-k over completed chunks — the
+        ``TimeLimitedCollector.results()`` analog) and ``.chunks_done``.
+        Trade-off, documented for 100 TB honesty: k sequential jobs re-scan
+        the postings ≈k times, so partial mode buys bounded staleness with
+        scan amplification — keep ``chunks`` small, or pre-bucket the store
+        by doc range if partial search is hot.
         """
-        # the WHOLE search runs inside the watchdog scope: WAND's planning
-        # collects (theta seed, block-count probe) are themselves Spark jobs
-        # and must be cancellable, not just the final collect
-        return run_with_timeout(
-            self.ix.spark, timelimit,
-            lambda: self.search(q, limit=limit, **kw).collect())
+        if not partial:
+            # the WHOLE search runs inside the watchdog scope: WAND's
+            # planning collects (theta seed, block-count probe) are
+            # themselves Spark jobs and must be cancellable, not just the
+            # final collect
+            return run_with_timeout(
+                self.ix.spark, timelimit,
+                lambda: self.search(q, limit=limit, **kw).collect())
+        scores = run_with_timeout(self.ix.spark, timelimit,
+                                  lambda: self.ev.evaluate(q))
+        return collect_chunked_with_deadline(scores, timelimit, limit, chunks)
 
     # ------------------------------------------------------------------
     def documents(self, **kw) -> DataFrame:
@@ -1066,6 +1086,49 @@ def run_with_timeout(spark, timelimit: float, fn):
 def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
     """Collect ``df`` under :func:`run_with_timeout`."""
     return run_with_timeout(df.sparkSession, timelimit, df.collect)
+
+
+def _merge_topk(rows: list, limit: int | None) -> list:
+    out = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+    return out if limit is None else out[:limit]
+
+
+def collect_chunked_with_deadline(scores: DataFrame, timelimit: float,
+                                  limit: int | None = 10,
+                                  chunks: int = 8) -> list:
+    """Partial-results engine behind ``search_with_timeout(partial=True)``:
+    collect per-chunk top-k (``doc_id % chunks`` slices) sequentially under
+    one deadline; per-chunk top-k ⊇ that chunk's members of the global
+    top-k, so the merge is exact when every chunk lands.  On expiry raises
+    :class:`TimeLimitError` with ``.partial`` (merged completed rows) and
+    ``.chunks_done`` — upstream's collector keeps what it has seen; the
+    distributed restatement keeps whole completed slices."""
+    import time as _time
+
+    deadline = _time.monotonic() + timelimit
+    rows: list = []
+    done = 0
+    for i in range(chunks):
+        chunk = (scores.where(F.col("doc_id") % chunks == i)
+                 .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        if limit is not None:
+            chunk = chunk.limit(limit)
+        remaining = deadline - _time.monotonic()
+        try:
+            if remaining <= 0:
+                raise TimeLimitError(f"deadline hit before chunk {i}")
+            rows.extend(run_with_timeout(
+                scores.sparkSession, remaining, chunk.collect))
+            done += 1
+        except TimeLimitError:
+            err = TimeLimitError(
+                f"collection exceeded {timelimit}s "
+                f"({done}/{chunks} chunks completed)")
+            err.partial = _merge_topk(rows, limit)
+            err.chunks_done = done
+            err.chunks = chunks
+            raise err from None
+    return _merge_topk(rows, limit)
 
 
 class Corrector:

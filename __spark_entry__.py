@@ -862,7 +862,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d + "/events.parquet", gap="2 hours", delay="1 day")
             .orderBy("s_start", "event_type"),
     )
-    return out
+    # Driver-sample rotation manifest: the driver's correctness gate samples
+    # the FIRST ~50 keys, so ordering IS coverage policy.  Keys the driver
+    # has never hash-checked (round-3 additions + everything outside
+    # CORRECTNESS_r02's 50-entry sample) come first; the 50 entries already
+    # driver-green in r02 rotate to the back.  After each round, move that
+    # round's sampled keys into _DRIVER_SAMPLED so the front stays
+    # never-sampled-first until every entry has hard driver evidence.
+    front = [k for k in out if k not in _DRIVER_SAMPLED]
+    return {k: out[k] for k in front + [k for k in out if k in _DRIVER_SAMPLED]}
+
+
+# keys hash-verified by the driver in CORRECTNESS_r01/r02 (all green there)
+_DRIVER_SAMPLED = frozenset([
+    "term_hot", "term_rare", "and_hot_rare", "and_hot_hot", "or_hot_rare",
+    "or_minmatch", "andnot_hot_rare", "andmaybe", "dismax", "phrase_2",
+    "phrase_slop2", "phrase_freq", "sequence_prefix", "prefix", "wildcard",
+    "and_dup_expansion", "fuzzy", "term_range", "filtered_and", "not_in_and",
+    "require", "otherwise_fallback", "every", "constant_score", "boosted_or",
+    "batch_search", "collapse_source", "collapse_order_nchars", "term_vector",
+    "facet_count_source", "facet_doclists_source", "docs_for_query_and",
+    "sortedby_nchars", "sortedby_multi", "sortedby_score_facet",
+    "term_stats_top20", "reader_distinctive_terms", "field_stats",
+    "doc_lengths", "spelling", "key_terms", "key_terms_bo1", "key_terms_kl",
+    "correct_query", "more_like", "highlight_upper", "highlight_chars",
+    "range_facet_nchars", "query_facet", "numeric_range",
+])
 
 
 def _variation_forms(word: str) -> list[str]:

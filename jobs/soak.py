@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Scale soak (round-3): one multi-million-doc build+query run with
+per-stage walls, skew counters, and WAND block-prune ratios at realistic
+vocabulary — evidence that no build stage goes superlinear between two
+corpus sizes an order of magnitude apart.
+
+Protocol
+--------
+* corpus: ``corpus.pages_df`` (deterministic Common-Crawl-style pages,
+  BASELINE.json input_hint shape) at ``--docs`` (default 5M) and a
+  ``--baseline-docs`` reference size (default 1M), ``vocab_mult=50``
+  (~100k distinct terms — realistic web-ish vocabulary, Zipf tail).
+* build: the real persisted build (``store.write_index``) on
+  ``local[$SPARK_GRAFT_CPUS]``; stage walls parsed from the build's own
+  ``_build_log.jsonl`` lineage (analyze batches + merge phase).
+* queries: warmed medians over hot/rare/and/or/dismax/phrase/wildcard,
+  plus WAND prune ratios (survivor blocks / total blocks at the exact
+  final θ) for a hot and a mid-frequency term.
+* output: ``SOAK.json`` at the repo root (picked up by bench.py into
+  BENCH_r{N}.json) + a human log on stderr.
+
+Run detached — this takes ~15-30 min:
+    nohup python jobs/soak.py > /tmp/soak.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+VOCAB_MULT = int(os.environ.get("SOAK_VOCAB_MULT", "50"))
+
+
+def log(msg: str) -> None:
+    print(f"[soak +{time.perf_counter() - T0:8.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("whoosh-spark-soak")
+        .config("spark.sql.shuffle.partitions", str(2 * CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _ensure_corpus(spark, n_docs: int) -> str:
+    from whoosh_spark.corpus import pages_df
+
+    path = os.path.join(REPO, ".benchdata",
+                        f"soak_pages{n_docs}_v{VOCAB_MULT}.parquet")
+    if not os.path.exists(path):
+        log(f"generating {n_docs} pages (vocab_mult={VOCAB_MULT}) -> {path}")
+        pages = pages_df(spark, n_docs, partitions=4 * CPUS,
+                         vocab_mult=VOCAB_MULT)
+        pages.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stage_walls(ix_dir: str) -> dict:
+    """Per-stage walls + skew counters from the build's own lineage log."""
+    import math
+
+    recs = []
+    with open(os.path.join(ix_dir, "_build_log.jsonl")) as fh:
+        for line in fh:
+            recs.append(json.loads(line))
+    an = [r for r in recs if r.get("phase") == "analyze"]
+    mg = [r for r in recs if r.get("phase") == "merge"]
+    walls = [r["wall_ms"] / 1000 for r in an]
+    docs = [r.get("n_docs", 0) for r in an]
+    out = {
+        "analyze_batches": len(an),
+        "analyze_wall_s": round(sum(walls), 1),
+        "analyze_batch_skew": round(max(walls) / (sum(walls) / len(walls)), 2)
+        if walls else None,
+        "analyze_docs_per_batch_cv": round(
+            statistics.pstdev(docs) / statistics.mean(docs), 3)
+        if docs and statistics.mean(docs) else None,
+        "merge_wall_s": round(sum(r["wall_ms"] for r in mg) / 1000, 1),
+    }
+    counters = mg[-1].get("counters", {}) if mg else {}
+    if counters:
+        out["merge_counters"] = counters
+    assert all(not math.isnan(w) for w in walls)
+    return out
+
+
+def _build(spark, corpus_path: str, n_docs: int) -> dict:
+    from whoosh_spark import store
+
+    ix_dir = os.path.join(REPO, ".benchdata", f"soak_ix_{n_docs}")
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    docs = spark.read.parquet(corpus_path)
+    log(f"building {n_docs}-doc index -> {ix_dir}")
+    t0 = time.perf_counter()
+    store.write_index(docs, ix_dir)
+    wall = time.perf_counter() - t0
+    res = {
+        "n_docs": n_docs,
+        "build_wall_s": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "stages": _stage_walls(ix_dir),
+        "ix_dir": ix_dir,
+    }
+    log(f"build done: {res['build_wall_s']}s ({res['docs_per_sec']} docs/s)")
+    return res
+
+
+def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
+    from whoosh_spark import store
+    from whoosh_spark.query import ast as Q
+    from whoosh_spark.search import Searcher
+
+    ix = store.load_index(spark, ix_dir)
+    s = Searcher(ix)
+    cases = {
+        "term_hot": Q.Term("data"),
+        "term_mid": Q.Term("toward"),
+        "term_rare": Q.Term("xr000123") if VOCAB_MULT > 1 else Q.Term("rare0123"),
+        "and_hot_hot": Q.And([Q.Term("data"), Q.Term("query")]),
+        "or_hot_rare": Q.Or([Q.Term("data"), Q.Term("crawl")]),
+        "dismax": Q.DisMax([Q.Term("data"), Q.Term("crawl")], tiebreak=0.5),
+        "phrase_2": Q.Phrase(["web", "index"]),
+        "wildcard": Q.Wildcard("quer*"),
+    }
+    out = {}
+    pooled = []
+    for name, q in cases.items():
+        s.search(q, limit=10).collect()  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            s.search(q, limit=10).collect()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(times), 3)
+        pooled.extend(times)
+        log(f"query {name}: {out[name]}s")
+    ps = sorted(pooled)
+    k = 0.95 * (len(ps) - 1)
+    f = int(k)
+    out["query_p95"] = round(
+        ps[f] + (ps[min(f + 1, len(ps) - 1)] - ps[f]) * (k - f), 3)
+    out["wand_prune"] = _wand_prune(ix, s, ["data", "toward", "about"])
+    return out
+
+
+def _wand_prune(ix, s, terms: list[str]) -> dict:
+    """Survivor-block fraction at the exact final θ for single-term top-10:
+    blocks with ub >= θ / total blocks of the term (lower = more pruning)."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.execution.score import idf_value
+    from whoosh_spark.execution.wand import _ub_col
+    from whoosh_spark.query import ast as Q
+
+    n, avgdl = ix.global_stats()
+    out = {}
+    for t in terms:
+        stats = ix.stats_for_terms([t])
+        if t not in stats:
+            continue
+        rows = s.search(Q.Term(t), limit=10).collect()
+        if len(rows) < 10:
+            continue
+        theta = float(rows[-1]["score"])
+        blocks = ix.blocks.where((F.col("field") == ix.field)
+                                 & (F.col("term") == t))
+        total = blocks.count()
+        idf_map = {t: idf_value(n, stats[t]["df"])}
+        surv = blocks.withColumn("_ub", _ub_col(idf_map, avgdl)) \
+                     .where(F.col("_ub") >= theta).count()
+        out[t] = {"df": stats[t]["df"], "blocks": total,
+                  "survivors": surv,
+                  "survivor_frac": round(surv / total, 4) if total else None}
+        log(f"wand {t}: {surv}/{total} blocks survive θ={theta:.3f}")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int,
+                    default=int(os.environ.get("SOAK_DOCS", 5_000_000)))
+    ap.add_argument("--baseline-docs", type=int,
+                    default=int(os.environ.get("SOAK_BASE_DOCS", 1_000_000)))
+    ap.add_argument("--keep-index", action="store_true")
+    args = ap.parse_args()
+
+    spark = _session()
+    try:
+        runs = []
+        for n in (args.baseline_docs, args.docs):
+            corpus = _ensure_corpus(spark, n)
+            r = _build(spark, corpus, n)
+            r["queries"] = _queries(spark, r["ix_dir"])
+            ix_dir = r.pop("ix_dir")
+            if not args.keep_index and n != args.docs:
+                shutil.rmtree(ix_dir, ignore_errors=True)
+            runs.append(r)
+        lo, hi = runs
+        scale = args.docs / args.baseline_docs
+        result = {
+            "protocol": f"local[{CPUS}], vocab_mult={VOCAB_MULT}, persisted "
+                        "build (write_index), stage walls from "
+                        "_build_log.jsonl, queries warmed median of 3",
+            "cores": CPUS,
+            "vocab_mult": VOCAB_MULT,
+            "runs": runs,
+            "scale_factor": scale,
+            # superlinearity check: per-doc cost ratio hi/lo per stage
+            # (1.0 = perfectly linear; < ~1 = economies of scale)
+            "per_doc_cost_ratio": {
+                "build": round((hi["build_wall_s"] / hi["n_docs"])
+                               / (lo["build_wall_s"] / lo["n_docs"]), 3),
+                "analyze": round(
+                    (hi["stages"]["analyze_wall_s"] / hi["n_docs"])
+                    / (lo["stages"]["analyze_wall_s"] / lo["n_docs"]), 3),
+                "merge": round((hi["stages"]["merge_wall_s"] / hi["n_docs"])
+                               / (lo["stages"]["merge_wall_s"] / lo["n_docs"]),
+                               3),
+            },
+        }
+        with open(os.path.join(REPO, "SOAK.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+        log("SOAK.json written")
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,15 +68,30 @@ def _zipf_probs(n: int) -> np.ndarray:
 
 _PROBS = _zipf_probs(len(_VOCAB))
 
+# vocab_mult > 1 appends deterministic rare-tail terms (Zipf re-normalized
+# over the longer list) for realistic-vocabulary soaks; mult=1 is byte-
+# identical to the original corpus, so invariance fixtures are unaffected.
+_VOCABS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-def gen_pages_pdf(doc_ids: np.ndarray, seed: int, mean_len: int) -> pd.DataFrame:
+
+def _vocab_probs(mult: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    if mult not in _VOCABS:
+        v = list(_VOCAB)
+        if mult > 1:
+            v += [f"xr{i:06d}" for i in range(len(_VOCAB) * (mult - 1))]
+        _VOCABS[mult] = (np.asarray(v, dtype=object), _zipf_probs(len(v)))
+    return _VOCABS[mult]
+
+
+def gen_pages_pdf(doc_ids: np.ndarray, seed: int, mean_len: int,
+                  vocab_mult: int = 1) -> pd.DataFrame:
     """Generate one batch of pages for the given global doc ids."""
     out = {"doc_id": [], "url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-    vocab = np.asarray(_VOCAB, dtype=object)
+    vocab, probs = _vocab_probs(vocab_mult)
     for did in doc_ids:
         rng = np.random.Generator(np.random.Philox(key=[seed, int(did)]))
         ln = max(1, int(rng.lognormal(mean=np.log(mean_len), sigma=0.6)))
-        words = vocab[rng.choice(len(vocab), size=ln, p=_PROBS)]
+        words = vocab[rng.choice(len(vocab), size=ln, p=probs)]
         text = " ".join(words.tolist())
         ts = np.datetime64("2024-01-01") + np.timedelta64(int(rng.integers(0, 365 * 86400)), "s")
         out["doc_id"].append(int(did))
@@ -89,12 +104,13 @@ def gen_pages_pdf(doc_ids: np.ndarray, seed: int, mean_len: int) -> pd.DataFrame
 
 
 def pages_df(spark: SparkSession, n: int, seed: int = 42, mean_len: int = 120,
-             partitions: int | None = None) -> DataFrame:
+             partitions: int | None = None, vocab_mult: int = 1) -> DataFrame:
     """Distributed deterministic pages table of n rows."""
     base = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
-            yield gen_pages_pdf(pdf["id"].to_numpy(), seed, mean_len)
+            yield gen_pages_pdf(pdf["id"].to_numpy(), seed, mean_len,
+                                vocab_mult)
 
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)

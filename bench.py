@@ -203,6 +203,10 @@ def _bench_ann_recall(spark, k: int = 10, n_queries: int = 12) -> dict:
                                                         bits=12, seed=7),
         "lsh_b12_noprobe": lambda qv: similarity.ann_topk(
             emb, qv, k=k, bits=12, multiprobe=False),
+        "lsh_b12_t4": lambda qv: similarity.ann_topk(emb, qv, k=k,
+                                                     bits=12, n_tables=4),
+        "lsh_b8_t4": lambda qv: similarity.ann_topk(emb, qv, k=k,
+                                                    bits=8, n_tables=4),
         "ivf_c16_p4": lambda qv: similarity.ivf_topk(emb, qv, k=k,
                                                      n_cells=16, n_probe=4),
         "ivf_c16_p2": lambda qv: similarity.ivf_topk(emb, qv, k=k,

@@ -114,20 +114,34 @@ def rp_lsh_buckets(embeddings: DataFrame, bits: int = 12, seed: int = 42,
 
 def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              bits: int = 12, seed: int = 42, multiprobe: bool = True,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             n_tables: int = 1, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
     """LSH-bucketed approximate top-k: probe the query bucket (+ Hamming-1
-    buckets), exact cosine on candidates only."""
+    buckets), exact cosine on candidates only.
+
+    ``n_tables`` > 1 is classic multi-table LSH (L independent hyperplane
+    sets, candidate UNION) — the standard recall lever when one table's
+    bucket misses true neighbors; cost grows ~linearly in L but stays a
+    tiny pushed-predicate slice of the corpus, never a full scan."""
     dim = len(query_vec)
-    planes = _hyperplanes(dim, bits, seed)
-    qsig = 0
     qv = np.asarray(query_vec, dtype=np.float64)
-    for i in range(bits):
-        if float(planes[i] @ qv) > 0:
-            qsig |= 1 << i
-    probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
-    bucketed = rp_lsh_buckets(embeddings, bits, seed, vec_col, id_col,
-                              dim=dim)
-    cand = bucketed.where(F.col("bucket").isin(probes))
+    cand = None
+    for t in range(max(1, n_tables)):
+        tseed = seed + 1000003 * t
+        planes = _hyperplanes(dim, bits, tseed)
+        qsig = 0
+        for i in range(bits):
+            if float(planes[i] @ qv) > 0:
+                qsig |= 1 << i
+        probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)]
+                           if multiprobe else [])
+        bucketed = rp_lsh_buckets(embeddings, bits, tseed, vec_col, id_col,
+                                  dim=dim)
+        part = bucketed.where(F.col("bucket").isin(probes)) \
+                       .select("vec_id", "embedding")
+        cand = part if cand is None else cand.unionByName(part)
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["vec_id"])
     return cosine_topk(cand, query_vec, k, "embedding", "vec_id")
 
 

@@ -329,14 +329,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for d in ids]
         return spark.createDataFrame(rows, "doc_id long, hl string")
 
-    def highlight_chars_q(spark, sf_dir):
-        # Characters posting format: hit spans come from the PERSISTED
-        # char-offsets segment (write_char_offsets → parquet → term+doc
-        # pushdown scan of chars.py's side table), NOT from re-analyzing
-        # stored text; the oracle re-analyzes, proving the format invariant
-        # (offsets ≡ analysis) end-to-end through the disk round-trip
+    def _char_hits(spark, sf_dir, term, k=5):
+        # shared Characters-format plumbing for the highlight_* entries:
+        # hit spans come from the PERSISTED char-offsets segment
+        # (write_char_offsets → parquet → term+doc pushdown scan of
+        # chars.py's side table), NOT from re-analyzing stored text; the
+        # oracles re-analyze, proving the format invariant (offsets ≡
+        # analysis) end-to-end through the disk round-trip.  Returns
+        # (top-k doc ids, {doc: text}, {doc: sorted hit spans}).
         from whoosh_spark.chars import read_char_offsets, write_char_offsets
-        from whoosh_spark.highlight import Fragment, uppercase_format
 
         s = _searcher(spark, sf_dir)
         key = ("char_offsets", id(spark), sf_dir)
@@ -347,45 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             write_char_offsets(s.ix.docs, seg_dir)
             _CACHE[key] = read_char_offsets(spark, seg_dir)
         ids = [int(r["doc_id"])
-               for r in _topk(s.ev.evaluate(Q.Term("window")), 5).collect()]
-        texts = {
-            int(r["doc_id"]): r["text"]
-            for r in s.ix.docs.where(F.col("doc_id").isin(ids))
-            .select("doc_id", "text").collect()
-        }
-        span_rows = (_CACHE[key]
-                     .where((F.col("term") == "window")
-                            & F.col("doc_id").isin(ids)).collect())
-        hits = {d: [] for d in ids}
-        for r in span_rows:
-            hits[int(r["doc_id"])].extend(
-                (int(a), int(b), r["term"])
-                for a, b in zip(r["starts"], r["ends"]))
-        rows = [(d, uppercase_format(
-                    texts[d], Fragment(0, len(texts[d]), sorted(hits[d]))))
-                for d in ids]
-        return spark.createDataFrame(rows, "doc_id long, hl string")
-
-    def highlight_pinpoint_q(spark, sf_dir):
-        # PinpointFragmenter (non-retokenizing) over the SAME persisted
-        # char-offsets segment as highlight_chars: at maxchars=len(term)
-        # every hit is its own fragment, so the first fragment is the
-        # ±surround window around the FIRST analyzed occurrence — exactly
-        # what the oracle computes with a lazy-prefix regexp capture
-        from whoosh_spark.chars import read_char_offsets, write_char_offsets
-        from whoosh_spark.highlight import pinpoint_fragments, uppercase_format
-
-        term, surround = "vector", 20
-        s = _searcher(spark, sf_dir)
-        key = ("char_offsets", id(spark), sf_dir)
-        if key not in _CACHE:
-            import tempfile
-
-            seg_dir = tempfile.mkdtemp(prefix="whoosh_chars_")
-            write_char_offsets(s.ix.docs, seg_dir)
-            _CACHE[key] = read_char_offsets(spark, seg_dir)
-        ids = [int(r["doc_id"])
-               for r in _topk(s.ev.evaluate(Q.Term(term)), 5).collect()]
+               for r in _topk(s.ev.evaluate(Q.Term(term)), k).collect()]
         texts = {
             int(r["doc_id"]): r["text"]
             for r in s.ix.docs.where(F.col("doc_id").isin(ids))
@@ -399,6 +362,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hits[int(r["doc_id"])].extend(
                 (int(a), int(b), r["term"])
                 for a, b in zip(r["starts"], r["ends"]))
+        return ids, texts, {d: sorted(h) for d, h in hits.items()}
+
+    def highlight_chars_q(spark, sf_dir):
+        from whoosh_spark.highlight import Fragment, uppercase_format
+
+        ids, texts, hits = _char_hits(spark, sf_dir, "window")
+        rows = [(d, uppercase_format(
+                    texts[d], Fragment(0, len(texts[d]), hits[d])))
+                for d in ids]
+        return spark.createDataFrame(rows, "doc_id long, hl string")
+
+    def highlight_pinpoint_q(spark, sf_dir):
+        # PinpointFragmenter (non-retokenizing) over the SAME persisted
+        # char-offsets segment as highlight_chars: at maxchars=len(term)
+        # every hit is its own fragment, so the first fragment is the
+        # ±surround window around the FIRST analyzed occurrence — exactly
+        # what the oracle computes with a lazy-prefix regexp capture
+        from whoosh_spark.highlight import pinpoint_fragments, uppercase_format
+
+        term, surround = "vector", 20
+        ids, texts, hits = _char_hits(spark, sf_dir, term)
         rows = []
         for d in ids:
             frags = pinpoint_fragments(texts[d], hits[d],

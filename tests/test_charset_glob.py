@@ -30,6 +30,14 @@ def test_charset_breaks_and_underscore():
     assert charset_tokenize("...") == []
 
 
+def test_lone_combining_mark_no_phantom_token():
+    """Regression (round-3 review): a bare combining mark between breaks
+    folds to '' and must not emit an empty token or burn a position."""
+    assert charset_tokenize("a ́ b") == ["a", "b"]
+    toks, poss = analyze_text_charset("data ́ vector")
+    assert toks == ["data", "vector"] and poss == [0, 1]
+
+
 def test_custom_charmap():
     # digits break, letters uppercase — arbitrary maps are honored
     cm = lambda c: (c.upper() if c.isalpha() else None)

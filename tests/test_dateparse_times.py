@@ -141,6 +141,18 @@ def test_parser_single_quoted_verbatim_term():
     assert "don" in repr(q2) and "panic" in repr(q2)
 
 
+def test_apostrophe_words_never_pair_across_tokens():
+    """Regression (round-3 review): a leading apostrophe in one word must
+    not pair with an apostrophe in a later word — "'90s hits '80s hits"
+    stays four WORD tokens, never one space-containing verbatim term."""
+    from whoosh_spark.query.parser import parse_query
+
+    q = parse_query("'90s hits '80s hits")
+    r = repr(q)
+    assert "90s" in r and "80s" in r and "hits" in r
+    assert "90s hits" not in r.replace("'", "")
+
+
 def test_parser_exclusive_time_braces():
     from whoosh_spark.query.parser import parse_query
 

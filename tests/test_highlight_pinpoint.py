@@ -65,6 +65,14 @@ def test_autotrim_snaps_to_whitespace():
     assert s <= h[0] and e >= h[1]
 
 
+def test_autotrim_snaps_to_any_whitespace():
+    """Regression (round-3 review): \\n and \\t are trim boundaries too."""
+    text = "abcdefgh\ntok\tzyxwvuts"
+    frags = pinpoint_fragments(text, _hits(text, "tok"), maxchars=3,
+                               surround=4, autotrim=True)
+    assert text[frags[0].startchar:frags[0].endchar] == "tok"
+
+
 def test_formatter_over_pinpoint_fragment():
     text = "one two three two one"
     frags = pinpoint_fragments(text, _hits(text, "two"),

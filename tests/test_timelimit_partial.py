@@ -66,6 +66,34 @@ def test_zero_deadline_yields_empty_partial(searcher):
     assert getattr(ei.value, "partial", []) == []
 
 
+def test_partial_mode_honors_search_kwargs(searcher):
+    """Regression (round-3 review): partial mode must apply the full search
+    option surface (here: filter), not silently drop **kw."""
+    q = Q.Term("data")
+    flt = "doc_id % 2 = 0"
+    normal = [(int(r["doc_id"]), round(float(r["score"]), 9))
+              for r in searcher.search(q, limit=10, optimize=False,
+                                       filter=Q.Filter(flt)).collect()]
+    part = [(int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in searcher.search_with_timeout(
+                q, timelimit=300.0, limit=10, partial=True, chunks=4,
+                filter=Q.Filter(flt))]
+    assert part == normal
+    assert all(d % 2 == 0 for d, _ in part)
+
+
+def test_partial_mode_rejects_order_changing_kwargs(searcher):
+    with pytest.raises(ValueError, match="sortedby"):
+        searcher.search_with_timeout(Q.Term("data"), 30.0, partial=True,
+                                     sortedby="n_chars")
+
+
+def test_zero_chunks_rejected(spark):
+    df = spark.createDataFrame([(0, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="chunks"):
+        collect_chunked_with_deadline(df, 10.0, 5, chunks=0)
+
+
 def test_default_mode_still_raises_without_partial(searcher):
     with pytest.raises(TimeLimitError) as ei:
         searcher.search_with_timeout(Q.Term("data"), timelimit=1e-9, limit=5)

@@ -120,16 +120,22 @@ def charset_tokenize(text: str, charmap=None) -> list[str]:
         charmap = _default_charmap
     tokens: list[str] = []
     cur: list[str] = []
+
+    def flush():
+        # a run of only-folding chars (e.g. a lone combining mark between
+        # breaks) joins to "" — never emit a phantom empty token
+        t = "".join(cur)
+        if t:
+            tokens.append(t)
+        cur.clear()
+
     for ch in text:
         t = charmap(ch)
         if t is None:
-            if cur:
-                tokens.append("".join(cur))
-                cur = []
+            flush()
         else:
             cur.append(t)
-    if cur:
-        tokens.append("".join(cur))
+    flush()
     return tokens
 
 

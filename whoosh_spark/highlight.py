@@ -93,12 +93,14 @@ def _trim_to_whitespace(text: str, frag: Fragment) -> Fragment:
     first_hit = frag.hits[0][0] if frag.hits else e
     last_hit = frag.hits[-1][1] if frag.hits else s
     if s > 0 and not text[s - 1].isspace() and not text[s].isspace():
-        nxt = text.find(" ", s, first_hit)
+        nxt = next((i for i in range(s, first_hit)
+                    if text[i].isspace()), -1)
         if nxt >= 0:
             s = nxt + 1
     if e < len(text) and not text[e - 1].isspace() \
             and not text[e].isspace():
-        prev = text.rfind(" ", last_hit, e)
+        prev = next((i for i in range(e - 1, last_hit - 1, -1)
+                     if text[i].isspace()), -1)
         if prev >= 0:
             e = prev
     return Fragment(s, e, frag.hits)

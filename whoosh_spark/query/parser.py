@@ -70,7 +70,10 @@ _TOKEN_SPEC = [
     ("RANGE", r"(\w+:)?[\[{][^\]}]*?\s+TO\s+[^\]}]*?[\]}]"),
     # SingleQuotePlugin / DateParserPlugin quoted syntax: field:'one token'
     # (keeps inner whitespace — the qparser date idiom warc_ts:'next friday')
-    ("SQUOTE", r"(\w+:)?(>=|<=|>|<)?'[^']*'(\^\d+(\.\d+)?)?"),
+    # the closing quote must end the token (whitespace / ')' / end) so a
+    # leading apostrophe in one word never pairs with one in a later word
+    # ("'90s hits '80s" stays four WORDs, upstream-SingleQuotes behavior)
+    ("SQUOTE", r"(\w+:)?(>=|<=|>|<)?'[^']*'(\^\d+(\.\d+)?)?(?=[\s)]|$)"),
     ("AND", r"AND\b"),
     ("OR", r"OR\b"),
     ("NOT", r"NOT\b"),

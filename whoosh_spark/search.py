@@ -644,9 +644,26 @@ class Searcher:
             return run_with_timeout(
                 self.ix.spark, timelimit,
                 lambda: self.search(q, limit=limit, **kw).collect())
-        scores = run_with_timeout(self.ix.spark, timelimit,
-                                  lambda: self.ev.evaluate(q))
-        return collect_chunked_with_deadline(scores, timelimit, limit, chunks)
+        # partial mode merges chunks on (score DESC, doc_id ASC), so search
+        # options that impose a DIFFERENT global order can't be honored
+        # collapse survivors and reverse order are also global properties a
+        # per-chunk top-k can't reproduce
+        for bad in ("sortedby", "offset", "collapse", "reverse"):
+            if bad in kw:
+                raise ValueError(f"partial=True is score-ranked; {bad!r} "
+                                 "is not supported with partial results")
+        import time as _time
+
+        t0 = _time.monotonic()
+        # full search surface (filter/mask/final/with_stored/...) via the
+        # ordinary lazy plan; WAND off — its planning collects would burn
+        # deadline before the first chunk lands
+        scores = run_with_timeout(
+            self.ix.spark, timelimit,
+            lambda: self.search(q, limit=None, optimize=False, **kw))
+        remaining = timelimit - (_time.monotonic() - t0)
+        return collect_chunked_with_deadline(scores, max(remaining, 1e-3),
+                                             limit, chunks)
 
     # ------------------------------------------------------------------
     def documents(self, **kw) -> DataFrame:
@@ -887,9 +904,12 @@ class Searcher:
             if fragmenter == "pinpoint":
                 frags = pinpoint_fragments(text, doc_hits, maxchars,
                                            surround, autotrim)
-            else:
+            elif fragmenter == "context":
                 frags = fragments_from_spans(text, doc_hits,
                                              maxchars, surround)
+            else:
+                raise ValueError(f"unknown fragmenter {fragmenter!r} "
+                                 "(context | pinpoint)")
             frags.sort(key=lambda f: (-f.score(), f.startchar))
             chosen = sorted(frags[:top], key=lambda f: f.startchar)
             out.append((int(r["doc_id"]), float(r["score"]),
@@ -1105,6 +1125,8 @@ def collect_chunked_with_deadline(scores: DataFrame, timelimit: float,
     distributed restatement keeps whole completed slices."""
     import time as _time
 
+    if chunks <= 0:
+        raise ValueError(f"chunks must be >= 1, got {chunks}")
     deadline = _time.monotonic() + timelimit
     rows: list = []
     done = 0

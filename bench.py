@@ -214,6 +214,11 @@ def _bench_ann_recall(spark, k: int = 10, n_queries: int = 12) -> dict:
         "ivf_c64_p8": lambda qv: similarity.ivf_topk(emb, qv, k=k,
                                                      n_cells=64, n_probe=8),
     }
+    trained = similarity.ivf_train(emb, n_cells=16, iters=3)
+    variants["ivf_trained_c16_p4"] = lambda qv: similarity.ivf_topk(
+        emb, qv, k=k, n_probe=4, centroids=trained)
+    variants["ivf_trained_c16_p2"] = lambda qv: similarity.ivf_topk(
+        emb, qv, k=k, n_probe=2, centroids=trained)
     out = {"k": k, "n_queries": len(ids)}
     for name, fn in variants.items():
         hit = tot = 0

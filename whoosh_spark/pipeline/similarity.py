@@ -281,21 +281,61 @@ def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
+              seed: int = 42, sample: int = 8192,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> list:
+    """Lloyd-refined IVF centroids (spherical k-means over a bounded
+    DETERMINISTIC sample): random seeded init (= the untrained centroids),
+    then ``iters`` assign/mean/renormalize steps over at most ``sample``
+    vectors picked by md5-of-id order — engine- and partitioning-stable.
+
+    The sample is collected once (TakeOrderedAndProject, never a corpus
+    shuffle) and refined driver-side in numpy — O(sample·dim·n_cells·iters)
+    on the driver, which is the standard IVF practice (FAISS trains on a
+    sample too).  Returns ``n_cells`` unit row-vectors as a list of lists,
+    ready for ``ivf_assign/ivf_topk(centroids=...)``.  Empty cells keep
+    their previous centroid, so the cell count is stable."""
+    dim = _vec_dim(embeddings, vec_col)
+    cents = _ivf_centroids(dim, n_cells, seed)
+    rows = (embeddings.select(F.col(vec_col).alias("v"),
+                              F.md5(F.col(id_col).cast("string")).alias("h"))
+            .orderBy("h").limit(sample).collect())
+    if rows:
+        x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = x / norms
+        for _ in range(max(0, iters)):
+            assign = np.argmax(x @ cents.T, axis=1)
+            for c in range(n_cells):
+                members = x[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        cents[c] = m / n
+    return [[float(v) for v in c] for c in cents]
+
+
 def ivf_assign(embeddings: DataFrame, n_cells: int = 16, seed: int = 42,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               dim: int | None = None) -> DataFrame:
+               dim: int | None = None,
+               centroids: list | None = None) -> DataFrame:
     """(vec_id, cell, embedding): cell = argmax centroid dot product (first
     max wins on exact ties — mirrored by the oracle's ORDER BY d DESC,
     cid ASC LIMIT 1).  Centroid dots are JVM column expressions over
     broadcast literals; at scale, write this table partitioned BY cell so a
-    probe reads only its cells' files."""
+    probe reads only its cells' files.  ``centroids`` (e.g. from
+    :func:`ivf_train`) overrides the seeded random cells."""
     dim = _vec_dim(embeddings, vec_col, dim)
     if dim == 0:
         return embeddings.where(F.lit(False)).select(
             F.col(id_col).cast("long").alias("vec_id"),
             F.lit(0).cast("int").alias("cell"),
             F.col(vec_col).alias("embedding"))
-    cents = _ivf_centroids(dim, n_cells, seed)
+    cents = (np.asarray(centroids, dtype=np.float64)
+             if centroids is not None else _ivf_centroids(dim, n_cells, seed))
+    n_cells = len(cents)
     v = F.col(vec_col).cast("array<double>")
     dots = F.array(*[
         _dot(v, F.array(*[F.lit(float(x)) for x in cents[c]]))
@@ -311,14 +351,19 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16, seed: int = 42,
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_cells: int = 16, n_probe: int = 4, seed: int = 42,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: list | None = None) -> DataFrame:
     """IVF-flat approximate top-k: exact cosine over the n_probe cells whose
-    centroids are nearest the query."""
+    centroids are nearest the query.  ``centroids`` (from :func:`ivf_train`)
+    swaps the seeded random cells for trained ones — same plan shape."""
     dim = len(query_vec)
-    cents = _ivf_centroids(dim, n_cells, seed)
+    cents = (np.asarray(centroids, dtype=np.float64)
+             if centroids is not None else _ivf_centroids(dim, n_cells, seed))
+    n_cells = len(cents)
     qd = cents @ np.asarray(query_vec, dtype=np.float64)
     order = sorted(range(n_cells), key=lambda c: (-qd[c], c))
     probes = order[:n_probe]
-    cand = ivf_assign(embeddings, n_cells, seed, vec_col, id_col, dim=dim) \
+    cand = ivf_assign(embeddings, n_cells, seed, vec_col, id_col, dim=dim,
+                      centroids=centroids) \
         .where(F.col("cell").isin(probes))
     return cosine_topk(cand, query_vec, k, "embedding", "vec_id")

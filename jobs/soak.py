@@ -56,8 +56,11 @@ def _session():
         .appName("whoosh-spark-soak")
         .config("spark.sql.shuffle.partitions", str(2 * CPUS))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 48g, not bigger: the JVM heap shares the box with ~CPUS Python
+        # workers whose Arrow batches grow with corpus length — an 80g heap
+        # OOM-killed the 5M leg (JVM 72G RSS + 32 workers ≈ >125G)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -342,9 +342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _searcher(spark, sf_dir)
         key = ("char_offsets", id(spark), sf_dir)
         if key not in _CACHE:
+            import atexit
+            import shutil
             import tempfile
 
             seg_dir = tempfile.mkdtemp(prefix="whoosh_chars_")
+            atexit.register(shutil.rmtree, seg_dir, ignore_errors=True)
             write_char_offsets(s.ix.docs, seg_dir)
             _CACHE[key] = read_char_offsets(spark, seg_dir)
         ids = [int(r["doc_id"])

@@ -679,3 +679,120 @@ def decode_blocks_pdf(pdf: pd.DataFrame, want_positions: bool = False) -> pd.Dat
     if want_positions:
         cols["positions"] = pos_out
     return pd.DataFrame(cols)
+
+def _segmented_cumsum(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Absolute values from per-segment delta streams, fully vectorized:
+    one global cumsum, then subtract each segment's preceding prefix."""
+    if deltas.size == 0:
+        return deltas.astype(np.int64)
+    cs = np.cumsum(deltas.astype(np.int64))
+    starts = np.cumsum(counts) - counts
+    prefix = np.concatenate(([0], cs))[starts]          # cumsum BEFORE segment
+    return cs - np.repeat(prefix, counts)
+
+
+def _positions_counts(vals: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Per-posting position counts from a concatenated positions stream.
+
+    Fast path: in this codec the analyzer emits one position per occurrence,
+    so counts == tf.  That coupling is VERIFIED, not assumed: the implied
+    count slots must hold exactly the tf values and account for the whole
+    stream; any mismatch (e.g. a foreign writer with boost-scaled weights)
+    falls back to the sequential self-describing walk."""
+    n_post = tfs.size
+    counts = tfs.astype(np.int64)
+    if counts.min(initial=0) >= 0:
+        cnt_idx = np.arange(n_post, dtype=np.int64) + (np.cumsum(counts) - counts)
+        if (vals.size == n_post + int(counts.sum())
+                and cnt_idx.size
+                and int(cnt_idx[-1]) < vals.size
+                and np.array_equal(vals[cnt_idx].astype(np.int64), counts)):
+            return counts
+    # fallback: walk varint(count) + count deltas per posting
+    out = np.empty(n_post, dtype=np.int64)
+    vl = vals.tolist()
+    i = 0
+    for k in range(n_post):
+        c = int(vl[i])
+        out[k] = c
+        i += 1 + c
+    if i != len(vl):
+        raise ValueError("corrupt positions stream: trailing bytes")
+    return out
+
+
+def decode_blocks_arrow(want_positions: bool = False):
+    """``mapInArrow`` decoder: block rows → flat postings RecordBatches.
+
+    Whole-BATCH vectorization (the query-side hot loop — the pandas variant
+    above does one Python iteration per block row; at 5M docs a two-hot-term
+    phrase decodes ~76k blocks/9.7M postings, where per-row slicing and the
+    per-posting ``cumsum``/``tolist`` dominated the measured latency):
+
+      * ids     — ONE ``varint_decode`` over the batch's concatenated id
+                  blobs, then one segmented cumsum (delta → absolute).
+      * weights — ONE ``frombuffer`` over the concatenated FOR streams,
+                  scattered into const/non-const rows by mask.
+      * lens    — ONE ``frombuffer``.
+      * positions — ONE ``varint_decode`` + verified counts==tf fast path
+                  (see ``_positions_counts``) + one segmented cumsum, emitted
+                  as an Arrow ``ListArray`` (values + offsets, no Python
+                  list-of-lists, no pandas object column).
+
+    Output schema matches ``index._DECODE[_POS]_SCHEMA``.
+    """
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            ns = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(ns.sum())
+            row_idx = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+
+            ids_all = varint_decode(b"".join(t.column("ids").to_pylist()))
+            doc_ids = _segmented_cumsum(ids_all, ns)
+
+            # weights: w_const rows broadcast a scalar, others unpack FOR u4
+            wc = t.column("w_const").to_numpy(zero_copy_only=False)
+            const_row = ~np.isnan(wc)
+            tf_out = np.empty(total, dtype=np.float64)
+            const_post = const_row[row_idx]
+            if const_post.any():
+                tf_out[const_post] = np.repeat(wc[const_row], ns[const_row])
+            if (~const_row).any():
+                wbytes = b"".join(
+                    v for v, c in zip(t.column("weights").to_pylist(), const_row)
+                    if not c)
+                tf_out[~const_post] = np.frombuffer(wbytes, dtype="<u4")
+
+            lbytes = b"".join(t.column("lens").to_pylist())
+            dl_out = np.frombuffer(lbytes, dtype="<u2").astype(np.int64)
+
+            arrays = [
+                t.column("field").combine_chunks().take(pa.array(row_idx)),
+                t.column("term").combine_chunks().take(pa.array(row_idx)),
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(tf_out, type=pa.float64()),
+                pa.array(dl_out, type=pa.int64()),
+            ]
+            names = ["field", "term", "doc_id", "tf", "dl"]
+            if want_positions:
+                pbytes = b"".join(t.column("positions").to_pylist())
+                vals = varint_decode(pbytes)
+                counts = _positions_counts(vals, tf_out)
+                cnt_idx = (np.arange(total, dtype=np.int64)
+                           + (np.cumsum(counts) - counts))
+                dmask = np.ones(vals.size, dtype=bool)
+                dmask[cnt_idx] = False
+                flat = _segmented_cumsum(vals[dmask], counts)
+                offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(flat, type=pa.int64())))
+                names.append("positions")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return fn

@@ -279,9 +279,15 @@ class Evaluator:
         return self.ix.not_deleted(self._scored_terms(terms))
 
     def _scored_terms(self, terms: list[str],
-                      fieldname: str | None = None) -> DataFrame:
+                      fieldname: str | None = None,
+                      posts: DataFrame | None = None,
+                      keep: tuple[str, ...] = ()) -> DataFrame:
         """Decode + score postings for a set of exact terms in ONE scan of
-        the given field (BM25F: per-field idf/avgdl/B + field boost)."""
+        the given field (BM25F: per-field idf/avgdl/B + field boost).
+
+        ``posts`` injects an already-decoded postings frame (the phrase path
+        scores and folds positions off ONE decode instead of two); ``keep``
+        names extra decoded columns to carry through (e.g. ``positions``)."""
         fk = self._fkey(fieldname)
         present = [t for t in set(terms) if (fk, t) in self._stats]
         if not present:
@@ -290,7 +296,8 @@ class Evaluator:
         idf_map = {t: idf_value(n, self._stats[(fk, t)]["df"]) for t in present}
         cf_map = {t: float(self._stats[(fk, t)]["cf"]) for t in present}
         ixf = self._ixf(fieldname)
-        posts = ixf.postings(present)
+        if posts is None:
+            posts = ixf.postings(present)
         ov = getattr(ixf, "boosts", None)
         if ov is not None:
             # PositionBoosts overlay (boosts.py): weight = Σ occurrence
@@ -309,7 +316,7 @@ class Evaluator:
             posts, idf_map, avgdl, weighting=self._weighting_for(fk),
             b=b, mult=fboost, cf_by_term=cf_map, n_docs=n,
             total_len=ixf.total_field_length(),
-        ).select("term", "doc_id", "score")
+        ).select("term", "doc_id", "score", *keep)
 
     def _eval_term(self, q: Q.Term) -> DataFrame:
         df = self._scored_terms([q.text], q.fieldname).select("doc_id", "score")
@@ -670,17 +677,14 @@ class Evaluator:
             {(fk, t): v for t, v in ixf.stats_for_terms(all_terms).items()})
         pos = ixf.postings(all_terms, with_positions=True).select(
             "term", "doc_id", "positions")
-        # per-slot: union of its terms' position lists per doc, sorted
-        slot_dfs = []
-        for i, terms in enumerate(slots):
-            df_est = sum(self._stats.get((fk, t), {"df": 0})["df"] for t in terms)
-            sdf = (
-                pos.where(F.col("term").isin(terms))
-                .groupBy("doc_id")
-                .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias(f"_p{i}"))
-            )
-            slot_dfs.append((df_est, i, sdf))
-        joined, cur = self._adjacency_fold(slot_dfs, len(slots), q.slop)
+        # ONE groupBy(doc_id): every slot's positions as a conditional
+        # aggregate over the same decoded scan (see _slot_agg) — empty
+        # array ⇒ the slot has no term in the doc ⇒ not a candidate
+        joined = (pos.groupBy("doc_id").agg(*self._slot_agg(slots))
+                  .where(reduce(lambda a, b: a & b,
+                                [F.size(F.col(f"_p{i}")) > 0
+                                 for i in range(len(slots))])))
+        cur = self._fold_expr(len(slots), q.slop)
         matched = joined.where(F.size(cur) > 0).select("doc_id")
         for g in gates:
             matched = matched.join(
@@ -703,13 +707,19 @@ class Evaluator:
 
     @staticmethod
     def _adjacency_fold(slot_dfs, n: int, slop: int):
-        """Shared positional kernel (phrase / sequence / span paths):
-        df-ordered reduce-join of per-slot ``(doc_id, _p{i})`` position
-        frames, then the fold C_{i+1} = (C_i ⊕ [1..slop]) ∩ P_{i+1} —
-        returns (joined frame, end-position array column)."""
+        """Positional join kernel (span paths): df-ordered reduce-join of
+        per-slot ``(doc_id, _p{i})`` position frames, then the fold —
+        returns (joined frame, end-position array column).  The phrase /
+        sequence hot paths use :meth:`_slot_agg` instead (one shuffle)."""
         ordered = sorted(slot_dfs, key=lambda t: t[0])
         joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"),
                         [d for _, _, d in ordered])
+        return joined, Evaluator._fold_expr(n, slop)
+
+    @staticmethod
+    def _fold_expr(n: int, slop: int):
+        """The adjacency fold C_{i+1} = (C_i ⊕ [1..slop]) ∩ P_{i+1} over
+        per-slot position columns ``_p0.._p{n-1}`` — pure JVM array exprs."""
         cur = F.col("_p0")
         for i in range(1, n):
             if slop <= 1:
@@ -718,7 +728,27 @@ class Evaluator:
                 cand = F.flatten(
                     F.transform(cur, lambda c: F.sequence(c + 1, c + slop)))
             cur = F.array_intersect(cand, F.col(f"_p{i}"))
-        return joined, cur
+        return cur
+
+    @staticmethod
+    def _slot_agg(slot_terms: list[list[str]]):
+        """Per-slot position aggregates for ONE ``groupBy(doc_id)`` over the
+        flat positions frame: slot i's positions = sorted union of its
+        terms' position lists in the doc (empty array ⇒ slot unmatched).
+
+        This replaces the per-slot frame + reduce-join plan: every slot is
+        a conditional aggregate over the SAME decoded scan, so a k-slot
+        phrase costs one shuffle of each posting row once — not a k-way
+        join shuffling the fat position arrays once per side (measured 5M
+        docs, 2 hot terms: the join plan moved each side's arrays through
+        the exchange separately; this halves the shuffled volume and drops
+        the join entirely)."""
+        return [
+            F.array_sort(F.flatten(F.collect_list(
+                F.when(F.col("term").isin(ts), F.col("positions"))
+            ))).alias(f"_p{i}")
+            for i, ts in enumerate(slot_terms)
+        ]
 
     # -- Phrase: positional join (SURVEY.md §2.4 Phrase row) -------------
     def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
@@ -727,17 +757,19 @@ class Evaluator:
         fk = self._fkey(q.fieldname)
         if any((fk, w) not in self._stats for w in uniq):
             return self._empty()
-        pos = self._ixf(fk).postings(uniq, with_positions=True).select(
-            "term", "doc_id", "positions")
-        # one (doc_id, p_i) frame per phrase slot, joined smallest-df-first
-        slot_dfs = []
-        for i, w in enumerate(words):
-            slot_dfs.append(
-                (self._stats[(fk, w)]["df"], i,
-                 pos.where(F.col("term") == w).select("doc_id", F.col("positions").alias(f"_p{i}")))
-            )
-        joined, cur = self._adjacency_fold(slot_dfs, len(words), q.slop)
+        # ONE positions decode feeds BOTH the adjacency fold and the BM25
+        # scoring pass; one groupBy(doc_id) computes every slot's positions
+        # AND the doc score (no per-slot join chain, no second decode scan)
+        pos = self._ixf(fk).postings(uniq, with_positions=True)
+        slot_aggs = self._slot_agg([[w] for w in words])
+        cur = self._fold_expr(len(words), q.slop)
+        slot_present = reduce(
+            lambda a, b: a & b,
+            [F.size(F.col(f"_p{i}")) > 0 for i in range(len(words))])
         if getattr(q, "scoring", "terms") == "freq":
+            joined = (pos.select("term", "doc_id", "positions")
+                      .groupBy("doc_id").agg(*slot_aggs)
+                      .where(slot_present))
             # phrase-frequency scoring: tf = number of phrase occurrences
             # (distinct end positions of the adjacency fold), idf from the
             # phrase's OWN doc frequency — computed in-plan as a broadcast
@@ -780,13 +812,16 @@ class Evaluator:
                 .select("doc_id", (expr * float(fboost)).alias("score"))
             )
         else:
-            matched = joined.where(F.size(cur) > 0).select("doc_id")
             # score = sum of constituent term BM25 over matching docs
-            # (And semantics)
+            # (And semantics) — scored off the SAME decoded rows, inside
+            # the same aggregate
+            src = self._scored_terms(uniq, fk, posts=pos, keep=("positions",))
             scored = (
-                self._scored_terms(uniq, fk)
-                .groupBy("doc_id").agg(F.sum("score").alias("score"))
-                .join(matched, "doc_id", "left_semi")
+                src.groupBy("doc_id")
+                .agg(F.sum("score").alias("score"), *slot_aggs)
+                .where(slot_present)
+                .where(F.size(cur) > 0)
+                .select("doc_id", "score")
             )
         if q.boost != 1.0:
             scored = scored.withColumn("score", F.col("score") * q.boost)

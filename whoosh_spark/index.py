@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from whoosh_spark import build as B
-from whoosh_spark.codec.blocks import decode_blocks_pdf
+from whoosh_spark.codec.blocks import decode_blocks_arrow
 from whoosh_spark.config import TEXT_FIELD
 
 _DECODE_SCHEMA = T.StructType(
@@ -188,13 +188,8 @@ class InvertedIndex:
         if with_positions:
             cols.append("positions")
         blk = blk.select(*cols)
-
-        def dec(batches):
-            for pdf in batches:
-                if len(pdf):
-                    yield decode_blocks_pdf(pdf, want_positions=with_positions)
-
-        return blk.mapInPandas(dec, schema=schema)
+        return blk.mapInArrow(
+            decode_blocks_arrow(want_positions=with_positions), schema=schema)
 
     # ------------------------------------------------------------------
     def with_deleted(self, deleted: DataFrame) -> "InvertedIndex":

@@ -393,7 +393,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows.append((d, uppercase_format(texts[d], frags[0])))
         return spark.createDataFrame(rows, "doc_id long, hl string")
 
+    def custom_collector_q(spark, sf_dir):
+        # the collectors.py extension point end-to-end: a USER-written
+        # terminal collector (per-source argmax over the And match set)
+        # run through Searcher.search_with_collector — exercises the
+        # public API route, not engine internals
+        from whoosh_spark import collectors as WC
+
+        class BestPerSource(WC.Collector):
+            def collect(self, ctx, scores):
+                joined = scores.join(
+                    ctx.docs.select("doc_id", "source"), "doc_id")
+                best = joined.groupBy("source").agg(
+                    F.max_by(F.struct("doc_id", "score"), F.struct(
+                        F.col("score"), (-F.col("doc_id")).alias("_nd"))
+                    ).alias("_b"))
+                return best.select(
+                    "source", F.col("_b.doc_id").alias("doc_id"),
+                    F.round(F.col("_b.score"), 6).alias("score"))
+
+            def order_keys(self, ctx):
+                return [F.col("source").asc()]
+
+        s = _searcher(spark, sf_dir)
+        return s.search_with_collector(
+            Q.And([Q.Term("big"), Q.Term("data")]), BestPerSource())
+
     out.update(
+        custom_collector=custom_collector_q,
         highlight_pinpoint=highlight_pinpoint_q,
         collapse_source=collapse_source,
         collapse_order_nchars=collapse_order_nchars,
@@ -922,6 +949,8 @@ def oracle_sql() -> dict[str, str]:
                           "WHERE term IN ('data', 'vector') GROUP BY doc_id"),
         ]),
         "weighting_frequency": OSQL.frequency_or_sql(["data", "vector"]),
+        "custom_collector": OSQL.best_per_facet_and_sql(["big", "data"],
+                                                        "source"),
         "collapse_source": OSQL.collapse_sql("data", "source"),
         "collapse_order_nchars": OSQL.collapse_order_sql("data", "source", "n_chars"),
         "term_vector": OSQL.term_vector_sql(7),

@@ -344,6 +344,24 @@ def collapse_order_sql(term: str, key: str, order_col: str, k: int = 10,
     return base_ctes() + topk(sel, k)
 
 
+def best_per_facet_and_sql(terms: list[str], facet: str) -> str:
+    """Best-scoring doc per facet bucket over an And match set — the DuckDB
+    twin of the custom-Collector contract entry (a user-written terminal
+    collector doing per-bucket argmax through the collectors.py API)."""
+    sel = f"""
+      SELECT {facet}, doc_id, score FROM (
+        SELECT d.{facet} AS {facet}, m.doc_id, round(m.score, 6) AS score,
+               row_number() OVER (PARTITION BY d.{facet}
+                                  ORDER BY m.score DESC, m.doc_id ASC) AS rn
+        FROM (SELECT doc_id, sum(score) AS score FROM sc
+              WHERE term IN ({_terms_in(terms)})
+              GROUP BY doc_id HAVING count(*) = {len(set(terms))}) m
+        JOIN documents d USING (doc_id)) t
+      WHERE rn = 1 ORDER BY {facet}
+    """
+    return base_ctes() + sel
+
+
 def term_vector_sql(doc_id: int) -> str:
     """Forward-index term vector of one document: (term, tf, positions) with
     tokenizer-ordinal positions (stop gaps preserved) — the DuckDB twin of

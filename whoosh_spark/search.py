@@ -306,6 +306,52 @@ class Searcher:
         return res
 
     # ------------------------------------------------------------------
+    def collector(self, limit: int | None = 10, sortedby=None,
+                  reverse: bool = False, groupedby=None,
+                  maptype: str = "list", collapse: str | None = None,
+                  collapse_limit: int = 1, collapse_order: str | None = None,
+                  filter: Q.Query | None = None, mask: Q.Query | None = None,
+                  terms: bool = False):
+        """Build the standard collector chain — ``searching.py::
+        Searcher.collector (≈L660)``.  Wrapping order matches upstream
+        (outermost first): filter → collapse → facets → terms → base, so
+        facet groups see the filtered+collapsed match set and the terminal
+        collector fixes order/limit.  The returned object is a
+        :class:`whoosh_spark.collectors.Collector`; run it with
+        :meth:`search_with_collector` or stack custom wrappers on top."""
+        from whoosh_spark import collectors as C
+
+        if sortedby is not None:
+            c: C.Collector = C.SortingCollector(sortedby, reverse=reverse,
+                                                limit=limit)
+        elif limit is None:
+            c = C.UnlimitedCollector()
+        else:
+            c = C.TopCollector(limit)
+        if terms:
+            c = C.TermsCollector(c)
+        if groupedby is not None:
+            c = C.FacetCollector(c, groupedby, maptype=maptype)
+        if collapse is not None:
+            c = C.CollapseCollector(c, collapse, keep=collapse_limit,
+                                    order=collapse_order)
+        if filter is not None or mask is not None:
+            c = C.FilterCollector(c, allow=filter, restrict=mask)
+        return c
+
+    def search_with_collector(self, q: Q.Query, c) -> DataFrame:
+        """Run a collector chain against ``q`` — ``searching.py::
+        Searcher.search_with_collector (≈L780)``.  Returns the final
+        ordered DataFrame (also left on ``c.df``); collectors with
+        side-products (facet groups, matched terms, partial rows) expose
+        them on themselves afterwards."""
+        from whoosh_spark.collectors import CollectorContext
+
+        # evaluate() normalizes; passing q raw avoids the double-normalize
+        # hazard pinned by tests/test_queries_normalize.py
+        return c.run(CollectorContext(self, q))
+
+    # ------------------------------------------------------------------
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw):
         """``Searcher.search_page (≈L760)``: collect the top
         pagenum·pagelen hits once, return a ``ResultsPage`` view of page

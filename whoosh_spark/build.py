@@ -50,7 +50,8 @@ RUNS_SCHEMA = T.StructType(
 
 
 def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  analyzer: str = "standard") -> DataFrame:
+                  analyzer: str = "standard",
+                  format: str = "positions") -> DataFrame:
     """(doc_id, len_raw, dl, terms, tfs, positions) — one row per input doc.
 
     ``terms`` are the doc's distinct post-analysis tokens (first-occurrence
@@ -58,6 +59,8 @@ def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     ordinals (stop gaps preserved — Phrase semantics, SURVEY.md §2.2).
     ``analyzer`` names a chain from ``analysis.analyzers.ANALYZERS``
     (per-field Schema configuration); "standard" uses the inlined fast path.
+    ``format`` names a posting Format (``formats.py``) deciding the per-
+    posting payload (positions | frequency | existence | ... ).
     """
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
@@ -69,7 +72,12 @@ def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         from whoosh_spark.analysis.udfs import make_analyze_batches
 
         fn = make_analyze_batches(ANALYZERS[analyzer])
-    return src.mapInArrow(fn, schema=ANALYZED_SCHEMA)
+    out = src.mapInArrow(fn, schema=ANALYZED_SCHEMA)
+    # declared posting Format (formats.py): reshape the payload BEFORE the
+    # posting shuffle, so a leaner format shrinks the shuffled bytes too
+    from whoosh_spark.formats import get_format
+
+    return get_format(format).apply(out)
 
 
 def doc_lengths(analyzed: DataFrame) -> DataFrame:

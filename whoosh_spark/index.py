@@ -63,6 +63,7 @@ class InvertedIndex:
         self.boosts = None  # sparse (term, doc_id, w) boost overlay (boosts.py)
         self.analyzer = "standard"  # registry name of the analysis chain
         self.text_col = "text"  # stored source column the field was built from
+        self.posting_format = "positions"  # Format name (formats.py)
         self._global = None  # (N, avgdl) cache
 
     # ------------------------------------------------------------------
@@ -75,8 +76,10 @@ class InvertedIndex:
         field: str = TEXT_FIELD,
         cache: bool = True,
         analyzer: str = "standard",
+        format: str = "positions",
     ) -> "InvertedIndex":
-        analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer)
+        analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer,
+                                   format=format)
         if cache:
             analyzed = analyzed.cache()
         lengths = B.doc_lengths(analyzed)
@@ -97,6 +100,7 @@ class InvertedIndex:
         )
         ix.analyzer = analyzer
         ix.text_col = text_col
+        ix.posting_format = format
         ix._flat_postings = postings  # kept for build-invariance tests
         return ix
 
@@ -180,6 +184,16 @@ class InvertedIndex:
         return self._decode(blk, with_positions)
 
     def _decode(self, blk: DataFrame, with_positions: bool) -> DataFrame:
+        if with_positions:
+            from whoosh_spark.formats import get_format
+
+            if not get_format(self.posting_format).store_positions:
+                # upstream raises QueryError when a field's format lacks
+                # positions (``formats.py::Format.supports("positions")``)
+                raise ValueError(
+                    f"posting format {self.posting_format!r} does not store "
+                    f"positions — positional queries (Phrase/Sequence/Span) "
+                    f"need an index built with format='positions'")
         schema = _DECODE_POS_SCHEMA if with_positions else _DECODE_SCHEMA
         # column-prune BEFORE the Python stage: the positions stream is the
         # fat column — non-phrase queries never read it (ReadSchema shrinks
@@ -213,6 +227,7 @@ class InvertedIndex:
         ix.boosts = self.boosts
         ix.analyzer = self.analyzer
         ix.text_col = self.text_col
+        ix.posting_format = self.posting_format
         if hasattr(self, "manifest"):
             ix.manifest = self.manifest
         ix._global = self._global

@@ -42,12 +42,15 @@ class FieldSpec:
     analyzer — name in ``analysis.analyzers.ANALYZERS`` (standard | stemming)
     b        — per-field BM25F length normalization (None = config default)
     boost    — query-time field weight (multiplies this field's scores)
+    format   — posting Format name (``formats.py``): what each posting
+               stores (positions | frequency | existence | registered)
     """
 
     source: str
     analyzer: str = "standard"
     b: float | None = None
     boost: float = 1.0
+    format: str = "positions"
 
 
 class MultiFieldIndex:
@@ -110,7 +113,7 @@ class MultiFieldIndex:
                     src = (col if any(c in spec.source for c in "*?[")
                            else spec.source)
                     specs[col] = FieldSpec(src, spec.analyzer, spec.b,
-                                           spec.boost)
+                                           spec.boost, spec.format)
             if not specs:
                 raise ValueError(
                     f"no docs column matches schema globs {sorted(globs)}")
@@ -118,7 +121,7 @@ class MultiFieldIndex:
         indexes = {
             name: InvertedIndex.build(
                 docs, id_col=id_col, text_col=spec.source, field=name,
-                cache=cache, analyzer=spec.analyzer)
+                cache=cache, analyzer=spec.analyzer, format=spec.format)
             for name, spec in specs.items()
         }
         stored = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs

@@ -60,6 +60,14 @@ def manifest_analyzer(path: str) -> str:
     re-analyzes docs into an existing index (upsert, streaming)."""
     raw = FS.read_text(FS.join(path, MANIFEST))
     return json.loads(raw).get("analyzer", "standard") if raw else "standard"
+
+
+def manifest_posting_format(path: str) -> str:
+    """The posting Format the manifest declares ("positions" when absent) —
+    same single-source-of-truth rule as :func:`manifest_analyzer`."""
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    return (json.loads(raw).get("posting_format", "positions")
+            if raw else "positions")
 BUILD_LOG = "_build_log.jsonl"
 DEFAULT_CHUNK_BITS = 16  # 65536 docs per checkpoint chunk
 
@@ -121,6 +129,7 @@ def write_index(
     analyzer: str = "standard",
     store_boosts: bool = False,
     max_batches: int | None = None,
+    format: str = "positions",
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
 
@@ -139,6 +148,13 @@ def write_index(
     if store_boosts and analyzer != "boosted":
         raise ValueError("store_boosts requires analyzer='boosted' — the "
                          "overlay's token stream must match the index chain")
+    from whoosh_spark.formats import get_format
+
+    get_format(format)  # fail fast on a typo'd/unregistered Format
+    if format == "characters":
+        # upstream TEXT(chars=True): the Characters format IS positions +
+        # the char-offsets side segment
+        store_offsets = True
     spark = docs.sparkSession
     t_start = time.perf_counter()
 
@@ -155,6 +171,14 @@ def write_index(
         raise ValueError(
             f"resume with analyzer={analyzer!r} over checkpoints analyzed "
             f"with {prev_an!r} — wipe the index dir or keep the analyzer")
+    # same resume guard for the posting format: checkpoints carry the
+    # format-shaped payload, so a format change needs a fresh build
+    prev_fmt = next((rec.get("posting_format", "positions") for rec in log
+                     if rec.get("phase") == "analyze"), None)
+    if prev_fmt is not None and prev_fmt != format:
+        raise ValueError(
+            f"resume with format={format!r} over checkpoints written with "
+            f"{prev_fmt!r} — wipe the index dir or keep the format")
     done = completed_chunks(path)
     pending = [c for c in all_chunks if c not in done]
     # string batch ids ('upsert-<ts>', 'purge-<ts>', 'stream-<epoch>') live
@@ -188,7 +212,8 @@ def write_index(
             rng_pred = rng_pred | id_col_l.between(lo, hi)
         part = src.where(rng_pred)
         analyzed = B.analyzed_docs(part, id_col, text_col,
-                                   analyzer=analyzer).withColumn(
+                                   analyzer=analyzer,
+                                   format=format).withColumn(
             "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
         )
         batch_dir = FS.join(path, "analyzed", f"batch={bid}")
@@ -211,6 +236,7 @@ def write_index(
                 "chunks": [int(c) for c in batch],
                 "counters": counters,
                 "analyzer": analyzer,
+                "posting_format": format,
                 "wall_ms": int(1000 * (time.perf_counter() - t0)),
                 "write_ms": int(1000 * t_write),
                 "ts": time.time(),
@@ -347,6 +373,7 @@ def write_index(
         "store_text": store_text,
         "analyzer": analyzer,
         "text_col": text_col,
+        "posting_format": format,
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -381,6 +408,7 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     ix.manifest = manifest
     ix.analyzer = manifest.get("analyzer", "standard")
     ix.text_col = manifest.get("text_col", "text")
+    ix.posting_format = manifest.get("posting_format", "positions")
     offsets_dir = FS.join(path, "char_offsets")
     ix.char_offsets = (
         spark.read.parquet(offsets_dir)
@@ -433,6 +461,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     # manifest must keep declaring the chain those tokens came from — and
     # the source column they were analyzed out of
     prev_analyzer = manifest_analyzer(path)
+    prev_fmt = manifest_posting_format(path)
     _raw = FS.read_text(FS.join(path, MANIFEST))
     prev_text_col = (json.loads(_raw).get("text_col", "text")
                      if _raw else "text")
@@ -510,6 +539,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "store_text": False,
         "analyzer": prev_analyzer,
         "text_col": prev_text_col,
+        "posting_format": prev_fmt,
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -546,8 +576,9 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     renumbered = new_docs.withColumn(
         "doc_id", (F.lit(int(max_id)) + F.row_number().over(w)).cast("long"))
     analyzed = B.analyzed_docs(renumbered, "doc_id", text_col,
-                               analyzer=manifest_analyzer(path)).withColumn(
-        "chunk", F.lit(-1))
+                               analyzer=manifest_analyzer(path),
+                               format=manifest_posting_format(path)
+                               ).withColumn("chunk", F.lit(-1))
     offsets_dir = FS.join(path, "char_offsets")
     if FS.isdir_nonempty(offsets_dir):
         # keep the Characters segment live across upserts: append spans for

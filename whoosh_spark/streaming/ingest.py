@@ -32,11 +32,12 @@ from whoosh_spark.config import TEXT_FIELD
 
 
 def _ingest_batch(path: str, id_col: str, text_col: str, run_id: str,
-                  analyzer: str = "standard"):
+                  analyzer: str = "standard", format: str = "positions"):
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.perf_counter()
         analyzed = B.analyzed_docs(batch_df, id_col, text_col,
-                                   analyzer=analyzer).withColumn(
+                                   analyzer=analyzer,
+                                   format=format).withColumn(
             "chunk", F.lit(-1)
         )
         out = FS.join(path, "analyzed", f"batch=stream-{run_id}-{epoch_id}")
@@ -89,11 +90,13 @@ def stream_index(stream_df: DataFrame, path: str, checkpoint: str,
     import hashlib
 
     run_id = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
-    # micro-segments must be analyzed with the chain the index declares
+    # micro-segments must be analyzed with the chain AND posting format
+    # the index declares
     analyzer = store.manifest_analyzer(path)
+    fmt = store.manifest_posting_format(path)
     writer = (
         stream_df.writeStream.foreachBatch(
-            _ingest_batch(path, id_col, text_col, run_id, analyzer))
+            _ingest_batch(path, id_col, text_col, run_id, analyzer, fmt))
         .option("checkpointLocation", checkpoint)
     )
     if trigger_once:

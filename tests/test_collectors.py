@@ -91,9 +91,10 @@ def test_facet_collector_doclists(searcher):
     facet = c
     while not isinstance(facet, C.FacetCollector):
         facet = facet.child
-    got = {r["source"]: [int(d) for d in r["doc_ids"]]
+    # IDENTICAL schema to the facet_doclists front door (doc_ids string + n)
+    got = {r["source"]: (r["doc_ids"], int(r["n"]))
            for r in facet.groups["source"].collect()}
-    want = {r["source"]: [int(d) for d in r["doc_ids"].split(",")]
+    want = {r["source"]: (r["doc_ids"], int(r["n"]))
             for r in searcher.facet_doclists(Q_AND, "source").collect()}
     assert got == want
 

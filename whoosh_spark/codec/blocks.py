@@ -64,9 +64,10 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode a varint stream back to uint64 array."""
-    if not buf:
+def varint_decode(buf) -> np.ndarray:
+    """Decode a varint stream (bytes or contiguous uint8 array) back to
+    uint64 array."""
+    if len(buf) == 0:
         return np.zeros(0, dtype=np.uint64)
     b = np.frombuffer(buf, dtype=np.uint8)
     ends = np.nonzero(b < 0x80)[0]
@@ -87,6 +88,28 @@ def _unpack_for(buf: bytes, dtype: str) -> np.ndarray:
     return np.frombuffer(buf, dtype=dtype)
 
 
+def positions_stream(flat: np.ndarray,
+                     counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Interleaved positions stream values (pre-varint): per posting
+    ``count`` then delta-encoded positions.  Returns ``(stream, cnt_idx)``
+    where ``cnt_idx`` marks each posting's count slot — the one place the
+    stream format lives (encode_positions_flat AND the plaintext codec's
+    re-blob both build from it)."""
+    flat = np.asarray(flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    n_post = counts.size
+    starts = np.cumsum(counts) - counts            # into flat
+    deltas = np.diff(flat, prepend=0)
+    deltas[starts[counts > 0]] = flat[starts[counts > 0]]  # list-start: abs value
+    stream = np.empty(n_post + flat.size, dtype=np.uint64)
+    cnt_idx = np.arange(n_post, dtype=np.int64) + starts  # count slots
+    stream[cnt_idx] = counts.astype(np.uint64)
+    mask = np.ones(stream.size, dtype=bool)
+    mask[cnt_idx] = False
+    stream[mask] = deltas.astype(np.uint64)
+    return stream, cnt_idx
+
+
 def encode_positions_flat(flat: np.ndarray, counts: np.ndarray) -> bytes:
     """Vectorized positions stream: per posting varint(count) + delta-varints.
 
@@ -94,21 +117,10 @@ def encode_positions_flat(flat: np.ndarray, counts: np.ndarray) -> bytes:
     ``counts`` the per-posting list lengths.  Entirely numpy — no per-posting
     Python loop (the Spark-build hot path).
     """
-    flat = np.asarray(flat, dtype=np.int64)
-    counts = np.asarray(counts, dtype=np.int64)
-    n_post = counts.size
-    if n_post == 0:
+    if np.asarray(counts).size == 0:
         return b""
-    starts = np.cumsum(counts) - counts            # into flat
-    deltas = np.diff(flat, prepend=0)
-    deltas[starts[counts > 0]] = flat[starts[counts > 0]]  # list-start: abs value
-    out = np.empty(n_post + flat.size, dtype=np.uint64)
-    cnt_idx = np.arange(n_post) + starts           # where each count lands
-    out[cnt_idx] = counts.astype(np.uint64)
-    mask = np.ones(out.size, dtype=bool)
-    mask[cnt_idx] = False
-    out[mask] = deltas.astype(np.uint64)
-    return varint_encode(out)
+    stream, _ = positions_stream(flat, counts)
+    return varint_encode(stream)
 
 
 def encode_positions(pos_lists: list[list[int]]) -> bytes:
@@ -752,7 +764,11 @@ def decode_blocks_arrow(want_positions: bool = False):
             total = int(ns.sum())
             row_idx = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
 
-            ids_all = varint_decode(b"".join(t.column("ids").to_pylist()))
+            # binary columns via the zero-copy Arrow buffer helper — ONE
+            # contiguous uint8 view per column, never a Python bytes object
+            # per block row (this is the query-side hot loop)
+            ids_flat, _ = _binary_column_buffers(t.column("ids"))
+            ids_all = varint_decode(ids_flat)
             doc_ids = _segmented_cumsum(ids_all, ns)
 
             # weights: w_const rows broadcast a scalar, others unpack FOR u4
@@ -763,13 +779,14 @@ def decode_blocks_arrow(want_positions: bool = False):
             if const_post.any():
                 tf_out[const_post] = np.repeat(wc[const_row], ns[const_row])
             if (~const_row).any():
-                wbytes = b"".join(
-                    v for v, c in zip(t.column("weights").to_pylist(), const_row)
-                    if not c)
-                tf_out[~const_post] = np.frombuffer(wbytes, dtype="<u4")
+                w_flat, w_lens = _binary_column_buffers(t.column("weights"))
+                w_starts = np.cumsum(w_lens) - w_lens
+                nc = np.nonzero(~const_row)[0]
+                w_sel, _ = _ragged_gather(w_flat, w_starts, w_lens, nc)
+                tf_out[~const_post] = w_sel.view("<u4")
 
-            lbytes = b"".join(t.column("lens").to_pylist())
-            dl_out = np.frombuffer(lbytes, dtype="<u2").astype(np.int64)
+            l_flat, _ = _binary_column_buffers(t.column("lens"))
+            dl_out = l_flat.view("<u2").astype(np.int64)
 
             arrays = [
                 t.column("field").combine_chunks().take(pa.array(row_idx)),
@@ -780,8 +797,8 @@ def decode_blocks_arrow(want_positions: bool = False):
             ]
             names = ["field", "term", "doc_id", "tf", "dl"]
             if want_positions:
-                pbytes = b"".join(t.column("positions").to_pylist())
-                vals = varint_decode(pbytes)
+                p_flat, _ = _binary_column_buffers(t.column("positions"))
+                vals = varint_decode(p_flat)
                 counts = _positions_counts(vals, tf_out)
                 cnt_idx = (np.arange(total, dtype=np.int64)
                            + (np.cumsum(counts) - counts))

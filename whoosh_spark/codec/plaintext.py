@@ -67,31 +67,57 @@ def dump_plaintext(ix, path: str) -> dict:
 def _reblob_arrow(batches):
     """(field, term, doc_id, tf, positions array, dl) → rows with the
     codec's self-describing ``pos_blob`` (varint(count) + delta varints),
-    whole-batch vectorized like the analyzer's emit path."""
+    whole-batch vectorized like the analyzer's emit path.
+
+    The dump is advertised for hand surgery, so malformed edits must fail
+    loudly here instead of varint-encoding a negative delta as a 2^64
+    garbage position: null / non-numeric / negative position tokens and a
+    tf that disagrees with the (non-empty) position list raise ValueError;
+    unsorted-but-valid positions are sorted per posting (vectorized)."""
     import pyarrow as pa
 
-    from whoosh_spark.codec.blocks import _varint_lens, varint_encode
+    from whoosh_spark.codec.blocks import (_varint_lens, positions_stream,
+                                           varint_encode)
 
     for batch in batches:
         if batch.num_rows == 0:
             continue
         t = pa.Table.from_batches([batch])
+        for c in ("doc_id", "tf"):
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"plaintext load: non-numeric or missing {c} in "
+                    "postings/ (lines are field\\tterm\\tdoc_id\\ttf\\tpos)")
         pos = t.column("positions").combine_chunks()
+        if pos.null_count or pos.values.null_count:
+            raise ValueError(
+                "plaintext load: missing or non-numeric position token in "
+                "postings/ (positions must be comma-joined integers)")
         offsets = pos.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         counts = np.diff(offsets)
         flat = pos.values.to_numpy(zero_copy_only=False).astype(np.int64) \
             if len(pos.values) else np.zeros(0, np.int64)
+        if flat.size and flat.min() < 0:
+            raise ValueError(
+                "plaintext load: negative position in postings/")
         n = counts.size
-        starts = np.cumsum(counts) - counts
-        deltas = np.diff(flat, prepend=0)
-        nz = counts > 0
-        deltas[starts[nz]] = flat[starts[nz]]
-        stream = np.empty(n + flat.size, dtype=np.uint64)
-        cnt_idx = np.arange(n, dtype=np.int64) + starts
-        stream[cnt_idx] = counts.astype(np.uint64)
-        mask = np.ones(stream.size, dtype=bool)
-        mask[cnt_idx] = False
-        stream[mask] = deltas.astype(np.uint64)
+        if flat.size:
+            # tolerate hand-edited ordering: stable-sort positions within
+            # each posting (row id primary key, value secondary)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            flat = flat[np.lexsort((flat, row_of))]
+        nz0 = counts > 0
+        if nz0.any():
+            tfs = t.column("tf").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            bad = nz0 & (tfs != counts)
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise ValueError(
+                    "plaintext load: tf disagrees with position count "
+                    f"(tf={int(tfs[i])}, {int(counts[i])} positions) — "
+                    "fix the edited line in postings/")
+        stream, cnt_idx = positions_stream(flat, counts)
         data = varint_encode(stream)
         val_bounds = np.concatenate(
             ([0], np.cumsum(_varint_lens(stream)))).astype(np.int32)
@@ -124,20 +150,24 @@ def load_plaintext(spark: SparkSession, path: str):
     header = json.loads(raw)
     field = header["field"]
 
+    # try_cast everywhere: a hand-edited non-numeric token must surface as
+    # the loader's own clear ValueError (null check in _reblob_arrow), not
+    # an ANSI CAST_INVALID_INPUT from the middle of the scan
     lens = spark.read.text(FS.join(path, "doc_lengths")).select(
         F.split("value", "\t").alias("p")).select(
-        F.col("p")[0].cast("long").alias("doc_id"),
-        F.col("p")[1].cast("int").alias("len_raw"),
-        F.col("p")[2].cast("int").alias("dl"))
+        F.col("p")[0].try_cast("long").alias("doc_id"),
+        F.col("p")[1].try_cast("int").alias("len_raw"),
+        F.col("p")[2].try_cast("int").alias("dl"))
 
     posts = spark.read.text(FS.join(path, "postings")).select(
         F.split("value", "\t").alias("p")).select(
         F.col("p")[0].alias("field"),
         F.col("p")[1].alias("term"),
-        F.col("p")[2].cast("long").alias("doc_id"),
-        F.col("p")[3].cast("long").alias("tf"),
+        F.col("p")[2].try_cast("long").alias("doc_id"),
+        F.col("p")[3].try_cast("long").alias("tf"),
         F.when(F.col("p")[4] == "", F.array().cast("array<long>"))
-         .otherwise(F.split(F.col("p")[4], ",").cast("array<long>"))
+         .otherwise(F.transform(F.split(F.col("p")[4], ","),
+                                lambda s: s.try_cast("long")))
          .alias("positions"))
     posts = posts.join(lens.select("doc_id", "dl"), "doc_id").select(
         "field", "term", "doc_id", "tf", "positions", "dl")

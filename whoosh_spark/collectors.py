@@ -66,8 +66,16 @@ class Collector:
     def collect(self, ctx: CollectorContext, scores: DataFrame) -> DataFrame:
         return scores
 
+    def order_spec(self, ctx: CollectorContext) -> list:
+        """Result order as ``[(column, descending), ...]`` — the one
+        declaration both :meth:`order_keys` (Spark sort) and the
+        TimeLimit chunk merge (driver-side sort) are derived from, so a
+        collector that changes the order changes BOTH consistently."""
+        return [("score", True), ("doc_id", False)]
+
     def order_keys(self, ctx: CollectorContext) -> list:
-        return [F.col("score").desc(), F.col("doc_id").asc()]
+        return [F.col(c).desc() if d else F.col(c).asc()
+                for c, d in self.order_spec(ctx)]
 
     def finish(self, ctx: CollectorContext, out: DataFrame) -> None:
         """Post-run hook, called ONCE with the final ordered frame and
@@ -78,10 +86,16 @@ class Collector:
         self.df = out
 
     # -- driver ------------------------------------------------------------
+    def _transformed(self, ctx: CollectorContext) -> DataFrame:
+        """The chain's transformed match frame BEFORE order/limit — what a
+        deadline-chunked collection slices (each chunk must NOT have to
+        recompute a global top-k first)."""
+        scores = ctx.searcher.ev.evaluate(ctx.q)
+        return self.collect(ctx, scores)
+
     def run(self, ctx: CollectorContext) -> DataFrame:
         self._ctx = ctx
-        scores = ctx.searcher.ev.evaluate(ctx.q)
-        out = self.collect(ctx, scores)
+        out = self._transformed(ctx)
         keys = self.order_keys(ctx)
         if keys:
             out = out.orderBy(*keys)
@@ -92,15 +106,20 @@ class Collector:
 
     def results(self, limit_hint: int | None = None):
         """Collected rows as a :class:`whoosh_spark.results.Results`
-        (``search_with_collector(q, c); c.results()`` — upstream shape)."""
+        (``search_with_collector(q, c); c.results()`` — upstream shape).
+        Reuses rows a finish hook already materialized (TermsCollector)
+        instead of re-executing the search."""
         from whoosh_spark.results import Results
 
         if self.df is None:
             raise RuntimeError("run search_with_collector() first")
-        if not {"doc_id", "score"} <= set(self.df.columns):
-            raise TypeError("this collector's frame has no (doc_id, score); "
-                            "read .df directly")
-        rows = self.df.select("doc_id", "score").collect()
+        rows = getattr(self, "_rows", None)
+        if rows is None:
+            if not {"doc_id", "score"} <= set(self.df.columns):
+                raise TypeError(
+                    "this collector's frame has no (doc_id, score); "
+                    "read .df directly")
+            rows = self.df.select("doc_id", "score").collect()
         return Results(self._ctx.searcher, self._ctx.q, rows,
                        limit_hint if limit_hint is not None else self.limit)
 
@@ -139,10 +158,9 @@ class SortingCollector(Collector):
                                  "doc_id")
         return scores
 
-    def order_keys(self, ctx):
-        keys = [F.col(c).desc() if self.reverse else F.col(c).asc()
-                for c in self.sortedby]
-        return [*keys, F.col("doc_id").asc()]
+    def order_spec(self, ctx):
+        return [*((c, self.reverse) for c in self.sortedby),
+                ("doc_id", False)]
 
 
 class WrappingCollector(Collector):
@@ -164,6 +182,9 @@ class WrappingCollector(Collector):
 
     def collect(self, ctx, scores):
         return self.child.collect(ctx, scores)
+
+    def order_spec(self, ctx):
+        return self.child.order_spec(ctx)
 
     def order_keys(self, ctx):
         return self.child.order_keys(ctx)
@@ -245,8 +266,13 @@ class FacetCollector(WrappingCollector):
                 ).select(facet, F.col("_b.doc_id").alias("doc_id"),
                          F.col("_b.score").alias("score"))
             else:
+                # IDENTICAL shape to Searcher.facet_doclists: comma-joined
+                # ascending ids + n, so code written against the front door
+                # reads collector groups unchanged
                 g = joined.groupBy(facet).agg(
-                    F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+                    F.concat_ws(",", F.sort_array(
+                        F.collect_list("doc_id"))).alias("doc_ids"),
+                    F.count("*").cast("long").alias("n"))
             self.groups[facet] = g
         return self.child.collect(ctx, scores)
 
@@ -262,7 +288,14 @@ class TermsCollector(WrappingCollector):
 
     def finish(self, ctx, out):
         super().finish(ctx, out)
-        ids = [int(r["doc_id"]) for r in out.select("doc_id").collect()]
+        # collect the final rows ONCE and keep them: results() reuses
+        # self._rows instead of re-executing the whole search
+        if {"doc_id", "score"} <= set(out.columns):
+            self._rows = out.select("doc_id", "score").collect()
+            ids = [int(r["doc_id"]) for r in self._rows]
+        else:  # custom terminal frame without score: ids only, no reuse
+            ids = [int(r["doc_id"])
+                   for r in out.select("doc_id").collect()]
         self._matched = ctx.searcher._matched_terms_by_doc(ctx.q, ids)
 
     def matched_for(self, doc_id: int) -> set:
@@ -277,7 +310,16 @@ class TimeLimitCollector(WrappingCollector):
     chunked collection had gathered when the deadline hit (upstream
     semantics); ``partial=False`` raises :class:`TimeLimitError`.  Because
     the deadline applies to materialization, ``run`` COLLECTS: read
-    :attr:`rows` (ordered (doc_id, score) rows) instead of :attr:`df`."""
+    :attr:`rows` (rows in the child's order) instead of :attr:`df`.
+
+    The chunked collection slices the chain's PRE-order/limit frame
+    (``doc_id % chunks``) so each chunk job scans only its slice — chunking
+    the final top-k frame would force every chunk to recompute the global
+    top-k first.  Chunk ordering and the driver-side merge both come from
+    the child's :meth:`order_spec`, so a SortingCollector child keeps its
+    stored-field order in partial mode.  The wrapped chain's ``finish``
+    hooks (facet groups, matched terms) fire AFTER the timed collection
+    and are not themselves deadline-bounded."""
 
     def __init__(self, child: Collector, timelimit: float,
                  partial: bool = True):
@@ -291,17 +333,31 @@ class TimeLimitCollector(WrappingCollector):
                                          collect_chunked_with_deadline,
                                          run_with_timeout)
 
-        out = super().run(ctx)
+        self._ctx = ctx
+        pre = self._transformed(ctx)          # chain transform, no order/limit
+        keys = self.order_keys(ctx)
+        out = pre.orderBy(*keys) if keys else pre
+        if self.limit is not None:
+            out = out.limit(self.limit)
         self.timed_out = False
         if self.partial:
+            spec = self.order_spec(ctx)
+            missing = [c for c, _ in spec if c not in pre.columns]
+            if "doc_id" not in pre.columns:
+                missing.append("doc_id")
+            if missing:
+                raise TypeError(
+                    f"partial=True needs columns {missing} in the "
+                    "collector frame for chunked collection; use "
+                    "partial=False for custom frames")
             try:
                 self.rows = collect_chunked_with_deadline(
-                    out, self.timelimit, self.limit)
+                    pre, self.timelimit, self.limit, order_spec=spec)
             except TimeLimitError as e:
                 self.rows = getattr(e, "partial", [])
                 self.timed_out = True
         else:
             self.rows = run_with_timeout(
                 out.sparkSession, self.timelimit, out.collect)
-        self.df = out
+        self.finish(ctx, out)
         return out

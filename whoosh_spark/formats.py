@@ -68,13 +68,19 @@ class Format:
                 "pos_blobs",
                 F.transform("pos_blobs", lambda b: F.lit(_EMPTY_POS_BLOB)))
         if self.transform is not None:
-            before = analyzed.schema
+            # full (name, type) signature, nullability-insensitive — a
+            # name-only check would let a type-changing transform crash
+            # deep inside the Arrow encode instead of here
+            def sig(schema):
+                return [(f.name, f.dataType.simpleString())
+                        for f in schema.fields]
+
+            before = sig(out.schema)
             out = self.transform(out)
-            if [f.name for f in out.schema.fields] != \
-                    [f.name for f in before.fields]:
+            if sig(out.schema) != before:
                 raise ValueError(
                     f"format {self.name!r} transform changed the analyzed "
-                    f"schema columns")
+                    f"schema: {before} -> {sig(out.schema)}")
         return out
 
 

@@ -1154,14 +1154,27 @@ def collect_with_timeout(df: DataFrame, timelimit: float) -> list:
     return run_with_timeout(df.sparkSession, timelimit, df.collect)
 
 
-def _merge_topk(rows: list, limit: int | None) -> list:
-    out = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+_SCORE_ORDER = [("score", True), ("doc_id", False)]
+
+
+def _merge_topk(rows: list, limit: int | None,
+                order_spec: list | None = None) -> list:
+    """Driver-side merge in ``order_spec`` = [(column, descending), ...]
+    order (default reference score order).  Multi-pass stable sort handles
+    mixed asc/desc over any comparable type; null keys sort like Spark's
+    defaults (asc → nulls first, desc → nulls last)."""
+    out = list(rows)
+    for name, desc in reversed(order_spec or _SCORE_ORDER):
+        out.sort(key=lambda r: (r[name] is not None,
+                                r[name] if r[name] is not None else 0),
+                 reverse=desc)
     return out if limit is None else out[:limit]
 
 
 def collect_chunked_with_deadline(scores: DataFrame, timelimit: float,
                                   limit: int | None = 10,
-                                  chunks: int = 8) -> list:
+                                  chunks: int = 8,
+                                  order_spec: list | None = None) -> list:
     """Partial-results engine behind ``search_with_timeout(partial=True)``:
     collect per-chunk top-k (``doc_id % chunks`` slices) sequentially under
     one deadline; per-chunk top-k ⊇ that chunk's members of the global
@@ -1173,12 +1186,14 @@ def collect_chunked_with_deadline(scores: DataFrame, timelimit: float,
 
     if chunks <= 0:
         raise ValueError(f"chunks must be >= 1, got {chunks}")
+    spec = order_spec or _SCORE_ORDER
+    keys = [F.col(c).desc() if d else F.col(c).asc() for c, d in spec]
     deadline = _time.monotonic() + timelimit
     rows: list = []
     done = 0
     for i in range(chunks):
         chunk = (scores.where(F.col("doc_id") % chunks == i)
-                 .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+                 .orderBy(*keys))
         if limit is not None:
             chunk = chunk.limit(limit)
         remaining = deadline - _time.monotonic()
@@ -1192,11 +1207,11 @@ def collect_chunked_with_deadline(scores: DataFrame, timelimit: float,
             err = TimeLimitError(
                 f"collection exceeded {timelimit}s "
                 f"({done}/{chunks} chunks completed)")
-            err.partial = _merge_topk(rows, limit)
+            err.partial = _merge_topk(rows, limit, spec)
             err.chunks_done = done
             err.chunks = chunks
             raise err from None
-    return _merge_topk(rows, limit)
+    return _merge_topk(rows, limit, spec)
 
 
 class Corrector:

@@ -1,0 +1,103 @@
+"""Rare-slot candidate pruning for positional queries (evaluate.py
+``_phrase_candidates`` + the ``candidates`` filter inside
+``decode_blocks_arrow``).
+
+The pruning is an exactness-preserving plan change: the rarest slot's doc
+set is a superset of any phrase/sequence match, so forcing the prune ON
+(cap above every df) and OFF (cap 0) must produce identical ranked results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from whoosh_spark import config
+from whoosh_spark.query import ast as Q
+
+
+@pytest.fixture()
+def prune_forced(monkeypatch):
+    """Force the gate open: any multi-slot positional query prunes."""
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 10**9)
+    monkeypatch.setattr(config, "PHRASE_PRUNE_RATIO", 0)
+    yield
+
+
+@pytest.fixture()
+def prune_off(monkeypatch):
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 0)
+    yield
+
+
+def _ranked(searcher, q):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in searcher.search(q, limit=50).collect()]
+
+
+_CASES = [
+    Q.Phrase(["big", "data"]),
+    Q.Phrase(["big", "data"], slop=2),
+    Q.Phrase(["big", "data"], scoring="freq"),
+    Q.Sequence([Q.Term("big"), Q.Or([Q.Term("data"), Q.Term("merge")])]),
+]
+
+
+@pytest.mark.parametrize("q", _CASES, ids=lambda q: type(q).__name__)
+def test_pruned_matches_unpruned(searcher, q, monkeypatch):
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 0)
+    base = _ranked(searcher, q)
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 10**9)
+    monkeypatch.setattr(config, "PHRASE_PRUNE_RATIO", 0)
+    pruned = _ranked(searcher, q)
+    assert base == pruned
+    assert base, f"degenerate case — no matches for {q!r}"
+
+
+def test_decoder_candidate_filter_equals_post_filter(ix):
+    """Decode-with-candidates == decode-then-filter, row for row, including
+    the ragged positions column."""
+    full = ix.postings(["big", "data"], with_positions=True).collect()
+    cand = sorted({int(r["doc_id"]) for r in full})[::3]  # every 3rd doc
+    want = sorted(
+        ((r["term"], int(r["doc_id"]), float(r["tf"]), int(r["dl"]),
+          tuple(r["positions"])) for r in full if int(r["doc_id"]) in set(cand))
+    )
+    got = sorted(
+        ((r["term"], int(r["doc_id"]), float(r["tf"]), int(r["dl"]),
+          tuple(r["positions"])) for r in
+         ix.postings(["big", "data"], with_positions=True,
+                     candidate_ids=cand).collect())
+    )
+    assert got == want
+
+
+def test_decoder_candidate_filter_no_positions(ix):
+    full = ix.postings(["data"]).collect()
+    cand = [int(r["doc_id"]) for r in full][:5]
+    got = ix.postings(["data"], candidate_ids=cand).collect()
+    assert sorted(int(r["doc_id"]) for r in got) == sorted(cand)
+
+
+def test_empty_candidates_short_circuit(ix):
+    df = ix.postings(["data"], with_positions=True, candidate_ids=[])
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "field", "term", "doc_id", "tf", "dl", "positions"]
+
+
+def test_gate_respects_cap_and_ratio(searcher):
+    """With cap 0 no candidate list is built (gate returns None)."""
+    ev = searcher.ev
+    q = Q.Phrase(["big", "data"])
+    ev.evaluate(q)  # primes stats
+    fk = ev._fkey(None)
+    old_cap = config.PHRASE_PRUNE_MAX_DF
+    try:
+        config.PHRASE_PRUNE_MAX_DF = 0
+        assert ev._phrase_candidates(["big", "data"], fk) is None
+        config.PHRASE_PRUNE_MAX_DF = 10**9
+        config.PHRASE_PRUNE_RATIO = 10**9  # rarest must be 1e9x rarer: never
+        assert ev._phrase_candidates(["big", "data"], fk) is None
+    finally:
+        config.PHRASE_PRUNE_MAX_DF = old_cap
+        config.PHRASE_PRUNE_RATIO = 4

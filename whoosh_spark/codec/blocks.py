@@ -733,7 +733,7 @@ def _positions_counts(vals: np.ndarray, tfs: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_blocks_arrow(want_positions: bool = False):
+def decode_blocks_arrow(want_positions: bool = False, candidates=None):
     """``mapInArrow`` decoder: block rows → flat postings RecordBatches.
 
     Whole-BATCH vectorization (the query-side hot loop — the pandas variant
@@ -752,10 +752,20 @@ def decode_blocks_arrow(want_positions: bool = False):
                   list-of-lists, no pandas object column).
 
     Output schema matches ``index._DECODE[_POS]_SCHEMA``.
+
+    ``candidates`` (optional): a pyspark Broadcast of a SORTED int64 numpy
+    array of doc ids.  Postings for other docs are dropped INSIDE the
+    decoder — before they materialize as Arrow rows — so the Python→JVM
+    transfer and every downstream exchange carry only candidate docs.  The
+    phrase path uses this with the rarest word's doc set (a superset of any
+    phrase match, so results are untouched).  Block parsing itself is not
+    skipped: doc ids are delta-coded, so membership is only known after the
+    varint decode + cumsum.
     """
     import pyarrow as pa
 
     def fn(batches):
+        cand = candidates.value if candidates is not None else None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -788,12 +798,31 @@ def decode_blocks_arrow(want_positions: bool = False):
             l_flat, _ = _binary_column_buffers(t.column("lens"))
             dl_out = l_flat.view("<u2").astype(np.int64)
 
+            # candidate pruning: drop non-candidate postings HERE, before
+            # any Arrow row is built (counts/offsets for the positions
+            # stream still need every posting's tf, computed above)
+            keep = None
+            if cand is not None:
+                if cand.size == 0:
+                    continue
+                at = np.minimum(np.searchsorted(cand, doc_ids),
+                                cand.size - 1)
+                keep = cand[at] == doc_ids
+                if not keep.any():
+                    continue
+                if keep.all():
+                    keep = None
+
+            sel_rows = row_idx if keep is None else row_idx[keep]
             arrays = [
-                t.column("field").combine_chunks().take(pa.array(row_idx)),
-                t.column("term").combine_chunks().take(pa.array(row_idx)),
-                pa.array(doc_ids, type=pa.int64()),
-                pa.array(tf_out, type=pa.float64()),
-                pa.array(dl_out, type=pa.int64()),
+                t.column("field").combine_chunks().take(pa.array(sel_rows)),
+                t.column("term").combine_chunks().take(pa.array(sel_rows)),
+                pa.array(doc_ids if keep is None else doc_ids[keep],
+                         type=pa.int64()),
+                pa.array(tf_out if keep is None else tf_out[keep],
+                         type=pa.float64()),
+                pa.array(dl_out if keep is None else dl_out[keep],
+                         type=pa.int64()),
             ]
             names = ["field", "term", "doc_id", "tf", "dl"]
             if want_positions:
@@ -804,7 +833,15 @@ def decode_blocks_arrow(want_positions: bool = False):
                            + (np.cumsum(counts) - counts))
                 dmask = np.ones(vals.size, dtype=bool)
                 dmask[cnt_idx] = False
-                flat = _segmented_cumsum(vals[dmask], counts)
+                data_vals = vals[dmask]
+                if keep is not None:
+                    # gather the kept postings' delta segments; each
+                    # segment's cumsum is independent, so filtering before
+                    # the decode is exact
+                    data_vals, counts = _ragged_gather(
+                        data_vals, np.cumsum(counts) - counts, counts,
+                        np.nonzero(keep)[0])
+                flat = _segmented_cumsum(data_vals, counts)
                 offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
                 arrays.append(pa.ListArray.from_arrays(
                     pa.array(offsets, type=pa.int32()),

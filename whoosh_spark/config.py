@@ -50,6 +50,18 @@ BM25_B = 0.75
 
 BLOCK_SIZE = 128  # max postings per encoded block
 
+# Phrase evaluation: when the rarest word's df is at most this cap AND
+# meaningfully rarer than the hottest word (4x), its doc ids are collected
+# (<= cap * 8 bytes) and broadcast INTO the Arrow block decoder, which
+# drops non-candidate postings before they materialize as rows — only docs
+# containing every word can match a phrase, so pruning by the rarest
+# word's doc set is exact.  Saves the Python->JVM transfer and the groupBy
+# exchange of the hot words' fat position arrays.  Above the cap (hot-hot
+# phrases) pruning wouldn't remove much; the unpruned one-shuffle plan
+# stands.
+PHRASE_PRUNE_MAX_DF = 200_000
+PHRASE_PRUNE_RATIO = 4  # rarest df must be <= hottest df / this
+
 # Deterministic doc-range bucketing: a posting-build group is
 # (field, term, doc_id >> DOC_BUCKET_BITS).  Group size is bounded by the
 # bucket width regardless of term hotness, which is our skew/salting strategy

@@ -675,7 +675,9 @@ class Evaluator:
         all_terms = sorted(wmap)
         self._stats.update(
             {(fk, t): v for t, v in ixf.stats_for_terms(all_terms).items()})
-        pos = ixf.postings(all_terms, with_positions=True).select(
+        pos = ixf.postings(
+            all_terms, with_positions=True,
+            candidate_ids=self._phrase_candidates(slots, fk)).select(
             "term", "doc_id", "positions")
         # ONE groupBy(doc_id): every slot's positions as a conditional
         # aggregate over the same decoded scan (see _slot_agg) — empty
@@ -750,6 +752,37 @@ class Evaluator:
             for i, ts in enumerate(slot_terms)
         ]
 
+    def _phrase_candidates(self, uniq, fk) -> list[int] | None:
+        """Rare-slot candidate pruning gate for positional queries.
+
+        ``uniq`` is either a word list (Phrase) or a list of per-slot term
+        lists (Sequence).  Only docs matching EVERY slot can match, so the
+        rarest slot's doc set is a superset of the matches.  When that set
+        is small (df sum <= PHRASE_PRUNE_MAX_DF) and meaningfully smaller
+        than the hottest slot's (PHRASE_PRUNE_RATIO), collect it and return
+        it for a broadcast membership filter INSIDE the Arrow block decoder
+        — the hot slots' fat position rows then never materialize, never
+        cross Python->JVM, and never hit the groupBy exchange.  Returns
+        None (no pruning) otherwise; stats are already primed, so the gate
+        itself costs no extra job beyond the rare-slot id collect."""
+        from whoosh_spark.config import PHRASE_PRUNE_MAX_DF, PHRASE_PRUNE_RATIO
+
+        slots = [[w] for w in uniq] if uniq and isinstance(uniq[0], str) \
+            else uniq
+        if len(slots) < 2:
+            return None
+        # a slot's candidate set is the union of its terms' doc sets; its
+        # size is bounded by the df sum
+        totals = [sum(self._stats[(fk, t)]["df"] for t in s) for s in slots]
+        i = min(range(len(slots)), key=totals.__getitem__)
+        if (totals[i] > PHRASE_PRUNE_MAX_DF
+                or totals[i] * PHRASE_PRUNE_RATIO > max(totals)):
+            return None
+        cand = self._ixf(fk).postings(slots[i]).select("doc_id")
+        if len(slots[i]) > 1:
+            cand = cand.distinct()
+        return [r[0] for r in cand.collect()]
+
     # -- Phrase: positional join (SURVEY.md §2.4 Phrase row) -------------
     def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
         words = list(q.words)
@@ -760,7 +793,9 @@ class Evaluator:
         # ONE positions decode feeds BOTH the adjacency fold and the BM25
         # scoring pass; one groupBy(doc_id) computes every slot's positions
         # AND the doc score (no per-slot join chain, no second decode scan)
-        pos = self._ixf(fk).postings(uniq, with_positions=True)
+        pos = self._ixf(fk).postings(
+            uniq, with_positions=True,
+            candidate_ids=self._phrase_candidates(uniq, fk))
         slot_aggs = self._slot_agg([[w] for w in words])
         cur = self._fold_expr(len(words), q.slop)
         slot_present = reduce(

@@ -168,22 +168,29 @@ class InvertedIndex:
         return sorted(r["term"] for r in rows)
 
     # ------------------------------------------------------------------
-    def postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+    def postings(self, terms: list[str], with_positions: bool = False,
+                 candidate_ids=None) -> DataFrame:
         """Decode posting blocks for the given terms → flat postings DF.
 
         The term filter is applied on the blocks table BEFORE decode (pushed
         to the parquet scan when the index is loaded from disk).
+
+        ``candidate_ids``: optional iterable of doc ids; postings for other
+        docs are dropped inside the Arrow decoder (broadcast membership
+        filter — see ``decode_blocks_arrow``), so neither the Python→JVM
+        transfer nor any downstream shuffle carries them.
         """
         blk = self.blocks.where(
             (F.col("field") == self.field) & F.col("term").isin(list(set(terms)))
         )
-        return self._decode(blk, with_positions)
+        return self._decode(blk, with_positions, candidate_ids=candidate_ids)
 
     def postings_where(self, block_pred: Column, with_positions: bool = False) -> DataFrame:
         blk = self.blocks.where((F.col("field") == self.field) & block_pred)
         return self._decode(blk, with_positions)
 
-    def _decode(self, blk: DataFrame, with_positions: bool) -> DataFrame:
+    def _decode(self, blk: DataFrame, with_positions: bool,
+                candidate_ids=None) -> DataFrame:
         if with_positions:
             from whoosh_spark.formats import get_format
 
@@ -202,8 +209,17 @@ class InvertedIndex:
         if with_positions:
             cols.append("positions")
         blk = blk.select(*cols)
+        cand_bc = None
+        if candidate_ids is not None:
+            import numpy as np
+
+            arr = np.sort(np.asarray(list(candidate_ids), dtype=np.int64))
+            if arr.size == 0:
+                return self.spark.createDataFrame([], schema)
+            cand_bc = self.spark.sparkContext.broadcast(arr)
         return blk.mapInArrow(
-            decode_blocks_arrow(want_positions=with_positions), schema=schema)
+            decode_blocks_arrow(want_positions=with_positions,
+                                candidates=cand_bc), schema=schema)
 
     # ------------------------------------------------------------------
     def with_deleted(self, deleted: DataFrame) -> "InvertedIndex":

@@ -100,3 +100,47 @@ def test_registry_validation():
 def test_sniff_unrecognized_dir(tmp_path):
     with pytest.raises(FileNotFoundError, match="no index recognized"):
         R.sniff_codec(str(tmp_path))
+
+def test_failed_dump_drops_stale_toc(spark, ix, tmp_path):
+    """A partial re-dump over an existing index must not leave the OLD
+    manifest/marker in place — open_index would silently mix generations."""
+    path = str(tmp_path / "redump")
+    R.dump_index(ix, path, codec="blocks")
+
+    def bad_dump(i, p):
+        raise RuntimeError("disk full mid-dump")
+
+    R.register_codec(R.Codec("explode", dump=bad_dump, load=print),
+                     overwrite=True)
+    try:
+        with pytest.raises(RuntimeError, match="disk full"):
+            R.dump_index(ix, path, codec="explode")
+        with pytest.raises(FileNotFoundError, match="no index recognized"):
+            R.sniff_codec(path)
+    finally:
+        R.CODECS.pop("explode", None)
+
+
+def test_dump_empty_index(spark, tmp_path):
+    """Zero-doc index dumps without crashing and records zero counters."""
+    from whoosh_spark.index import InvertedIndex
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ix0 = InvertedIndex.build(empty)
+    manifest = R.dump_index(ix0, str(tmp_path / "empty"), codec="blocks")
+    assert manifest["n_docs"] == 0
+    assert manifest["total_len"] == 0
+
+
+def test_dump_carries_source_manifest_facts(spark, sf0001_documents, tmp_path):
+    """store_text/chunk_bits in a re-dumped manifest reflect the SOURCE
+    index, not hardcoded defaults."""
+    from whoosh_spark import store
+
+    src_path = str(tmp_path / "src")
+    store.write_index(sf0001_documents, src_path, store_text=True,
+                      chunk_bits=12)
+    ix1 = store.load_index(spark, src_path)
+    manifest = R.dump_index(ix1, str(tmp_path / "redump2"), codec="blocks")
+    assert manifest["store_text"] is True
+    assert manifest["chunk_bits"] == 12

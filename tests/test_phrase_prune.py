@@ -15,20 +15,6 @@ from whoosh_spark import config
 from whoosh_spark.query import ast as Q
 
 
-@pytest.fixture()
-def prune_forced(monkeypatch):
-    """Force the gate open: any multi-slot positional query prunes."""
-    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 10**9)
-    monkeypatch.setattr(config, "PHRASE_PRUNE_RATIO", 0)
-    yield
-
-
-@pytest.fixture()
-def prune_off(monkeypatch):
-    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 0)
-    yield
-
-
 def _ranked(searcher, q):
     return [(int(r["doc_id"]), round(float(r["score"]), 9))
             for r in searcher.search(q, limit=50).collect()]
@@ -85,19 +71,14 @@ def test_empty_candidates_short_circuit(ix):
         "field", "term", "doc_id", "tf", "dl", "positions"]
 
 
-def test_gate_respects_cap_and_ratio(searcher):
+def test_gate_respects_cap_and_ratio(searcher, monkeypatch):
     """With cap 0 no candidate list is built (gate returns None)."""
     ev = searcher.ev
-    q = Q.Phrase(["big", "data"])
-    ev.evaluate(q)  # primes stats
+    ev.evaluate(Q.Phrase(["big", "data"]))  # primes stats
     fk = ev._fkey(None)
-    old_cap = config.PHRASE_PRUNE_MAX_DF
-    try:
-        config.PHRASE_PRUNE_MAX_DF = 0
-        assert ev._phrase_candidates(["big", "data"], fk) is None
-        config.PHRASE_PRUNE_MAX_DF = 10**9
-        config.PHRASE_PRUNE_RATIO = 10**9  # rarest must be 1e9x rarer: never
-        assert ev._phrase_candidates(["big", "data"], fk) is None
-    finally:
-        config.PHRASE_PRUNE_MAX_DF = old_cap
-        config.PHRASE_PRUNE_RATIO = 4
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 0)
+    assert ev._phrase_candidates(["big", "data"], fk) is None
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 10**9)
+    # rarest must be 1e9x rarer than the hottest: never on this corpus
+    monkeypatch.setattr(config, "PHRASE_PRUNE_RATIO", 10**9)
+    assert ev._phrase_candidates(["big", "data"], fk) is None

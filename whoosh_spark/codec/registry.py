@@ -73,20 +73,27 @@ def _dump_blocks(ix, path: str) -> dict:
         ix.boosts.write.mode("overwrite").parquet(FS.join(path, "boosts"))
     if ix.deleted is not None:
         ix.deleted.write.mode("overwrite").parquet(FS.join(path, "deleted"))
-    fs_row = ix.field_stats.collect()[0]
+    fs_rows = ix.field_stats.collect()
+    # an empty index aggregates to no row / NULL counters (global_stats
+    # handles the same state)
+    n_docs = int(fs_rows[0]["doc_count"] or 0) if fs_rows else 0
+    total_len = int(fs_rows[0]["total_len"] or 0) if fs_rows else 0
     import time as _time
 
     from whoosh_spark.store import DEFAULT_CHUNK_BITS
 
+    # carry source-index facts forward when it was loaded from a manifest
+    # (a freshly built in-session index has none)
+    src = getattr(ix, "manifest", None) or {}
     manifest = {
         "format": "whoosh-spark/1",
         "codec": "blocks",
         "generation": int(_time.time()),
         "field": ix.field,
-        "chunk_bits": DEFAULT_CHUNK_BITS,
-        "n_docs": int(fs_row["doc_count"]),
-        "total_len": int(fs_row["total_len"]),
-        "store_text": False,
+        "chunk_bits": src.get("chunk_bits", DEFAULT_CHUNK_BITS),
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "store_text": src.get("store_text", False),
         "analyzer": ix.analyzer,
         "text_col": ix.text_col,
         "posting_format": ix.posting_format,
@@ -149,7 +156,16 @@ def dump_index(ix, path: str, codec: str = "blocks") -> dict:
     """Persist ``ix`` under ``path`` with the named codec and stamp the
     codec marker so :func:`open_index` can dispatch without being told."""
     c = get_codec(codec)
-    header = c.dump(ix, path)
+    try:
+        header = c.dump(ix, path)
+    except BaseException:
+        # a partial re-dump over an existing index would leave the OLD
+        # TOC files describing a mix of generations — drop every file
+        # sniff_codec recognizes so open_index refuses the state (same
+        # invariant store.write_index re-establishes on a failed tail)
+        for toc in ("manifest.json", "header.json", _CODEC_MARKER):
+            FS.remove(FS.join(path, toc))
+        raise
     FS.write_text_atomic(FS.join(path, _CODEC_MARKER), c.name)
     return header
 

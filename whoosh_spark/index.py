@@ -65,6 +65,7 @@ class InvertedIndex:
         self.text_col = "text"  # stored source column the field was built from
         self.posting_format = "positions"  # Format name (formats.py)
         self._global = None  # (N, avgdl) cache
+        self._cand_bc = {}  # LRU: candidate-set digest -> Broadcast
 
     # ------------------------------------------------------------------
     @classmethod
@@ -211,12 +212,27 @@ class InvertedIndex:
         blk = blk.select(*cols)
         cand_bc = None
         if candidate_ids is not None:
+            import hashlib
+
             import numpy as np
 
             arr = np.sort(np.asarray(list(candidate_ids), dtype=np.int64))
             if arr.size == 0:
                 return self.spark.createDataFrame([], schema)
-            cand_bc = self.spark.sparkContext.broadcast(arr)
+            # LRU-cache the broadcast per candidate set: repeated queries
+            # reuse one executor-side copy instead of re-broadcasting, and
+            # eviction unpersists executor blocks (the driver copy stays,
+            # so an old plan that re-executes just re-broadcasts lazily)
+            key = hashlib.md5(arr.tobytes()).digest()
+            cand_bc = self._cand_bc.get(key)
+            if cand_bc is None:
+                cand_bc = self.spark.sparkContext.broadcast(arr)
+                self._cand_bc[key] = cand_bc
+                while len(self._cand_bc) > 8:
+                    self._cand_bc.pop(
+                        next(iter(self._cand_bc))).unpersist()
+            else:
+                self._cand_bc[key] = self._cand_bc.pop(key)  # LRU bump
         return blk.mapInArrow(
             decode_blocks_arrow(want_positions=with_positions,
                                 candidates=cand_bc), schema=schema)

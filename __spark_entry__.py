@@ -177,6 +177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "andmaybe": _q(Q.AndMaybe(Q.Term("data"), Q.Term("vector"))),
         "dismax": _q(Q.DisMax([Q.Term("data"), Q.Term("vector")], tiebreak=0.5)),
         "phrase_2": _q(Q.Phrase(["big", "data"])),
+        # rare+hot pair: "dup" df is >4x rarer than "big", so this entry
+        # exercises the rare-slot in-decoder candidate-pruned plan
+        # (evaluate._phrase_candidates) under the driver's value oracle
+        "phrase_rare_pruned": _q(Q.Phrase(["big", "dup"])),
         "phrase_slop2": _q(Q.Phrase(["big", "data"], slop=2)),
         "phrase_freq": _q(Q.Phrase(["big", "data"], scoring="freq")),
         "sequence_prefix": _q(Q.Sequence([Q.Term("big"), Q.Prefix("da")])),
@@ -922,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "andmaybe": OSQL.andmaybe_sql("data", "vector"),
         "dismax": OSQL.dismax_sql(["data", "vector"], tiebreak=0.5),
         "phrase_2": OSQL.phrase_sql(["big", "data"]),
+        "phrase_rare_pruned": OSQL.phrase_sql(["big", "dup"]),
         "phrase_slop2": OSQL.phrase_sql(["big", "data"], slop=2),
         "phrase_freq": OSQL.phrase_freq_sql(["big", "data"]),
         "sequence_prefix": OSQL.sequence_prefix_sql("big", "da", slop=1),

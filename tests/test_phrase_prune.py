@@ -82,3 +82,42 @@ def test_gate_respects_cap_and_ratio(searcher, monkeypatch):
     # rarest must be 1e9x rarer than the hottest: never on this corpus
     monkeypatch.setattr(config, "PHRASE_PRUNE_RATIO", 10**9)
     assert ev._phrase_candidates(["big", "data"], fk) is None
+
+_SPAN_CASES = [
+    Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=3),
+    Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=5, ordered=False),
+    Q.SpanNot(Q.Term("data"), Q.Phrase(["big", "data"])),
+    Q.SpanContains(Q.Phrase(["big", "data"]), Q.Term("data")),
+    Q.SpanBefore(Q.Term("big"), Q.Term("merge")),
+    Q.SpanCondition(Q.Term("big"), Q.Term("merge")),
+    Q.SpanNear(Q.SpanOr([Q.Term("big"), Q.Term("merge")]),
+               Q.Term("data"), slop=4),
+]
+
+
+@pytest.mark.parametrize(
+    "q", _SPAN_CASES,
+    ids=lambda q: type(q).__name__ + "_" + type(getattr(q, "b", q)).__name__)
+def test_span_pruned_matches_unpruned(searcher, q, monkeypatch):
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 0)
+    base = _ranked(searcher, q)
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 10**9)
+    monkeypatch.setattr(config, "PHRASE_PRUNE_RATIO", 0)
+    pruned = _ranked(searcher, q)
+    assert base == pruned
+    assert base, f"degenerate case — no matches for {q!r}"
+
+
+def test_span_not_prunes_by_required_side_only(searcher, monkeypatch):
+    """SpanNot's b side is optional: candidates must come from a.  A doc
+    with b-terms but no a-terms must not appear either way."""
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 10**9)
+    monkeypatch.setattr(config, "PHRASE_PRUNE_RATIO", 0)
+    q = Q.SpanNot(Q.Term("merge"), Q.Term("data"))
+    got = {d for d, _ in _ranked(searcher, q)}
+    ev = searcher.ev
+    fk = ev._fkey(None)
+    ev.evaluate(Q.Term("merge"))  # primes stats
+    cand = set(ev._span_conj_candidates(q, fk) or [])
+    assert cand, "gate should open with ratio 0"
+    assert got <= cand

@@ -867,14 +867,15 @@ class Evaluator:
     # spans = array<struct<s,e>> of token intervals; combinators are JVM
     # higher-order array functions (filter/exists/transform) — no Python.
     # ------------------------------------------------------------------
-    def _unit_spans(self, terms: list[str], fk) -> tuple[DataFrame, list[str]] | None:
+    def _unit_spans(self, terms: list[str], fk,
+                    cand=None) -> tuple[DataFrame, list[str]] | None:
         ixf = self._ixf(fk)
         st = ixf.stats_for_terms(terms)
         present = [t for t in terms if t in st]
         if not present:
             return None
         self._stats.update({(fk, t): v for t, v in st.items()})
-        pos = ixf.postings(present, with_positions=True)
+        pos = ixf.postings(present, with_positions=True, candidate_ids=cand)
         df = (
             pos.groupBy("doc_id")
             .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias("_pp"))
@@ -885,7 +886,8 @@ class Evaluator:
         )
         return df, present
 
-    def _phrase_spans(self, words: list[str], fk) -> tuple[DataFrame, list[str]] | None:
+    def _phrase_spans(self, words: list[str], fk,
+                      cand=None) -> tuple[DataFrame, list[str]] | None:
         """slop=1 phrase → spans (end−k+1, end); start is derivable only at
         slop=1 (each step advances exactly one position)."""
         uniq = sorted(set(words))
@@ -894,7 +896,11 @@ class Evaluator:
         if any(w not in st for w in uniq):
             return None
         self._stats.update({(fk, t): v for t, v in st.items()})
-        pos = ixf.postings(uniq, with_positions=True).select("term", "doc_id", "positions")
+        if cand is None:
+            cand = self._phrase_candidates(uniq, fk)
+        pos = ixf.postings(uniq, with_positions=True,
+                           candidate_ids=cand).select(
+            "term", "doc_id", "positions")
         slot_dfs = []
         for i, w in enumerate(words):
             slot_dfs.append(
@@ -907,13 +913,79 @@ class Evaluator:
         out = joined.select("doc_id", spans.alias("spans")).where(F.size("spans") > 0)
         return out, uniq
 
-    def _spans_df(self, q: Q.Query, fk) -> tuple[DataFrame, list[str]] | None:
-        """(doc_id, spans) frame + the terms that score this sub-tree, or
-        None when a required leaf term is absent (empty result)."""
+    @staticmethod
+    def _span_leaf_terms(q: Q.Query) -> list[str]:
+        """Every leaf term under a span-capable subtree.  ANY span match
+        requires at least one leaf term present (SpanNot needs its ``a``,
+        SpanOr one child), so docs-containing-some-leaf-term is a superset
+        of the subtree's match docs — usable as a pruning candidate set."""
         if isinstance(q, Q.Term):
-            return self._unit_spans([q.text], fk)
+            return [q.text]
+        if isinstance(q, Q.Or):
+            return [t for c in q.children
+                    for t in Evaluator._span_leaf_terms(c)]
+        if isinstance(q, Q.Phrase):
+            return list(q.words)
+        if isinstance(q, Q.Sequence):
+            return [t for c in q.children
+                    for t in Evaluator._span_leaf_terms(c)]
+        if isinstance(q, Q.SpanFirst):
+            return Evaluator._span_leaf_terms(q.child)
+        if isinstance(q, Q.SpanOr):
+            return [t for c in q.children
+                    for t in Evaluator._span_leaf_terms(c)]
+        if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains,
+                          Q.SpanBefore, Q.SpanCondition)):
+            return (Evaluator._span_leaf_terms(q.a)
+                    + Evaluator._span_leaf_terms(q.b))
+        return []
+
+    def _span_conj_candidates(self, q, fk) -> list[int] | None:
+        """Candidate doc set for a conjunctive span combinator: both sides
+        must match the doc (SpanNot: side ``a`` must), so the rarer side's
+        leaf-term doc set prunes BOTH subtrees' position decodes.  Same
+        cap/ratio gate as _phrase_candidates; None when pruning wouldn't
+        pay."""
+        from whoosh_spark.config import PHRASE_PRUNE_MAX_DF, PHRASE_PRUNE_RATIO
+
+        ixf = self._ixf(fk)
+
+        def side_df(terms):
+            st = ixf.stats_for_terms(sorted(set(terms)))
+            self._stats.update({(fk, t): v for t, v in st.items()})
+            return sum(v["df"] for v in st.values()), \
+                [t for t in st]
+        ta, tb = self._span_leaf_terms(q.a), self._span_leaf_terms(q.b)
+        if not ta or not tb:
+            return None
+        (dfa, pa), (dfb, pb) = side_df(ta), side_df(tb)
+        sides = [(dfa, pa)]
+        if not isinstance(q, Q.SpanNot):  # b is not required by SpanNot
+            sides.append((dfb, pb))
+        sides = [s for s in sides if s[0] > 0 and s[1]]
+        if not sides:
+            return None
+        low, terms = min(sides, key=lambda s: s[0])
+        if (low > PHRASE_PRUNE_MAX_DF
+                or low * PHRASE_PRUNE_RATIO > max(dfa, dfb)):
+            return None
+        cand = ixf.postings(terms).select("doc_id")
+        if len(terms) > 1:
+            cand = cand.distinct()
+        return [r[0] for r in cand.collect()]
+
+    def _spans_df(self, q: Q.Query, fk,
+                  cand=None) -> tuple[DataFrame, list[str]] | None:
+        """(doc_id, spans) frame + the terms that score this sub-tree, or
+        None when a required leaf term is absent (empty result).
+
+        ``cand``: candidate doc ids threaded down from an enclosing
+        conjunctive combinator — every leaf decode is pruned to them inside
+        the Arrow decoder (see _span_conj_candidates for soundness)."""
+        if isinstance(q, Q.Term):
+            return self._unit_spans([q.text], fk, cand)
         if isinstance(q, Q.Or) and all(isinstance(c, Q.Term) for c in q.children):
-            return self._unit_spans([c.text for c in q.children], fk)
+            return self._unit_spans([c.text for c in q.children], fk, cand)
         if isinstance(q, (Q.Phrase, Q.Sequence)):
             slop = q.slop
             if slop > 1:
@@ -927,16 +999,16 @@ class Evaluator:
                     if ts is None or len(ts) != 1:
                         raise ValueError("span Sequence slots must be single terms")
                 words = [self._slot_terms(c)[0] for c in q.children]
-            return self._phrase_spans(words, fk)
+            return self._phrase_spans(words, fk, cand)
         if isinstance(q, Q.SpanFirst):
-            sub = self._spans_df(q.child, fk)
+            sub = self._spans_df(q.child, fk, cand)
             if sub is None:
                 return None
             df, terms = sub
             kept = F.filter("spans", lambda sp: sp["e"] <= q.limit)
             return df.select("doc_id", kept.alias("spans")).where(F.size("spans") > 0), terms
         if isinstance(q, Q.SpanOr):
-            subs = [self._spans_df(c, fk) for c in q.children]
+            subs = [self._spans_df(c, fk, cand) for c in q.children]
             subs = [s for s in subs if s is not None]
             if not subs:
                 return None
@@ -953,8 +1025,10 @@ class Evaluator:
             return merged, terms
         if isinstance(q, (Q.SpanNear, Q.SpanNot, Q.SpanContains, Q.SpanBefore,
                           Q.SpanCondition)):
-            sa = self._spans_df(q.a, fk)
-            sb = self._spans_df(q.b, fk)
+            if cand is None:
+                cand = self._span_conj_candidates(q, fk)
+            sa = self._spans_df(q.a, fk, cand)
+            sb = self._spans_df(q.b, fk, cand)
             if sa is None:
                 return None
             if sb is None:

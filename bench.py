@@ -107,6 +107,9 @@ def _bench_queries(ix, reps: int = 3) -> dict[str, float]:
         "or_hot_rare": Q.Or([Q.Term("data"), Q.Term("vector")]),
         "dismax": Q.DisMax([Q.Term("data"), Q.Term("vector")], tiebreak=0.5),
         "phrase_2": Q.Phrase(["big", "data"]),
+        # rare+hot pair (sf0.1 dfs ~250 vs ~3.9k): runs the rare-slot
+        # in-decoder candidate-pruned positional plan
+        "phrase_rare": Q.Phrase(["big", "dup"]),
         "wildcard": Q.Wildcard("d*a"),
         "andnot": Q.AndNot(Q.Term("data"), Q.Term("vector")),
     }

@@ -2,7 +2,11 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune]
+
+``--prune`` forces the rare-slot candidate gate open (see
+whoosh_spark/config.py PHRASE_PRUNE_*) so every random positional query
+exercises the in-decoder pruned plan against the oracle.
 
 Generates random query ASTs (same shape-space as tests/test_rank_fuzz_deep,
 plus random depth/boost combos) and diffs Spark top-k ids+scores against the
@@ -203,11 +207,19 @@ def main() -> int:
     fielded = "--fields" in sys.argv[1:]
     many = "--many" in sys.argv[1:]
     spans = "--spans" in sys.argv[1:]
+    prune = "--prune" in sys.argv[1:]
+    if prune:
+        # force the rare-slot candidate gate OPEN so every positional
+        # query runs the in-decoder pruned plan against the oracle
+        from whoosh_spark import config
+
+        config.PHRASE_PRUNE_MAX_DF = 10**9
+        config.PHRASE_PRUNE_RATIO = 0
     n = int(argv[0]) if len(argv) > 0 else 500
     seed = int(argv[1]) if len(argv) > 1 else random.randrange(2**31)
     rng = random.Random(seed)
     print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many} "
-          f"spans={spans}", flush=True)
+          f"spans={spans} prune={prune}", flush=True)
 
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")

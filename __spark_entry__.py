@@ -580,6 +580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Q.SpanNear(Q.Term("big"), Q.Term("merge"), slop=3, ordered=True),
         Q.Term("data")))
     out["span_before"] = _q(Q.SpanBefore(Q.Term("vector"), Q.Term("small")))
+    # SpanNear2 list form (ast.SpanNear2 desugars to left-nested binary)
+    out["span_near2"] = _q(Q.SpanNear2(
+        [Q.Term("big"), Q.Term("data"), Q.Term("query")], slop=4))
     out["span_or"] = _q(Q.SpanOr([Q.Phrase(["big", "data"]), Q.Term("vector")]))
     out["span_condition"] = _q(Q.SpanCondition(
         Q.Phrase(["big", "data"]), Q.Term("merge")))
@@ -1005,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "span_not": OSQL.span_not_sql(["big", "data"], ["data", "merge"]),
         "span_contains": OSQL.span_near_contains_sql("big", "merge", 3, "data"),
         "span_before": OSQL.span_before_sql("vector", "small"),
+        "span_near2": OSQL.span_near2_sql(["big", "data", "query"], slop=4),
         "span_or": OSQL.span_or_sql(["big", "data"], "vector"),
         "span_condition": OSQL.span_condition_sql(["big", "data"], "merge"),
         "ngram_substring": OSQL.ngram_and_sql(_ngram_tokens("tabl", 2, 4)),

@@ -557,3 +557,31 @@ class TestReviewRegressions2:
         got = _ids(ev.evaluate(
             Q.DateRange("ts", lo=1000.5, hi=None, incl_lo=False)))
         assert got == [1]
+
+
+class TestSpanNear2:
+    """ast.SpanNear2 list form — desugars to left-nested binary SpanNear."""
+
+    def test_desugar_structure(self):
+        q = Q.SpanNear2([Q.Term("a"), Q.Term("b"), Q.Term("c")],
+                        slop=2, ordered=False)
+        assert q == Q.SpanNear(
+            Q.SpanNear(Q.Term("a"), Q.Term("b"), slop=2, ordered=False),
+            Q.Term("c"), slop=2, ordered=False)
+
+    def test_single_child_and_empty(self):
+        assert Q.SpanNear2([Q.Term("a")]) == Q.Term("a")
+        assert Q.SpanNear2([Q.Term("a")], boost=2.0) == Q.Term("a", boost=2.0)
+        with pytest.raises(ValueError, match="at least one child"):
+            Q.SpanNear2([])
+
+    def test_three_term_chain(self, ix):
+        ev = Evaluator(ix)
+        # doc 0: big@0 data@1 merge@2 (gaps 1,1); doc 2: big@0 data@2
+        # merge@4 (gaps 2,2); doc 3 has reverse order -> excluded
+        q = Q.SpanNear2([Q.Term("big"), Q.Term("data"), Q.Term("merge")],
+                        slop=2)
+        assert _ids(ev.evaluate(q)) == [0, 2]
+        tight = Q.SpanNear2([Q.Term("big"), Q.Term("data"), Q.Term("merge")],
+                            slop=1)
+        assert _ids(ev.evaluate(tight)) == [0]

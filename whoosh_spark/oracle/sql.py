@@ -706,6 +706,29 @@ def span_near_sql(a: str, b: str, slop: int, ordered: bool, k: int = 10) -> str:
     return base_ctes(match) + topk(sel, k)
 
 
+def span_near2_sql(words: list[str], slop: int, k: int = 10) -> str:
+    """Ordered SpanNear2 chain of unit (term) spans: each next term within
+    ``slop`` tokens AFTER the previous.  Mirrors the engine's left-nested
+    binary desugar (ast.SpanNear2): when ordered, the combined span's end
+    is the previous term's position, so the pairwise gap conditions chain
+    directly."""
+    joins = [f"(SELECT doc_id, pos FROM tokf WHERE term = '{w}') p{i}"
+             for i, w in enumerate(words)]
+    conds = [
+        f"p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i-1}.pos "
+        f"AND p{i}.pos - p{i-1}.pos <= {slop}"
+        for i in range(1, len(words))
+    ]
+    match = ("pm AS (\n  SELECT DISTINCT p0.doc_id\n  FROM "
+             + " , ".join(joins) + "\n  WHERE " + " AND ".join(conds) + "\n)")
+    in_list = ", ".join(f"'{w}'" for w in words)
+    sel = (
+        f"SELECT s.doc_id, sum(s.score) AS score FROM sc s JOIN pm USING (doc_id) "
+        f"WHERE s.term IN ({in_list}) GROUP BY s.doc_id"
+    )
+    return base_ctes(match) + topk(sel, k)
+
+
 def _phrase_spans_cte(name: str, words: list[str]) -> str:
     """(doc_id, s, e) spans of a slop-1 phrase."""
     joins = [f"(SELECT doc_id, pos FROM tokf WHERE term = '{w}') q{i}"

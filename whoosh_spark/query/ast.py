@@ -684,6 +684,25 @@ class SpanCondition(Query):
         return self.a.field_terms() + self.b.field_terms()
 
 
+def SpanNear2(children, slop: int = 1, ordered: bool = True,
+              boost: float = 1.0) -> Query:
+    """``spans.py::SpanNear2 (≈L350)`` list form: every child within
+    ``slop`` of the previous one's combined span.  Upstream chains the
+    binary matcher pairwise left-to-right; this factory desugars to the
+    same left-nested binary :class:`SpanNear` tree at construction, so
+    the evaluator, oracle, and normalize() only ever see the binary node
+    (no new enumeration sites)."""
+    kids = list(children)
+    if not kids:
+        raise ValueError("SpanNear2 needs at least one child")
+    if len(kids) == 1:
+        return kids[0] if boost == 1.0 else replace(kids[0], boost=boost)
+    out = kids[0]
+    for c in kids[1:]:
+        out = SpanNear(out, c, slop=slop, ordered=ordered)
+    return out if boost == 1.0 else replace(out, boost=boost)
+
+
 @dataclass(frozen=True)
 class NestedParent(Query):
     """``src/whoosh/query/nested.py::NestedParent (≈L40)``: block-join —

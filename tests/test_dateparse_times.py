@@ -161,3 +161,27 @@ def test_parser_exclusive_time_braces():
     # '{' starts AFTER the lo span (16:00); '}' stops BEFORE the hi span
     assert q.lo == _abs(2020, 1, 12, 16)
     assert q.hi == _abs(2020, 1, 14, 12, 0)
+
+
+def test_time_first_phrases_mirror_day_first():
+    """"3pm tomorrow" == "tomorrow at 3pm" — both orders parse to the same
+    span; optional "on" before the day phrase."""
+    from whoosh_spark.query.dateparse import nl_span
+
+    for a, b in [("3pm tomorrow", "tomorrow at 3pm"),
+                 ("noon next friday", "next friday at noon"),
+                 ("16:20 yesterday", "yesterday at 16:20"),
+                 ("3:05pm on 20 march 2020", "20 march 2020 at 3:05pm"),
+                 ("midnight last tuesday", "last tuesday at midnight")]:
+        sa, sb = nl_span(a, BASE), nl_span(b, BASE)
+        assert sa is not None and sa == sb, (a, sa, b, sb)
+
+
+def test_time_first_rejects_non_day_tails():
+    from whoosh_spark.query.dateparse import nl_span
+
+    assert nl_span("3pm 2020", BASE) is None          # year-grain tail
+    assert nl_span("noon last month", BASE) is None   # month-grain tail
+    assert nl_span("3pm fish", BASE) is None          # not a date at all
+    # a bare hour without am/pm stays a date token, not a leading time
+    assert nl_span("20 march", BASE) is not None

@@ -16,9 +16,10 @@ Supported: ``now``, ``today``/``yesterday``/``tomorrow``,
 grain, e.g. ``-2d`` = that whole day), times of day (``3pm``,
 ``3:05pm``, ``15:30``, ``16:20:11``, ``noon``, ``midnight`` — span at
 the expressed grain within the base day; a bare hour needs am/pm or a
-colon so day numbers stay dates), and combined day+time phrases
-(``tomorrow at 3pm``, ``next friday 15:30``, ``20 march 2020 at
-16:20:11`` — any DAY-grain phrase, optional ``at``).  Fuzzy *ranges*
+colon so day numbers stay dates), and combined day+time phrases in BOTH
+orders (``tomorrow at 3pm``, ``next friday 15:30``, ``20 march 2020 at
+16:20:11``; ``3pm tomorrow``, ``noon next friday``, ``16:20 on 20 march
+2020`` — any DAY-grain phrase, optional ``at``/``on``).  Fuzzy *ranges*
 compose through the query parser's bracket syntax — each side of
 ``[last tuesday TO next friday at noon]`` goes through ``nl_span``.
 """
@@ -84,6 +85,12 @@ _TIME_TAIL_RE = re.compile(
     r"|\d{1,2}:\d{2}(?::\d{2})?)$")
 _TIME_RE = re.compile(
     r"^(\d{1,2})(?::(\d{2})(?::(\d{2}))?)?\s*(am|pm)?$")
+# time-FIRST phrases ("3pm tomorrow", "noon next friday", "16:20 yesterday",
+# optionally "... on friday") — same token alternation anchored at the start
+_TIME_LEAD_RE = re.compile(
+    r"^(noon|midnight"
+    r"|\d{1,2}(?::\d{2}(?::\d{2})?)?\s*(?:am|pm)"
+    r"|\d{1,2}:\d{2}(?::\d{2})?)(?:\s|$)")
 
 
 def _time_of_day(t: str) -> tuple[int, int] | None:
@@ -196,4 +203,19 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
                 day_lo = span[0]
             off, grain = tod
             return day_lo + off, day_lo + off + grain
+    # time-FIRST order: "3pm tomorrow", "noon next friday", "16:20 on
+    # 20 march 2020" — the tail must be a day-grain phrase
+    m = _TIME_LEAD_RE.match(s)
+    if m:
+        tod = _time_of_day(m.group(1))
+        if tod is not None:
+            tail = s[m.end(1):].strip()
+            if tail.startswith("on "):
+                tail = tail[3:].strip()
+            if tail:
+                span = nl_span(tail, base)
+                if span is None or span[1] - span[0] != 86400:
+                    return None  # only day-grain phrases take a time
+                off, grain = tod
+                return span[0] + off, span[0] + off + grain
     return None

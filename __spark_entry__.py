@@ -884,18 +884,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("s_start", "event_type"),
     )
     # Driver-sample rotation manifest: the driver's correctness gate samples
-    # the FIRST ~50 keys, so ordering IS coverage policy.  Keys the driver
-    # has never hash-checked (round-3 additions + everything outside
-    # CORRECTNESS_r02's 50-entry sample) come first; the 50 entries already
-    # driver-green in r02 rotate to the back.  After each round, move that
-    # round's sampled keys into _DRIVER_SAMPLED so the front stays
-    # never-sampled-first until every entry has hard driver evidence.
-    front = [k for k in out if k not in _DRIVER_SAMPLED]
-    return {k: out[k] for k in front + [k for k in out if k in _DRIVER_SAMPLED]}
+    # the FIRST ~50 keys, so ordering IS coverage policy.  Tiered rotation:
+    #   tier 0 — keys the driver TOUCHED in r01 but could not hash-verify
+    #            (rows-only / err back then; all since fixed + oracled) —
+    #            these have a red history, so they get driver slots first;
+    #   tier 1 — keys the driver has never sampled at all (round-3
+    #            additions + everything outside the r01/r02 samples);
+    #   tier 2 — keys hash-green only in r01, whose implementations may
+    #            have evolved since (e.g. dedup_embedding's bucketed swap);
+    #   tier 3 — the 50 keys hash-green in r02, rotated to the back.
+    # After each round, fold that round's sampled keys into the manifest
+    # below so the front stays weakest-evidence-first until every entry has
+    # hard driver evidence.
+    def _tier(k: str) -> int:
+        if k in _R01_UNVERIFIED:
+            return 0
+        if k in _R01_GREEN:
+            return 2
+        if k in _R02_GREEN:
+            return 3
+        return 1
+
+    ordered = sorted(out, key=lambda k: (_tier(k), list(out).index(k)))
+    return {k: out[k] for k in ordered}
 
 
-# keys hash-verified by the driver in CORRECTNESS_r01/r02 (all green there)
-_DRIVER_SAMPLED = frozenset([
+# r01 sampled these but recorded err/no-oracle (all fixed + oracled since);
+# the fixed versions have never been driver-hash-verified
+_R01_UNVERIFIED = frozenset([
+    "dedup_simhash", "multimodal_decode", "multimodal_meta", "sim_ann_lsh",
+    "text_winnow",
+])
+
+# hash-green in CORRECTNESS_r01 only (not re-sampled in r02)
+_R01_GREEN = frozenset([
+    "dedup_embedding", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "paging_page2", "sim_cosine_topk",
+    "text_fingerprint", "text_lang_id", "text_quality", "text_token_counts",
+])
+
+# keys hash-verified by the driver in CORRECTNESS_r02 (all green there)
+_R02_GREEN = frozenset([
     "term_hot", "term_rare", "and_hot_rare", "and_hot_hot", "or_hot_rare",
     "or_minmatch", "andnot_hot_rare", "andmaybe", "dismax", "phrase_2",
     "phrase_slop2", "phrase_freq", "sequence_prefix", "prefix", "wildcard",

@@ -441,6 +441,158 @@ def delete_documents(spark: SparkSession, path: str,
     return int(n)
 
 
+def delete_by_query(spark: SparkSession, path: str, query,
+                    fields: dict | None = None) -> int:
+    """Soft delete every doc matching a search query
+    (``src/whoosh/writing.py::IndexWriter.delete_by_query ≈L510``).
+
+    ``query`` is a parsed :mod:`whoosh_spark.query.ast` node or a query
+    string (parsed with :func:`whoosh_spark.query.parser.parse_query`,
+    ``fields`` forwarded).  The matching doc ids flow straight from the
+    query plan into the ``deleted`` overlay — a distributed append, no
+    driver-side id collection — so it scales with the match count.
+    """
+    from whoosh_spark.query import ast as Q
+    from whoosh_spark.search import Searcher
+
+    if isinstance(query, str):
+        from whoosh_spark.query.parser import parse_query
+
+        query = parse_query(query, fields=fields)
+    if not isinstance(query, Q.Query):
+        raise TypeError(f"query must be a Query or str, got {type(query)!r}")
+    ix = load_index(spark, path)
+    hits = Searcher(ix).docs_for_query(query).persist()
+    try:
+        n = hits.count()
+        if n:
+            hits.write.mode("append").parquet(FS.join(path, "deleted"))
+    finally:
+        hits.unpersist()
+    _append_log(path, {"phase": "delete", "n_docs": int(n),
+                       "query": repr(query), "ts": time.time()})
+    return int(n)
+
+
+def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
+                  field: str = TEXT_FIELD) -> dict:
+    """Merge several persisted indexes into a new one
+    (``src/whoosh/writing.py::IndexWriter.add_reader ≈L500`` — the API
+    upstream uses to merge whole indexes/segments through a writer).
+
+    Upstream semantics kept:
+      * docs keep their per-source relative order; doc ids are remapped by a
+        per-source offset (source i's ids shift past source i-1's max id);
+      * soft-deleted docs in a source are PURGED during the merge
+        (``add_reader`` iterates only live docs);
+      * every source must share the analyzer chain and posting format —
+        merging token streams from different chains is refused, the same
+        guard the resume path applies.
+
+    Spark-first plan: the id remap is a narrow column add per source; the
+    only wide stage is the same posting shuffle-merge a compaction runs.
+    Analyzed token segments are unioned (not re-analyzed), so merge cost is
+    independent of analyzer cost — exactly upstream's "copy postings, don't
+    re-index" contract.
+    """
+    if len(src_paths) < 2:
+        raise ValueError("merge_indexes needs at least two source indexes")
+    manifests = []
+    for p in src_paths:
+        raw = FS.read_text(FS.join(p, MANIFEST))
+        if raw is None:
+            raise FileNotFoundError(f"no {MANIFEST} under {p!r}")
+        manifests.append(json.loads(raw))
+    an0 = manifests[0].get("analyzer", "standard")
+    fmt0 = manifests[0].get("posting_format", "positions")
+    txt0 = manifests[0].get("text_col", "text")
+    for p, m in zip(src_paths[1:], manifests[1:]):
+        if m.get("analyzer", "standard") != an0:
+            raise ValueError(
+                f"analyzer mismatch: {src_paths[0]!r} uses {an0!r}, {p!r} "
+                f"uses {m.get('analyzer', 'standard')!r} — same-chain "
+                f"sources only (token streams are merged, not re-analyzed)")
+        if m.get("posting_format", "positions") != fmt0:
+            raise ValueError(
+                f"posting format mismatch: {fmt0!r} vs "
+                f"{m.get('posting_format', 'positions')!r} under {p!r}")
+
+    # per-source id spans → cumulative offsets (ids need not be contiguous,
+    # so span from the real max id, not the manifest doc count)
+    offsets, nxt = [], 0
+    for p in src_paths:
+        offsets.append(nxt)
+        mx = (spark.read.parquet(FS.join(p, "doc_lengths"))
+              .agg(F.max("doc_id").alias("m")).collect()[0]["m"])
+        nxt += int(mx) + 1
+
+    def _live_remapped(p: str, off: int, sub: str, cols=None) -> DataFrame | None:
+        d = FS.join(p, sub)
+        if not FS.isdir_nonempty(d):
+            return None
+        df = spark.read.parquet(d)
+        if cols:
+            df = df.select(*cols)
+        dd = FS.join(p, "deleted")
+        if FS.isdir_nonempty(dd):
+            dead = spark.read.parquet(dd).select("doc_id").distinct()
+            df = df.join(F.broadcast(dead), "doc_id", "left_anti")
+        return df.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
+
+    merged_an = None
+    for p, off in zip(src_paths, offsets):
+        an = _live_remapped(p, off, "analyzed")
+        an = an.drop("chunk", "batch")
+        merged_an = an if merged_an is None else merged_an.unionByName(an)
+
+    # land the merged token segments as ONE batch dir (the checkpoint unit),
+    # then let the standard compaction path rebuild every query table
+    bid = f"merge-{int(time.time() * 1000)}"
+    an_dir = FS.join(dst_path, "analyzed")
+    FS.makedirs(an_dir)
+    (merged_an
+     .withColumn("chunk", F.shiftright(F.col("doc_id"), DEFAULT_CHUNK_BITS))
+     .write.mode("overwrite")
+     .parquet(FS.join(an_dir, f"batch={bid}")))
+    _append_log(dst_path, {"phase": "analyze", "batch": bid,
+                           "chunks": [], "counters": {},
+                           "analyzer": an0, "posting_format": fmt0,
+                           "note": f"merge_indexes from {len(src_paths)} sources",
+                           "sources": list(src_paths),
+                           "offsets": [int(o) for o in offsets],
+                           "wall_ms": 0, "ts": time.time()})
+
+    # side segments (chars/boosts) union with the same remap + purge
+    for sub, cols in (("char_offsets", None), ("boosts", ["doc_id", "term", "w"])):
+        parts = [d for d in (_live_remapped(p, off, sub, cols)
+                             for p, off in zip(src_paths, offsets))
+                 if d is not None]
+        if parts:
+            out = parts[0]
+            for d in parts[1:]:
+                out = out.unionByName(d)
+            out.write.mode("overwrite").parquet(FS.join(dst_path, sub))
+
+    merged_docs = None
+    for p, off in zip(src_paths, offsets):
+        d = _live_remapped(p, off, "docs")
+        if d is None:
+            continue
+        merged_docs = d if merged_docs is None else merged_docs.unionByName(
+            d, allowMissingColumns=True)
+
+    # seed manifest so compaction declares the right chain/format/text col
+    # (it is immediately replaced by the full manifest compact writes)
+    FS.write_text_atomic(
+        FS.join(dst_path, MANIFEST),
+        json.dumps({"format": "whoosh-spark/1", "field": field,
+                    "analyzer": an0, "posting_format": fmt0,
+                    "text_col": txt0, "n_docs": 0, "total_len": 0}))
+    manifest = compact_index(spark, dst_path, field=field,
+                             store_docs=merged_docs, text_col=txt0)
+    return manifest
+
+
 def build_log(path: str) -> list[dict]:
     """Lineage records (public accessor for tests/ops)."""
     return _read_log(path)

@@ -593,6 +593,144 @@ def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
     return manifest
 
 
+def uncommitted_batches(path: str) -> list[str]:
+    """Analyzed micro-segment batch ids not yet folded into the query tables.
+
+    The build log is append-only: a ``merge`` record (full build phase 2 /
+    compaction) commits every batch logged before it; ``commit`` records
+    (incremental :func:`commit_segments`) commit the batches they list.
+    Anything analyzed after the last merge and not named by a commit is
+    pending — exactly the segments a Whoosh reader would not see before
+    ``writer.commit()``.
+    """
+    log = _read_log(path)
+    last_merge = -1
+    for i, rec in enumerate(log):
+        if rec.get("phase") == "merge":
+            last_merge = i
+    committed: set = set()
+    pending: list[str] = []
+    for rec in log[last_merge + 1:]:
+        if rec.get("phase") == "analyze":
+            pending.append(rec.get("batch"))
+        elif rec.get("phase") == "commit":
+            committed.update(rec.get("batches", []))
+    return [b for b in pending if b not in committed]
+
+
+def commit_segments(spark: SparkSession, path: str, field: str = TEXT_FIELD,
+                    store_docs: DataFrame | None = None) -> dict:
+    """Incrementally commit pending micro-segments WITHOUT a full rewrite
+    (``src/whoosh/writing.py::IndexWriter.commit ≈L900`` with the default
+    no-OPTIMIZE merge policy: the new segment becomes searchable; existing
+    segments are left untouched until a later merge).
+
+    Scale contract — this is the piece that makes streaming ingestion viable
+    at corpus scale: cost is O(delta) + O(vocabulary), never O(corpus).
+
+      * delta postings: block-encode ONLY the pending batches and APPEND to
+        ``blocks/`` — the decoder treats every block row independently, so
+        same-term blocks from different commits coexist (new doc ids live in
+        their own id range; postings never overlap);
+      * term_stats: additive merge (df/cf sums, max of max_weight, min/max
+        id bounds) of the old table with the delta's — O(vocab) rows, then
+        an atomic tmp+rename swap;
+      * doc_lengths: append; field_stats: O(1) additive merge of the two
+        1-row tables.
+
+    Global BM25 stats (df, N, avgdl) are exact after the merge, so scores
+    equal a from-scratch build's bit-for-bit (pinned in tests).
+    ``compact_index`` remains the OPTIMIZE analog that re-merges everything.
+
+    ``store_docs``: stored fields for the NEW docs only (appended to
+    ``docs/``) — streaming ingest does not write stored fields itself.
+    """
+    t0 = time.perf_counter()
+    pending = uncommitted_batches(path)
+    if not pending:
+        return {"committed": [], "n_new_docs": 0}
+    an_dir = FS.join(path, "analyzed")
+    delta = None
+    for b in pending:
+        d = spark.read.parquet(FS.join(an_dir, f"batch={b}")).drop("chunk", "batch")
+        delta = d if delta is None else delta.unionByName(d)
+
+    # ---- delta blocks: encode + append ------------------------------------
+    dblocks = B.posting_blocks_from_analyzed(delta, field).persist()
+    try:
+        dblocks.write.mode("append").parquet(FS.join(path, "blocks"))
+        d_ts = B.term_stats(dblocks)
+        d_nblocks = dblocks.count()
+
+        # ---- term_stats: additive merge + atomic swap ----------------------
+        ts_dir = FS.join(path, "term_stats")
+        old_ts = spark.read.parquet(ts_dir)
+        new_ts = (old_ts.unionByName(d_ts)
+                  .groupBy("field", "term")
+                  .agg(F.sum("df").cast("long").alias("df"),
+                       F.sum("cf").cast("long").alias("cf"),
+                       F.max("max_weight").cast("double").alias("max_weight"),
+                       F.min("min_id").alias("min_id"),
+                       F.max("max_id").alias("max_id")))
+        tmp_ts = FS.join(path, "term_stats_commit_tmp")
+        new_ts.write.mode("overwrite").parquet(tmp_ts)
+        FS.rmtree(ts_dir)
+        FS.rename(tmp_ts, ts_dir)
+    finally:
+        dblocks.unpersist()
+
+    # ---- doc_lengths: append; field_stats: 1-row additive merge ----------
+    d_len = B.doc_lengths(delta).persist()
+    try:
+        d_len.write.mode("append").parquet(FS.join(path, "doc_lengths"))
+        d_fs = B.field_stats(d_len, field).collect()[0]
+    finally:
+        d_len.unpersist()
+    fs_dir = FS.join(path, "field_stats")
+    old_fs = spark.read.parquet(fs_dir).collect()[0]
+    d_empty = int(d_fs["doc_count"] or 0) == 0
+    merged_fs = spark.createDataFrame(
+        [(field,
+          int(old_fs["doc_count"]) + int(d_fs["doc_count"] or 0),
+          int(old_fs["total_len"]) + int(d_fs["total_len"] or 0),
+          int(old_fs["min_len"] if d_empty
+              else min(old_fs["min_len"], d_fs["min_len"])),
+          int(old_fs["max_len"] if d_empty
+              else max(old_fs["max_len"], d_fs["max_len"])))],
+        "field string, doc_count long, total_len long, min_len int, max_len int")
+    tmp_fs = FS.join(path, "field_stats_commit_tmp")
+    merged_fs.write.mode("overwrite").parquet(tmp_fs)
+    FS.rmtree(fs_dir)
+    FS.rename(tmp_fs, fs_dir)
+
+    if store_docs is not None:
+        raw0 = FS.read_text(FS.join(path, MANIFEST))
+        txt = (json.loads(raw0).get("text_col", "text") if raw0 else "text")
+        _drop_unstorable(store_docs.drop(txt)).write.mode("append").parquet(
+            FS.join(path, "docs"))
+
+    _append_log(path, {"phase": "commit", "batches": list(pending),
+                       "n_docs": int(d_fs["doc_count"]),
+                       "n_blocks": int(d_nblocks),
+                       "wall_ms": int(1000 * (time.perf_counter() - t0)),
+                       "ts": time.time()})
+
+    # ---- manifest swap (the commit point, same as every writer) ----------
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    manifest = json.loads(raw) if raw else {"format": "whoosh-spark/1",
+                                            "field": field}
+    manifest["generation"] = int(time.time())
+    manifest["n_docs"] = int(old_fs["doc_count"]) + int(d_fs["doc_count"] or 0)
+    manifest["total_len"] = (int(old_fs["total_len"])
+                             + int(d_fs["total_len"] or 0))
+    manifest["n_terms"] = spark.read.parquet(
+        FS.join(path, "term_stats")).count()
+    manifest["n_blocks"] = int(manifest.get("n_blocks", 0)) + int(d_nblocks)
+    FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
+    return {"committed": list(pending), "n_new_docs": int(d_fs["doc_count"]),
+            "n_new_blocks": int(d_nblocks), "manifest": manifest}
+
+
 def build_log(path: str) -> list[dict]:
     """Lineage records (public accessor for tests/ops)."""
     return _read_log(path)

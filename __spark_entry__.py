@@ -813,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_lines=lambda s, d: dedup.line_dedup(_docs(s, d), sep=" ")
             .select("doc_id", F.md5("text").alias("fp"),
                     "n_lines", "n_dropped").orderBy("doc_id"),
+        # exact-substring dedup (Lee et al. suffix-array semantics, windowed
+        # hash form): maximal per-doc spans covered by duplicated 12-grams
+        dedup_substring_spans=lambda s, d: dedup.duplicated_spans(
+            _docs(s, d), n=12).orderBy("doc_id", "start_tok"),
         text_repetition=lambda s, d: textstats.repetition_features(
             _docs(s, d)).orderBy("doc_id"),
         # deterministic hash sampling: same md5-prefix threshold rule on
@@ -1091,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": PSQL.winnow_sql(5, 4),
         "text_repetition": PSQL.repetition_sql(),
         "dedup_lines": PSQL.line_dedup_sql(" ", 1),
+        "dedup_substring_spans": PSQL.duplicated_spans_sql(n=12),
         "corpus_sample": PSQL.stratified_sample_sql(
             sampling.sample_thresholds(SAMPLE_FRACTIONS)),
         "pack_sequences": PSQL.pack_sequences_sql(512),

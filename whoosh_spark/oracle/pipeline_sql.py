@@ -651,6 +651,42 @@ FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
 """
 
 
+def duplicated_spans_sql(n: int = 20, min_count: int = 2) -> str:
+    """Twin of ``dedup.duplicated_spans``: windowed-hash exact-substring
+    dedup — duplicated n-token windows merged into maximal coverage spans
+    per doc (gaps & islands, break when the next window starts > n past
+    the previous)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, i - 1 AS i,
+         md5(array_to_string(toks[i:i+{n - 1}], ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(toks) - {n - 1})) AS u(i)
+  WHERE len(toks) >= {n}
+),
+hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= {min_count}),
+d AS (SELECT doc_id, i FROM w WHERE h IN (SELECT h FROM hot)),
+b AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {n}
+              THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+g AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM b
+)
+SELECT doc_id,
+       min(i)::BIGINT AS start_tok,
+       (max(i) + {n})::BIGINT AS end_tok,
+       (max(i) + {n} - min(i))::BIGINT AS span_tokens
+FROM g GROUP BY doc_id, isl
+ORDER BY doc_id, start_tok
+"""
+
+
 def host_stats_sql(synth: str) -> str:
     """Twin of ``urls.host_stats`` over urls synthesized by ``synth``."""
     from whoosh_spark.pipeline.urls import HOST_PATTERN

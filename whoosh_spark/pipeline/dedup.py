@@ -412,6 +412,67 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# exact-substring duplication spans (suffix-array dedup, windowed-hash form)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(docs: DataFrame, n: int = 20,
+                     text_col: str = "text", min_count: int = 2) -> DataFrame:
+    """Maximal token spans of length ≥ n duplicated verbatim in the corpus
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": remove exact substrings ≥ k tokens that occur more than once).
+
+    The published method builds a corpus suffix array — inherently
+    sequential and RAM-bound.  The distributed restatement: hash every
+    n-token window; a window whose hash occurs ≥ ``min_count`` times
+    anywhere (across docs OR repeated within one doc) is duplicated, and a
+    run of overlapping/adjacent duplicated windows is exactly a maximal
+    duplicated substring of length ≥ n.  Returns one row per maximal span:
+    (doc_id, start_tok, end_tok, span_tokens), end exclusive.
+
+    Scale shape: window explode is narrow; the hash count is one
+    partial+final groupBy on uniform md5 keys; the join back is a semi-join
+    (no fan-out); span merging is a per-doc window function (partitions
+    bounded by doc length, never corpus-sized).  At production scale swap
+    md5 for xxhash64 — md5 is kept here because the DuckDB value-oracle
+    computes the identical string.  Tokenization is split-on-space, same
+    engine-portable rule as every dedup op in this module.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("t"),
+    ).where(F.size("t") >= n)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, n))),
+            )
+        ).alias("i", "h"),
+    )
+    hot = (wins.groupBy("h").agg(F.count("*").alias("c"))
+           .where(F.col("c") >= min_count).select("h"))
+    dup = wins.join(hot, "h", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.lag("i").over(w).isNull() | (F.col("i") - F.lag("i").over(w) > n),
+        F.lit(1)).otherwise(F.lit(0))
+    isl = (dup.withColumn("brk", brk)
+           .withColumn("isl", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "isl")
+            .agg(F.min("i").alias("start_tok"),
+                 (F.max("i") + n).alias("end_tok"))
+            .select("doc_id",
+                    F.col("start_tok").cast("long").alias("start_tok"),
+                    F.col("end_tok").cast("long").alias("end_tok"),
+                    (F.col("end_tok") - F.col("start_tok")).cast("long")
+                    .alias("span_tokens")))
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap vs a probe set)
 # ---------------------------------------------------------------------------
 

@@ -693,6 +693,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             basedate=datetime(2020, 1, 13, 9, 0, 0))
         return _topk(s.ev.evaluate(q))
 
+    def parsed_field_group_q(spark, sf_dir):
+        # FieldsPlugin group syntax: the field prefix distributes over the
+        # whole parenthesized group (qparser/plugins.py::FieldsPlugin ≈L300)
+        from whoosh_spark.query.parser import parse_query
+
+        s = _mf_searcher(spark, sf_dir)
+        q = parse_query("text:(data OR query) AND lang:en",
+                        fields=list(MF_FIELDS))
+        return _topk(s.search(q, limit=None, optimize=False)
+                     .select("doc_id", "score"))
+
+    def parsed_fuzzy_prefix_q(spark, sf_dir):
+        # FuzzyTermPlugin full syntax word~maxdist/prefixlength
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(parse_query("data~1/3")))
+
+    def parsed_every_q(spark, sf_dir):
+        # EveryPlugin / Wildcard.normalize: '*' parses to Every, not an
+        # O(vocab) Prefix('') expansion
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(parse_query("*")))
+
     def parsed_dismax_q(spark, sf_dir):
         from whoosh_spark.query.parser import parse_dismax
 
@@ -732,6 +758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parsed_nl_date=parsed_nl_date_q,
         parsed_nl_date_2=parsed_nl_date_2_q,
         parsed_dismax=parsed_dismax_q,
+        parsed_field_group=parsed_field_group_q,
+        parsed_fuzzy_prefix=parsed_fuzzy_prefix_q,
+        parsed_every=parsed_every_q,
     )
 
     # ---- training-data pipeline operators (SURVEY.md + driver brief) ----
@@ -1022,6 +1051,10 @@ def oracle_sql() -> dict[str, str]:
         "fielded_and": OSQL.fielded_and_sql(
             [("text", "data"), ("lang", "en")], MF_FIELDS),
         "multifield_or": OSQL.multifield_or_sql("data", MF_FIELDS),
+        "parsed_field_group": OSQL.fielded_group_and_sql(
+            "text", ["data", "query"], "lang", "en", MF_FIELDS),
+        "parsed_fuzzy_prefix": OSQL.fuzzy_sql("data", 1, 3),
+        "parsed_every": OSQL.every_sql(),
         # glob schema resolves to the same {text, lang} family, so the
         # fielded-and oracle is shared; charset('dáta') folds to 'data'
         # and charset(ASCII corpus) ≡ standard, so term_sql twins it

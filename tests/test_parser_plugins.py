@@ -176,3 +176,89 @@ class TestNaturalLanguageDates:
         q = parse_query("warc_ts:-1y", datetime_fields=["warc_ts"],
                         basedate=datetime(2020, 2, 29))
         assert (q.lo, q.hi) == (1546300800, 1577836800)   # all of 2019
+
+
+class TestFieldGroupSyntax:
+    """FieldsPlugin group distribution (qparser/plugins.py::FieldsPlugin
+    ≈L300): ``field:(...)`` applies the prefix to every not-already-fielded
+    leaf inside the balanced group, every leaf form included."""
+
+    FIELDS = {"text", "lang", "nchars"}
+
+    def _p(self, s, **kw):
+        return parse_query(s, fields=self.FIELDS,
+                           datetime_fields={"warc_ts"}, **kw)
+
+    def test_group_or(self):
+        q = self._p("text:(data OR query)")
+        assert isinstance(q, Q.Or)
+        assert [c.fieldname for c in q.children] == ["text", "text"]
+
+    def test_group_implicit_and(self):
+        q = self._p("text:(data query)")
+        assert isinstance(q, Q.And)
+        assert all(c.fieldname == "text" for c in q.children)
+
+    def test_nested_group_inherits(self):
+        q = self._p("text:(data OR (query vector))")
+        inner = q.children[1]
+        assert all(c.fieldname == "text" for c in inner.children)
+
+    def test_inner_field_wins(self):
+        q = self._p("text:(data lang:en)")
+        assert q.children[0].fieldname == "text"
+        assert q.children[1].fieldname == "lang"
+
+    def test_group_with_phrase_range_prefix(self):
+        q = self._p('text:("big data"~2 OR jump* OR [da TO dz])')
+        kinds = {type(c).__name__ for c in q.children}
+        assert kinds == {"Phrase", "Prefix", "TermRange"}
+        assert all(c.fieldname == "text" for c in q.children)
+
+    def test_group_gtlt(self):
+        q = self._p("nchars:(>=100 <200)")
+        assert isinstance(q, Q.And)
+        assert all(isinstance(c, Q.TermRange) and c.fieldname == "nchars"
+                   for c in q.children)
+
+    def test_datetime_group(self):
+        q = self._p("warc_ts:(>=2020-01-01)")
+        assert isinstance(q, Q.DateRange) and q.lo == 1577836800
+
+    def test_unknown_field_group_degrades(self):
+        q = self._p("bogus:(data query)")
+        assert all(c.fieldname is None for c in q.children)
+
+    def test_field_colon_without_paren_unchanged(self):
+        # a trailing-colon word NOT followed by a group keeps legacy behavior
+        q = self._p("text:data")
+        assert q.fieldname == "text"
+
+
+class TestFuzzyPrefixAndEvery:
+    def test_fuzzy_prefixlength(self):
+        q = parse_query("word~2/3")
+        assert isinstance(q, Q.Fuzzy)
+        assert (q.maxdist, q.prefixlength) == (2, 3)
+
+    def test_fuzzy_defaults_unchanged(self):
+        q = parse_query("word~")
+        assert (q.maxdist, q.prefixlength) == (1, 1)
+        q = parse_query("word~2")
+        assert (q.maxdist, q.prefixlength) == (2, 1)
+
+    def test_bare_tilde_degrades(self):
+        assert parse_query("~2") == Q.NullQuery
+
+    def test_star_is_every(self):
+        # terms.py::Wildcard.normalize ≈L360: all-star pattern → Every
+        for s in ("*", "**", "*:*", "field:*"):
+            q = parse_query(s, fields={"field"})
+            assert isinstance(q, Q.Every), s
+
+    def test_star_boost_kept(self):
+        q = parse_query("*^2")
+        assert isinstance(q, Q.Every) and q.boost == 2.0
+
+    def test_prefix_still_prefix(self):
+        assert isinstance(parse_query("qu*"), Q.Prefix)

@@ -623,6 +623,25 @@ def fielded_and_sql(field_terms: list[tuple[str, str]],
     return fielded_base(fields) + topk(sel, k)
 
 
+def fielded_group_and_sql(or_field: str, or_terms: list[str],
+                          and_field: str, and_term: str,
+                          fields: dict[str, str], k: int = 10) -> str:
+    """And(Or over one field's terms, single fielded Term) — the oracle twin
+    of FieldsPlugin group syntax ``f:(a OR b) AND g:t``.  Or = union of the
+    field's per-term score sets summed per doc (multifield_or operation
+    order); And = inner join + sum (fielded_and operation order)."""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM sc_{or_field} WHERE term = '{t}'"
+        for t in or_terms
+    )
+    grp = (f"(SELECT doc_id, sum(score) AS s0 FROM ({unions}) "
+           "GROUP BY doc_id) q0")
+    rhs = (f"(SELECT doc_id, score AS s1 FROM sc_{and_field} "
+           f"WHERE term = '{and_term}') q1")
+    sel = f"SELECT doc_id, s0 + s1 AS score FROM {grp} JOIN {rhs} USING (doc_id)"
+    return fielded_base(fields) + topk(sel, k)
+
+
 def multifield_or_sql(term: str, fields: dict[str, str], k: int = 10) -> str:
     """MultifieldParser default: unfielded term → Or over every field."""
     unions = " UNION ALL ".join(

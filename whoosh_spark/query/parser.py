@@ -26,8 +26,8 @@ from datetime import datetime, timezone
 
 from whoosh_spark.analysis.analyzers import analyze_text
 from whoosh_spark.query.ast import (
-    And, AndMaybe, AndNot, DateRange, DisMax, Fuzzy, Not, NullQuery, Or,
-    Phrase, Prefix, Query, Regex, Require, Term, TermRange, Wildcard,
+    And, AndMaybe, AndNot, DateRange, DisMax, Every, Fuzzy, Not, NullQuery,
+    Or, Phrase, Prefix, Query, Regex, Require, Term, TermRange, Wildcard,
 )
 
 _DAY = 86400
@@ -221,11 +221,14 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
         if date_only:
             return DateRange(fieldname, ep, ep + _DAY, incl_hi=False, boost=boost)
         return DateRange(fieldname, ep, ep, boost=boost)
-    m = re.search(r"~(\d*)$", text)
-    if m and not text.startswith('"'):
+    # FuzzyTermPlugin full syntax (``qparser/plugins.py::FuzzyTermPlugin
+    # ≈L200``): word~  word~2  word~2/3 (maxdist / prefixlength)
+    m = re.search(r"~(\d*)(?:/(\d+))?$", text)
+    if m and not text.startswith('"') and m.start() > 0:
         dist = int(m.group(1)) if m.group(1) else 1
-        return Fuzzy(text[: m.start()].lower(), maxdist=dist, boost=boost,
-                     fieldname=fieldname)
+        plen = int(m.group(2)) if m.group(2) else 1
+        return Fuzzy(text[: m.start()].lower(), maxdist=dist,
+                     prefixlength=plen, boost=boost, fieldname=fieldname)
     if text.startswith('"'):
         pm = re.match(r'"([^"]*)"(?:~(\d+))?$', text)
         if pm is None:
@@ -257,6 +260,12 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
                              text[0] == "[", text[-1] == "]",
                              boost=boost, fieldname=fieldname)
         text = text[1:-1]
+    # EveryPlugin / Wildcard.normalize (``qparser/plugins.py::EveryPlugin
+    # ≈L550``, ``terms.py::Wildcard.normalize ≈L360``): an all-star pattern
+    # (*, **, *:*) matches every document — emit Every instead of an
+    # O(vocab) term expansion
+    if text == "*:*" or (text and set(text) == {"*"}):
+        return Every(boost=boost)
     if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
         return Prefix(text[:-1].lower(), boost=boost, fieldname=fieldname)
     if "*" in text or "?" in text:
@@ -342,6 +351,36 @@ class _Parser:
 
     def parse_unary(self) -> Query:
         kind, text = self.peek()
+        if kind == "WORD" and re.fullmatch(r"\w+:", text) \
+                and self.i + 1 < len(self.toks) \
+                and self.toks[self.i + 1][0] == "LPAREN":
+            # FieldsPlugin group syntax (``qparser/plugins.py::FieldsPlugin
+            # ≈L300``): field:(a OR "b c" OR [x TO y]) — the prefix
+            # distributes over every not-already-fielded leaf in the group.
+            # Implemented as a token rewrite over the balanced-paren span so
+            # every leaf form (GtLt, phrases, ranges, dates, regex, boosts)
+            # reuses the single-leaf field routing unchanged.
+            name = text[:-1]
+            self.next()
+            known = ((self.fields is not None and name in self.fields)
+                     or bool(self.dt_fields and name in self.dt_fields))
+            if known:
+                depth = 0
+                j = self.i
+                while j < len(self.toks):
+                    k2, t2 = self.toks[j]
+                    if k2 == "LPAREN":
+                        depth += 1
+                    elif k2 == "RPAREN":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif (k2 in ("WORD", "PHRASE", "RANGE", "SQUOTE",
+                                 "REGEX")
+                          and not re.match(r"^\w+:", t2)):
+                        self.toks[j] = (k2, f"{name}:{t2}")
+                    j += 1
+            return self.parse_unary()
         if kind == "NOT":
             self.next()
             return Not(self.parse_unary())

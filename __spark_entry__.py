@@ -719,6 +719,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _searcher(spark, sf_dir)
         return _topk(s.ev.evaluate(parse_query("*")))
 
+    def parsed_field_alias_q(spark, sf_dir):
+        # FieldAliasPlugin: 'content:' routes to the real 'text' field
+        from whoosh_spark.query.parser import parse_query
+
+        s = _mf_searcher(spark, sf_dir)
+        q = parse_query("content:data AND lang:en", fields=list(MF_FIELDS),
+                        aliases={"content": "text"})
+        return _topk(s.search(q, limit=None, optimize=False)
+                     .select("doc_id", "score"))
+
+    def parsed_copyfield_q(spark, sf_dir):
+        # CopyFieldPlugin: a text-fielded leaf also searches lang (Or-group)
+        from whoosh_spark.query.parser import parse_query
+
+        s = _mf_searcher(spark, sf_dir)
+        q = parse_query("text:data", fields=list(MF_FIELDS),
+                        copyfields={"text": "lang"})
+        return _topk(s.search(q, limit=None, optimize=False)
+                     .select("doc_id", "score"))
+
     def parsed_dismax_q(spark, sf_dir):
         from whoosh_spark.query.parser import parse_dismax
 
@@ -759,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parsed_nl_date_2=parsed_nl_date_2_q,
         parsed_dismax=parsed_dismax_q,
         parsed_field_group=parsed_field_group_q,
+        parsed_field_alias=parsed_field_alias_q,
+        parsed_copyfield=parsed_copyfield_q,
         parsed_fuzzy_prefix=parsed_fuzzy_prefix_q,
         parsed_every=parsed_every_q,
     )
@@ -1054,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
         "parsed_field_group": OSQL.fielded_group_and_sql(
             "text", ["data", "query"], "lang", "en", MF_FIELDS),
         "parsed_fuzzy_prefix": OSQL.fuzzy_sql("data", 1, 3),
+        # alias routes content:→text:, so the fielded_and oracle twins it;
+        # copyfield turns text:data into Or(text:data, lang:data) — exactly
+        # the multifield_or score shape
+        "parsed_field_alias": OSQL.fielded_and_sql(
+            [("text", "data"), ("lang", "en")], MF_FIELDS),
+        "parsed_copyfield": OSQL.multifield_or_sql("data", MF_FIELDS),
         "parsed_every": OSQL.every_sql(),
         # glob schema resolves to the same {text, lang} family, so the
         # fielded-and oracle is shared; charset('dáta') folds to 'data'

@@ -2,7 +2,7 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings]
 
 ``--prune`` forces the rare-slot candidate gate open (see
 whoosh_spark/config.py PHRASE_PRUNE_*) so every random positional query
@@ -154,6 +154,58 @@ def rand_query(rng: random.Random, depth: int = 0,
     return Q.Not(one(), boost=rng.choice(BOOSTS))
 
 
+def rand_qstring(rng: random.Random, fieldnames: list[str]) -> str:
+    """Random query STRING from the parser's grammar — exercises the
+    parse→evaluate→oracle chain wholesale (field prefixes, fielded GROUPS,
+    fuzzy maxdist/prefixlength, all-star Every, phrases w/ slop, boosts,
+    ranges, regex, stopword-vanishing leaves)."""
+    def leaf() -> str:
+        r = rng.random()
+        if r < 0.30:
+            tok = rng.choice(VOCAB)
+        elif r < 0.38:
+            tok = rng.choice(VOCAB) + "^" + rng.choice(["2", "0.5", "3.0"])
+        elif r < 0.48:
+            tok = '"%s %s"%s' % (rng.choice(VOCAB[:10]),
+                                 rng.choice(VOCAB[:10]),
+                                 rng.choice(["", "~2", "~3"]))
+        elif r < 0.56:
+            tok = rng.choice(PREFIXES) + "*"
+        elif r < 0.63:
+            tok = rng.choice(WILDCARDS)
+        elif r < 0.72:
+            tok = rng.choice(FUZZIES) + rng.choice(
+                ["~", "~1", "~2", "~1/2", "~2/3", "~1/3"])
+        elif r < 0.80:
+            tok = "[%s TO %s]" % (rng.choice(["a", "da", "m"]),
+                                  rng.choice(["dz", "m", "z"]))
+        elif r < 0.84:
+            tok = 'r"%s"' % rng.choice(["da.a", "^qu", "or$"])
+        elif r < 0.88:
+            tok = rng.choice(["*", "*:*"])
+        else:
+            tok = rng.choice(["the", "a"])  # stop/short leaves vanish
+        if fieldnames and rng.random() < 0.25 and not tok.startswith("*"):
+            return rng.choice(fieldnames) + ":" + tok
+        return tok
+
+    def expr(depth: int = 0) -> str:
+        if depth >= 2 or rng.random() < 0.4:
+            return leaf()
+        parts = [expr(depth + 1) for _ in range(rng.randint(2, 3))]
+        s = rng.choice([" AND ", " OR ", " ", " AND ", " OR "]).join(parts)
+        r = rng.random()
+        if r < 0.22:
+            return "(" + s + ")"
+        if r < 0.42 and fieldnames:
+            return rng.choice(fieldnames) + ":(" + s + ")"
+        if r < 0.52:
+            return "NOT (" + s + ")"
+        return s
+
+    return expr()
+
+
 def _build_single(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     searcher = Searcher(InvertedIndex.build(docs))
@@ -208,6 +260,7 @@ def main() -> int:
     many = "--many" in sys.argv[1:]
     spans = "--spans" in sys.argv[1:]
     prune = "--prune" in sys.argv[1:]
+    strings = "--strings" in sys.argv[1:]
     if prune:
         # force the rare-slot candidate gate OPEN so every positional
         # query runs the in-decoder pruned plan against the oracle
@@ -219,12 +272,23 @@ def main() -> int:
     seed = int(argv[1]) if len(argv) > 1 else random.randrange(2**31)
     rng = random.Random(seed)
     print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many} "
-          f"spans={spans} prune={prune}", flush=True)
+          f"spans={spans} prune={prune} strings={strings}", flush=True)
 
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")
     searcher, py, fields = (_build_fielded if fielded
                             else _build_single)(spark)
+
+    def _string_gen():
+        from whoosh_spark.query.ast import NullQuery as _NQ
+        from whoosh_spark.query.parser import parse_query as _pq
+
+        fnames = [f for f in fields if f]
+        while True:
+            s = rand_qstring(rng, fnames)
+            q = _pq(s, fields=set(fnames) if fnames else None)
+            if q != _NQ:
+                return q
 
     if many:
         fails = 0
@@ -232,7 +296,8 @@ def main() -> int:
         group_size = 8
         done = 0
         while done < n:
-            gen = (lambda: rand_span_query(rng, fields)) if spans \
+            gen = _string_gen if strings \
+                else (lambda: rand_span_query(rng, fields)) if spans \
                 else (lambda: rand_query(rng, fields=fields))
             batch = [gen() for _ in range(min(group_size, n - done))]
             done += len(batch)
@@ -255,7 +320,8 @@ def main() -> int:
 
     fails = 0
     t0 = time.time()
-    gen = (lambda: rand_span_query(rng, fields)) if spans \
+    gen = _string_gen if strings \
+        else (lambda: rand_span_query(rng, fields)) if spans \
         else (lambda: rand_query(rng, fields=fields))
     for i in range(n):
         q = gen()

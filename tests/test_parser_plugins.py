@@ -262,3 +262,53 @@ class TestFuzzyPrefixAndEvery:
 
     def test_prefix_still_prefix(self):
         assert isinstance(parse_query("qu*"), Q.Prefix)
+
+
+class TestAliasAndCopyField:
+    """FieldAliasPlugin (qparser/plugins.py ≈L350) and CopyFieldPlugin
+    (≈L400) parity: alias prefixes route to the real field at the token
+    level; copyfields Or-expand fielded leaves."""
+
+    def test_alias_routes(self):
+        q = parse_query("content:data", fields={"text"},
+                        aliases={"content": "text"})
+        assert q.fieldname == "text"
+
+    def test_alias_group_and_range(self):
+        q = parse_query("content:(data OR [da TO dz])", fields={"text"},
+                        aliases={"content": "text"})
+        assert all(c.fieldname == "text" for c in q.children)
+
+    def test_alias_datetime(self):
+        q = parse_query("ts:[2020-01-01 TO 2020-01-10]",
+                        datetime_fields={"warc_ts"},
+                        aliases={"ts": "warc_ts"})
+        assert isinstance(q, Q.DateRange) and q.column == "warc_ts"
+
+    def test_alias_non_alias_untouched(self):
+        q = parse_query("text:data", fields={"text"},
+                        aliases={"content": "text"})
+        assert q.fieldname == "text"
+
+    def test_copyfield_or_expansion(self):
+        q = parse_query("text:data", fields={"text", "lang"},
+                        copyfields={"text": "lang"})
+        assert isinstance(q, Q.Or)
+        assert {c.fieldname for c in q.children} == {"text", "lang"}
+
+    def test_copyfield_unfielded_untouched(self):
+        q = parse_query("data", fields={"text", "lang"},
+                        copyfields={"text": "lang"})
+        assert isinstance(q, Q.Term) and q.fieldname is None
+
+    def test_copyfield_inside_compound(self):
+        q = parse_query("text:data AND lang:en", fields={"text", "lang"},
+                        copyfields={"text": "lang"})
+        assert isinstance(q.children[0], Q.Or)
+        assert isinstance(q.children[1], Q.Term)
+
+    def test_copyfield_phrase(self):
+        q = parse_query('text:"big data"', fields={"text", "lang"},
+                        copyfields={"text": "lang"})
+        assert isinstance(q, Q.Or)
+        assert all(isinstance(c, Q.Phrase) for c in q.children)

@@ -444,8 +444,48 @@ def _apply_multifield(q: Query, mfields: list[str]) -> Query:
     return q
 
 
+def _apply_copyfields(q: Query, copymap: dict[str, str]) -> Query:
+    """CopyFieldPlugin semantics (``qparser/plugins.py::CopyFieldPlugin
+    ≈L400``): a leaf fielded on a mapped field ALSO searches the copy —
+    the leaf becomes Or(original, copy), OrGroup like upstream."""
+    from dataclasses import replace as _rep
+
+    from whoosh_spark.query.ast import (
+        AndMaybe as _AM, AndNot as _AN, Constant as _C, DisMax as _DM,
+        Not as _N, Otherwise as _OW, Require as _RQ, Sequence as _SQ,
+    )
+
+    if isinstance(q, (Term, Phrase, Prefix, Wildcard, Fuzzy, TermRange,
+                      Regex)):
+        if q.fieldname in copymap:
+            return Or([q, _rep(q, fieldname=copymap[q.fieldname])])
+        return q
+    if isinstance(q, And):
+        return And([_apply_copyfields(c, copymap) for c in q.children],
+                   q.boost)
+    if isinstance(q, Or):
+        return Or([_apply_copyfields(c, copymap) for c in q.children],
+                  q.boost, q.minmatch)
+    if isinstance(q, _DM):
+        return _DM([_apply_copyfields(c, copymap) for c in q.children],
+                   q.boost, q.tiebreak)
+    if isinstance(q, _SQ):
+        return _SQ([_apply_copyfields(c, copymap) for c in q.children],
+                   q.slop, q.boost)
+    if isinstance(q, _N):
+        return _N(_apply_copyfields(q.child, copymap), q.boost)
+    if isinstance(q, _C):
+        return _C(_apply_copyfields(q.child, copymap), q.score, q.boost)
+    if isinstance(q, (_AN, _AM, _RQ, _OW)):
+        return type(q)(_apply_copyfields(q.a, copymap),
+                       _apply_copyfields(q.b, copymap), q.boost)
+    return q
+
+
 def parse_query(s: str, fields=None, multifield: list[str] | None = None,
-                datetime_fields=None, basedate=None, analyzer=None) -> Query:
+                datetime_fields=None, basedate=None, analyzer=None,
+                aliases: dict[str, str] | None = None,
+                copyfields: dict[str, str] | None = None) -> Query:
     """Parse a query string.
 
     ``fields`` — known schema field names: enables ``field:term`` routing
@@ -460,10 +500,25 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     registry name (``"stemming"``, …) or a ``text -> (tokens, positions)``
     callable; default is the standard chain.  Pass the name the index was
     built with so query terms normalize identically.
+    ``aliases`` — {alias: real field} (``qparser/plugins.py::
+    FieldAliasPlugin ≈L350``): a prefix typed as the alias routes to the
+    real field (token-level rewrite, so groups/ranges/dates all follow).
+    ``copyfields`` — {field: copy field} (CopyFieldPlugin ≈L400): a leaf
+    fielded on the key also searches the value, Or-grouped.
     """
     toks = _lex(s)
     if not toks:
         return NullQuery
+    if aliases:
+        def _unalias(tok: str) -> str:
+            m = re.match(r"^(\w+):(.*)$", tok, re.S)
+            if m and m.group(1) in aliases:
+                return aliases[m.group(1)] + ":" + m.group(2)
+            return tok
+
+        toks = [(k, _unalias(t))
+                if k in ("WORD", "PHRASE", "RANGE", "SQUOTE", "REGEX")
+                else (k, t) for k, t in toks]
     p = _Parser(toks, fields=set(fields) if fields else None,
                 dt_fields=set(datetime_fields) if datetime_fields else None,
                 basedate=basedate, analyzer=analyzer)
@@ -481,6 +536,8 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     parts = [x for x in parts if x is not NullQuery]
     q = (NullQuery if not parts
          else parts[0] if len(parts) == 1 else And(parts))
+    if copyfields:
+        q = _apply_copyfields(q, dict(copyfields))
     if multifield:
         q = _apply_multifield(q, list(multifield))
     return q.normalize()

@@ -163,3 +163,46 @@ def test_failed_tail_chain_invalidates_manifest(spark, tmp_path, monkeypatch):
     manifest = store.write_index(docs2, path)  # resume rewrites the tail
     ix = store.load_index(spark, path)
     assert manifest["n_docs"] == ix.doc_lengths.count()
+
+
+def test_generation_refresh_lifecycle(spark, sf0001_documents, tmp_path):
+    """index.py::Index.up_to_date ≈L380 / refresh ≈L390 / latest_generation
+    ≈L370: every commit (write / delete overlay / compact) stamps a
+    strictly-increasing generation; a stale reader notices and refresh()
+    re-opens at the newest one."""
+    path = str(tmp_path / "gen_ix")
+    store.write_index(sf0001_documents.limit(200), path, chunk_bits=7)
+    g0 = store.latest_generation(path)
+    assert g0 > 0
+
+    ix = store.load_index(spark, path)
+    assert ix.generation() == g0
+    assert ix.up_to_date()
+    assert ix.refresh() is ix                     # current → same object
+
+    # in-memory build: never stale (RamStorage analog)
+    mem = InvertedIndex.build(sf0001_documents.limit(50), cache=False)
+    assert mem.generation() == -1
+    assert mem.up_to_date() and mem.refresh() is mem
+
+    # a soft delete bumps the generation even within the same second
+    n = store.delete_documents(spark, path, doc_ids=[0, 1])
+    assert n == 2
+    g1 = store.latest_generation(path)
+    assert g1 > g0
+    assert not ix.up_to_date()
+    ix2 = ix.refresh()
+    assert ix2 is not ix and ix2.generation() == g1
+    assert ix2.deleted is not None and ix2.deleted.count() == 2
+
+    # zero-match delete does not bump
+    assert store.delete_documents(spark, path, where="doc_id < 0") == 0
+    assert store.latest_generation(path) == g1
+    assert ix2.up_to_date()
+
+    # compaction commits a new generation; refreshing picks up the purge
+    store.compact_index(spark, path, purge_deleted=True)
+    g2 = store.latest_generation(path)
+    assert g2 > g1 and not ix2.up_to_date()
+    ix3 = ix2.refresh()
+    assert ix3.generation() == g2 and ix3.deleted is None

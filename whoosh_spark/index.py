@@ -64,8 +64,34 @@ class InvertedIndex:
         self.analyzer = "standard"  # registry name of the analysis chain
         self.text_col = "text"  # stored source column the field was built from
         self.posting_format = "positions"  # Format name (formats.py)
+        self.manifest = None  # TOC dict when opened from disk (store.py)
+        self.path = None  # storage URI when opened from disk, else None
         self._global = None  # (N, avgdl) cache
         self._cand_bc = {}  # LRU: candidate-set digest -> Broadcast
+
+    # ---- TOC generation tracking (``index.py::Index.up_to_date ≈L380``,
+    # ``Index.refresh ≈L390``) ---------------------------------------------
+    def generation(self) -> int:
+        """TOC generation this object was opened at (-1 = in-memory build,
+        the RamStorage analog — never stale)."""
+        return self.manifest["generation"] if self.manifest else -1
+
+    def up_to_date(self) -> bool:
+        """True if no newer generation has been committed at this path."""
+        if self.path is None:
+            return True
+        from whoosh_spark.store import latest_generation
+
+        return latest_generation(self.path) == self.generation()
+
+    def refresh(self) -> "InvertedIndex":
+        """Return the freshest view of this index: ``self`` when current,
+        else a re-opened instance at the latest committed generation."""
+        if self.up_to_date():
+            return self
+        from whoosh_spark.store import load_index
+
+        return load_index(self.spark, self.path)
 
     # ------------------------------------------------------------------
     @classmethod

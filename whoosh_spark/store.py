@@ -62,6 +62,34 @@ def manifest_analyzer(path: str) -> str:
     return json.loads(raw).get("analyzer", "standard") if raw else "standard"
 
 
+def latest_generation(path: str) -> int:
+    """Generation of the manifest currently committed at ``path`` (-1 when
+    none) — ``index.py::Index.latest_generation ≈L370``.  Each commit
+    (write/compact/upsert/segment-fold/delete) stamps a fresh generation,
+    so a cheap one-file read answers staleness."""
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    return json.loads(raw).get("generation", -1) if raw else -1
+
+
+def _next_generation(path: str) -> int:
+    """Strictly-increasing generation stamp: wall-clock seconds, but never
+    ≤ the committed generation (two commits in one second must differ for
+    ``InvertedIndex.up_to_date`` to see the second one)."""
+    return max(int(time.time()), latest_generation(path) + 1)
+
+
+def _bump_generation(path: str) -> None:
+    """Re-stamp the committed manifest after a visibility-changing overlay
+    write (soft deletes): readers opened before the delete must report
+    stale.  No-op when no manifest exists yet."""
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    if raw is None:
+        return
+    manifest = json.loads(raw)
+    manifest["generation"] = _next_generation(path)
+    FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
+
+
 def manifest_posting_format(path: str) -> str:
     """The posting Format the manifest declares ("positions" when absent) —
     same single-source-of-truth rule as :func:`manifest_analyzer`."""
@@ -363,7 +391,7 @@ def write_index(
     fs_row = spark.read.parquet(FS.join(path, "field_stats")).collect()[0]
     manifest = {
         "format": "whoosh-spark/1",
-        "generation": int(time.time()),
+        "generation": _next_generation(path),
         "field": field,
         "chunk_bits": chunk_bits,
         "n_docs": int(fs_row["doc_count"]),
@@ -406,6 +434,7 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         deleted=deleted,
     )
     ix.manifest = manifest
+    ix.path = path
     ix.analyzer = manifest.get("analyzer", "standard")
     ix.text_col = manifest.get("text_col", "text")
     ix.posting_format = manifest.get("posting_format", "positions")
@@ -438,6 +467,8 @@ def delete_documents(spark: SparkSession, path: str,
     n = df.count()
     df.write.mode("append").parquet(FS.join(path, "deleted"))
     _append_log(path, {"phase": "delete", "n_docs": int(n), "ts": time.time()})
+    if n:
+        _bump_generation(path)
     return int(n)
 
 
@@ -471,6 +502,8 @@ def delete_by_query(spark: SparkSession, path: str, query,
         hits.unpersist()
     _append_log(path, {"phase": "delete", "n_docs": int(n),
                        "query": repr(query), "ts": time.time()})
+    if n:
+        _bump_generation(path)
     return int(n)
 
 
@@ -719,7 +752,7 @@ def commit_segments(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     raw = FS.read_text(FS.join(path, MANIFEST))
     manifest = json.loads(raw) if raw else {"format": "whoosh-spark/1",
                                             "field": field}
-    manifest["generation"] = int(time.time())
+    manifest["generation"] = _next_generation(path)
     manifest["n_docs"] = int(old_fs["doc_count"]) + int(d_fs["doc_count"] or 0)
     manifest["total_len"] = (int(old_fs["total_len"])
                              + int(d_fs["total_len"] or 0))
@@ -819,7 +852,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     fs_row = spark.read.parquet(FS.join(path, "field_stats")).collect()[0]
     manifest = {
         "format": "whoosh-spark/1",
-        "generation": int(time.time()),
+        "generation": _next_generation(path),
         "field": field,
         "chunk_bits": None,
         "n_docs": int(fs_row["doc_count"]),

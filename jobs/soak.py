@@ -60,7 +60,11 @@ def _session():
         # workers whose Arrow batches grow with corpus length — an 80g heap
         # OOM-killed the 5M leg (JVM 72G RSS + 32 workers ≈ >125G)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        # worker peak RSS scales with batch size × doc length × cores; at
+        # 10M docs the 32-core/32k-batch default global-OOMs a 125G box —
+        # run bigger-than-5M legs at fewer cores and a smaller batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SOAK_ARROW_BATCH", "32768"))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

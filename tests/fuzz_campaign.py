@@ -2,7 +2,7 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings] [--roundtrip]
 
 ``--prune`` forces the rare-slot candidate gate open (see
 whoosh_spark/config.py PHRASE_PRUNE_*) so every random positional query
@@ -206,6 +206,107 @@ def rand_qstring(rng: random.Random, fieldnames: list[str]) -> str:
     return expr()
 
 
+SAFE_VOCAB = [w for w in VOCAB if w != "the"]  # stop leaves break identity
+
+
+def rand_qpair(rng: random.Random, fieldnames: list[str],
+               depth: int = 0, amb: str | None = None):
+    """(expected AST, equivalent query string) generated TOGETHER — the
+    string side carries independent ground truth, so parse(s) ≠ ast is a
+    PARSER bug (the --strings mode can't see those: it parses once and
+    feeds the same AST to both engines).  ``amb`` is the ambient field an
+    enclosing ``field:(...)`` group imposes on unfielded leaves."""
+    def leafpair():
+        fn = (rng.choice([None, None, *fieldnames])
+              if fieldnames else None)
+        eff = fn if fn is not None else amb
+        r = rng.random()
+        w = rng.choice(SAFE_VOCAB)
+        if r < 0.30:
+            b = rng.choice([None, 2.0, 0.5, 3.0])
+            s = w + (f"^{b}" if b else "")
+            q = Q.Term(w, b or 1.0, fieldname=eff)
+        elif r < 0.45:
+            w2 = rng.choice(SAFE_VOCAB[:10])
+            sl = rng.choice([1, 2, 3])
+            s = f'"{w} {w2}"' + (f"~{sl}" if sl > 1 else "")
+            q = Q.Phrase([w, w2], slop=sl, fieldname=eff)
+        elif r < 0.58:
+            p = rng.choice(PREFIXES)
+            s = p + "*"
+            q = Q.Prefix(p, fieldname=eff)
+        elif r < 0.70:
+            d, pl = rng.choice([1, 2]), rng.choice([1, 2, 3])
+            s = f"{w}~{d}/{pl}" if pl != 1 else f"{w}~{d}"
+            q = Q.Fuzzy(w, maxdist=d, prefixlength=pl, fieldname=eff)
+        elif r < 0.82:
+            lo, hi = sorted(rng.sample(SAFE_VOCAB, 2))
+            il, ih = rng.random() < 0.7, rng.random() < 0.7
+            s = ("[" if il else "{") + f"{lo} TO {hi}" + ("]" if ih else "}")
+            q = Q.TermRange(lo, hi, il, ih, fieldname=eff)
+        elif r < 0.9 or not fieldnames:
+            s = "*"
+            q = Q.Every() if eff is None else Q.Prefix("", fieldname=eff)
+        else:
+            s = "*"
+            fn = rng.choice(fieldnames)
+            return Q.Prefix("", fieldname=fn), f"{fn}:*"
+        if fn is not None:
+            s = f"{fn}:{s}"
+        return q, s
+
+    if depth >= 2 or rng.random() < 0.45:
+        return leafpair()
+    n = rng.randint(2, 3)
+    pairs = [rand_qpair(rng, fieldnames, depth + 1, amb)
+             for _ in range(n)]
+    r = rng.random()
+    if r < 0.3 and fieldnames:
+        # fielded group: the prefix becomes the ambient field of every
+        # unfielded leaf inside — regenerate children under that ambient
+        f = rng.choice(fieldnames)
+        pairs = [rand_qpair(rng, fieldnames, depth + 1, amb=f)
+                 for _ in range(n)]
+        op = rng.choice([" OR ", " AND "])
+        ast = (Q.Or if op == " OR " else Q.And)([p[0] for p in pairs])
+        return ast, f + ":(" + op.join(f"({p[1]})" for p in pairs) + ")"
+    if r < 0.55:
+        ast = Q.And([p[0] for p in pairs])
+        return ast, " AND ".join(f"({p[1]})" for p in pairs)
+    if r < 0.8:
+        ast = Q.Or([p[0] for p in pairs])
+        return ast, " OR ".join(f"({p[1]})" for p in pairs)
+    ast = Q.Not(pairs[0][0])
+    return ast, "NOT (" + pairs[0][1] + ")"
+
+
+def roundtrip_campaign(n: int, rng: random.Random,
+                       fieldnames: list[str]) -> int:
+    """parse(render(q)) ≡ q.normalize() over random ASTs — pure Python,
+    no Spark.  Returns the failure count."""
+    from whoosh_spark.query.parser import parse_query
+
+    fails = 0
+    for i in range(n):
+        ast, s = rand_qpair(rng, fieldnames)
+        try:
+            got = parse_query(s, fields=set(fieldnames) or None)
+        except Exception as e:  # noqa: BLE001
+            fails += 1
+            print(f"\nFAIL (exception) s={s!r} expected={ast!r}\n"
+                  f"  {type(e).__name__}: {e}", flush=True)
+            continue
+        exp = ast.normalize()
+        if got != exp:
+            fails += 1
+            print(f"\nFAIL #{fails} s={s!r}\n  parsed={got!r}\n"
+                  f"  expected={exp!r}", flush=True)
+        if (i + 1) % 2000 == 0:
+            print(f"  {i + 1}/{n} ({fails} fails)", flush=True)
+    print(f"done: {n} round-trips, {fails} failures", flush=True)
+    return fails
+
+
 def _build_single(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     searcher = Searcher(InvertedIndex.build(docs))
@@ -261,6 +362,7 @@ def main() -> int:
     spans = "--spans" in sys.argv[1:]
     prune = "--prune" in sys.argv[1:]
     strings = "--strings" in sys.argv[1:]
+    roundtrip = "--roundtrip" in sys.argv[1:]
     if prune:
         # force the rare-slot candidate gate OPEN so every positional
         # query runs the in-decoder pruned plan against the oracle
@@ -272,7 +374,12 @@ def main() -> int:
     seed = int(argv[1]) if len(argv) > 1 else random.randrange(2**31)
     rng = random.Random(seed)
     print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many} "
-          f"spans={spans} prune={prune} strings={strings}", flush=True)
+          f"spans={spans} prune={prune} strings={strings} "
+          f"roundtrip={roundtrip}", flush=True)
+
+    if roundtrip:
+        fnames = ["title", "body"] if fielded else []
+        return 1 if roundtrip_campaign(n, rng, fnames) else 0
 
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")

@@ -251,8 +251,9 @@ class TestFuzzyPrefixAndEvery:
         assert parse_query("~2") == Q.NullQuery
 
     def test_star_is_every(self):
-        # terms.py::Wildcard.normalize ≈L360: all-star pattern → Every
-        for s in ("*", "**", "*:*", "field:*"):
+        # terms.py::Wildcard.normalize ≈L360: UNFIELDED all-star → Every;
+        # a fielded star keeps the field (see TestReviewRegressions)
+        for s in ("*", "**", "*:*"):
             q = parse_query(s, fields={"field"})
             assert isinstance(q, Q.Every), s
 
@@ -312,3 +313,45 @@ class TestAliasAndCopyField:
                         copyfields={"text": "lang"})
         assert isinstance(q, Q.Or)
         assert all(isinstance(c, Q.Phrase) for c in q.children)
+
+
+class TestReviewRegressions:
+    """Pinned from the round-3 review pass: nested fielded groups, fielded
+    all-star, and copyfields over DateRange."""
+
+    F = {"text", "lang", "nchars"}
+
+    def test_nested_fielded_group_keeps_inner_field(self):
+        q = parse_query("text:(data OR lang:(en))", fields=self.F)
+        assert [c.fieldname for c in q.children] == ["text", "lang"]
+
+    def test_unknown_inner_prefix_stays_default(self):
+        # unknown prefixes strip to the DEFAULT field everywhere (legacy
+        # convention) — the outer group field must not leak into them either
+        q = parse_query("text:(foo:bar OR data)", fields=self.F)
+        assert [c.fieldname for c in q.children] == [None, "text"]
+
+    def test_fielded_star_keeps_field(self):
+        # upstream Every(fieldname) = docs with >=1 term in the field —
+        # exactly Prefix('') routed there
+        q = parse_query("lang:*", fields=self.F)
+        assert isinstance(q, Q.Prefix) and (q.text, q.fieldname) == ("", "lang")
+        assert isinstance(parse_query("*", fields=self.F), Q.Every)
+
+    def test_copyfields_followed_on_dateranges(self):
+        q = parse_query("warc_ts:[2020-01-01 TO 2020-02-01]",
+                        datetime_fields={"warc_ts"},
+                        copyfields={"warc_ts": "crawl_ts"})
+        assert isinstance(q, Q.Or)
+        assert {c.column for c in q.children} == {"warc_ts", "crawl_ts"}
+
+    def test_walkers_descend_weighted(self):
+        from whoosh_spark.query.parser import (_apply_copyfields,
+                                               _apply_multifield)
+
+        w = Q.Weighted(Q.Term("data"), weighting="pl2")
+        m = _apply_multifield(w, ["text", "lang"])
+        assert isinstance(m.child, Q.Or)
+        c = _apply_copyfields(Q.Weighted(Q.Term("data", fieldname="text"),
+                                         weighting="pl2"), {"text": "lang"})
+        assert isinstance(c.child, Q.Or)

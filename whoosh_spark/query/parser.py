@@ -263,9 +263,13 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
     # EveryPlugin / Wildcard.normalize (``qparser/plugins.py::EveryPlugin
     # ≈L550``, ``terms.py::Wildcard.normalize ≈L360``): an all-star pattern
     # (*, **, *:*) matches every document — emit Every instead of an
-    # O(vocab) term expansion
+    # O(vocab) term expansion.  A FIELDED star keeps upstream's
+    # Every(fieldname) semantics — docs with at least one term in that
+    # field — which is exactly Prefix('') routed to the field.
     if text == "*:*" or (text and set(text) == {"*"}):
-        return Every(boost=boost)
+        if fieldname is None:
+            return Every(boost=boost)
+        return Prefix("", boost=boost, fieldname=fieldname)
     if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
         return Prefix(text[:-1].lower(), boost=boost, fieldname=fieldname)
     if "*" in text or "?" in text:
@@ -369,7 +373,24 @@ class _Parser:
                 j = self.i
                 while j < len(self.toks):
                     k2, t2 = self.toks[j]
-                    if k2 == "LPAREN":
+                    if (k2 == "WORD" and re.fullmatch(r"\w+:", t2)
+                            and j + 1 < len(self.toks)
+                            and self.toks[j + 1][0] == "LPAREN"):
+                        # nested fielded group: its own recursive parse owns
+                        # its span — jump past the balanced subspan so the
+                        # outer field never leaks into it
+                        j += 1
+                        d2 = 0
+                        while j < len(self.toks):
+                            kk = self.toks[j][0]
+                            if kk == "LPAREN":
+                                d2 += 1
+                            elif kk == "RPAREN":
+                                d2 -= 1
+                                if d2 == 0:
+                                    break
+                            j += 1
+                    elif k2 == "LPAREN":
                         depth += 1
                     elif k2 == "RPAREN":
                         depth -= 1
@@ -413,73 +434,70 @@ def _apply_multifield(q: Query, mfields: list[str]) -> Query:
     ≈L350``): every UNFIELDED leaf becomes an Or over the given fields."""
     from dataclasses import replace as _rep
 
+    def on_leaf(leaf: Query) -> Query:
+        if getattr(leaf, "fieldname", "x") is None:
+            return Or([_rep(leaf, fieldname=f) for f in mfields])
+        return leaf
+
+    return _map_leaves(q, on_leaf)
+
+
+def _map_leaves(q: Query, leaf_fn) -> Query:
+    """Rebuild ``q`` with ``leaf_fn`` applied to every fieldable leaf
+    (shared walker for the MultifieldParser and CopyFieldPlugin rewrites —
+    one traversal to keep in sync with the AST's node set)."""
     from whoosh_spark.query.ast import (
         AndMaybe as _AM, AndNot as _AN, Constant as _C, DisMax as _DM,
         Not as _N, Otherwise as _OW, Require as _RQ, Sequence as _SQ,
+        DateRange as _DR, Weighted as _W,
     )
 
     if isinstance(q, (Term, Phrase, Prefix, Wildcard, Fuzzy, TermRange,
-                      Regex)):
-        if q.fieldname is None:
-            return Or([_rep(q, fieldname=f) for f in mfields])
-        return q
+                      Regex, _DR)):
+        return leaf_fn(q)
     if isinstance(q, And):
-        return And([_apply_multifield(c, mfields) for c in q.children], q.boost)
+        return And([_map_leaves(c, leaf_fn) for c in q.children], q.boost)
     if isinstance(q, Or):
-        return Or([_apply_multifield(c, mfields) for c in q.children],
+        return Or([_map_leaves(c, leaf_fn) for c in q.children],
                   q.boost, q.minmatch)
     if isinstance(q, _DM):
-        return _DM([_apply_multifield(c, mfields) for c in q.children],
+        return _DM([_map_leaves(c, leaf_fn) for c in q.children],
                    q.boost, q.tiebreak)
     if isinstance(q, _SQ):
-        return _SQ([_apply_multifield(c, mfields) for c in q.children],
+        return _SQ([_map_leaves(c, leaf_fn) for c in q.children],
                    q.slop, q.boost)
     if isinstance(q, _N):
-        return _N(_apply_multifield(q.child, mfields), q.boost)
+        return _N(_map_leaves(q.child, leaf_fn), q.boost)
     if isinstance(q, _C):
-        return _C(_apply_multifield(q.child, mfields), q.score, q.boost)
+        return _C(_map_leaves(q.child, leaf_fn), q.score, q.boost)
+    if isinstance(q, _W):
+        return _W(_map_leaves(q.child, leaf_fn), q.weighting, q.boost)
     if isinstance(q, (_AN, _AM, _RQ, _OW)):
-        return type(q)(_apply_multifield(q.a, mfields),
-                       _apply_multifield(q.b, mfields), q.boost)
+        return type(q)(_map_leaves(q.a, leaf_fn),
+                       _map_leaves(q.b, leaf_fn), q.boost)
     return q
 
 
 def _apply_copyfields(q: Query, copymap: dict[str, str]) -> Query:
     """CopyFieldPlugin semantics (``qparser/plugins.py::CopyFieldPlugin
     ≈L400``): a leaf fielded on a mapped field ALSO searches the copy —
-    the leaf becomes Or(original, copy), OrGroup like upstream."""
+    the leaf becomes Or(original, copy), OrGroup like upstream.  DateRange
+    leaves copy through their ``column`` (a mapped datetime field ranges
+    over both timestamp columns)."""
     from dataclasses import replace as _rep
 
-    from whoosh_spark.query.ast import (
-        AndMaybe as _AM, AndNot as _AN, Constant as _C, DisMax as _DM,
-        Not as _N, Otherwise as _OW, Require as _RQ, Sequence as _SQ,
-    )
+    from whoosh_spark.query.ast import DateRange as _DR
 
-    if isinstance(q, (Term, Phrase, Prefix, Wildcard, Fuzzy, TermRange,
-                      Regex)):
-        if q.fieldname in copymap:
-            return Or([q, _rep(q, fieldname=copymap[q.fieldname])])
-        return q
-    if isinstance(q, And):
-        return And([_apply_copyfields(c, copymap) for c in q.children],
-                   q.boost)
-    if isinstance(q, Or):
-        return Or([_apply_copyfields(c, copymap) for c in q.children],
-                  q.boost, q.minmatch)
-    if isinstance(q, _DM):
-        return _DM([_apply_copyfields(c, copymap) for c in q.children],
-                   q.boost, q.tiebreak)
-    if isinstance(q, _SQ):
-        return _SQ([_apply_copyfields(c, copymap) for c in q.children],
-                   q.slop, q.boost)
-    if isinstance(q, _N):
-        return _N(_apply_copyfields(q.child, copymap), q.boost)
-    if isinstance(q, _C):
-        return _C(_apply_copyfields(q.child, copymap), q.score, q.boost)
-    if isinstance(q, (_AN, _AM, _RQ, _OW)):
-        return type(q)(_apply_copyfields(q.a, copymap),
-                       _apply_copyfields(q.b, copymap), q.boost)
-    return q
+    def on_leaf(leaf: Query) -> Query:
+        if isinstance(leaf, _DR):
+            if leaf.column in copymap:
+                return Or([leaf, _rep(leaf, column=copymap[leaf.column])])
+            return leaf
+        if leaf.fieldname in copymap:
+            return Or([leaf, _rep(leaf, fieldname=copymap[leaf.fieldname])])
+        return leaf
+
+    return _map_leaves(q, on_leaf)
 
 
 def parse_query(s: str, fields=None, multifield: list[str] | None = None,

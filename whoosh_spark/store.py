@@ -86,7 +86,8 @@ def _bump_generation(path: str) -> None:
     if raw is None:
         return
     manifest = json.loads(raw)
-    manifest["generation"] = _next_generation(path)
+    manifest["generation"] = max(int(time.time()),
+                                 manifest.get("generation", -1) + 1)
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
 
 

@@ -206,3 +206,37 @@ def test_generation_refresh_lifecycle(spark, sf0001_documents, tmp_path):
     assert g2 > g1 and not ix2.up_to_date()
     ix3 = ix2.refresh()
     assert ix3.generation() == g2 and ix3.deleted is None
+
+
+def test_searcher_refresh_lifecycle(spark, sf0001_documents, tmp_path):
+    """searching.py::Searcher.up_to_date ≈L290 / refresh ≈L300: a searcher on
+    a stale generation reports it and refresh() yields a new searcher on the
+    latest commit (preserving weighting); a current one returns itself."""
+    from whoosh_spark.multifield import MultiFieldIndex
+
+    path = str(tmp_path / "s_gen_ix")
+    store.write_index(sf0001_documents.limit(200), path, chunk_bits=7)
+    s = Searcher(store.load_index(spark, path), weighting="tfidf")
+    assert s.up_to_date()
+    assert s.refresh() is s
+
+    store.delete_documents(spark, path, doc_ids=[3])
+    assert not s.up_to_date()
+    s2 = s.refresh()
+    assert s2 is not s
+    assert s2.up_to_date()
+    assert s2.weighting == s.weighting                  # weighting carried
+    assert s2.ix.deleted is not None
+
+    # the fresh searcher excludes the newly deleted doc
+    ids2 = {r["doc_id"] for r in s2.search(Q.Every(), limit=None).collect()}
+    assert 3 not in ids2
+
+    # multi-field families delegate to their children (in-memory → current)
+    mf = MultiFieldIndex.build(
+        sf0001_documents.limit(50), {"text": "text"}, default_field="text"
+    )
+    assert mf.generation() == -1
+    assert mf.up_to_date() and mf.refresh() is mf
+    ms = Searcher(mf)
+    assert ms.up_to_date() and ms.refresh() is ms

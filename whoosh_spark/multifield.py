@@ -127,6 +127,25 @@ class MultiFieldIndex:
         stored = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
         return cls(docs.sparkSession, indexes, specs, stored, default_field)
 
+    # ---- TOC generation tracking (``index.py::Index.up_to_date ≈L380``)
+    def generation(self) -> int:
+        """Max child generation (-1 when every field is an in-memory build —
+        the RamStorage analog, never stale)."""
+        return max(ix.generation() for ix in self.indexes.values())
+
+    def up_to_date(self) -> bool:
+        """True if no field's index has a newer committed generation."""
+        return all(ix.up_to_date() for ix in self.indexes.values())
+
+    def refresh(self) -> "MultiFieldIndex":
+        """``self`` when every field is current, else a new family with each
+        stale field re-opened at its latest committed generation."""
+        if self.up_to_date():
+            return self
+        fresh = {name: ix.refresh() for name, ix in self.indexes.items()}
+        return MultiFieldIndex(self.spark, fresh, self.specs, self.docs,
+                               self.default_field)
+
     # ------------------------------------------------------------------
     def index_for(self, field: str | None) -> InvertedIndex:
         f = field or self.default_field

@@ -44,6 +44,19 @@ class Searcher:
         self.weighting = weighting
 
     # ------------------------------------------------------------------
+    def up_to_date(self) -> bool:
+        """True if no newer index generation has been committed
+        (``searching.py::Searcher.up_to_date ≈L290``)."""
+        return self.ix.up_to_date()
+
+    def refresh(self) -> "Searcher":
+        """``searching.py::Searcher.refresh ≈L300``: this searcher when the
+        underlying index is current, else a new one on the latest committed
+        generation (same weighting)."""
+        ix = self.ix.refresh()
+        return self if ix is self.ix else Searcher(ix, weighting=self.weighting)
+
+    # ------------------------------------------------------------------
     @staticmethod
     def _wand_terms(q: Q.Query) -> tuple[list[str], str, float,
                                          str | None] | None:

@@ -224,8 +224,18 @@ def main() -> None:
             if not args.keep_index and n != args.docs:
                 shutil.rmtree(ix_dir, ignore_errors=True)
             runs.append(r)
-        lo, hi = runs
-        scale = args.docs / args.baseline_docs
+        # merge with any previous soak runs (other corpus sizes) so one
+        # crashed/added leg never discards earlier evidence; same-size
+        # re-runs replace the stale record
+        soak_path = os.path.join(REPO, "SOAK.json")
+        if os.path.exists(soak_path):
+            with open(soak_path) as fh:
+                prior = {r["n_docs"]: r for r in json.load(fh).get("runs", [])}
+            for r in runs:
+                prior[r["n_docs"]] = r
+            runs = [prior[k] for k in sorted(prior)]
+        lo, hi = runs[0], runs[-1]
+        scale = hi["n_docs"] / lo["n_docs"]
         result = {
             "protocol": f"local[{CPUS}], vocab_mult={VOCAB_MULT}, persisted "
                         "build (write_index), stage walls from "
@@ -247,7 +257,7 @@ def main() -> None:
                                3),
             },
         }
-        with open(os.path.join(REPO, "SOAK.json"), "w") as fh:
+        with open(soak_path, "w") as fh:
             json.dump(result, fh, indent=1)
         log("SOAK.json written")
         print(json.dumps(result))

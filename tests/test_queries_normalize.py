@@ -146,3 +146,18 @@ def test_normalize_idempotent_random_asts():
         q = FC.rand_query(rng, fields=[None, "title", "body"])
         n1 = q.normalize()
         assert n1 == n1.normalize(), repr(q)
+
+
+def test_boost_type_validated_at_construction():
+    """A non-numeric boost fails FAST with a clear TypeError instead of an
+    opaque Spark CAST_INVALID_INPUT at plan-construction time (classic slip:
+    Term("field", "word") putting the field name in the boost slot)."""
+    import pytest
+
+    with pytest.raises(TypeError, match="boost must be a number"):
+        Q.Term("text", "data")
+    with pytest.raises(TypeError, match="boost must be a number"):
+        Q.Prefix("quer", "oops")
+    # numeric boosts (int or float) and the full signature stay fine
+    assert Q.Term("data", 2, "text").boost == 2
+    assert Q.Wildcard("qu*", 1.5).boost == 1.5

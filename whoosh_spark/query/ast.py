@@ -28,6 +28,17 @@ from whoosh_spark.analysis.analyzers import analyze_text
 class Query:
     boost: float = 1.0
 
+    def __post_init__(self):
+        # every node dataclass inherits this: a non-numeric boost (classic
+        # slip: Term("field", "word") putting the field name in the boost
+        # slot) otherwise surfaces as an opaque Spark CAST_INVALID_INPUT
+        # deep inside plan construction
+        b = getattr(self, "boost", 1.0)
+        if not isinstance(b, (int, float)):
+            raise TypeError(
+                f"{type(self).__name__}.boost must be a number, got {b!r} — "
+                "note Term's signature is Term(text, boost=1.0, fieldname=None)")
+
     def normalize(self) -> "Query":
         return self
 

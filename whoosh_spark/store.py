@@ -531,6 +531,10 @@ def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
     """
     if len(src_paths) < 2:
         raise ValueError("merge_indexes needs at least two source indexes")
+    norm_dst = dst_path.rstrip("/")
+    if any(p.rstrip("/") == norm_dst for p in src_paths):
+        raise ValueError("dst_path must not be one of the sources — the "
+                         "merge overwrites dst's analyzed segments in place")
     manifests = []
     for p in src_paths:
         raw = FS.read_text(FS.join(p, MANIFEST))
@@ -569,13 +573,20 @@ def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
             df = df.select(*cols)
         dd = FS.join(p, "deleted")
         if FS.isdir_nonempty(dd):
+            # no broadcast hint: the overlay is usually tiny (AQE broadcasts
+            # it anyway) but a mass-delete source can make it corpus-sized —
+            # a forced broadcast would OOM the driver there
             dead = spark.read.parquet(dd).select("doc_id").distinct()
-            df = df.join(F.broadcast(dead), "doc_id", "left_anti")
+            df = df.join(dead, "doc_id", "left_anti")
         return df.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
 
     merged_an = None
     for p, off in zip(src_paths, offsets):
         an = _live_remapped(p, off, "analyzed")
+        if an is None:
+            raise FileNotFoundError(
+                f"{p!r} has no analyzed/ token segments — only block-codec "
+                "indexes with their analyzed checkpoints can be merged")
         an = an.drop("chunk", "batch")
         merged_an = an if merged_an is None else merged_an.unionByName(an)
 

@@ -66,9 +66,79 @@ def _session():
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SOAK_ARROW_BATCH", "32768"))
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.ui.enabled", "false")
+        # UI on: the REST status API is how the soak attributes merge cost
+        # (shuffle bytes + external-sort SPILL per stage, _exec_metrics)
+        .config("spark.ui.enabled", os.environ.get("SOAK_UI", "true"))
+        .config("spark.ui.retainedStages", "5000")
         .getOrCreate()
     )
+
+
+def _exec_metrics(spark, since_stage: int) -> dict:
+    """Aggregate stage metrics (Spark REST status API) for stages submitted
+    after ``since_stage`` — spill is the smoking gun for a superlinear
+    merge: nonzero diskBytesSpilled means per-partition sort working sets
+    outgrew execution memory and the fix is more (data-sized) partitions,
+    not more cores."""
+    import urllib.request
+
+    url = getattr(spark.sparkContext, "uiWebUrl", None)
+    if not url:
+        return {}
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=30,
+        ) as resp:
+            stages = json.load(resp)
+    except Exception as exc:  # UI disabled / port hidden — metrics optional
+        log(f"exec metrics unavailable: {exc}")
+        return {}
+    keys = ("memoryBytesSpilled", "diskBytesSpilled",
+            "shuffleReadBytes", "shuffleWriteBytes",
+            "inputBytes", "outputBytes", "executorRunTime")
+    tot = {k: 0 for k in keys}
+    worst = []
+    for st in stages:
+        if st.get("stageId", -1) <= since_stage:
+            continue
+        for k in keys:
+            tot[k] += int(st.get(k, 0) or 0)
+        worst.append((int(st.get("executorRunTime", 0) or 0),
+                      int(st.get("stageId", -1)),
+                      int(st.get("diskBytesSpilled", 0) or 0),
+                      int(st.get("shuffleWriteBytes", 0) or 0),
+                      (st.get("name") or "").split("\n")[0][:80]))
+    worst.sort(reverse=True)
+    gb = 1024 ** 3
+    return {
+        "spill_mem_gb": round(tot["memoryBytesSpilled"] / gb, 2),
+        "spill_disk_gb": round(tot["diskBytesSpilled"] / gb, 2),
+        "shuffle_read_gb": round(tot["shuffleReadBytes"] / gb, 2),
+        "shuffle_write_gb": round(tot["shuffleWriteBytes"] / gb, 2),
+        "input_gb": round(tot["inputBytes"] / gb, 2),
+        "executor_time_s": round(tot["executorRunTime"] / 1000, 1),
+        "top_stages": [
+            {"stage": sid, "run_s": round(ms / 1000, 1),
+             "spill_disk_gb": round(sp / gb, 2),
+             "shuffle_write_gb": round(sw / gb, 2), "name": name}
+            for ms, sid, sp, sw, name in worst[:5]
+        ],
+    }
+
+
+def _max_stage(spark) -> int:
+    try:
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        mx = -1
+        for j in jobs:
+            info = spark.sparkContext.statusTracker().getJobInfo(j)
+            if info:
+                mx = max([mx, *info.stageIds])
+        return mx
+    except Exception:
+        return -1
 
 
 def _ensure_corpus(spark, n_docs: int) -> str:
@@ -106,6 +176,14 @@ def _stage_walls(ix_dir: str) -> dict:
         if docs and statistics.mean(docs) else None,
         "merge_wall_s": round(sum(r["wall_ms"] for r in mg) / 1000, 1),
     }
+    if mg:
+        last = mg[-1]
+        if last.get("steps_ms"):
+            out["merge_steps_s"] = {k: round(v / 1000, 1)
+                                    for k, v in last["steps_ms"].items()}
+        for k in ("merge_partitions", "analyzed_bytes"):
+            if k in last:
+                out[k] = last[k]
     counters = mg[-1].get("counters", {}) if mg else {}
     if counters:
         out["merge_counters"] = counters
@@ -120,6 +198,7 @@ def _build(spark, corpus_path: str, n_docs: int) -> dict:
     shutil.rmtree(ix_dir, ignore_errors=True)
     docs = spark.read.parquet(corpus_path)
     log(f"building {n_docs}-doc index -> {ix_dir}")
+    stage0 = _max_stage(spark)
     t0 = time.perf_counter()
     store.write_index(docs, ix_dir)
     wall = time.perf_counter() - t0
@@ -128,6 +207,7 @@ def _build(spark, corpus_path: str, n_docs: int) -> dict:
         "build_wall_s": round(wall, 1),
         "docs_per_sec": round(n_docs / wall, 1),
         "stages": _stage_walls(ix_dir),
+        "exec": _exec_metrics(spark, stage0),
         "ix_dir": ix_dir,
     }
     log(f"build done: {res['build_wall_s']}s ({res['docs_per_sec']} docs/s)")

@@ -128,7 +128,8 @@ def posting_blocks(postings: DataFrame) -> DataFrame:
     )
 
 
-def posting_blocks_from_analyzed(analyzed: DataFrame, field: str = TEXT_FIELD) -> DataFrame:
+def posting_blocks_from_analyzed(analyzed: DataFrame, field: str = TEXT_FIELD,
+                                 n_part: int | None = None) -> DataFrame:
     """Two-level build (the scale path; Whoosh MpWriter algebra):
 
         analyzed → [per-partition RUN build: dict-encode + lexsort +
@@ -140,12 +141,16 @@ def posting_blocks_from_analyzed(analyzed: DataFrame, field: str = TEXT_FIELD) -
 
     Output is byte-identical to ``posting_blocks(flat_postings(analyzed))``
     (invariance tests assert it): block carving depends only on the sorted
-    (term, bucket, doc_id) content, not on partitioning.
+    (term, bucket, doc_id) content, not on partitioning — which also makes
+    ``n_part`` a pure performance knob (write_index passes a data-volume-
+    derived count, see config.MERGE_PARTITION_BYTES).
     """
     runs = analyzed.mapInArrow(
         build_runs_arrow(field, DOC_BUCKET_BITS), schema=RUNS_SCHEMA
     )
-    n_part = int(analyzed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_part is None:
+        n_part = int(
+            analyzed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         runs.repartition(n_part, "term", "bucket")
         .sortWithinPartitions("term", "bucket")

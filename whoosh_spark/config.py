@@ -75,6 +75,18 @@ PHRASE_PRUNE_RATIO = 4  # rarest df must be <= hottest df / this
 # MB in a numpy kernel) while rare terms stay in one block.
 DOC_BUCKET_BITS = 16  # 65536 docs per bucket
 
+# Merge-shuffle sizing: partitions per DATA VOLUME, not per core count.
+# A fixed `spark.sql.shuffle.partitions` makes per-partition sort/merge
+# memory grow linearly with corpus size — external-sort spill then turns
+# the merge superlinear (observed: per-doc merge cost x1.5 from 1M→10M
+# docs at a pinned 40 partitions).  write_index therefore sizes the runs
+# shuffle as max(conf, analyzed_bytes / MERGE_PARTITION_BYTES): at small
+# corpora the core-derived conf wins (full parallelism), at large corpora
+# partition count grows with data so each sort stays in memory.  On a real
+# cluster executors scale with data too; this keeps the single-partition
+# working set bounded either way.
+MERGE_PARTITION_BYTES = 128 * 1024 * 1024
+
 # ---------------------------------------------------------------------------
 # Field-length byte quantization (src/whoosh/util/numeric.py::length_to_byte
 # ≈L380).  Whoosh stores per-doc field lengths as a single byte on a log scale

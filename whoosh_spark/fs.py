@@ -73,6 +73,24 @@ def isdir_nonempty(path: str) -> bool:
     return bool(fs.listStatus(p))
 
 
+def dir_bytes(path: str) -> int:
+    """Total bytes under a directory (0 if absent) — used to size the merge
+    shuffle: partitions per data volume, not per core count."""
+    if not is_uri(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, name))
+                except OSError:
+                    pass
+        return total
+    _, fs, p = _fs(path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def makedirs(path: str) -> None:
     if not is_uri(path):
         os.makedirs(path, exist_ok=True)

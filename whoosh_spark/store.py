@@ -38,6 +38,7 @@ catalog is a sink swap, not a redesign.
 from __future__ import annotations
 
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
@@ -299,9 +300,22 @@ def write_index(
     analyzed = _rebalance(analyzed, spark)
     counts: dict[str, int] = {}
 
+    # Size the runs shuffle by data volume (config.MERGE_PARTITION_BYTES):
+    # a core-pinned partition count makes per-partition sort memory grow
+    # with the corpus and the external sort spill — the measured source of
+    # superlinear merge cost at 10M docs.  Env override for experiments.
+    an_bytes = FS.dir_bytes(FS.join(path, "analyzed"))
+    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    env_n = os.environ.get("WHOOSH_MERGE_PARTITIONS")
+    from whoosh_spark.config import MERGE_PARTITION_BYTES
+
+    merge_n = (int(env_n) if env_n
+               else max(conf_n, -(-an_bytes // MERGE_PARTITION_BYTES)))
+
     def _chain_blocks() -> None:
         with _timed("blocks"):
-            blocks = B.posting_blocks_from_analyzed(analyzed, field)
+            blocks = B.posting_blocks_from_analyzed(analyzed, field,
+                                                    n_part=merge_n)
             # already sorted by (field, term, bucket, blk) within partitions
             # by construction (encode_sorted_stream preserves its input
             # sort), so parquet row-group min/max stats give term-pruning
@@ -385,7 +399,8 @@ def write_index(
     _append_log(
         path,
         {"phase": "merge", "wall_ms": int(1000 * (time.perf_counter() - t0)),
-         "steps_ms": steps, "ts": time.time()},
+         "steps_ms": steps, "merge_partitions": merge_n,
+         "analyzed_bytes": an_bytes, "ts": time.time()},
     )
 
     # ---- manifest (atomic tmp+rename = TOC generation swap) --------------

@@ -204,6 +204,11 @@ def _build(spark, corpus_path: str, n_docs: int) -> dict:
     wall = time.perf_counter() - t0
     res = {
         "n_docs": n_docs,
+        # legs merged into SOAK.json across invocations can differ in
+        # cores/batch config — stamp each run so per-doc comparisons are
+        # read against the config they actually ran under
+        "cores": CPUS,
+        "arrow_batch": int(os.environ.get("SOAK_ARROW_BATCH", "32768")),
         "build_wall_s": round(wall, 1),
         "docs_per_sec": round(n_docs / wall, 1),
         "stages": _stage_walls(ix_dir),
@@ -309,8 +314,15 @@ def main() -> None:
         # re-runs replace the stale record
         soak_path = os.path.join(REPO, "SOAK.json")
         if os.path.exists(soak_path):
-            with open(soak_path) as fh:
-                prior = {r["n_docs"]: r for r in json.load(fh).get("runs", [])}
+            try:
+                with open(soak_path) as fh:
+                    prior = {r["n_docs"]: r
+                             for r in json.load(fh).get("runs", [])}
+            except (json.JSONDecodeError, KeyError) as exc:
+                # a killed previous soak can leave a truncated file — start
+                # fresh rather than throwing away THIS run's built evidence
+                log(f"ignoring unreadable prior SOAK.json: {exc}")
+                prior = {}
             for r in runs:
                 prior[r["n_docs"]] = r
             runs = [prior[k] for k in sorted(prior)]
@@ -337,8 +349,19 @@ def main() -> None:
                                3),
             },
         }
-        with open(soak_path, "w") as fh:
+        # the ratio is only linearity evidence when both legs ran the same
+        # config — flag a cross-config comparison instead of asserting it
+        if any(lo.get(k) != hi.get(k) for k in ("cores", "arrow_batch")):
+            result["per_doc_cost_ratio"]["config_mismatch"] = (
+                f"lo ran cores={lo.get('cores')}/batch={lo.get('arrow_batch')}, "
+                f"hi cores={hi.get('cores')}/batch={hi.get('arrow_batch')} — "
+                "ratios mix config effects with scale effects")
+        # atomic tmp+rename: a kill mid-dump must not truncate the merged
+        # evidence the next run reads back
+        tmp = soak_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(result, fh, indent=1)
+        os.replace(tmp, soak_path)
         log("SOAK.json written")
         print(json.dumps(result))
     finally:

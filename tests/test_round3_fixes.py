@@ -158,3 +158,47 @@ def test_plaintext_malformed_dump_raises(spark, dumped, tmp_path,
     with pytest.raises(Exception, match=err_match):
         # load is lazy (mapInArrow); force the decode
         ix2.blocks.count()
+
+
+# ---- review findings: boost validation on hand-written __init__ nodes -----
+
+@pytest.mark.parametrize("bad", [
+    lambda: Q.And([Q.Term("a")], "title"),
+    lambda: Q.Or([Q.Term("a")], "title"),
+    lambda: Q.DisMax([Q.Term("a")], "title"),
+    lambda: Q.Sequence([Q.Term("a")], 1, "title"),
+    lambda: Q.Phrase(["web", "index"], 1, "title"),
+    lambda: Q.SpanOr([Q.Term("a")], "title"),
+])
+def test_compound_nodes_validate_boost(bad):
+    """Custom __init__ bypassed the dataclass __post_init__, so the classic
+    field-name-in-the-boost-slot slip passed construction on compounds."""
+    with pytest.raises(TypeError, match="boost must be a number"):
+        bad()
+
+
+# ---- review findings: self-merge guard must canonicalize paths ------------
+
+@pytest.mark.parametrize("spell", [
+    lambda d: "file://" + d,          # URI spelling of the same local dir
+    lambda d: d + "/",                # trailing slash
+    lambda d: d + "/../" + d.rsplit("/", 1)[1],  # relative hop
+])
+def test_merge_indexes_self_merge_guard_canonicalizes(spark, tmp_path, spell):
+    from whoosh_spark import store
+
+    dst = str(tmp_path / "ix2")
+    with pytest.raises(ValueError, match="must not be one of the sources"):
+        store.merge_indexes(spark, [str(tmp_path / "ix1"), spell(dst)], dst)
+
+
+# ---- review findings: merge-partition env override fails fast -------------
+
+@pytest.mark.parametrize("bad", ["0", "-3"])
+def test_merge_partitions_env_rejects_nonpositive(spark, tmp_path,
+                                                  monkeypatch, bad):
+    from whoosh_spark.store import _merge_partitions
+
+    monkeypatch.setenv("WHOOSH_MERGE_PARTITIONS", bad)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        _merge_partitions(spark, str(tmp_path))

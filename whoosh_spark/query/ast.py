@@ -133,6 +133,7 @@ class And(Query):
     def __init__(self, children, boost=1.0):
         object.__setattr__(self, "children", tuple(children))
         object.__setattr__(self, "boost", boost)
+        self.__post_init__()
 
     def normalize(self) -> Query:
         out = _norm_compound(And, self.children)
@@ -168,6 +169,7 @@ class Or(Query):
         object.__setattr__(self, "children", tuple(children))
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "minmatch", minmatch)
+        self.__post_init__()
 
     def normalize(self) -> Query:
         # minmatch > 1 counts matching CHILDREN, so hoisting a nested Or's
@@ -202,6 +204,7 @@ class DisMax(Query):
         object.__setattr__(self, "children", tuple(children))
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "tiebreak", tiebreak)
+        self.__post_init__()
 
     def normalize(self) -> Query:
         out = [c.normalize() for c in self.children]
@@ -309,6 +312,7 @@ class Sequence(Query):
         object.__setattr__(self, "children", tuple(children))
         object.__setattr__(self, "slop", slop)
         object.__setattr__(self, "boost", boost)
+        self.__post_init__()
 
     def normalize(self) -> Query:
         kids = tuple(c.normalize() for c in self.children)
@@ -456,6 +460,7 @@ class Phrase(Query):
         object.__setattr__(self, "fieldname", fieldname)
         object.__setattr__(self, "scoring", scoring)
         object.__setattr__(self, "analyzed", analyzed)
+        self.__post_init__()
 
     def normalize(self) -> Query:
         if self.analyzed:
@@ -670,6 +675,7 @@ class SpanOr(Query):
     def __init__(self, children, boost=1.0):
         object.__setattr__(self, "children", tuple(children))
         object.__setattr__(self, "boost", boost)
+        self.__post_init__()
 
     def terms(self):
         return [t for c in self.children for t in c.terms()]

@@ -135,6 +135,28 @@ def _drop_unstorable(df: DataFrame) -> DataFrame:
                      if f.dataType.typeName() == "binary"])
 
 
+def _merge_partitions(spark: SparkSession, analyzed_dir: str) -> tuple[int, int]:
+    """(n_part, analyzed_bytes) for the runs shuffle — sized by DATA VOLUME
+    (config.MERGE_PARTITION_BYTES), not core count: a core-pinned width makes
+    per-partition sort memory grow with the corpus until the external sort
+    spills (measured: per-doc merge cost x1.5 from 1M→10M docs at a fixed 40
+    partitions).  Shared by every path that re-merges analyzed segments
+    (write_index, compact_index, hence merge_indexes).  Env override
+    ``WHOOSH_MERGE_PARTITIONS`` for experiments."""
+    an_bytes = FS.dir_bytes(analyzed_dir)
+    env_n = os.environ.get("WHOOSH_MERGE_PARTITIONS")
+    if env_n:
+        n = int(env_n)
+        if n < 1:
+            raise ValueError(
+                f"WHOOSH_MERGE_PARTITIONS must be >= 1, got {env_n!r}")
+        return n, an_bytes
+    from whoosh_spark.config import MERGE_PARTITION_BYTES
+
+    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(conf_n, -(-an_bytes // MERGE_PARTITION_BYTES)), an_bytes
+
+
 def _rebalance(df: DataFrame, spark: SparkSession) -> DataFrame:
     """The analyzed table compresses ~10x, so its scan may yield far fewer
     splits than the cluster has cores — the merge would then run nearly
@@ -300,17 +322,7 @@ def write_index(
     analyzed = _rebalance(analyzed, spark)
     counts: dict[str, int] = {}
 
-    # Size the runs shuffle by data volume (config.MERGE_PARTITION_BYTES):
-    # a core-pinned partition count makes per-partition sort memory grow
-    # with the corpus and the external sort spill — the measured source of
-    # superlinear merge cost at 10M docs.  Env override for experiments.
-    an_bytes = FS.dir_bytes(FS.join(path, "analyzed"))
-    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    env_n = os.environ.get("WHOOSH_MERGE_PARTITIONS")
-    from whoosh_spark.config import MERGE_PARTITION_BYTES
-
-    merge_n = (int(env_n) if env_n
-               else max(conf_n, -(-an_bytes // MERGE_PARTITION_BYTES)))
+    merge_n, an_bytes = _merge_partitions(spark, FS.join(path, "analyzed"))
 
     def _chain_blocks() -> None:
         with _timed("blocks"):
@@ -546,8 +558,18 @@ def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
     """
     if len(src_paths) < 2:
         raise ValueError("merge_indexes needs at least two source indexes")
-    norm_dst = dst_path.rstrip("/")
-    if any(p.rstrip("/") == norm_dst for p in src_paths):
+
+    def _canon(p: str) -> str:
+        # 'file:///x', '/x' and a relative spelling of the same dir must all
+        # compare equal — a string-only guard lets a self-merge through and
+        # the in-place overwrite of dst's analyzed/ corrupts it
+        q = p[len("file://"):] if p.startswith("file://") else p
+        if not FS.is_uri(q):
+            q = os.path.abspath(q)
+        return q.rstrip("/")
+
+    norm_dst = _canon(dst_path)
+    if any(_canon(p) == norm_dst for p in src_paths):
         raise ValueError("dst_path must not be one of the sources — the "
                          "merge overwrites dst's analyzed segments in place")
     manifests = []
@@ -821,8 +843,12 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     deleted_dir = FS.join(path, "deleted")
     has_deleted = FS.isdir_nonempty(deleted_dir)
     if purge_deleted and has_deleted:
+        # no broadcast hint (same rule as merge_indexes._live_remapped): the
+        # overlay is usually tiny and AQE broadcasts it anyway, but a
+        # mass-delete overlay can be corpus-sized — a forced broadcast would
+        # OOM the driver exactly when the purge matters most
         dd = spark.read.parquet(deleted_dir).select("doc_id").distinct()
-        analyzed = analyzed.join(F.broadcast(dd), "doc_id", "left_anti")
+        analyzed = analyzed.join(dd, "doc_id", "left_anti")
         # The overlay can only be dropped once the purged docs are PHYSICALLY
         # gone from analyzed/ — otherwise any later compaction re-merges the
         # old segments with no overlay left and resurrects them.  Rewrite
@@ -845,7 +871,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
             # Characters segment is keyed by doc_id: rewrite it without the
             # purged docs so a later lookup can't see spans for ghosts
             kept = (spark.read.parquet(offsets_dir)
-                    .join(F.broadcast(dd), "doc_id", "left_anti"))
+                    .join(dd, "doc_id", "left_anti"))
             tmp_off = FS.join(path, "char_offsets_purge_tmp")
             kept.write.mode("overwrite").parquet(tmp_off)
             FS.rmtree(offsets_dir)
@@ -854,13 +880,15 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         if FS.isdir_nonempty(boosts_dir):
             # boost overlay is keyed by doc_id too: purge its ghost rows
             keptb = (spark.read.parquet(boosts_dir)
-                     .join(F.broadcast(dd), "doc_id", "left_anti"))
+                     .join(dd, "doc_id", "left_anti"))
             tmp_b = FS.join(path, "boosts_purge_tmp")
             keptb.write.mode("overwrite").parquet(tmp_b)
             FS.rmtree(boosts_dir)
             FS.rename(tmp_b, boosts_dir)
         FS.rmtree(deleted_dir)
-    blocks = B.posting_blocks_from_analyzed(analyzed, field)
+    # sized AFTER any purge rewrite so the width reflects the kept bytes
+    merge_n, _ = _merge_partitions(spark, FS.join(path, "analyzed"))
+    blocks = B.posting_blocks_from_analyzed(analyzed, field, n_part=merge_n)
     blocks.write.mode("overwrite").parquet(FS.join(path, "blocks"))
     blocks_r = spark.read.parquet(FS.join(path, "blocks"))
     B.term_stats(blocks_r).write.mode("overwrite").parquet(
@@ -875,6 +903,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
     _append_log(
         path, {"phase": "merge", "purge": bool(purge_deleted),
+               "merge_partitions": merge_n,
                "wall_ms": int(1000 * (time.perf_counter() - t0)), "ts": time.time()})
     fs_row = spark.read.parquet(FS.join(path, "field_stats")).collect()[0]
     manifest = {

@@ -98,6 +98,25 @@ def _ts_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _CACHE[key]
 
 
+def _pair_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with the adjacent-pair (nextword) phrase accelerator attached:
+    two-word slop-1 Phrases resolve their match set from the pair sub-index
+    and never decode positions (evaluate._eval_phrase_paired)."""
+    key = ("pairs", id(spark), sf_dir)
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _CACHE[key] = Searcher(InvertedIndex.build(docs, phrase_pairs=True))
+    return _CACHE[key]
+
+
+def _pair_q(query: Q.Query, k: int = 10) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _pair_searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(query), k)
+
+    return run
+
+
 def _ngram_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built with the NGRAMWORDS chain (substring search)."""
     key = ("ngram", id(spark), sf_dir)
@@ -183,6 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_rare_pruned": _q(Q.Phrase(["big", "dup"])),
         "phrase_slop2": _q(Q.Phrase(["big", "data"], slop=2)),
         "phrase_freq": _q(Q.Phrase(["big", "data"], scoring="freq")),
+        # same phrases THROUGH the adjacent-pair accelerator index — the
+        # oracle twins are phrase_2/phrase_freq's, proving the positional
+        # plan and the nextword plan are value-identical under DuckDB
+        "phrase_pair_accel": _pair_q(Q.Phrase(["big", "data"])),
+        "phrase_pair_freq": _pair_q(Q.Phrase(["big", "data"],
+                                             scoring="freq")),
         "sequence_prefix": _q(Q.Sequence([Q.Term("big"), Q.Prefix("da")])),
         "prefix": _q(Q.Prefix("qu")),
         "wildcard": _q(Q.Wildcard("d*a")),
@@ -1013,6 +1038,8 @@ def oracle_sql() -> dict[str, str]:
         "andmaybe": OSQL.andmaybe_sql("data", "vector"),
         "dismax": OSQL.dismax_sql(["data", "vector"], tiebreak=0.5),
         "phrase_2": OSQL.phrase_sql(["big", "data"]),
+        "phrase_pair_accel": OSQL.phrase_sql(["big", "data"]),
+        "phrase_pair_freq": OSQL.phrase_freq_sql(["big", "data"]),
         "phrase_rare_pruned": OSQL.phrase_sql(["big", "dup"]),
         "phrase_slop2": OSQL.phrase_sql(["big", "data"], slop=2),
         "phrase_freq": OSQL.phrase_freq_sql(["big", "data"]),

@@ -1,0 +1,179 @@
+"""Adjacent-pair (nextword) phrase accelerator.
+
+Design source: Williams, Zobel & Bahle, "Fast Phrase Querying with Combined
+Indexes" (ACM TOIS 2004).  The pair sub-index stores one frequency posting
+per doc per "a b" ordinal adjacency, so a two-word slop-1 Phrase resolves
+its match set — and for scoring='freq' its tf — without decoding any
+position stream.  Upstream has no such accelerator
+(``src/whoosh/query/positional.py::Phrase ≈L60`` always walks positions);
+results must be RANK-IDENTICAL to the positional plan either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from whoosh_spark import store
+from whoosh_spark.analysis.analyzers import analyze_text_adjacent_pairs
+from whoosh_spark.index import InvertedIndex
+from whoosh_spark.query import ast as Q
+from whoosh_spark.search import Searcher
+
+
+# ---- extractor semantics --------------------------------------------------
+
+def test_pairs_require_ordinal_adjacency():
+    # "the" is a stop word: removed but its position gap is preserved, so
+    # web..index are NOT adjacent and must not form a pair
+    toks, poss = analyze_text_adjacent_pairs("web the index")
+    assert toks == [] and poss == []
+
+
+def test_pairs_differ_from_biword_chain():
+    from whoosh_spark.analysis.analyzers import analyze_text_biword
+
+    # BiWordFilter (upstream parity) happily bridges the stop gap —
+    # exactly why it cannot serve as the slop-1 certificate
+    assert analyze_text_biword("web the index")[0] == ["web-index"]
+    assert analyze_text_adjacent_pairs("web index")[0] == ["web index"]
+
+
+def test_pairs_repeated_and_positions():
+    toks, poss = analyze_text_adjacent_pairs("data data data query")
+    assert toks == ["data data", "data data", "data query"]
+    assert poss == [0, 1, 2]
+
+
+# ---- rank identity vs the positional plan ---------------------------------
+
+@pytest.fixture(scope="module")
+def pair_ix(spark, sf0001_documents):
+    return InvertedIndex.build(sf0001_documents, phrase_pairs=True)
+
+
+@pytest.fixture(scope="module")
+def pair_searcher(pair_ix):
+    return Searcher(pair_ix)
+
+
+def _topk(s, q, k=10):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in s.search(q, limit=k).collect()]
+
+
+PHRASES = [
+    Q.Phrase(["big", "data"]),
+    Q.Phrase(["data", "data"]),            # repeated-word pair
+    Q.Phrase(["big", "data"], boost=2.5),
+    Q.Phrase(["big", "data"], scoring="freq"),
+    Q.Phrase(["data", "query"], scoring="freq"),
+    Q.Phrase(["zzz", "absent"]),           # pair nowhere in the corpus
+]
+
+
+@pytest.mark.parametrize("q", PHRASES, ids=[repr(p)[:40] for p in PHRASES])
+def test_pair_path_matches_positional(searcher, pair_searcher, q):
+    assert _topk(pair_searcher, q) == _topk(searcher, q)
+
+
+def test_pair_path_join_variant_matches(searcher, pair_searcher, monkeypatch):
+    """Force the large-match-set branch (equi-join instead of in-decoder
+    broadcast) and require identical results."""
+    from whoosh_spark import config
+
+    monkeypatch.setattr(config, "PHRASE_PRUNE_MAX_DF", 0)
+    q = Q.Phrase(["big", "data"])
+    assert _topk(pair_searcher, q) == _topk(searcher, q)
+
+
+@pytest.mark.parametrize("q", [
+    Q.Phrase(["big", "data"], slop=2),             # slop>1: not certified
+    Q.Phrase(["big", "data", "query"]),            # 3 words: not certified
+])
+def test_pair_path_not_routed_and_still_correct(searcher, pair_searcher, q):
+    ev = pair_searcher.ev
+    assert ev._eval_phrase_paired(
+        q, list(q.words), sorted(set(q.words)), ev._fkey(q.fieldname)) is None
+    assert _topk(pair_searcher, q) == _topk(searcher, q)
+
+
+def test_pair_plan_never_reads_positions(tmp_path, spark, sf0001_documents):
+    path = str(tmp_path / "pix")
+    store.write_index(sf0001_documents, path, phrase_pairs=True)
+    ix = store.load_index(spark, path)
+    assert ix.pairs is not None
+    df = Searcher(ix).search(Q.Phrase(["big", "data"]), limit=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "positions" not in plan
+    # and the results off the persisted accel index match the in-memory
+    # positional plan
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    assert _topk(Searcher(ix), Q.Phrase(["big", "data"])) == \
+        _topk(s0, Q.Phrase(["big", "data"]))
+
+
+# ---- lifecycle: attachment + invalidation ---------------------------------
+
+@pytest.fixture()
+def persisted_pair_ix(tmp_path, spark, sf0001_documents):
+    path = str(tmp_path / "ix")
+    store.write_index(sf0001_documents, path, phrase_pairs=True)
+    return path
+
+
+def _flag(path):
+    with open(os.path.join(path, "manifest.json")) as fh:
+        return json.load(fh).get("phrase_pairs", False)
+
+
+def test_delete_overlay_keeps_pairs_valid(spark, persisted_pair_ix,
+                                          sf0001_documents):
+    path = persisted_pair_ix
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    top = _topk(s0, Q.Phrase(["big", "data"]))
+    store.delete_documents(spark, path, [top[0][0]])
+    ix = store.load_index(spark, path)
+    assert ix.pairs is not None  # soft delete filters at query time
+    got = _topk(Searcher(ix), Q.Phrase(["big", "data"]))
+    assert top[0][0] not in [d for d, _ in got]
+    assert got == [t for t in _topk(s0, Q.Phrase(["big", "data"]), k=11)
+                   if t[0] != top[0][0]][:10]
+
+
+def test_upsert_invalidates_pairs(spark, persisted_pair_ix, sf0001_documents):
+    path = persisted_pair_ix
+    store.upsert_documents(spark, path,
+                           sf0001_documents.limit(2).select("source", "text"),
+                           key="source")
+    assert not _flag(path)
+    assert store.load_index(spark, path).pairs is None
+
+
+def test_purge_compact_invalidates_but_plain_compact_keeps(
+        spark, persisted_pair_ix):
+    path = persisted_pair_ix
+    store.compact_index(spark, path)
+    assert _flag(path)
+    assert store.load_index(spark, path).pairs is not None
+    store.delete_documents(spark, path, [0])
+    store.compact_index(spark, path, purge_deleted=True)
+    assert not _flag(path)
+    assert store.load_index(spark, path).pairs is None
+
+
+def test_merge_indexes_drops_stale_dst_pairs(spark, tmp_path,
+                                             sf0001_documents):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    dst = str(tmp_path / "dst")
+    docs = sf0001_documents.select("doc_id", "text")
+    store.write_index(docs.where("doc_id < 100"), a)
+    store.write_index(docs.where("doc_id >= 100 and doc_id < 200"), b)
+    # pre-existing accel segment at dst from an earlier generation
+    store.write_index(docs.where("doc_id >= 200"), dst, phrase_pairs=True)
+    store.merge_indexes(spark, [a, b], dst)
+    assert not _flag(dst)
+    assert store.load_index(spark, dst).pairs is None

@@ -386,6 +386,34 @@ def analyze_text_biword(text: str) -> tuple[list[str], list[int]]:
     return pairs, list(range(len(pairs)))
 
 
+def analyze_text_adjacent_pairs(text: str) -> tuple[list[str], list[int]]:
+    """Nextword/biword ACCELERATOR extractor (not an upstream chain): emits
+    one "a b" token per pair of standard-chain tokens at CONSECUTIVE ordinal
+    positions — an exact certificate for two-word slop-1 Phrase matches.
+
+    This differs from :func:`analyze_text_biword` on purpose: BiWordFilter
+    pairs adjacent *emitted* tokens, so a stop-word gap ("web the index")
+    still forms "web-index" — right for upstream's phrase-as-term fields,
+    wrong as a Phrase certificate (Phrase slop=1 honors the gap).  Here the
+    pair forms only when ``pos[i+1] == pos[i] + 1``, so pair-term postings
+    reproduce the Phrase(slop=1) doc set and per-doc occurrence count
+    exactly (including repeated-word pairs like "data data").
+
+    Design source: the published nextword-index technique for phrase
+    querying (Williams, Zobel & Bahle, "Fast Phrase Querying with Combined
+    Indexes", ACM TOIS 2004) — the separator is a space, which the
+    tokenizer can never emit inside a term.
+    """
+    toks, poss = analyze_text(text)
+    pairs: list[str] = []
+    ppos: list[int] = []
+    for i in range(len(toks) - 1):
+        if poss[i + 1] == poss[i] + 1:
+            pairs.append(f"{toks[i]} {toks[i+1]}")
+            ppos.append(poss[i])
+    return pairs, ppos
+
+
 def compound_split(token: str, wordset: frozenset | set,
                    keep_original: bool = True) -> list[str]:
     """CompoundWordFilter (``analysis/intraword.py::CompoundWordFilter
@@ -472,6 +500,7 @@ ANALYZERS: dict[str, object] = {
     "phonetic": analyze_text_phonetic,
     "ngram": analyze_text_ngram,
     "charset": analyze_text_charset,
+    "adjacent_pairs": analyze_text_adjacent_pairs,
 }
 
 

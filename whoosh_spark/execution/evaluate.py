@@ -783,6 +783,85 @@ class Evaluator:
             cand = cand.distinct()
         return [r[0] for r in cand.collect()]
 
+    def _eval_phrase_paired(self, q: Q.Phrase, words, uniq, fk):
+        """Nextword-index fast path for two-word slop-1 Phrases (Williams,
+        Zobel & Bahle, ACM TOIS 2004): the adjacent-pair sub-index
+        (``InvertedIndex.pairs``, built by ``analyze_text_adjacent_pairs``)
+        stores one frequency posting per doc per "a b" adjacency, so the
+        phrase MATCH SET — and for scoring='freq' the phrase tf — comes
+        from a single cheap term lookup.  The constituents' fat position
+        streams are never decoded, never cross Python→JVM, and the blocks
+        scan never reads the positions column; that decode is the dominant
+        query cost for hot-hot phrases, where the rare-slot candidate gate
+        (``_phrase_candidates``) cannot fire by design.
+
+        Returns None when the path doesn't apply (no pair index attached,
+        >2 words, slop>1) — the caller falls through to the positional
+        plan.  Results are rank-identical either way (pinned by tests)."""
+        ixf = self._ixf(fk)
+        pairs_ix = getattr(ixf, "pairs", None)
+        if pairs_ix is None or len(words) != 2 or q.slop != 1:
+            return None
+        from whoosh_spark.config import PHRASE_PRUNE_MAX_DF
+
+        pair = f"{words[0]} {words[1]}"
+        pstats = pairs_ix.stats_for_terms([pair])
+        if pair not in pstats:
+            return self._empty()  # no adjacency anywhere in the corpus
+        pair_df = int(pstats[pair]["df"])
+        if getattr(q, "scoring", "terms") == "freq":
+            # mirror of the positional freq plan: tf = adjacency count
+            # (the pair posting's tf), idf from the phrase's own df, dl
+            # from the MAIN field (the pair stream's dl is meaningless)
+            from whoosh_spark.execution.score import bm25_component
+
+            model = self._weighting_for(fk)
+            rev = model.startswith("reverse:")
+            if rev:
+                model = model[len("reverse:"):]
+            if model not in ("bm25", "tfidf", "frequency"):
+                raise ValueError(
+                    f"Phrase(scoring='freq') supports bm25/tfidf/frequency "
+                    f"weighting, not {model!r}")
+            n, avgdl = self._fglobal[fk]
+            b, fboost = self._bb(fk)
+            # same operation order as the in-plan F.log variant: both are
+            # IEEE-double ln(N/(df+1))+1
+            ptf = pairs_ix.postings([pair]).select(
+                "doc_id", F.col("tf").cast("int").alias("_ptf"))
+            idf = F.log(F.lit(float(n))
+                        / (F.lit(float(pair_df)) + F.lit(1.0))) + F.lit(1.0)
+            if model == "bm25":
+                comp = (bm25_component(F.col("_ptf"), F.col("dl"), avgdl)
+                        if b is None else
+                        bm25_component(F.col("_ptf"), F.col("dl"), avgdl,
+                                       b=float(b)))
+                expr = idf * comp
+            elif model == "tfidf":
+                expr = F.col("_ptf").cast("double") * idf
+            else:
+                expr = F.col("_ptf").cast("double")
+            if rev:
+                expr = F.lit(0.0) - expr
+            return (ptf.join(ixf.doc_lengths.select("doc_id", "dl"), "doc_id")
+                    .select("doc_id", (expr * float(fboost)).alias("score")))
+        # default scoring: sum of constituent term BM25 over the pair-
+        # certified docs.  Small match set → broadcast it INTO the decoder
+        # (same machinery as the rare-slot gate); large → frequency-decode
+        # the constituents and equi-join the pair doc set (still no
+        # positions anywhere in the plan).
+        pair_docs = pairs_ix.postings([pair]).select("doc_id")
+        if pair_df <= PHRASE_PRUNE_MAX_DF:
+            cand = [r[0] for r in pair_docs.collect()]
+            src = self._scored_terms(uniq, fk,
+                                     posts=ixf.postings(uniq,
+                                                        candidate_ids=cand))
+            return (src.groupBy("doc_id")
+                    .agg(F.sum("score").alias("score")))
+        src = self._scored_terms(uniq, fk)
+        return (src.groupBy("doc_id").agg(F.sum("score").alias("score"))
+                .join(pair_docs, "doc_id"))
+
     # -- Phrase: positional join (SURVEY.md §2.4 Phrase row) -------------
     def _eval_phrase(self, q: Q.Phrase) -> DataFrame:
         words = list(q.words)
@@ -790,6 +869,11 @@ class Evaluator:
         fk = self._fkey(q.fieldname)
         if any((fk, w) not in self._stats for w in uniq):
             return self._empty()
+        paired = self._eval_phrase_paired(q, words, uniq, fk)
+        if paired is not None:
+            if q.boost != 1.0:
+                paired = paired.withColumn("score", F.col("score") * q.boost)
+            return paired
         # ONE positions decode feeds BOTH the adjacency fold and the BM25
         # scoring pass; one groupBy(doc_id) computes every slot's positions
         # AND the doc score (no per-slot join chain, no second decode scan)

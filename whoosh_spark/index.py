@@ -61,6 +61,7 @@ class InvertedIndex:
         self.deleted = deleted  # (doc_id) soft-delete overlay, or None
         self.char_offsets = None  # Characters-format segment (chars.py), or None
         self.boosts = None  # sparse (term, doc_id, w) boost overlay (boosts.py)
+        self.pairs = None  # adjacent-pair (nextword) accel sub-index, or None
         self.analyzer = "standard"  # registry name of the analysis chain
         self.text_col = "text"  # stored source column the field was built from
         self.posting_format = "positions"  # Format name (formats.py)
@@ -104,6 +105,7 @@ class InvertedIndex:
         cache: bool = True,
         analyzer: str = "standard",
         format: str = "positions",
+        phrase_pairs: bool = False,
     ) -> "InvertedIndex":
         analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer,
                                    format=format)
@@ -129,6 +131,20 @@ class InvertedIndex:
         ix.text_col = text_col
         ix.posting_format = format
         ix._flat_postings = postings  # kept for build-invariance tests
+        if phrase_pairs:
+            if analyzer != "standard":
+                # the pair certificate is defined against the standard
+                # chain's (token, ordinal) stream; other chains would need
+                # their own pair extractor to stay exact
+                raise ValueError("phrase_pairs=True requires the standard "
+                                 "analyzer")
+            # adjacent-pair (nextword) accelerator: a frequency-format
+            # sub-index over "a b" pair terms — two-word slop-1 Phrases
+            # resolve their match set (and phrase tf) from it without ever
+            # decoding the constituent terms' position streams
+            ix.pairs = cls.build(docs, id_col, text_col, field, cache=cache,
+                                 analyzer="adjacent_pairs",
+                                 format="frequency")
         return ix
 
     # ------------------------------------------------------------------
@@ -283,6 +299,7 @@ class InvertedIndex:
         dropped attachment silently changes scoring/parsing semantics."""
         ix.char_offsets = self.char_offsets
         ix.boosts = self.boosts
+        ix.pairs = self.pairs
         ix.analyzer = self.analyzer
         ix.text_col = self.text_col
         ix.posting_format = self.posting_format

@@ -51,6 +51,7 @@ class FieldSpec:
     b: float | None = None
     boost: float = 1.0
     format: str = "positions"
+    pairs: bool = False  # adjacent-pair phrase accelerator for this field
 
 
 class MultiFieldIndex:
@@ -113,7 +114,8 @@ class MultiFieldIndex:
                     src = (col if any(c in spec.source for c in "*?[")
                            else spec.source)
                     specs[col] = FieldSpec(src, spec.analyzer, spec.b,
-                                           spec.boost, spec.format)
+                                           spec.boost, spec.format,
+                                           spec.pairs)
             if not specs:
                 raise ValueError(
                     f"no docs column matches schema globs {sorted(globs)}")
@@ -121,7 +123,8 @@ class MultiFieldIndex:
         indexes = {
             name: InvertedIndex.build(
                 docs, id_col=id_col, text_col=spec.source, field=name,
-                cache=cache, analyzer=spec.analyzer, format=spec.format)
+                cache=cache, analyzer=spec.analyzer, format=spec.format,
+                phrase_pairs=spec.pairs)
             for name, spec in specs.items()
         }
         stored = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs

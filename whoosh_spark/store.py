@@ -53,6 +53,7 @@ from whoosh_spark.config import TEXT_FIELD
 from whoosh_spark.index import InvertedIndex
 
 MANIFEST = "manifest.json"
+PAIR_DIR = "pair_index"  # adjacent-pair (nextword) phrase accelerator
 
 
 def manifest_analyzer(path: str) -> str:
@@ -135,6 +136,28 @@ def _drop_unstorable(df: DataFrame) -> DataFrame:
                      if f.dataType.typeName() == "binary"])
 
 
+def _drop_pair_index(path: str, reason: str) -> None:
+    """Invalidate the adjacent-pair accelerator segment.  Any operation
+    that changes the doc set (upsert, segment fold, merge, purge) leaves
+    the pair sub-index describing the OLD corpus — phrase queries routed
+    through a stale one would miss or mis-score matches, so the segment is
+    dropped (and the manifest flag cleared) rather than served stale;
+    rebuild with ``write_index(..., phrase_pairs=True)`` /
+    ``compact_index``."""
+    d = FS.join(path, PAIR_DIR)
+    if not FS.isdir_nonempty(d):
+        return
+    FS.rmtree(d)
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    if raw is not None:
+        manifest = json.loads(raw)
+        if manifest.pop("phrase_pairs", None):
+            FS.write_text_atomic(FS.join(path, MANIFEST),
+                                 json.dumps(manifest, indent=1))
+    _append_log(path, {"phase": "pair_drop", "reason": reason,
+                       "ts": time.time()})
+
+
 def _merge_partitions(spark: SparkSession, analyzed_dir: str) -> tuple[int, int]:
     """(n_part, analyzed_bytes) for the runs shuffle — sized by DATA VOLUME
     (config.MERGE_PARTITION_BYTES), not core count: a core-pinned width makes
@@ -182,6 +205,7 @@ def write_index(
     store_boosts: bool = False,
     max_batches: int | None = None,
     format: str = "positions",
+    phrase_pairs: bool = False,
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
 
@@ -415,6 +439,22 @@ def write_index(
          "analyzed_bytes": an_bytes, "ts": time.time()},
     )
 
+    # ---- adjacent-pair accelerator (opt-in, its own resumable build) -----
+    if phrase_pairs:
+        if analyzer != "standard":
+            raise ValueError("phrase_pairs=True requires analyzer='standard'"
+                             " — the pair certificate is defined against the"
+                             " standard chain's token/ordinal stream")
+        write_index(docs.select(F.col(id_col), F.col(text_col)),
+                    FS.join(path, PAIR_DIR), id_col=id_col,
+                    text_col=text_col, field=field, chunk_bits=chunk_bits,
+                    chunks_per_commit=chunks_per_commit,
+                    analyzer="adjacent_pairs", format="frequency")
+    else:
+        # same staleness rule as char_offsets/boosts: a previous generation
+        # at this path may have opted in — its pairs describe the OLD corpus
+        _drop_pair_index(path, "rebuild without phrase_pairs")
+
     # ---- manifest (atomic tmp+rename = TOC generation swap) --------------
     fs_row = spark.read.parquet(FS.join(path, "field_stats")).collect()[0]
     manifest = {
@@ -430,6 +470,7 @@ def write_index(
         "analyzer": analyzer,
         "text_col": text_col,
         "posting_format": format,
+        "phrase_pairs": phrase_pairs,
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -476,6 +517,13 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         spark.read.parquet(boosts_dir).select("term", "doc_id", "w")
         if FS.isdir_nonempty(boosts_dir) else None
     )
+    pair_dir = FS.join(path, PAIR_DIR)
+    if (manifest.get("phrase_pairs")
+            and FS.read_text(FS.join(pair_dir, MANIFEST)) is not None):
+        # the accel segment is only attached when BOTH manifests vouch for
+        # it (mutating writers clear the outer flag when they invalidate
+        # it; a crashed pair build leaves no inner manifest)
+        ix.pairs = load_index(spark, pair_dir)
     return ix
 
 
@@ -632,6 +680,9 @@ def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
     bid = f"merge-{int(time.time() * 1000)}"
     an_dir = FS.join(dst_path, "analyzed")
     FS.makedirs(an_dir)
+    # a pre-existing pair accelerator at dst describes a corpus this merge
+    # replaces — drop it before compact can re-vouch for the stale dir
+    _drop_pair_index(dst_path, "merge_indexes rewrites dst")
     (merged_an
      .withColumn("chunk", F.shiftright(F.col("doc_id"), DEFAULT_CHUNK_BITS))
      .write.mode("overwrite")
@@ -731,6 +782,8 @@ def commit_segments(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     pending = uncommitted_batches(path)
     if not pending:
         return {"committed": [], "n_new_docs": 0}
+    # the fold adds docs the pair accelerator has never seen — invalidate
+    _drop_pair_index(path, "commit_segments adds docs")
     an_dir = FS.join(path, "analyzed")
     delta = None
     for b in pending:
@@ -886,6 +939,9 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
             FS.rmtree(boosts_dir)
             FS.rename(tmp_b, boosts_dir)
         FS.rmtree(deleted_dir)
+        # the purge shrank the doc set but the pair accelerator's stats
+        # (phrase df -> freq-scoring idf) still count the ghosts — drop it
+        _drop_pair_index(path, "purge compaction changed the doc set")
     # sized AFTER any purge rewrite so the width reflects the kept bytes
     merge_n, _ = _merge_partitions(spark, FS.join(path, "analyzed"))
     blocks = B.posting_blocks_from_analyzed(analyzed, field, n_part=merge_n)
@@ -919,6 +975,10 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "analyzer": prev_analyzer,
         "text_col": prev_text_col,
         "posting_format": prev_fmt,
+        # a doc-set-preserving compaction keeps the pair accelerator valid
+        # (it is keyed by doc_id and content, both unchanged); the purge
+        # branch above already dropped it and its manifest flag
+        "phrase_pairs": FS.isdir_nonempty(FS.join(path, PAIR_DIR)),
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -936,6 +996,8 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     stored = spark.read.parquet(FS.join(path, "docs"))
     if key not in stored.columns:
         raise ValueError(f"stored docs have no unique key column {key!r}")
+    # new doc versions are invisible to the pair accelerator — invalidate
+    _drop_pair_index(path, "upsert adds docs")
     victims = (
         stored.join(F.broadcast(new_docs.select(key).distinct()), key, "left_semi")
         .select("doc_id")

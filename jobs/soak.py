@@ -254,6 +254,30 @@ def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
     out["query_p95"] = round(
         ps[f] + (ps[min(f + 1, len(ps) - 1)] - ps[f]) * (k - f), 3)
     out["wand_prune"] = _wand_prune(ix, s, ["data", "toward", "about"])
+    # optional adjacent-pair accelerator leg: attach the nextword segment
+    # to the already-built index, then time the SAME hot-hot phrase through
+    # the pair plan (positional timing is phrase_2 above)
+    if os.environ.get("SOAK_PAIRS", "0") == "1":
+        corpus = spark.read.parquet(
+            os.path.join(REPO, ".benchdata",
+                         f"soak_pages{ix.manifest['n_docs']}_v{VOCAB_MULT}"
+                         ".parquet"))
+        t0 = time.perf_counter()
+        store.build_pair_segment(spark, ix_dir, docs=corpus)
+        out["pair_build_wall_s"] = round(time.perf_counter() - t0, 1)
+        ixp = store.load_index(spark, ix_dir)
+        sp = Searcher(ixp)
+        for name, q in (("phrase_2_pair", Q.Phrase(["web", "index"])),
+                        ("phrase_2_pair_freq",
+                         Q.Phrase(["web", "index"], scoring="freq"))):
+            sp.search(q, limit=10).collect()
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                sp.search(q, limit=10).collect()
+                times.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(times), 3)
+            log(f"query {name}: {out[name]}s")
     return out
 
 

@@ -177,3 +177,25 @@ def test_merge_indexes_drops_stale_dst_pairs(spark, tmp_path,
     store.merge_indexes(spark, [a, b], dst)
     assert not _flag(dst)
     assert store.load_index(spark, dst).pairs is None
+
+
+def test_build_pair_segment_upgrades_existing_index(spark, tmp_path,
+                                                    sf0001_documents):
+    """The OPTIMIZE-style upgrade: attach the accelerator to an index built
+    without it; results must match the positional plan."""
+    path = str(tmp_path / "ix")
+    docs = sf0001_documents.select("doc_id", "text")
+    store.write_index(docs, path)
+    assert store.load_index(spark, path).pairs is None
+    # stored docs carry no text (store_text=False) -> must demand the corpus
+    with pytest.raises(ValueError, match="store_text"):
+        store.build_pair_segment(spark, path)
+    store.build_pair_segment(spark, path, docs=docs)
+    ix = store.load_index(spark, path)
+    assert ix.pairs is not None
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    assert _topk(Searcher(ix), Q.Phrase(["big", "data"])) == \
+        _topk(s0, Q.Phrase(["big", "data"]))
+    # idempotent: second call is a no-op, not a rebuild
+    m = store.build_pair_segment(spark, path, docs=docs)
+    assert m["phrase_pairs"] is True

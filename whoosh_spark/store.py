@@ -477,6 +477,44 @@ def write_index(
     return manifest
 
 
+def build_pair_segment(spark: SparkSession, path: str,
+                       docs: DataFrame | None = None) -> dict:
+    """Attach the adjacent-pair phrase accelerator to an EXISTING index
+    without rebuilding it (the OPTIMIZE-style upgrade path; equivalent to
+    having passed ``phrase_pairs=True`` to write_index).
+
+    ``docs``: the corpus (doc_id + text).  Defaults to the stored docs
+    table, which only carries text when the index was built with
+    ``store_text=True`` — pass the original corpus otherwise.
+    """
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    if raw is None:
+        raise FileNotFoundError(f"no {MANIFEST} under {path!r}")
+    manifest = json.loads(raw)
+    if manifest.get("phrase_pairs"):
+        return manifest
+    if manifest.get("analyzer", "standard") != "standard":
+        raise ValueError("the pair certificate is defined against the "
+                         "standard chain; this index was built with "
+                         f"analyzer={manifest.get('analyzer')!r}")
+    text_col = manifest.get("text_col", "text")
+    if docs is None:
+        docs = spark.read.parquet(FS.join(path, "docs"))
+        if text_col not in docs.columns:
+            raise ValueError(
+                f"stored docs carry no {text_col!r} column (index built "
+                "without store_text=True) — pass the original corpus as "
+                "docs=")
+    write_index(docs.select(F.col("doc_id"), F.col(text_col)),
+                FS.join(path, PAIR_DIR),
+                analyzer="adjacent_pairs", format="frequency")
+    manifest["phrase_pairs"] = True
+    manifest["generation"] = max(int(time.time()),
+                                 manifest.get("generation", -1) + 1)
+    FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
+    return manifest
+
+
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Open a persisted index (manifest-gated, like ``open_dir``)."""
     raw = FS.read_text(FS.join(path, MANIFEST))

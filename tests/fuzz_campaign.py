@@ -2,7 +2,11 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings] [--roundtrip]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings] [--roundtrip] [--pairs]
+
+``--pairs`` builds the index with the adjacent-pair accelerator
+(``phrase_pairs=True``) so every random two-word slop-1 phrase runs the
+nextword plan against the oracle instead of the positional fold.
 
 ``--prune`` forces the rare-slot candidate gate open (see
 whoosh_spark/config.py PHRASE_PRUNE_*) so every random positional query
@@ -307,9 +311,9 @@ def roundtrip_campaign(n: int, rng: random.Random,
     return fails
 
 
-def _build_single(spark):
+def _build_single(spark, pairs: bool = False):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    searcher = Searcher(InvertedIndex.build(docs))
+    searcher = Searcher(InvertedIndex.build(docs, phrase_pairs=pairs))
     rows = docs.select("doc_id", "text").collect()
     py = PyIndex([(int(r["doc_id"]), r["text"]) for r in rows])
     return searcher, py, [None]
@@ -358,6 +362,7 @@ def _run_many(searcher, py, batch: list[Q.Query]) -> list[str]:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     fielded = "--fields" in sys.argv[1:]
+    pairs = "--pairs" in sys.argv[1:]
     many = "--many" in sys.argv[1:]
     spans = "--spans" in sys.argv[1:]
     prune = "--prune" in sys.argv[1:]
@@ -375,7 +380,7 @@ def main() -> int:
     rng = random.Random(seed)
     print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many} "
           f"spans={spans} prune={prune} strings={strings} "
-          f"roundtrip={roundtrip}", flush=True)
+          f"roundtrip={roundtrip} pairs={pairs}", flush=True)
 
     if roundtrip:
         fnames = ["title", "body"] if fielded else []
@@ -383,8 +388,8 @@ def main() -> int:
 
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")
-    searcher, py, fields = (_build_fielded if fielded
-                            else _build_single)(spark)
+    searcher, py, fields = (_build_fielded(spark) if fielded
+                            else _build_single(spark, pairs=pairs))
 
     def _string_gen():
         from whoosh_spark.query.ast import NullQuery as _NQ

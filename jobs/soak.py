@@ -263,8 +263,13 @@ def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
                          f"soak_pages{ix.manifest['n_docs']}_v{VOCAB_MULT}"
                          ".parquet"))
         t0 = time.perf_counter()
-        store.build_pair_segment(spark, ix_dir, docs=corpus)
+        # hot-only pairs: constituents must clear PAIR_MIN_DF (default: the
+        # df region where neither the rare-slot gate nor WAND helps)
+        min_df = int(os.environ.get("SOAK_PAIR_MIN_DF", "100000"))
+        store.build_pair_segment(spark, ix_dir, docs=corpus,
+                                 pair_min_df=min_df)
         out["pair_build_wall_s"] = round(time.perf_counter() - t0, 1)
+        out["pair_min_df"] = min_df
         ixp = store.load_index(spark, ix_dir)
         sp = Searcher(ixp)
         for name, q in (("phrase_2_pair", Q.Phrase(["web", "index"])),

@@ -199,3 +199,57 @@ def test_build_pair_segment_upgrades_existing_index(spark, tmp_path,
     # idempotent: second call is a no-op, not a rebuild
     m = store.build_pair_segment(spark, path, docs=docs)
     assert m["phrase_pairs"] is True
+
+
+# ---- hot-only pair segment (pair_min_df) ----------------------------------
+
+def test_hot_pairs_extractor_filters_both_sides():
+    from whoosh_spark.analysis.analyzers import make_hot_pairs_fn
+
+    fn = make_hot_pairs_fn(frozenset({"data", "query"}))
+    toks, poss = fn("data query rareword data")
+    assert toks == ["data query"] and poss == [0]
+
+
+def test_pair_min_df_routes_only_hot_phrases(spark, searcher,
+                                             sf0001_documents):
+    """With a high threshold, below-threshold phrases take the positional
+    plan (router returns None); hot-hot phrases route through the pair
+    segment — and both give rank-identical results."""
+    ixh = InvertedIndex.build(sf0001_documents, phrase_pairs=True,
+                              pair_min_df=100)
+    sh = Searcher(ixh)
+    dfs = {t: st["df"] for t, st in
+           ixh.stats_for_terms(["big", "data", "the"]).items()}
+    hot = [t for t in ("big", "data", "the") if dfs.get(t, 0) >= 100]
+    cold = [t for t in ("big", "data") if dfs.get(t, 0) < 100]
+    assert len(hot) >= 2, f"fixture assumption broke: dfs={dfs}"
+    q_hot = Q.Phrase(hot[:2])
+    assert _topk(sh, q_hot) == _topk(searcher, q_hot)
+    if cold:
+        q_cold = Q.Phrase([cold[0], hot[0]])
+        ev = sh.ev
+        ev._prime_stats(q_cold)
+        assert ev._eval_phrase_paired(
+            q_cold, list(q_cold.words), sorted(set(q_cold.words)),
+            ev._fkey(None)) is None
+        assert _topk(sh, q_cold) == _topk(searcher, q_cold)
+
+
+def test_pair_min_df_persisted_roundtrip(spark, tmp_path, sf0001_documents):
+    path = str(tmp_path / "ix")
+    docs = sf0001_documents.select("doc_id", "text")
+    store.write_index(docs, path, phrase_pairs=True, pair_min_df=50)
+    ix = store.load_index(spark, path)
+    assert ix.pair_min_df == 50
+    assert ix.pairs is not None
+    # hot-hot phrase through the persisted hot-only segment
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    q = Q.Phrase(["big", "data"])
+    assert _topk(Searcher(ix), q) == _topk(s0, q)
+    # the hot-only dictionary must be strictly smaller than the full one
+    full = str(tmp_path / "full")
+    store.write_index(docs, full, phrase_pairs=True)
+    n_hot = store.load_index(spark, path).pairs.term_stats.count()
+    n_full = store.load_index(spark, full).pairs.term_stats.count()
+    assert 0 < n_hot < n_full

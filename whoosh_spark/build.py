@@ -51,7 +51,8 @@ RUNS_SCHEMA = T.StructType(
 
 def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   analyzer: str = "standard",
-                  format: str = "positions") -> DataFrame:
+                  format: str = "positions",
+                  analyzer_fn=None) -> DataFrame:
     """(doc_id, len_raw, dl, terms, tfs, positions) — one row per input doc.
 
     ``terms`` are the doc's distinct post-analysis tokens (first-occurrence
@@ -65,7 +66,14 @@ def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
     )
-    if analyzer == "standard":
+    if analyzer_fn is not None:
+        # parameterized chain (e.g. the hot-filtered pair extractor, whose
+        # hot set comes from another index's stats) — ``analyzer`` stays
+        # the RECORDED name, the callable does the work
+        from whoosh_spark.analysis.udfs import make_analyze_batches
+
+        fn = make_analyze_batches(analyzer_fn)
+    elif analyzer == "standard":
         fn = analyze_batches_arrow
     else:
         from whoosh_spark.analysis.analyzers import ANALYZERS

@@ -802,6 +802,12 @@ class Evaluator:
         pairs_ix = getattr(ixf, "pairs", None)
         if pairs_ix is None or len(words) != 2 or q.slop != 1:
             return None
+        # hot-only pair segment (pair_min_df > 0): pairs with a below-
+        # threshold constituent were never indexed — those phrases take the
+        # positional plan, where the rare-slot gate usually fires anyway
+        thr = getattr(ixf, "pair_min_df", 0)
+        if thr and min(self._stats[(fk, w)]["df"] for w in uniq) < thr:
+            return None
         from whoosh_spark.config import PHRASE_PRUNE_MAX_DF
 
         pair = f"{words[0]} {words[1]}"

@@ -62,6 +62,7 @@ class InvertedIndex:
         self.char_offsets = None  # Characters-format segment (chars.py), or None
         self.boosts = None  # sparse (term, doc_id, w) boost overlay (boosts.py)
         self.pairs = None  # adjacent-pair (nextword) accel sub-index, or None
+        self.pair_min_df = 0  # pairs indexed only for constituents df >= this
         self.analyzer = "standard"  # registry name of the analysis chain
         self.text_col = "text"  # stored source column the field was built from
         self.posting_format = "positions"  # Format name (formats.py)
@@ -106,6 +107,7 @@ class InvertedIndex:
         analyzer: str = "standard",
         format: str = "positions",
         phrase_pairs: bool = False,
+        pair_min_df: int = 0,
     ) -> "InvertedIndex":
         analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer,
                                    format=format)
@@ -141,10 +143,38 @@ class InvertedIndex:
             # adjacent-pair (nextword) accelerator: a frequency-format
             # sub-index over "a b" pair terms — two-word slop-1 Phrases
             # resolve their match set (and phrase tf) from it without ever
-            # decoding the constituent terms' position streams
-            ix.pairs = cls.build(docs, id_col, text_col, field, cache=cache,
-                                 analyzer="adjacent_pairs",
-                                 format="frequency")
+            # decoding the constituent terms' position streams.  At
+            # pair_min_df > 0 only hot×hot pairs are indexed (the rare-slot
+            # gate already covers rare-constituent phrases) — the query
+            # router checks the same threshold against the same stats.
+            if pair_min_df > 0:
+                from whoosh_spark.analysis.analyzers import make_hot_pairs_fn
+                from whoosh_spark.build import analyzed_docs as _adocs
+
+                hot = frozenset(
+                    r["term"] for r in tstats.where(
+                        F.col("df") >= pair_min_df).select("term").collect())
+                pair_an = _adocs(docs, id_col, text_col,
+                                 format="frequency",
+                                 analyzer_fn=make_hot_pairs_fn(hot))
+                if cache:
+                    pair_an = pair_an.cache()
+                pblocks = B.posting_blocks_from_analyzed(pair_an, field)
+                if cache:
+                    pblocks = pblocks.cache()
+                sub = cls(docs.sparkSession, pblocks,
+                          B.term_stats(pblocks),
+                          B.field_stats(B.doc_lengths(pair_an), field),
+                          B.doc_lengths(pair_an), field=field)
+                sub.analyzer = "adjacent_pairs"
+                sub.posting_format = "frequency"
+                ix.pairs = sub
+                ix.pair_min_df = int(pair_min_df)
+            else:
+                ix.pairs = cls.build(docs, id_col, text_col, field,
+                                     cache=cache,
+                                     analyzer="adjacent_pairs",
+                                     format="frequency")
         return ix
 
     # ------------------------------------------------------------------
@@ -300,6 +330,7 @@ class InvertedIndex:
         ix.char_offsets = self.char_offsets
         ix.boosts = self.boosts
         ix.pairs = self.pairs
+        ix.pair_min_df = self.pair_min_df
         ix.analyzer = self.analyzer
         ix.text_col = self.text_col
         ix.posting_format = self.posting_format

@@ -136,6 +136,25 @@ def _drop_unstorable(df: DataFrame) -> DataFrame:
                      if f.dataType.typeName() == "binary"])
 
 
+def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
+    """Pair extractor for the accel build: full bigrams at threshold 0,
+    else only hot×hot pairs (constituent df ≥ pair_min_df, taken from the
+    MAIN index's term_stats — the same stats the query router checks).  The
+    unfiltered bigram dictionary is ~an order of magnitude bigger than the
+    unigram one (measured: pair merge 11× the main merge at 1M docs);
+    rare-constituent phrases never route here, so indexing their pairs buys
+    nothing."""
+    if pair_min_df <= 0:
+        return None  # registry "adjacent_pairs" chain (all pairs)
+    from whoosh_spark.analysis.analyzers import make_hot_pairs_fn
+
+    ts = spark.read.parquet(FS.join(path, "term_stats"))
+    hot = frozenset(
+        r["term"] for r in
+        ts.where(F.col("df") >= pair_min_df).select("term").collect())
+    return make_hot_pairs_fn(hot)
+
+
 def _drop_pair_index(path: str, reason: str) -> None:
     """Invalidate the adjacent-pair accelerator segment.  Any operation
     that changes the doc set (upsert, segment fold, merge, purge) leaves
@@ -206,6 +225,8 @@ def write_index(
     max_batches: int | None = None,
     format: str = "positions",
     phrase_pairs: bool = False,
+    pair_min_df: int = 0,
+    _analyzer_fn=None,
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
 
@@ -289,7 +310,8 @@ def write_index(
         part = src.where(rng_pred)
         analyzed = B.analyzed_docs(part, id_col, text_col,
                                    analyzer=analyzer,
-                                   format=format).withColumn(
+                                   format=format,
+                                   analyzer_fn=_analyzer_fn).withColumn(
             "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
         )
         batch_dir = FS.join(path, "analyzed", f"batch={bid}")
@@ -449,7 +471,8 @@ def write_index(
                     FS.join(path, PAIR_DIR), id_col=id_col,
                     text_col=text_col, field=field, chunk_bits=chunk_bits,
                     chunks_per_commit=chunks_per_commit,
-                    analyzer="adjacent_pairs", format="frequency")
+                    analyzer="adjacent_pairs", format="frequency",
+                    _analyzer_fn=_hot_pairs_fn(spark, path, pair_min_df))
     else:
         # same staleness rule as char_offsets/boosts: a previous generation
         # at this path may have opted in — its pairs describe the OLD corpus
@@ -471,6 +494,7 @@ def write_index(
         "text_col": text_col,
         "posting_format": format,
         "phrase_pairs": phrase_pairs,
+        "pair_min_df": int(pair_min_df) if phrase_pairs else 0,
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -478,7 +502,8 @@ def write_index(
 
 
 def build_pair_segment(spark: SparkSession, path: str,
-                       docs: DataFrame | None = None) -> dict:
+                       docs: DataFrame | None = None,
+                       pair_min_df: int = 0) -> dict:
     """Attach the adjacent-pair phrase accelerator to an EXISTING index
     without rebuilding it (the OPTIMIZE-style upgrade path; equivalent to
     having passed ``phrase_pairs=True`` to write_index).
@@ -507,8 +532,10 @@ def build_pair_segment(spark: SparkSession, path: str,
                 "docs=")
     write_index(docs.select(F.col("doc_id"), F.col(text_col)),
                 FS.join(path, PAIR_DIR),
-                analyzer="adjacent_pairs", format="frequency")
+                analyzer="adjacent_pairs", format="frequency",
+                _analyzer_fn=_hot_pairs_fn(spark, path, pair_min_df))
     manifest["phrase_pairs"] = True
+    manifest["pair_min_df"] = int(pair_min_df)
     manifest["generation"] = max(int(time.time()),
                                  manifest.get("generation", -1) + 1)
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -562,6 +589,7 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         # it (mutating writers clear the outer flag when they invalidate
         # it; a crashed pair build leaves no inner manifest)
         ix.pairs = load_index(spark, pair_dir)
+        ix.pair_min_df = int(manifest.get("pair_min_df", 0))
     return ix
 
 
@@ -1017,6 +1045,9 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         # (it is keyed by doc_id and content, both unchanged); the purge
         # branch above already dropped it and its manifest flag
         "phrase_pairs": FS.isdir_nonempty(FS.join(path, PAIR_DIR)),
+        "pair_min_df": (int(json.loads(_raw).get("pair_min_df", 0))
+                        if _raw and FS.isdir_nonempty(FS.join(path, PAIR_DIR))
+                        else 0),
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))

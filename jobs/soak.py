@@ -263,9 +263,10 @@ def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
                          f"soak_pages{ix.manifest['n_docs']}_v{VOCAB_MULT}"
                          ".parquet"))
         t0 = time.perf_counter()
-        # hot-only pairs: constituents must clear PAIR_MIN_DF (default: the
-        # df region where neither the rare-slot gate nor WAND helps)
-        min_df = int(os.environ.get("SOAK_PAIR_MIN_DF", "100000"))
+        # hot-only pairs: constituents must clear PAIR_MIN_DF.  Default is
+        # a FRACTION of the corpus (2% of docs) so the indexed head stays
+        # scale-stable; values >= 1 are absolute dfs
+        min_df = float(os.environ.get("SOAK_PAIR_MIN_DF", "0.02"))
         store.build_pair_segment(spark, ix_dir, docs=corpus,
                                  pair_min_df=min_df)
         out["pair_build_wall_s"] = round(time.perf_counter() - t0, 1)

@@ -253,3 +253,18 @@ def test_pair_min_df_persisted_roundtrip(spark, tmp_path, sf0001_documents):
     n_hot = store.load_index(spark, path).pairs.term_stats.count()
     n_full = store.load_index(spark, full).pairs.term_stats.count()
     assert 0 < n_hot < n_full
+
+
+def test_fractional_pair_min_df_resolves_to_absolute(spark, tmp_path,
+                                                     sf0001_documents):
+    """pair_min_df in (0,1) means df >= frac*N, resolved and stored as an
+    absolute df so the router needs no corpus size."""
+    path = str(tmp_path / "ix")
+    store.write_index(sf0001_documents.select("doc_id", "text"), path,
+                      phrase_pairs=True, pair_min_df=0.1)
+    ix = store.load_index(spark, path)
+    n = int(ix.manifest["n_docs"])
+    assert ix.pair_min_df == max(1, int(0.1 * n))
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    q = Q.Phrase(["big", "data"])
+    assert _topk(Searcher(ix), q) == _topk(s0, q)

@@ -107,7 +107,7 @@ class InvertedIndex:
         analyzer: str = "standard",
         format: str = "positions",
         phrase_pairs: bool = False,
-        pair_min_df: int = 0,
+        pair_min_df: float = 0,
     ) -> "InvertedIndex":
         analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer,
                                    format=format)
@@ -151,6 +151,8 @@ class InvertedIndex:
                 from whoosh_spark.analysis.analyzers import make_hot_pairs_fn
                 from whoosh_spark.build import analyzed_docs as _adocs
 
+                if pair_min_df < 1:  # fraction of N (see store.py)
+                    pair_min_df = max(1, int(pair_min_df * analyzed.count()))
                 hot = frozenset(
                     r["term"] for r in tstats.where(
                         F.col("df") >= pair_min_df).select("term").collect())

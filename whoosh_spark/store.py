@@ -136,6 +136,20 @@ def _drop_unstorable(df: DataFrame) -> DataFrame:
                      if f.dataType.typeName() == "binary"])
 
 
+def _resolve_pair_min_df(spark: SparkSession, path: str,
+                         pair_min_df: float) -> int:
+    """A fractional threshold (0 < v < 1) means "df ≥ v·N" — an absolute df
+    covers an ever-larger vocabulary share as the corpus grows (100k is the
+    10% head at 1M docs but the 0.1% head at 100M), so the scale-stable
+    spelling is a fraction of the doc count.  Resolved to an absolute df at
+    build time and stored resolved, so the query router needs no N."""
+    if 0 < pair_min_df < 1:
+        n = int(spark.read.parquet(
+            FS.join(path, "field_stats")).collect()[0]["doc_count"])
+        return max(1, int(pair_min_df * n))
+    return int(pair_min_df)
+
+
 def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     """Pair extractor for the accel build: full bigrams at threshold 0,
     else only hot×hot pairs (constituent df ≥ pair_min_df, taken from the
@@ -225,7 +239,7 @@ def write_index(
     max_batches: int | None = None,
     format: str = "positions",
     phrase_pairs: bool = False,
-    pair_min_df: int = 0,
+    pair_min_df: float = 0,
     _analyzer_fn=None,
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
@@ -467,6 +481,7 @@ def write_index(
             raise ValueError("phrase_pairs=True requires analyzer='standard'"
                              " — the pair certificate is defined against the"
                              " standard chain's token/ordinal stream")
+        pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
         write_index(docs.select(F.col(id_col), F.col(text_col)),
                     FS.join(path, PAIR_DIR), id_col=id_col,
                     text_col=text_col, field=field, chunk_bits=chunk_bits,
@@ -503,7 +518,7 @@ def write_index(
 
 def build_pair_segment(spark: SparkSession, path: str,
                        docs: DataFrame | None = None,
-                       pair_min_df: int = 0) -> dict:
+                       pair_min_df: float = 0) -> dict:
     """Attach the adjacent-pair phrase accelerator to an EXISTING index
     without rebuilding it (the OPTIMIZE-style upgrade path; equivalent to
     having passed ``phrase_pairs=True`` to write_index).
@@ -530,6 +545,7 @@ def build_pair_segment(spark: SparkSession, path: str,
                 f"stored docs carry no {text_col!r} column (index built "
                 "without store_text=True) — pass the original corpus as "
                 "docs=")
+    pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
     write_index(docs.select(F.col("doc_id"), F.col(text_col)),
                 FS.join(path, PAIR_DIR),
                 analyzer="adjacent_pairs", format="frequency",

@@ -52,6 +52,44 @@ class FieldSpec:
     boost: float = 1.0
     format: str = "positions"
     pairs: bool = False  # adjacent-pair phrase accelerator for this field
+    pair_min_df: float = 0  # hot-only pair threshold (fraction of N if <1)
+
+
+def resolve_specs(docs: DataFrame, fields: dict[str, "FieldSpec | str"],
+                  id_col: str = "doc_id") -> dict[str, FieldSpec]:
+    """Expand a user schema into concrete per-field specs.
+
+    Glob/dynamic fields (``fields.py::Schema.add("*_tag", glob=True)
+    ≈L1250``): a field NAME containing ``* ? [`` is a pattern — it expands
+    over the docs table's string columns (the Spark analog of "any document
+    field matching the glob gets this FieldType"), skipping ``id_col`` and
+    explicitly declared fields.  Shared by the in-memory build and the
+    persisted writer so both resolve globs identically."""
+    explicit = {}
+    globs = {}
+    for name, spec in fields.items():
+        spec = spec if isinstance(spec, FieldSpec) else FieldSpec(spec)
+        (globs if any(c in name for c in "*?[") else explicit)[name] = spec
+    specs = dict(explicit)
+    if globs:
+        import fnmatch
+
+        str_cols = [f.name for f in docs.schema.fields
+                    if f.dataType.simpleString() == "string"
+                    and f.name != id_col]
+        for pat, spec in globs.items():
+            for col in str_cols:
+                if col in specs or not fnmatch.fnmatchcase(col, pat):
+                    continue
+                src = (col if any(c in spec.source for c in "*?[")
+                       else spec.source)
+                specs[col] = FieldSpec(src, spec.analyzer, spec.b,
+                                       spec.boost, spec.format,
+                                       spec.pairs, spec.pair_min_df)
+        if not specs:
+            raise ValueError(
+                f"no docs column matches schema globs {sorted(globs)}")
+    return specs
 
 
 class MultiFieldIndex:
@@ -95,36 +133,13 @@ class MultiFieldIndex:
         the pattern (or any glob) as ``source`` to mean "the matched
         column".
         """
-        explicit = {}
-        globs = {}
-        for name, spec in fields.items():
-            spec = spec if isinstance(spec, FieldSpec) else FieldSpec(spec)
-            (globs if any(c in name for c in "*?[") else explicit)[name] = spec
-        specs = dict(explicit)
-        if globs:
-            import fnmatch
-
-            str_cols = [f.name for f in docs.schema.fields
-                        if f.dataType.simpleString() == "string"
-                        and f.name != id_col]
-            for pat, spec in globs.items():
-                for col in str_cols:
-                    if col in specs or not fnmatch.fnmatchcase(col, pat):
-                        continue
-                    src = (col if any(c in spec.source for c in "*?[")
-                           else spec.source)
-                    specs[col] = FieldSpec(src, spec.analyzer, spec.b,
-                                           spec.boost, spec.format,
-                                           spec.pairs)
-            if not specs:
-                raise ValueError(
-                    f"no docs column matches schema globs {sorted(globs)}")
+        specs = resolve_specs(docs, fields, id_col)
         default_field = default_field or next(iter(specs))
         indexes = {
             name: InvertedIndex.build(
                 docs, id_col=id_col, text_col=spec.source, field=name,
                 cache=cache, analyzer=spec.analyzer, format=spec.format,
-                phrase_pairs=spec.pairs)
+                phrase_pairs=spec.pairs, pair_min_df=spec.pair_min_df)
             for name, spec in specs.items()
         }
         stored = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
@@ -145,7 +160,14 @@ class MultiFieldIndex:
         stale field re-opened at its latest committed generation."""
         if self.up_to_date():
             return self
-        fresh = {name: ix.refresh() for name, ix in self.indexes.items()}
+        fresh = {}
+        for name, ix in self.indexes.items():
+            nx = ix.refresh()
+            if nx is not ix and nx.docs is None:
+                # family sub-index (write_stored=False): the stored table
+                # lives at the family root, re-attach it on reopen
+                nx.docs = self.docs
+            fresh[name] = nx
         return MultiFieldIndex(self.spark, fresh, self.specs, self.docs,
                                self.default_field)
 

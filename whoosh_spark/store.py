@@ -240,6 +240,7 @@ def write_index(
     format: str = "positions",
     phrase_pairs: bool = False,
     pair_min_df: float = 0,
+    write_stored: bool = True,
     _analyzer_fn=None,
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
@@ -434,7 +435,10 @@ def write_index(
             token_boost_overlay(docs, id_col, text_col).write.mode(
                 "overwrite").parquet(FS.join(path, "boosts"))
 
-    chains = [_chain_blocks, _chain_lengths, _chain_docs]
+    # write_stored=False: a family writer (write_multifield_index) stores
+    # docs ONCE at the family root instead of once per field sub-index
+    chains = ([_chain_blocks, _chain_lengths, _chain_docs] if write_stored
+              else [_chain_blocks, _chain_lengths])
     offsets_dir = FS.join(path, "char_offsets")
     if store_offsets:
         chains.append(_chain_chars)
@@ -558,6 +562,88 @@ def build_pair_segment(spark: SparkSession, path: str,
     return manifest
 
 
+SCHEMA_FILE = "_schema.json"
+
+
+def write_multifield_index(docs: DataFrame, path: str,
+                           fields: dict, id_col: str = "doc_id",
+                           default_field: str | None = None,
+                           store_text: bool = False) -> dict:
+    """Persist a multi-field schema index — the ``create_in(dir,
+    Schema(title=TEXT, body=TEXT))`` analog (``src/whoosh/index.py::
+    create_in ≈L60`` + ``fields.py::Schema ≈L1200``).
+
+    Layout::
+
+        <path>/_schema.json      resolved schema (globs expanded), default
+                                 field, id column — written LAST (commit)
+        <path>/fields/<name>/    one full single-field index per field
+                                 (resumable builds; no per-field stored
+                                 docs — write_stored=False)
+        <path>/docs/             stored fields ONCE for the whole family
+
+    ``fields`` maps field name → FieldSpec (or source-column shorthand);
+    glob field names expand against the docs columns exactly as the
+    in-memory ``MultiFieldIndex.build`` does (shared ``resolve_specs``).
+    """
+    from whoosh_spark.multifield import resolve_specs
+
+    specs = resolve_specs(docs, fields, id_col)
+    default_field = default_field or next(iter(specs))
+    if default_field not in specs:
+        raise ValueError(f"default_field {default_field!r} not in schema")
+    for name, spec in specs.items():
+        write_index(docs, FS.join(path, "fields", name), id_col=id_col,
+                    text_col=spec.source, field=name,
+                    analyzer=spec.analyzer, format=spec.format,
+                    phrase_pairs=spec.pairs, pair_min_df=spec.pair_min_df,
+                    write_stored=False)
+    stored = docs if store_text else docs.drop(
+        *{s.source for s in specs.values()})
+    stored = _drop_unstorable(stored)
+    if id_col != "doc_id":
+        stored = stored.withColumnRenamed(id_col, "doc_id")
+    stored.write.mode("overwrite").parquet(FS.join(path, "docs"))
+    schema = {
+        "format": "whoosh-spark-multifield/1",
+        "default_field": default_field,
+        "id_col": id_col,
+        "store_text": store_text,
+        "fields": {name: {"source": s.source, "analyzer": s.analyzer,
+                          "b": s.b, "boost": s.boost, "format": s.format,
+                          "pairs": s.pairs, "pair_min_df": s.pair_min_df}
+                   for name, s in specs.items()},
+    }
+    FS.write_text_atomic(FS.join(path, SCHEMA_FILE),
+                         json.dumps(schema, indent=1))
+    return schema
+
+
+def load_multifield_index(spark: SparkSession, path: str):
+    """Open a persisted schema index (``open_dir`` for multi-field) —
+    attaches the family's shared stored table to every field sub-index."""
+    from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
+
+    raw = FS.read_text(FS.join(path, SCHEMA_FILE))
+    if raw is None:
+        raise FileNotFoundError(
+            f"no {SCHEMA_FILE} under {path!r}: not a multifield index, or "
+            f"a build crashed before the schema commit (re-run "
+            f"write_multifield_index to resume the field builds)")
+    schema = json.loads(raw)
+    stored = spark.read.parquet(FS.join(path, "docs"))
+    specs = {n: FieldSpec(**d) for n, d in schema["fields"].items()}
+    indexes = {}
+    for name in specs:
+        ix = load_index(spark, FS.join(path, "fields", name))
+        ix.docs = stored
+        indexes[name] = ix
+    mix = MultiFieldIndex(spark, indexes, specs, stored,
+                          schema["default_field"])
+    mix.path = path
+    return mix
+
+
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     """Open a persisted index (manifest-gated, like ``open_dir``)."""
     raw = FS.read_text(FS.join(path, MANIFEST))
@@ -573,13 +659,17 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         if FS.isdir_nonempty(deleted_dir)
         else None
     )
+    docs_dir = FS.join(path, "docs")
     ix = InvertedIndex(
         spark,
         blocks=spark.read.parquet(FS.join(path, "blocks")),
         term_stats=spark.read.parquet(FS.join(path, "term_stats")),
         field_stats=spark.read.parquet(FS.join(path, "field_stats")),
         doc_lengths=spark.read.parquet(FS.join(path, "doc_lengths")),
-        docs=spark.read.parquet(FS.join(path, "docs")),
+        # absent when written with write_stored=False (family sub-index;
+        # the family loader attaches the shared stored table)
+        docs=(spark.read.parquet(docs_dir)
+              if FS.isdir_nonempty(docs_dir) else None),
         field=manifest["field"],
         deleted=deleted,
     )

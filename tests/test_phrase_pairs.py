@@ -15,6 +15,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from whoosh_spark import store
 from whoosh_spark.analysis.analyzers import analyze_text_adjacent_pairs
@@ -268,3 +269,79 @@ def test_fractional_pair_min_df_resolves_to_absolute(spark, tmp_path,
     s0 = Searcher(InvertedIndex.build(sf0001_documents))
     q = Q.Phrase(["big", "data"])
     assert _topk(Searcher(ix), q) == _topk(s0, q)
+
+
+# ---- review-finding regressions -------------------------------------------
+
+def test_build_pair_segment_nondefault_text_col(spark, tmp_path,
+                                                sf0001_documents):
+    """The upgrade path must honor the index's declared text column."""
+    docs = sf0001_documents.selectExpr("doc_id", "text as body")
+    path = str(tmp_path / "ix")
+    store.write_index(docs, path, text_col="body")
+    store.build_pair_segment(spark, path, docs=docs)
+    ix = store.load_index(spark, path)
+    assert ix.pairs is not None
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    assert _topk(Searcher(ix), Q.Phrase(["big", "data"])) == \
+        _topk(s0, Q.Phrase(["big", "data"]))
+
+
+def test_threshold_change_rebuilds_pair_checkpoints(spark, tmp_path,
+                                                    sf0001_documents):
+    """Re-opting-in with a DIFFERENT pair_min_df must not resume checkpoints
+    extracted under the old hot set (they pair different tokens)."""
+    docs = sf0001_documents.select("doc_id", "text")
+    path = str(tmp_path / "ix")
+    # first build: threshold so high nothing is hot -> empty pair dict
+    store.write_index(docs, path, phrase_pairs=True, pair_min_df=10**9)
+    ix = store.load_index(spark, path)
+    assert ix.pairs.term_stats.count() == 0
+    # rebuild at threshold 0: checkpoints must be wiped, full pairs appear
+    store.write_index(docs, path, phrase_pairs=True, pair_min_df=0)
+    ix2 = store.load_index(spark, path)
+    assert ix2.pair_min_df == 0
+    assert ix2.pairs.term_stats.count() > 0
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    assert _topk(Searcher(ix2), Q.Phrase(["big", "data"])) == \
+        _topk(s0, Q.Phrase(["big", "data"]))
+
+
+def test_pair_subindex_writes_no_stored_docs(spark, tmp_path,
+                                             sf0001_documents):
+    path = str(tmp_path / "ix")
+    store.write_index(sf0001_documents.select("doc_id", "text"), path,
+                      phrase_pairs=True)
+    assert not os.path.exists(os.path.join(path, "pair_index", "docs"))
+    assert store.load_index(spark, path).pairs is not None
+
+
+def test_compact_with_uncommitted_segments_drops_pairs(spark, tmp_path,
+                                                       sf0001_documents):
+    """A compaction that folds pending micro-segments changes the doc set —
+    it must invalidate the pair accelerator, not re-vouch for it."""
+    import shutil as _sh
+
+    docs = sf0001_documents.select("doc_id", "text")
+    path = str(tmp_path / "ix")
+    store.write_index(docs.where("doc_id < 400"), path, phrase_pairs=True)
+    assert store.load_index(spark, path).pairs is not None
+    # simulate a streamed micro-segment: analyzed batch dir + analyze log
+    # record with no commit/merge after it
+    from whoosh_spark import build as B
+
+    delta = B.analyzed_docs(docs.where("doc_id >= 400"))
+    bid = "stream-test"
+    delta.withColumn("chunk", F.lit(-1)).write.parquet(
+        os.path.join(path, "analyzed", f"batch={bid}"))
+    store._append_log(path, {"phase": "analyze", "batch": bid, "chunks": [],
+                             "counters": {}, "wall_ms": 0, "ts": 0})
+    assert store.uncommitted_batches(path) == [bid]
+    store.compact_index(spark, path)
+    assert not _flag(path)
+    ix = store.load_index(spark, path)
+    assert ix.pairs is None
+    # and the folded docs are searchable positionally
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    assert _topk(Searcher(ix), Q.Phrase(["big", "data"])) == \
+        _topk(s0, Q.Phrase(["big", "data"]))

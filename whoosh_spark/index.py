@@ -164,10 +164,12 @@ class InvertedIndex:
                 pblocks = B.posting_blocks_from_analyzed(pair_an, field)
                 if cache:
                     pblocks = pblocks.cache()
+                ptstats = B.term_stats(pblocks)
+                plengths = B.doc_lengths(pair_an)
                 sub = cls(docs.sparkSession, pblocks,
-                          B.term_stats(pblocks),
-                          B.field_stats(B.doc_lengths(pair_an), field),
-                          B.doc_lengths(pair_an), field=field)
+                          ptstats.cache() if cache else ptstats,
+                          B.field_stats(plengths, field),
+                          plengths, field=field)
                 sub.analyzer = "adjacent_pairs"
                 sub.posting_format = "frequency"
                 ix.pairs = sub

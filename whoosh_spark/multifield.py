@@ -105,6 +105,7 @@ class MultiFieldIndex:
         self.specs = specs
         self.docs = docs
         self.default_field = default_field
+        self.path = None  # family root when opened from disk (store.py)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -168,8 +169,10 @@ class MultiFieldIndex:
                 # lives at the family root, re-attach it on reopen
                 nx.docs = self.docs
             fresh[name] = nx
-        return MultiFieldIndex(self.spark, fresh, self.specs, self.docs,
-                               self.default_field)
+        out = MultiFieldIndex(self.spark, fresh, self.specs, self.docs,
+                              self.default_field)
+        out.path = self.path
+        return out
 
     # ------------------------------------------------------------------
     def index_for(self, field: str | None) -> InvertedIndex:

@@ -150,6 +150,23 @@ def _resolve_pair_min_df(spark: SparkSession, path: str,
     return int(pair_min_df)
 
 
+def _prepare_pair_dir(path: str, pair_min_df: int) -> None:
+    """The pair build's resume guard covers analyzer/format but not the hot
+    set — checkpoints extracted under a DIFFERENT threshold pair different
+    tokens, so reusing them records the new threshold over old pairs (the
+    router would then return wrong empties).  A meta file inside the pair
+    dir pins the threshold; a mismatch wipes the dir before the build."""
+    meta_path = FS.join(path, PAIR_DIR, "_pair_meta.json")
+    raw = FS.read_text(meta_path)
+    if raw is not None and json.loads(raw).get("pair_min_df") == pair_min_df:
+        return
+    if FS.isdir_nonempty(FS.join(path, PAIR_DIR)):
+        FS.rmtree(FS.join(path, PAIR_DIR))
+    FS.makedirs(FS.join(path, PAIR_DIR))
+    FS.write_text_atomic(meta_path,
+                         json.dumps({"pair_min_df": pair_min_df}))
+
+
 def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     """Pair extractor for the accel build: full bigrams at threshold 0,
     else only hot×hot pairs (constituent df ≥ pair_min_df, taken from the
@@ -486,11 +503,13 @@ def write_index(
                              " — the pair certificate is defined against the"
                              " standard chain's token/ordinal stream")
         pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
+        _prepare_pair_dir(path, pair_min_df)
         write_index(docs.select(F.col(id_col), F.col(text_col)),
                     FS.join(path, PAIR_DIR), id_col=id_col,
                     text_col=text_col, field=field, chunk_bits=chunk_bits,
                     chunks_per_commit=chunks_per_commit,
                     analyzer="adjacent_pairs", format="frequency",
+                    write_stored=False,
                     _analyzer_fn=_hot_pairs_fn(spark, path, pair_min_df))
     else:
         # same staleness rule as char_offsets/boosts: a previous generation
@@ -550,14 +569,16 @@ def build_pair_segment(spark: SparkSession, path: str,
                 "without store_text=True) — pass the original corpus as "
                 "docs=")
     pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
+    _prepare_pair_dir(path, pair_min_df)
     write_index(docs.select(F.col("doc_id"), F.col(text_col)),
-                FS.join(path, PAIR_DIR),
+                FS.join(path, PAIR_DIR), text_col=text_col,
+                field=manifest.get("field", TEXT_FIELD),
                 analyzer="adjacent_pairs", format="frequency",
+                write_stored=False,
                 _analyzer_fn=_hot_pairs_fn(spark, path, pair_min_df))
     manifest["phrase_pairs"] = True
     manifest["pair_min_df"] = int(pair_min_df)
-    manifest["generation"] = max(int(time.time()),
-                                 manifest.get("generation", -1) + 1)
+    manifest["generation"] = _next_generation(path)
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
     return manifest
 
@@ -1062,6 +1083,11 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     _raw = FS.read_text(FS.join(path, MANIFEST))
     prev_text_col = (json.loads(_raw).get("text_col", "text")
                      if _raw else "text")
+    if uncommitted_batches(path):
+        # this compaction folds streamed micro-segments the pair
+        # accelerator has never seen — a "doc-set-preserving" compaction
+        # it is not; drop the segment rather than re-vouch for it
+        _drop_pair_index(path, "compaction folds uncommitted segments")
     analyzed = _rebalance(
         spark.read.parquet(FS.join(path, "analyzed")).drop("chunk", "batch"),
         spark)
@@ -1149,10 +1175,14 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "posting_format": prev_fmt,
         # a doc-set-preserving compaction keeps the pair accelerator valid
         # (it is keyed by doc_id and content, both unchanged); the purge
-        # branch above already dropped it and its manifest flag
-        "phrase_pairs": FS.isdir_nonempty(FS.join(path, PAIR_DIR)),
+        # and uncommitted-fold branches above already dropped it.  Vouch
+        # only for a COMPLETE segment (inner manifest present — a crashed
+        # pair build leaves none)
+        "phrase_pairs": FS.read_text(
+            FS.join(path, PAIR_DIR, MANIFEST)) is not None,
         "pair_min_df": (int(json.loads(_raw).get("pair_min_df", 0))
-                        if _raw and FS.isdir_nonempty(FS.join(path, PAIR_DIR))
+                        if _raw and FS.read_text(
+                            FS.join(path, PAIR_DIR, MANIFEST)) is not None
                         else 0),
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }

@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_pair_accel": _pair_q(Q.Phrase(["big", "data"])),
         "phrase_pair_freq": _pair_q(Q.Phrase(["big", "data"],
                                              scoring="freq")),
+        # two single-term slots at slop 1 ≡ the Phrase plan — routed
+        # through the same pair segment, same DuckDB twin
+        "sequence_pair_accel": _pair_q(
+            Q.Sequence([Q.Term("big"), Q.Term("data")])),
         "sequence_prefix": _q(Q.Sequence([Q.Term("big"), Q.Prefix("da")])),
         "prefix": _q(Q.Prefix("qu")),
         "wildcard": _q(Q.Wildcard("d*a")),
@@ -1040,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_2": OSQL.phrase_sql(["big", "data"]),
         "phrase_pair_accel": OSQL.phrase_sql(["big", "data"]),
         "phrase_pair_freq": OSQL.phrase_freq_sql(["big", "data"]),
+        "sequence_pair_accel": OSQL.phrase_sql(["big", "data"]),
         "phrase_rare_pruned": OSQL.phrase_sql(["big", "dup"]),
         "phrase_slop2": OSQL.phrase_sql(["big", "data"], slop=2),
         "phrase_freq": OSQL.phrase_freq_sql(["big", "data"]),

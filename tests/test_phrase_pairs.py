@@ -345,3 +345,39 @@ def test_compact_with_uncommitted_segments_drops_pairs(spark, tmp_path,
     s0 = Searcher(InvertedIndex.build(sf0001_documents))
     assert _topk(Searcher(ix), Q.Phrase(["big", "data"])) == \
         _topk(s0, Q.Phrase(["big", "data"]))
+
+
+# ---- Sequence routing through the pair path -------------------------------
+
+SEQS = [
+    Q.Sequence([Q.Term("big"), Q.Term("data")]),
+    Q.Sequence([Q.Term("big"), Q.Term("data")], boost=2.0),
+    Q.Sequence([Q.Term("data"), Q.Term("data")]),      # dup term: slot
+    # weights differ from Phrase's uniq-sum -> must NOT route
+    Q.Sequence([Q.Term("big", 2.0), Q.Term("data")]),  # slot boost: no route
+    Q.Sequence([Q.Term("big"), Q.Prefix("da")]),       # multiterm slot
+    Q.Sequence([Q.Term("big"), Q.Term("data")], slop=2),
+]
+
+
+@pytest.mark.parametrize("q", SEQS, ids=[repr(s)[:45] for s in SEQS])
+def test_sequence_pair_routing_matches_positional(searcher, pair_searcher, q):
+    assert _topk(pair_searcher, q) == _topk(searcher, q)
+
+
+def test_sequence_routes_only_plain_two_term(pair_searcher, monkeypatch):
+    ev = pair_searcher.ev
+    calls = []
+    orig = type(ev)._eval_phrase_paired
+
+    def spy(self, q, words, uniq, fk):
+        out = orig(self, q, words, uniq, fk)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(type(ev), "_eval_phrase_paired", spy)
+    ev.evaluate(Q.Sequence([Q.Term("big"), Q.Term("data")])).collect()
+    assert calls == [True]  # routed through the pair plan
+    calls.clear()
+    ev.evaluate(Q.Sequence([Q.Term("big"), Q.Term("data")], slop=2)).collect()
+    assert calls == []      # gate skipped: positional plan stands

@@ -675,6 +675,22 @@ class Evaluator:
         all_terms = sorted(wmap)
         self._stats.update(
             {(fk, t): v for t, v in ixf.stats_for_terms(all_terms).items()})
+        # two single-term slots at slop 1 with no gates/boosts have exactly
+        # Phrase's match set and terms scoring — route through the
+        # adjacent-pair accelerator when one is attached (saves BOTH decode
+        # scans this plan would otherwise run: positions + scoring)
+        if (q.slop == 1 and len(slots) == 2 and not gates
+                and all(len(s) == 1 for s in slots)
+                and all(w == 1.0 for w in wmap.values())):
+            words = [slots[0][0], slots[1][0]]
+            paired = self._eval_phrase_paired(
+                Q.Phrase(words, 1, analyzed=True),
+                words, sorted(set(words)), fk)
+            if paired is not None:
+                if q.boost != 1.0:
+                    paired = paired.withColumn(
+                        "score", F.col("score") * q.boost)
+                return paired
         pos = ixf.postings(
             all_terms, with_positions=True,
             candidate_ids=self._phrase_candidates(slots, fk)).select(

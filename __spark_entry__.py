@@ -968,33 +968,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("s_start", "event_type"),
     )
     # Driver-sample rotation manifest: the driver's correctness gate samples
-    # the FIRST ~50 keys, so ordering IS coverage policy.  Tiered rotation:
-    #   tier 0 — keys the driver TOUCHED in r01 but could not hash-verify
-    #            (rows-only / err back then; all since fixed + oracled) —
-    #            these have a red history, so they get driver slots first;
-    #   tier 1 — keys the driver has never sampled at all (round-3
-    #            additions + everything outside the r01/r02 samples);
-    #   tier 2 — keys hash-green only in r01, whose implementations may
-    #            have evolved since (e.g. dedup_embedding's bucketed swap);
-    #   tier 3 — the 50 keys hash-green in r02, rotated to the back.
+    # the FIRST ~50 keys, so ordering IS coverage policy.  Tiered rotation,
+    # weakest-evidence-first:
+    #   tier 0 — keys the driver has NEVER hash-sampled in any round
+    #            (r01∪r02∪r03 miss) — the 22-entry evidence gap VERDICT r03
+    #            flags; sampling these closes 132/132 hard driver coverage;
+    #   tier 1 — keys hash-green only in r01 (oldest evidence; impls may
+    #            have evolved since, e.g. dedup_embedding's bucketed swap);
+    #   tier 2 — keys hash-green in r02 (not re-sampled since);
+    #   tier 3 — the 50 keys hash-green in r03, rotated to the back.
     # After each round, fold that round's sampled keys into the manifest
     # below so the front stays weakest-evidence-first until every entry has
     # hard driver evidence.
     def _tier(k: str) -> int:
-        if k in _R01_UNVERIFIED:
-            return 0
-        if k in _R01_GREEN:
-            return 2
-        if k in _R02_GREEN:
+        if k in _R03_GREEN:
             return 3
-        return 1
+        if k in _R02_GREEN:
+            return 2
+        if k in _R01_GREEN or k in _R01_UNVERIFIED:
+            return 1
+        return 0
 
     ordered = sorted(out, key=lambda k: (_tier(k), list(out).index(k)))
     return {k: out[k] for k in ordered}
 
 
-# r01 sampled these but recorded err/no-oracle (all fixed + oracled since);
-# the fixed versions have never been driver-hash-verified
+# r01 sampled these but recorded err/no-oracle; the fixed versions were
+# hash-verified green by the driver in r03 (CORRECTNESS_r03.json)
 _R01_UNVERIFIED = frozenset([
     "dedup_simhash", "multimodal_decode", "multimodal_meta", "sim_ann_lsh",
     "text_winnow",
@@ -1021,6 +1021,24 @@ _R02_GREEN = frozenset([
     "doc_lengths", "spelling", "key_terms", "key_terms_bo1", "key_terms_kl",
     "correct_query", "more_like", "highlight_upper", "highlight_chars",
     "range_facet_nchars", "query_facet", "numeric_range",
+])
+
+# keys hash-verified by the driver in CORRECTNESS_r03 (all 50 green there)
+_R03_GREEN = frozenset([
+    "biword_term", "boosted_term", "charset_term", "custom_collector",
+    "date_range", "dedup_simhash", "facet_daterange", "facet_function",
+    "facet_multi", "facet_stored_split", "fielded_and", "glob_fielded_and",
+    "highlight_pinpoint", "matched_terms", "multifield_or",
+    "multimodal_decode", "multimodal_meta", "nested_children",
+    "nested_parent", "ngram_substring", "parsed_datetime", "parsed_dismax",
+    "parsed_field_group", "parsed_gtlt", "parsed_nl_date",
+    "parsed_nl_date_2", "parsed_plusminus", "parsed_regex",
+    "phrase_pair_accel", "phrase_pair_freq", "phrase_rare_pruned", "regex",
+    "sequence_pair_accel", "sim_ann_lsh", "span_before", "span_condition",
+    "span_contains", "span_first", "span_near2", "span_near_unordered",
+    "span_not", "span_or", "text_winnow", "variations", "weighted_subtree",
+    "weighting_dfree", "weighting_frequency", "weighting_pl2",
+    "weighting_reverse", "weighting_tfidf",
 ])
 
 

@@ -208,6 +208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_pair_accel": _pair_q(Q.Phrase(["big", "data"])),
         "phrase_pair_freq": _pair_q(Q.Phrase(["big", "data"],
                                              scoring="freq")),
+        # 3-word slop-1 phrase THROUGH the chained pair-candidate gate
+        # (evaluate._pair_candidates — WZB combined-index chaining): the
+        # rarest adjacent pair's doc set prunes the positional verify
+        # inside the decoder; oracle is the plain positional phrase SQL
+        "phrase_3_pair": _pair_q(Q.Phrase(["big", "order", "scan"])),
+        "phrase_3_pair_freq": _pair_q(Q.Phrase(["big", "order", "scan"],
+                                               scoring="freq")),
         # two single-term slots at slop 1 ≡ the Phrase plan — routed
         # through the same pair segment, same DuckDB twin
         "sequence_pair_accel": _pair_q(
@@ -1062,6 +1069,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_2": OSQL.phrase_sql(["big", "data"]),
         "phrase_pair_accel": OSQL.phrase_sql(["big", "data"]),
         "phrase_pair_freq": OSQL.phrase_freq_sql(["big", "data"]),
+        "phrase_3_pair": OSQL.phrase_sql(["big", "order", "scan"]),
+        "phrase_3_pair_freq": OSQL.phrase_freq_sql(["big", "order", "scan"]),
         "sequence_pair_accel": OSQL.phrase_sql(["big", "data"]),
         "phrase_rare_pruned": OSQL.phrase_sql(["big", "dup"]),
         "phrase_slop2": OSQL.phrase_sql(["big", "data"], slop=2),

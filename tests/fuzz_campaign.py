@@ -231,10 +231,13 @@ def rand_qpair(rng: random.Random, fieldnames: list[str],
             s = w + (f"^{b}" if b else "")
             q = Q.Term(w, b or 1.0, fieldname=eff)
         elif r < 0.45:
-            w2 = rng.choice(SAFE_VOCAB[:10])
-            sl = rng.choice([1, 2, 3])
-            s = f'"{w} {w2}"' + (f"~{sl}" if sl > 1 else "")
-            q = Q.Phrase([w, w2], slop=sl, fieldname=eff)
+            # 2- and 3-word phrases: the 3-word slop-1 shape exercises the
+            # chained pair-candidate gate on a --pairs index
+            ws = [w] + [rng.choice(SAFE_VOCAB[:10])
+                        for _ in range(rng.randint(1, 2))]
+            sl = rng.choice([1, 1, 2, 3])
+            s = '"' + " ".join(ws) + '"' + (f"~{sl}" if sl > 1 else "")
+            q = Q.Phrase(ws, slop=sl, fieldname=eff)
         elif r < 0.58:
             p = rng.choice(PREFIXES)
             s = p + "*"

@@ -381,3 +381,85 @@ def test_sequence_routes_only_plain_two_term(pair_searcher, monkeypatch):
     calls.clear()
     ev.evaluate(Q.Sequence([Q.Term("big"), Q.Term("data")], slop=2)).collect()
     assert calls == []      # gate skipped: positional plan stands
+
+
+# ---- chained pair-candidate gate (k-word slop-1, round 4) ------------------
+
+PHRASES_3 = [
+    Q.Phrase(["big", "data", "query"]),
+    Q.Phrase(["big", "data", "data"]),          # repeated word
+    Q.Phrase(["big", "data", "query"], boost=2.0),
+    Q.Phrase(["big", "data", "query"], scoring="freq"),
+    Q.Phrase(["big", "data", "query", "table"]),  # 4 words
+    Q.Phrase(["big", "data", "zzz"]),           # absent word
+]
+
+
+@pytest.mark.parametrize("q", PHRASES_3,
+                         ids=[" ".join(p.words) + getattr(p, "scoring", "")
+                              for p in PHRASES_3])
+def test_three_word_pair_gate_matches_positional(searcher, pair_searcher, q):
+    assert _topk(pair_searcher, q) == _topk(searcher, q)
+
+
+def test_three_word_gate_fires_and_prunes(pair_searcher, monkeypatch):
+    """The k-word path must actually route through _pair_candidates (not
+    just fall back to the positional plan)."""
+    ev = pair_searcher.ev
+    got = []
+    orig = type(ev)._pair_candidates
+
+    def spy(self, words, fk):
+        out = orig(self, words, fk)
+        got.append(out)
+        return out
+
+    monkeypatch.setattr(type(ev), "_pair_candidates", spy)
+    rows = ev.evaluate(Q.Phrase(["big", "data", "query"])).collect()
+    assert len(got) == 1 and isinstance(got[0], list) and len(got[0]) > 0
+    # candidate set is the rarest pair's doc set: strictly fewer docs than
+    # the hottest constituent's df
+    st = pair_searcher.ix.stats_for_terms(["big", "data", "query"])
+    assert len(got[0]) <= min(v["df"] for v in st.values())
+    # and the positional verify still runs exactly over it
+    assert all(int(r["doc_id"]) in set(got[0]) for r in rows)
+
+
+def test_three_word_sequence_gate(searcher, pair_searcher):
+    q = Q.Sequence([Q.Term("big"), Q.Term("data"), Q.Term("query")])
+    assert _topk(pair_searcher, q) == _topk(searcher, q)
+
+
+def test_absent_adjacency_is_exact_empty_proof(spark):
+    """Corpus where every adjacent pair of the query exists somewhere but
+    the full phrase nowhere ("a b" in doc0, "b c" in doc1): the gate must
+    keep candidates from pair postings and the verify must reject them —
+    and when a pair is absent corpus-wide the result is empty, exactly."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma delta"),
+         (2, "alpha beta delta")],
+        ["doc_id", "text"])
+    sp = Searcher(InvertedIndex.build(docs, phrase_pairs=True))
+    s0 = Searcher(InvertedIndex.build(docs))
+    # pairs "alpha beta" and "beta delta" both exist, phrase only in doc2
+    q = Q.Phrase(["alpha", "beta", "delta"])
+    assert _topk(sp, q) == _topk(s0, q)
+    assert [d for d, _ in _topk(sp, q)] == [2]
+    # "delta alpha" never adjacent -> [] proof, no positional decode
+    q2 = Q.Phrase(["beta", "delta", "alpha"])
+    assert _topk(sp, q2) == _topk(s0, q2) == []
+
+
+def test_hot_only_segment_mixed_phrase_still_exact(spark, sf0001_documents):
+    """Hot-only pair segment + a phrase containing a cold word: cold pairs
+    were never indexed, so their absence must NOT be taken as an empty
+    proof; ranking must match the positional plan."""
+    ixh = InvertedIndex.build(sf0001_documents, phrase_pairs=True,
+                              pair_min_df=100)
+    s0 = Searcher(InvertedIndex.build(sf0001_documents))
+    sh = Searcher(ixh)
+    st = ixh.stats_for_terms(["big", "data", "dup"])
+    assert st["dup"]["df"] < 100 <= min(st["big"]["df"], st["data"]["df"])
+    for q in (Q.Phrase(["big", "data", "dup"]),
+              Q.Phrase(["dup", "big", "data"])):
+        assert _topk(sh, q) == _topk(s0, q)

@@ -414,7 +414,7 @@ def analyze_text_adjacent_pairs(text: str) -> tuple[list[str], list[int]]:
     return pairs, ppos
 
 
-def make_hot_pairs_fn(hot: frozenset):
+def make_hot_pairs_fn(hot):
     """Hot-constituent variant of :func:`analyze_text_adjacent_pairs`: emit
     a pair only when BOTH constituents are in ``hot`` (terms with df ≥ the
     index's ``pair_min_df``).  Rare-constituent phrases are already fast via
@@ -423,8 +423,17 @@ def make_hot_pairs_fn(hot: frozenset):
     (tens of millions at 1M docs; measured 11× the main index's merge cost)
     to the frequent-word head, the same restriction the combined-index
     literature applies.  The query router enforces the matching condition
-    (both query-term dfs ≥ pair_min_df) before using the segment."""
+    (both query-term dfs ≥ pair_min_df) before using the segment.
+
+    ``hot`` may be a frozenset or a pyspark ``Broadcast`` of one: a small
+    fractional threshold over a large vocabulary can make the set hundreds
+    of MB, and a plain closure capture would re-pickle it into EVERY task —
+    the broadcast spelling ships it once per executor (resolved lazily on
+    first call, then cached in the closure cell)."""
     def fn(text: str) -> tuple[list[str], list[int]]:
+        nonlocal hot
+        if hasattr(hot, "value"):  # pyspark Broadcast → resolve once/task
+            hot = hot.value
         toks, poss = analyze_text(text)
         pairs: list[str] = []
         ppos: list[int] = []

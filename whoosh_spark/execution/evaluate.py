@@ -691,9 +691,19 @@ class Evaluator:
                     paired = paired.withColumn(
                         "score", F.col("score") * q.boost)
                 return paired
+        # same gate cascade as Phrase: pair chain (all-single-term slots at
+        # slop 1), else rare-slot.  Multiterm slots can't use the pair
+        # index (a slot's pairs would be the cross product of its terms)
+        cand = None
+        if q.slop == 1 and all(len(s) == 1 for s in slots):
+            cand = self._pair_candidates([s[0] for s in slots], fk)
+            if cand == []:
+                return self._empty()
+        if cand is None:
+            cand = self._phrase_candidates(slots, fk)
         pos = ixf.postings(
             all_terms, with_positions=True,
-            candidate_ids=self._phrase_candidates(slots, fk)).select(
+            candidate_ids=cand).select(
             "term", "doc_id", "positions")
         # ONE groupBy(doc_id): every slot's positions as a conditional
         # aggregate over the same decoded scan (see _slot_agg) — empty
@@ -799,6 +809,57 @@ class Evaluator:
             cand = cand.distinct()
         return [r[0] for r in cand.collect()]
 
+    def _pair_candidates(self, words: list[str], fk) -> list[int] | None:
+        """Adjacent-pair candidate gate for k-word slop-1 phrases (the WZB
+        combined-index chaining step, ACM TOIS 2004 §4: resolve long
+        phrases by intersecting nextword entries).
+
+        A slop-1 match of ``w0 .. w(k-1)`` puts every adjacent pair
+        ``"wi wi+1"`` in the doc, so each pair's doc set is a SUPERSET of
+        the phrase's — and ``df(pair) <= min(df(a), df(b))``, so the
+        rarest pair is at least as selective as the rarest constituent
+        (strictly more for hot-hot phrases, where the rare-slot gate can't
+        fire by design).  Returns the rarest pair's doc ids for a broadcast
+        membership filter inside the Arrow decoder; the positional plan
+        then verifies exactly over that set.  ``[]`` means a pair is absent
+        from the whole corpus — exact proof of zero matches at slop 1.
+        On a hot-only segment (pair_min_df > 0) only pairs whose BOTH
+        constituents are hot were indexed, so cold-constituent pairs are
+        skipped: their absence proves nothing, and only indexed pairs may
+        serve as candidates or absence proofs.  Returns None when no pair
+        segment is attached, no adjacent pair is indexable, or the rarest
+        indexable pair is too frequent to collect."""
+        from whoosh_spark.config import PHRASE_PRUNE_MAX_DF
+
+        ixf = self._ixf(fk)
+        pairs_ix = getattr(ixf, "pairs", None)
+        if pairs_ix is None or len(words) < 2:
+            return None
+        thr = getattr(ixf, "pair_min_df", 0)
+
+        def _hot(w: str) -> bool:
+            return not thr or self._stats[(fk, w)]["df"] >= thr
+
+        pair_terms = sorted({f"{a} {b}" for a, b in zip(words, words[1:])
+                             if _hot(a) and _hot(b)})
+        if not pair_terms:
+            return None
+        pstats = pairs_ix.stats_for_terms(pair_terms)
+        if any(p not in pstats for p in pair_terms):
+            return []
+        rarest = min(pair_terms, key=lambda p: int(pstats[p]["df"]))
+        rarest_df = int(pstats[rarest]["df"])
+        if rarest_df > PHRASE_PRUNE_MAX_DF:
+            return None
+        # df(pair) <= min df of ITS constituents, but a cold word outside
+        # every indexable pair can still be rarer — defer to the rare-slot
+        # gate when its set would be strictly smaller and collectable
+        min_word_df = min(self._stats[(fk, w)]["df"] for w in set(words))
+        if min_word_df < rarest_df and min_word_df <= PHRASE_PRUNE_MAX_DF:
+            return None
+        return [r[0] for r in
+                pairs_ix.postings([rarest]).select("doc_id").collect()]
+
     def _eval_phrase_paired(self, q: Q.Phrase, words, uniq, fk):
         """Nextword-index fast path for two-word slop-1 Phrases (Williams,
         Zobel & Bahle, ACM TOIS 2004): the adjacent-pair sub-index
@@ -896,12 +957,19 @@ class Evaluator:
             if q.boost != 1.0:
                 paired = paired.withColumn("score", F.col("score") * q.boost)
             return paired
+        # candidate gate: the adjacent-pair chain (k-word slop-1, rarest
+        # pair's doc set — dominates the rare-slot gate when eligible since
+        # df(pair) <= min constituent df), else the rare-slot gate
+        cand = self._pair_candidates(words, fk) if q.slop == 1 else None
+        if cand == []:
+            return self._empty()  # an adjacency is absent corpus-wide
+        if cand is None:
+            cand = self._phrase_candidates(uniq, fk)
         # ONE positions decode feeds BOTH the adjacency fold and the BM25
         # scoring pass; one groupBy(doc_id) computes every slot's positions
         # AND the doc score (no per-slot join chain, no second decode scan)
         pos = self._ixf(fk).postings(
-            uniq, with_positions=True,
-            candidate_ids=self._phrase_candidates(uniq, fk))
+            uniq, with_positions=True, candidate_ids=cand)
         slot_aggs = self._slot_agg([[w] for w in words])
         cur = self._fold_expr(len(words), q.slop)
         slot_present = reduce(

@@ -156,9 +156,11 @@ class InvertedIndex:
                 hot = frozenset(
                     r["term"] for r in tstats.where(
                         F.col("df") >= pair_min_df).select("term").collect())
+                # broadcast, not closure capture (see store._hot_pairs_fn)
+                hot_bc = docs.sparkSession.sparkContext.broadcast(hot)
                 pair_an = _adocs(docs, id_col, text_col,
                                  format="frequency",
-                                 analyzer_fn=make_hot_pairs_fn(hot))
+                                 analyzer_fn=make_hot_pairs_fn(hot_bc))
                 if cache:
                     pair_an = pair_an.cache()
                 pblocks = B.posting_blocks_from_analyzed(pair_an, field)

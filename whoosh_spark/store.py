@@ -167,6 +167,20 @@ def _prepare_pair_dir(path: str, pair_min_df: int) -> None:
                          json.dumps({"pair_min_df": pair_min_df}))
 
 
+def _pair_segment_min_df(path: str) -> int | None:
+    """Threshold of a COMPLETE pair segment, from the segment's own records
+    (inner manifest proves completion, ``_pair_meta.json`` carries the df
+    the hot set was actually extracted at).  ``None`` = no usable segment.
+    The OUTER manifest is deliberately not consulted: it can lag the pair
+    dir (crash between inner build and outer commit) and would mis-vouch."""
+    if FS.read_text(FS.join(path, PAIR_DIR, MANIFEST)) is None:
+        return None
+    meta = FS.read_text(FS.join(path, PAIR_DIR, "_pair_meta.json"))
+    if meta is None:
+        return None
+    return int(json.loads(meta)["pair_min_df"])
+
+
 def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     """Pair extractor for the accel build: full bigrams at threshold 0,
     else only hot×hot pairs (constituent df ≥ pair_min_df, taken from the
@@ -183,7 +197,10 @@ def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     hot = frozenset(
         r["term"] for r in
         ts.where(F.col("df") >= pair_min_df).select("term").collect())
-    return make_hot_pairs_fn(hot)
+    # ship via torrent broadcast, not closure pickling: a pathological
+    # threshold can make this set huge, and a closure copy would be
+    # re-serialized into every task (driver memory × task dispatch cost)
+    return make_hot_pairs_fn(spark.sparkContext.broadcast(hot))
 
 
 def _drop_pair_index(path: str, reason: str) -> None:
@@ -530,6 +547,7 @@ def write_index(
         "store_text": store_text,
         "analyzer": analyzer,
         "text_col": text_col,
+        "id_col": id_col,
         "posting_format": format,
         "phrase_pairs": phrase_pairs,
         "pair_min_df": int(pair_min_df) if phrase_pairs else 0,
@@ -541,14 +559,18 @@ def write_index(
 
 def build_pair_segment(spark: SparkSession, path: str,
                        docs: DataFrame | None = None,
-                       pair_min_df: float = 0) -> dict:
+                       pair_min_df: float = 0,
+                       id_col: str | None = None) -> dict:
     """Attach the adjacent-pair phrase accelerator to an EXISTING index
     without rebuilding it (the OPTIMIZE-style upgrade path; equivalent to
     having passed ``phrase_pairs=True`` to write_index).
 
-    ``docs``: the corpus (doc_id + text).  Defaults to the stored docs
-    table, which only carries text when the index was built with
-    ``store_text=True`` — pass the original corpus otherwise.
+    ``docs``: the corpus (id + text).  Defaults to the stored docs table,
+    which only carries text when the index was built with
+    ``store_text=True`` — pass the original corpus otherwise.  ``id_col``
+    defaults to the id column the manifest records (stored docs always use
+    the renamed ``doc_id``); pass it only to override for a corpus whose
+    id column differs from the build-time one.
     """
     raw = FS.read_text(FS.join(path, MANIFEST))
     if raw is None:
@@ -563,15 +585,18 @@ def build_pair_segment(spark: SparkSession, path: str,
     text_col = manifest.get("text_col", "text")
     if docs is None:
         docs = spark.read.parquet(FS.join(path, "docs"))
+        id_col = "doc_id"  # stored docs are always renamed to doc_id
         if text_col not in docs.columns:
             raise ValueError(
                 f"stored docs carry no {text_col!r} column (index built "
                 "without store_text=True) — pass the original corpus as "
                 "docs=")
+    elif id_col is None:
+        id_col = manifest.get("id_col", "doc_id")
     pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
     _prepare_pair_dir(path, pair_min_df)
-    write_index(docs.select(F.col("doc_id"), F.col(text_col)),
-                FS.join(path, PAIR_DIR), text_col=text_col,
+    write_index(docs.select(F.col(id_col), F.col(text_col)),
+                FS.join(path, PAIR_DIR), id_col=id_col, text_col=text_col,
                 field=manifest.get("field", TEXT_FIELD),
                 analyzer="adjacent_pairs", format="frequency",
                 write_stored=False,
@@ -801,13 +826,23 @@ def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
         raise ValueError("merge_indexes needs at least two source indexes")
 
     def _canon(p: str) -> str:
-        # 'file:///x', '/x' and a relative spelling of the same dir must all
-        # compare equal — a string-only guard lets a self-merge through and
-        # the in-place overwrite of dst's analyzed/ corrupts it
-        q = p[len("file://"):] if p.startswith("file://") else p
-        if not FS.is_uri(q):
-            q = os.path.abspath(q)
-        return q.rstrip("/")
+        # 'file:///x', 'file:/x' (Hadoop single-slash), 'FILE://x', '/x'
+        # and a relative spelling of the same dir must all compare equal —
+        # a string-only guard lets a self-merge through and the in-place
+        # overwrite of dst's analyzed/ corrupts it
+        from urllib.parse import urlparse
+
+        u = urlparse(p)
+        scheme = u.scheme.lower()
+        if scheme == "file":
+            # netloc is empty for the /// and single-slash spellings; a
+            # nonstandard 'file://relative/x' folds netloc into the path
+            q = (u.netloc or "") + u.path
+            return os.path.abspath(q).rstrip("/")
+        if scheme and FS.is_uri(p):
+            # remote URI: normalize scheme case + slash count only
+            return f"{scheme}://{u.netloc}{u.path}".rstrip("/")
+        return os.path.abspath(p).rstrip("/")
 
     norm_dst = _canon(dst_path)
     if any(_canon(p) == norm_dst for p in src_paths):
@@ -1081,8 +1116,9 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     prev_analyzer = manifest_analyzer(path)
     prev_fmt = manifest_posting_format(path)
     _raw = FS.read_text(FS.join(path, MANIFEST))
-    prev_text_col = (json.loads(_raw).get("text_col", "text")
-                     if _raw else "text")
+    _prev = json.loads(_raw) if _raw else {}
+    prev_text_col = _prev.get("text_col", "text")
+    prev_id_col = _prev.get("id_col", "doc_id")
     if uncommitted_batches(path):
         # this compaction folds streamed micro-segments the pair
         # accelerator has never seen — a "doc-set-preserving" compaction
@@ -1160,6 +1196,17 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
                "merge_partitions": merge_n,
                "wall_ms": int(1000 * (time.perf_counter() - t0)), "ts": time.time()})
     fs_row = spark.read.parquet(FS.join(path, "field_stats")).collect()[0]
+    # a doc-set-preserving compaction keeps the pair accelerator valid (it
+    # is keyed by doc_id and content, both unchanged); the purge and
+    # uncommitted-fold branches above already dropped it.  Vouch only for a
+    # COMPLETE segment (inner manifest present — a crashed pair build
+    # leaves none), and take the threshold from the segment's OWN
+    # _pair_meta.json (the authoritative record _prepare_pair_dir writes):
+    # the pre-compaction outer manifest can predate the pair build — e.g. a
+    # crash between the inner build and the outer commit leaves it saying
+    # pair_min_df=0 for a hot-only segment, and re-vouching that would
+    # route rare-constituent phrases into the accelerator to a silent empty
+    pair_df = _pair_segment_min_df(path)
     manifest = {
         "format": "whoosh-spark/1",
         "generation": _next_generation(path),
@@ -1172,18 +1219,10 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "store_text": False,
         "analyzer": prev_analyzer,
         "text_col": prev_text_col,
+        "id_col": prev_id_col,
         "posting_format": prev_fmt,
-        # a doc-set-preserving compaction keeps the pair accelerator valid
-        # (it is keyed by doc_id and content, both unchanged); the purge
-        # and uncommitted-fold branches above already dropped it.  Vouch
-        # only for a COMPLETE segment (inner manifest present — a crashed
-        # pair build leaves none)
-        "phrase_pairs": FS.read_text(
-            FS.join(path, PAIR_DIR, MANIFEST)) is not None,
-        "pair_min_df": (int(json.loads(_raw).get("pair_min_df", 0))
-                        if _raw and FS.read_text(
-                            FS.join(path, PAIR_DIR, MANIFEST)) is not None
-                        else 0),
+        "phrase_pairs": pair_df is not None,
+        "pair_min_df": pair_df if pair_df is not None else 0,
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))

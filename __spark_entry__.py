@@ -572,8 +572,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = parse_query("dáta", analyzer="charset")
         return _topk(s.ev.evaluate(q))
 
+    def lang_de_term(spark, sf_dir):
+        # per-language analyzer registry (upstream LanguageAnalyzer /
+        # snowball family): index over the de sub-corpus built with the
+        # lang_de chain (German stopwords + clean-room Snowball German
+        # stemmer, analysis/snowball.py), query tee'd through the same
+        # chain so the query word stems identically.  "orders" stems to
+        # "order" ('s' after valid s-ending 'r', then step-2 'er') — the
+        # oracle embeds the same stemmer's vocab map
+        import whoosh_spark.analysis.snowball  # noqa: F401 (registers lang_*)
+        from whoosh_spark.query.parser import parse_query
+
+        key = ("lang_de", id(spark), sf_dir)
+        if key not in _CACHE:
+            docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                    .where(F.col("lang") == "de"))
+            _CACHE[key] = Searcher(
+                InvertedIndex.build(docs, analyzer="lang_de"))
+        s = _CACHE[key]
+        q = parse_query("orders", analyzer="lang_de")
+        return _topk(s.ev.evaluate(q))
+
     out.update(fielded_and=fielded_and, multifield_or=multifield_or,
-               glob_fielded_and=glob_fielded_and, charset_term=charset_term)
+               glob_fielded_and=glob_fielded_and, charset_term=charset_term,
+               lang_de_term=lang_de_term)
 
     # ---- per-posting boost weights (PositionBoosts overlay) --------------
     def boosted_term(spark, sf_dir):
@@ -729,6 +751,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             basedate=datetime(2020, 1, 13, 9, 0, 0))
         return _topk(s.ev.evaluate(q))
 
+    def parsed_nl_date_3_q(spark, sf_dir):
+        # round-4 dateparse tail: year-FIRST part order ("2020 january 5")
+        # and ordinal-day + "of" connector ("25th of january 2020") —
+        # upstream's any-order date grammar (qparser/dateparse.py ≈L1-1000)
+        from datetime import datetime
+
+        from whoosh_spark.query.parser import parse_query
+
+        s = _ts_searcher(spark, sf_dir)
+        q = parse_query(
+            "data AND warc_ts:[2020 january 5 TO 25th of january 2020]",
+            datetime_fields=["warc_ts"],
+            basedate=datetime(2020, 1, 13, 9, 0, 0))
+        return _topk(s.ev.evaluate(q))
+
     def parsed_field_group_q(spark, sf_dir):
         # FieldsPlugin group syntax: the field prefix distributes over the
         # whole parenthesized group (qparser/plugins.py::FieldsPlugin ≈L300)
@@ -813,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parsed_datetime=parsed_datetime_q,
         parsed_nl_date=parsed_nl_date_q,
         parsed_nl_date_2=parsed_nl_date_2_q,
+        parsed_nl_date_3=parsed_nl_date_3_q,
         parsed_dismax=parsed_dismax_q,
         parsed_field_group=parsed_field_group_q,
         parsed_field_alias=parsed_field_alias_q,
@@ -1148,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "glob_fielded_and": OSQL.fielded_and_sql(
             [("text", "data"), ("lang", "en")], MF_FIELDS),
         "charset_term": OSQL.term_sql("data"),
+        "lang_de_term": OSQL.lang_term_sql("orders", "de"),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),
         "weighted_subtree": OSQL.weighted_and_sql("pl2", "data", "vector"),
@@ -1196,6 +1235,10 @@ def oracle_sql() -> dict[str, str]:
         "parsed_nl_date_2": OSQL.date_range_iso_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,
             1578841200, 1579003260, incl_hi=False),
+        # [2020 january 5 TO 25th of january 2020]: 2020-01-05 .. <2020-01-26
+        "parsed_nl_date_3": OSQL.date_range_iso_and_sql(
+            "data", WARC_EPOCH0, WARC_STEP,
+            1578182400, 1579996800, incl_hi=False),
         "parsed_dismax": OSQL.multifield_dismax_sql(
             "data", {"text": 2.0, "lang": 1.0}, MF_FIELDS),
         # pipeline ops — every entry has a full value oracle (round 2: the

@@ -46,7 +46,8 @@ def _roundtrip(n_postings, seed=0):
     dls = rng.integers(1, 1400, size=n_postings)
     pls = [sorted(rng.integers(0, 500, size=int(t)).tolist()) for t in tfs]
     rows = encode_term_bucket("text", "t", 0, ids, tfs, dls, pls)
-    flat = decode_blocks_pdf(pd.DataFrame(rows), want_positions=True)
+    flat = (decode_blocks_pdf(pd.DataFrame(rows), want_positions=True)
+            .sort_values("doc_id"))  # impact layout: block order ≠ id order
     assert flat.doc_id.tolist() == ids.tolist()
     assert flat.tf.astype(int).tolist() == tfs.tolist()
     assert flat.dl.tolist() == dls.tolist()
@@ -64,7 +65,21 @@ def test_block_edges():
         rows = _roundtrip(n, seed=n)
         assert sum(r["n"] for r in rows) == n
         assert all(r["n"] <= BLOCK_SIZE for r in rows)
-        # blocks are doc-range disjoint and ordered
+        # impact layout (default): block max_weight non-increasing across
+        # the group — the separation block-max WAND prunes on
+        for a, b in zip(rows, rows[1:]):
+            assert a["max_weight"] >= b["max_weight"]
+            assert a["min_id"] <= a["max_id"]
+
+
+def test_block_edges_docid_layout(monkeypatch):
+    """Classic doc-ordered carving (layout opt-out): blocks are doc-range
+    disjoint and ordered."""
+    from whoosh_spark import config
+
+    monkeypatch.setattr(config, "BLOCK_LAYOUT", "docid")
+    for n in (BLOCK_SIZE + 1, 3 * BLOCK_SIZE):
+        rows = _roundtrip(n, seed=n)
         for a, b in zip(rows, rows[1:]):
             assert a["max_id"] < b["min_id"]
 

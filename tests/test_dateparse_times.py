@@ -185,3 +185,43 @@ def test_time_first_rejects_non_day_tails():
     assert nl_span("3pm fish", BASE) is None          # not a date at all
     # a bare hour without am/pm stays a date token, not a leading time
     assert nl_span("20 march", BASE) is not None
+
+
+# ---- round-4 tail: year-first, ordinals, "of" connectors -------------------
+
+def test_year_first_forms():
+    from whoosh_spark.query.dateparse import nl_span
+
+    assert nl_span("2005 march", BASE) == nl_span("march 2005", BASE)
+    assert nl_span("2005 march 12", BASE) == nl_span("12 march 2005", BASE)
+    assert nl_span("2005 12 march", BASE) == nl_span("12 march 2005", BASE)
+    # year-first with junk month stays unparsed
+    assert nl_span("2005 fish", BASE) is None
+    # two bare years are not a date phrase
+    assert nl_span("2005 2006", BASE) is None
+
+
+def test_ordinal_days_and_of_connector():
+    from whoosh_spark.query.dateparse import nl_span
+
+    canon = nl_span("25 october 2005", BASE)
+    assert canon is not None
+    for v in ("25th october 2005", "25th of october 2005",
+              "october 25th 2005", "25th of october 2005"):
+        assert nl_span(v, BASE) == canon, v
+    assert nl_span("march of 2020", BASE) == nl_span("march 2020", BASE)
+    # ordinal day + time phrase still composes
+    a = nl_span("25th of october 2005 at 3pm", BASE)
+    b = nl_span("25 october 2005 at 3pm", BASE)
+    assert a is not None and a == b
+
+
+def test_ordinal_adversarial():
+    from whoosh_spark.query.dateparse import nl_span
+
+    # a 3-digit "ordinal" is not a day
+    assert nl_span("125th october 2005", BASE) is None
+    # suffix stripping must not mangle the month name itself
+    assert nl_span("august 2020", BASE) is not None
+    # "of" inside a non-date phrase still unparsed
+    assert nl_span("best of 2020", BASE) is None

@@ -32,7 +32,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # entry -> marker that must appear in the plan, proving the BNLJ build side
 # is the documented one-row scalar aggregate (not a corpus-sized relation)
-SCALAR_ATTACH_OK = {"phrase_freq": "_pdf"}
+# entries whose freq-scoring plan attaches the one-row phrase-df aggregate
+# via crossJoin(broadcast(pdf)) — a documented scalar attach, not a
+# corpus-sized nested loop (phrase_3_pair_freq takes the POSITIONAL freq
+# plan behind the pair-candidate gate, so it carries the same attach)
+SCALAR_ATTACH_OK = {"phrase_freq": "_pdf", "phrase_3_pair_freq": "_pdf"}
 
 
 def _wait_listener_bus(spark) -> None:

@@ -6,10 +6,11 @@ Mirrors the *computation* of whoosh's W3 codec
 per-block maxweight/maxid, delta-compressed ids, all-equal-weight shortcut;
 SURVEY.md §2.3) as numpy kernels that run inside ``applyInPandas`` groups.
 
-Block identity is deterministic on doc ids only (blocks are carved from the
-``(term, doc_id >> DOC_BUCKET_BITS)`` group sorted by doc_id), so the encoded
-table is invariant under input partitioning AND hot terms are spread over
-bounded-size groups (skew handling, SURVEY.md §4.2).
+Block identity is deterministic on the group's (doc_id, tf, dl) content only
+(blocks are carved from the ``(term, doc_id >> DOC_BUCKET_BITS)`` group in
+``_carve_order`` — impact order by default, see config.BLOCK_LAYOUT), so the
+encoded table is invariant under input partitioning AND hot terms are spread
+over bounded-size groups (skew handling, SURVEY.md §4.2).
 """
 
 from __future__ import annotations
@@ -163,6 +164,29 @@ def _ragged_gather(values: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
     return values[idx], ln
 
 
+def _carve_order(doc_ids: np.ndarray, tfs: np.ndarray,
+                 dls: np.ndarray) -> np.ndarray:
+    """Permutation deciding block MEMBERSHIP and intra-block order.
+
+    "docid" layout: plain doc_id sort (blocks = contiguous id ranges).
+    "impact" layout (default): membership from the (tf desc, dl asc,
+    doc_id asc) order — block b gets the b-th 128-slice of that ranking,
+    so (max_weight, min_len) is tight per block and non-increasing across
+    blocks — then ids re-sorted ASC within each block so the delta-varint
+    stream and the decoder's per-block binary searches are unchanged.
+    Deterministic (total order includes doc_id), so build invariance
+    (1≡4≡32 writers) is preserved.  Single-block groups are identical
+    under both layouts."""
+    from whoosh_spark.config import BLOCK_LAYOUT
+
+    if BLOCK_LAYOUT != "impact" or doc_ids.size <= BLOCK_SIZE:
+        return np.argsort(doc_ids, kind="stable")
+    o = np.lexsort((doc_ids, dls, -tfs))
+    blk = np.empty(o.size, dtype=np.int64)
+    blk[o] = np.arange(o.size, dtype=np.int64) // BLOCK_SIZE
+    return np.lexsort((doc_ids, blk))
+
+
 def encode_term_bucket_flat(field: str, term: str, bucket: int,
                             doc_ids: np.ndarray, tfs: np.ndarray,
                             dls: np.ndarray, pos_flat: np.ndarray,
@@ -176,7 +200,7 @@ def encode_term_bucket_flat(field: str, term: str, bucket: int,
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     pos_counts = np.asarray(pos_counts, dtype=np.int64)
-    order = np.argsort(doc_ids, kind="stable")
+    order = _carve_order(doc_ids, tfs, dls)
     starts = np.cumsum(pos_counts) - pos_counts
     pos_flat, pos_counts = _ragged_gather(
         np.asarray(pos_flat, dtype=np.int64), starts, pos_counts, order)
@@ -229,7 +253,7 @@ def encode_term_bucket_blobs(field: str, term: str, bucket: int,
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     blob_lens = np.asarray(blob_lens, dtype=np.int64)
-    order = np.argsort(doc_ids, kind="stable")
+    order = _carve_order(doc_ids, tfs, dls)
     bstarts = np.cumsum(blob_lens) - blob_lens
     blob_flat, blob_lens = _ragged_gather(
         np.asarray(blob_flat, dtype=np.uint8), bstarts, blob_lens, order)

@@ -12,6 +12,7 @@ this single module so they can never drift apart.
 from __future__ import annotations
 
 import math
+import os
 
 # ---------------------------------------------------------------------------
 # Analysis chain (StandardAnalyzer = RegexTokenizer | Lowercase | Stop)
@@ -49,6 +50,24 @@ BM25_B = 0.75
 # ---------------------------------------------------------------------------
 
 BLOCK_SIZE = 128  # max postings per encoded block
+
+# Block carve order within a (field, term, doc-bucket) group:
+#   "impact" (default) — postings ordered by (tf desc, dl asc) before
+#     carving, ids re-sorted per block for delta coding.  Block
+#     (max_weight, min_len) bounds then decline monotonically across the
+#     group and are TIGHT (each block is near-homogeneous in tf and dl),
+#     so block-max WAND actually drops the low-impact tail of hot terms —
+#     with doc-ordered carving the bounds are near-uniform and the
+#     survivor predicate keeps ~everything (measured survivor_frac 1.00
+#     for the hottest term at 10M docs).  Impact-ordered postings lists
+#     are the published fix (Persin/Zobel/Sacks-Davis JASIS 1996 §4;
+#     Anh&Moffat SIGIR 2006 impact-sorted indexes).
+#   "docid" — classic doc-ordered carving; every block covers a narrow
+#     contiguous id range, which tightens block-range pruning for
+#     doc-point lookups (key_terms/more_like) at the cost of inert WAND
+#     bounds.  Queries never depend on the layout for correctness: decode
+#     is order-agnostic and all bounds stay valid upper bounds.
+BLOCK_LAYOUT = os.environ.get("WHOOSH_BLOCK_LAYOUT", "impact")
 
 # Phrase evaluation: when the rarest word's df is at most this cap AND
 # meaningfully rarer than the hottest word (4x), its doc ids are collected

@@ -114,3 +114,47 @@ def pages_df(spark: SparkSession, n: int, seed: int = 42, mean_len: int = 120,
                                 vocab_mult)
 
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+EMBEDDINGS_SCHEMA = "vec_id long, cluster int, embedding array<float>"
+
+
+def clustered_embeddings_df(spark: SparkSession, n: int, dim: int = 64,
+                            n_clusters: int = 50, noise: float = 0.04,
+                            seed: int = 42,
+                            partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic mixture-of-Gaussians embeddings on the unit
+    sphere — the REALISTIC ANN fixture (semantic embeddings cluster; the
+    i.i.d.-random fixture in /root/testdata is the provable worst case for
+    any locality-based index, since all pairwise cosines concentrate at 0).
+
+    vec i belongs to cluster ``i % n_clusters`` (balanced); its vector is
+    ``normalize(center_c + noise·g_i)`` with ``g_i`` a per-id seeded
+    standard normal — deterministic per (seed, vec_id) regardless of
+    partitioning, same discipline as :func:`pages_df`.  ``noise`` is the
+    PER-COMPONENT σ: the noise vector's expected norm is noise·√dim, so
+    intra-cluster cosine ≈ 1/(1 + noise²·dim) — the default 0.04 at dim 64
+    gives ≈0.90 within a cluster vs ≈0 across, i.e. clearly separated but
+    not degenerate neighborhoods."""
+    base = spark.range(
+        0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        centers_rng = np.random.Generator(np.random.Philox(key=[seed, 1 << 32]))
+        centers = centers_rng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = {"vec_id": [], "cluster": [], "embedding": []}
+            for vid in ids:
+                c = int(vid) % n_clusters
+                rng = np.random.Generator(
+                    np.random.Philox(key=[seed, int(vid)]))
+                v = centers[c] + noise * rng.standard_normal(dim)
+                v /= np.linalg.norm(v)
+                rows["vec_id"].append(int(vid))
+                rows["cluster"].append(c)
+                rows["embedding"].append(v.astype(np.float32))
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=EMBEDDINGS_SCHEMA)

@@ -36,22 +36,25 @@ def _quant_values() -> str:
     return ",".join(rows)
 
 
-def _scoring_ctes(tok_ctes: str, extra: str = "") -> str:
+def _scoring_ctes(tok_ctes: str, extra: str = "",
+                  docs: str = "documents") -> str:
     """Scoring CTE suffix shared by every analysis chain: given CTEs ending
     in ``tokf(doc_id, term, pos)``, derive dlq (quantized lengths), nn/ad
-    (N, avgdl), tfs/dfs, sc (scored postings)."""
+    (N, avgdl), tfs/dfs, sc (scored postings).  ``docs`` swaps the corpus
+    source (e.g. a language-filtered sub-select) so sub-corpus indexes
+    keep N/avgdl over THEIR doc set."""
     return f"""
 WITH {tok_ctes},
 dl AS (
   SELECT d.doc_id, count(t.term)::BIGINT AS len_raw
-  FROM documents d LEFT JOIN tokf t USING (doc_id) GROUP BY d.doc_id
+  FROM {docs} d LEFT JOIN tokf t USING (doc_id) GROUP BY d.doc_id
 ),
 quant(lo, hi, qlen) AS (SELECT * FROM (VALUES {_quant_values()}) v(lo, hi, qlen)),
 dlq AS (
   SELECT dl.doc_id, dl.len_raw, q.qlen::DOUBLE AS dl
   FROM dl JOIN quant q ON dl.len_raw BETWEEN q.lo AND q.hi
 ),
-nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+nn AS (SELECT count(*)::DOUBLE AS n FROM {docs}),
 ad AS (SELECT sum(len_raw)::DOUBLE / count(*) AS avgdl FROM dl),
 tfs AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokf GROUP BY doc_id, term),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term),
@@ -67,10 +70,10 @@ sc AS (
 
 # ONE raw-tokenizer building block (regexp findall + ordinal positions) so
 # the standard and ngram chains can never drift apart in tokenization
-def _raw_tok(word_col: str) -> str:
+def _raw_tok(word_col: str, docs: str = "documents") -> str:
     return f"""tok AS (
   SELECT doc_id, lower(toks[i]) AS {word_col}, i - 1 AS pos
-  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM {docs}),
        UNNEST(generate_series(1, len(toks))) AS u(i)
 )"""
 
@@ -140,6 +143,60 @@ def topk(inner_select: str, k: int = 10) -> str:
 
 def term_sql(term: str, k: int = 10) -> str:
     return base_ctes() + topk(f"SELECT doc_id, score FROM sc WHERE term = '{term}'", k)
+
+
+def lang_term_sql(term: str, lang: str, k: int = 10,
+                  sf_dirs: tuple[str, ...] = ("/root/testdata/sf0.001",
+                                              "/root/testdata/sf0.01",
+                                              "/root/testdata/sf0.1")) -> str:
+    """Term query against a per-language sub-corpus index built with the
+    ``lang_<code>`` chain (tokenize → stop(lang) → snowball stem): the
+    stemmer is not SQL-expressible, so the oracle embeds a (word, stem)
+    VALUES map computed by the SAME Python stemmer over the corpus's
+    actual vocabulary (read once from the testdata parquets — the synthetic
+    vocab is small and fixed), COALESCE-identity for anything else.
+    ``term`` is the RAW query word; both engines stem it via the query-time
+    analyzer tee."""
+    import os
+
+    import duckdb
+
+    from whoosh_spark.analysis.snowball import LANG_STOPWORDS, STEMMERS
+
+    stem = STEMMERS.get(lang)
+    stops = LANG_STOPWORDS.get(lang, frozenset())
+    vocab: set[str] = set()
+    for d in sf_dirs:
+        p = os.path.join(d, "documents.parquet")
+        if os.path.exists(p):
+            vocab |= {
+                r[0] for r in duckdb.sql(
+                    f"SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                    f" '{TOKEN_PATTERN_RE2_UNI}')) FROM read_parquet('{p}')"
+                ).fetchall()
+            }
+    pairs = sorted((w, stem(w)) for w in vocab
+                   if stem is not None and stem(w) != w)
+    if pairs:
+        vals = ",".join(f"('{w}','{s}')" for w, s in pairs)
+        map_cte = (f"stem_map(word, stem) AS "
+                   f"(SELECT * FROM (VALUES {vals}) v(word, stem)),")
+        stem_expr = "COALESCE(m.stem, t.word)"
+        map_join = "LEFT JOIN stem_map m ON t.word = m.word"
+    else:
+        map_cte, stem_expr, map_join = "", "t.word", ""
+    stops_sql = ", ".join(f"'{w}'" for w in sorted(stops)) or "''"
+    docs = f"(SELECT * FROM documents WHERE lang = '{lang}')"
+    tok_ctes = _raw_tok("word", docs=docs) + f""",
+{map_cte}
+tokf AS (
+  SELECT t.doc_id, {stem_expr} AS term, t.pos
+  FROM tok t {map_join}
+  WHERE length(t.word) >= 2 AND t.word NOT IN ({stops_sql})
+)"""
+    qterm = stem(term.lower()) if stem is not None else term.lower()
+    return _scoring_ctes(tok_ctes, docs=docs) + topk(
+        f"SELECT doc_id, score FROM sc WHERE term = '{qterm}'", k)
 
 
 def and_sql(terms: list[str], k: int = 10) -> str:

@@ -10,8 +10,10 @@ driver-side to epoch ints, so query plans stay timezone-independent and
 deterministic under an explicit ``basedate`` (tests/entries always pin it).
 
 Supported: ``now``, ``today``/``yesterday``/``tomorrow``,
-``this|last|next week|month|year``, month names w/ optional year/day
-("march 2020", "mar", "20 march 2020", "march 20 2020"), bare years
+``this|last|next week|month|year``, month names w/ optional year/day in
+ANY part order ("march 2020", "mar", "20 march 2020", "march 20 2020",
+"2005 march", "2005 march 12"), ordinal days + "of" connectors
+("25th of october 2005", "march of 2020"), bare years
 ("2020"), signed deltas ``±N s|min|h|d|w|mo|y`` (span at the delta's
 grain, e.g. ``-2d`` = that whole day), times of day (``3pm``,
 ``3:05pm``, ``15:30``, ``16:20:11``, ``noon``, ``midnight`` — span at
@@ -173,13 +175,29 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
         return t, t + 1
     if re.match(r"^\d{4}$", s):
         return _year(int(s))
+    # upstream's looser day spellings fold into the canonical form before
+    # the month grammar: ordinal suffixes ("25th") and the "of" connector
+    # ("25th of october 2005" ≡ "25 october 2005")
+    s2 = re.sub(r"\b(\d{1,2})(?:st|nd|rd|th)\b", r"\1", s)
+    s2 = re.sub(r"\bof\s+", "", s2)
     # [day] monthname [day] [year]
     m = re.match(r"^(?:(\d{1,2})\s+)?([a-z]+)(?:\s+(\d{1,2}))?"
-                 r"(?:\s+(\d{4}))?$", s)
+                 r"(?:\s+(\d{4}))?$", s2)
     if m and m.group(2) in _MONTHS:
         day = m.group(1) or m.group(3)
         year = int(m.group(4)) if m.group(4) else base.year
         month = _MONTHS[m.group(2)]
+        if day:
+            return _day(datetime(year, month, int(day)))
+        return _month(year, month)
+    # year-FIRST order ("2005 march", "2005 march 12", "2005 12 march") —
+    # upstream's grammar accepts the parts in any order; the 4-digit year
+    # disambiguates
+    m = re.match(r"^(\d{4})\s+(?:(\d{1,2})\s+)?([a-z]+)(?:\s+(\d{1,2}))?$",
+                 s2)
+    if m and m.group(3) in _MONTHS:
+        day = m.group(2) or m.group(4)
+        year, month = int(m.group(1)), _MONTHS[m.group(3)]
         if day:
             return _day(datetime(year, month, int(day)))
         return _month(year, month)

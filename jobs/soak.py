@@ -234,6 +234,10 @@ def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
         "or_hot_rare": Q.Or([Q.Term("data"), Q.Term("crawl")]),
         "dismax": Q.DisMax([Q.Term("data"), Q.Term("crawl")], tiebreak=0.5),
         "phrase_2": Q.Phrase(["web", "index"]),
+        # 3 hot constituents: the worst positional shape (rare-slot gate
+        # can't fire, 3 full position streams decode) — the baseline the
+        # chained pair-candidate gate is measured against
+        "phrase_3": Q.Phrase(["web", "index", "data"]),
         "wildcard": Q.Wildcard("quer*"),
     }
     out = {}
@@ -275,7 +279,11 @@ def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
         sp = Searcher(ixp)
         for name, q in (("phrase_2_pair", Q.Phrase(["web", "index"])),
                         ("phrase_2_pair_freq",
-                         Q.Phrase(["web", "index"], scoring="freq"))):
+                         Q.Phrase(["web", "index"], scoring="freq")),
+                        # k-word chained pair-candidate gate (round 4):
+                        # same phrase as the positional phrase_3 above
+                        ("phrase_3_pair",
+                         Q.Phrase(["web", "index", "data"]))):
             sp.search(q, limit=10).collect()
             times = []
             for _ in range(reps):

@@ -9,7 +9,9 @@ from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
 from whoosh_spark.reader import IndexReader, TermInfo
 from whoosh_spark.results import Hit, Results
 from whoosh_spark.search import Searcher
+from whoosh_spark.writing import AsyncWriter, BufferedWriter, IndexWriter
 
 __all__ = ["InvertedIndex", "MultiFieldIndex", "FieldSpec", "Searcher",
-           "Results", "Hit", "IndexReader", "TermInfo"]
+           "Results", "Hit", "IndexReader", "TermInfo", "IndexWriter",
+           "AsyncWriter", "BufferedWriter"]
 __version__ = "0.1.0"

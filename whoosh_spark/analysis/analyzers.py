@@ -569,3 +569,9 @@ def register_analyzer(name: str, fn) -> None:
 
 
 _BUILTIN_ANALYZERS = frozenset(ANALYZERS)
+
+# per-language chains (lang_de/fr/es + the stemmer registry) self-register
+# on import; imported HERE so a persisted manifest naming lang_<code>
+# resolves in any fresh process without a side-effect import at the call
+# site (safe: ANALYZERS and the tokenizer symbols above already exist)
+from whoosh_spark.analysis import snowball as _snowball  # noqa: E402,F401

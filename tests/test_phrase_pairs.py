@@ -416,7 +416,7 @@ def test_three_word_gate_fires_and_prunes(pair_searcher, monkeypatch):
 
     monkeypatch.setattr(type(ev), "_pair_candidates", spy)
     rows = ev.evaluate(Q.Phrase(["big", "data", "query"])).collect()
-    assert len(got) == 1 and isinstance(got[0], list) and len(got[0]) > 0
+    assert len(got) == 1 and got[0] is not None and len(got[0]) > 0
     # candidate set is the rarest pair's doc set: strictly fewer docs than
     # the hottest constituent's df
     st = pair_searcher.ix.stats_for_terms(["big", "data", "query"])

@@ -81,6 +81,19 @@ BLOCK_LAYOUT = os.environ.get("WHOOSH_BLOCK_LAYOUT", "impact")
 PHRASE_PRUNE_MAX_DF = 200_000
 PHRASE_PRUNE_RATIO = 4  # rarest df must be <= hottest df / this
 
+# The adjacent-pair candidate gate (k-word slop-1 phrases through the pair
+# accelerator) gets its own, much larger caps: its payoff is skipping the
+# FULL positional decode of k hot terms (the worst query shape), so paying
+# a multi-MB id collect+broadcast is still a large net win — 2M ids are
+# 16 MB, while the decode they avoid is GBs of position streams.  Eligible
+# when the rarest indexable pair's df is (a) under the absolute cap,
+# (b) under MAX_FRAC of the corpus (a pair in most docs prunes nothing),
+# and (c) under BENEFIT_RATIO x the hottest constituent's df (the
+# restriction must actually shrink the decode).
+PAIR_GATE_MAX_DF = int(os.environ.get("WHOOSH_PAIR_GATE_MAX_DF", "5000000"))
+PAIR_GATE_MAX_FRAC = 0.3
+PAIR_GATE_BENEFIT_RATIO = 0.6
+
 # Deterministic doc-range bucketing: a posting-build group is
 # (field, term, doc_id >> DOC_BUCKET_BITS).  Group size is bounded by the
 # bucket width regardless of term hotness, which is our skew/salting strategy

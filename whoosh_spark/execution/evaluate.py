@@ -697,7 +697,7 @@ class Evaluator:
         cand = None
         if q.slop == 1 and all(len(s) == 1 for s in slots):
             cand = self._pair_candidates([s[0] for s in slots], fk)
-            if cand == []:
+            if cand is not None and len(cand) == 0:
                 return self._empty()
         if cand is None:
             cand = self._phrase_candidates(slots, fk)
@@ -828,8 +828,20 @@ class Evaluator:
         skipped: their absence proves nothing, and only indexed pairs may
         serve as candidates or absence proofs.  Returns None when no pair
         segment is attached, no adjacent pair is indexable, or the rarest
-        indexable pair is too frequent to collect."""
-        from whoosh_spark.config import PHRASE_PRUNE_MAX_DF
+        indexable pair is too frequent to pay off (config.PAIR_GATE_*: the
+        gate's caps are far above the rare-slot gate's because the decode
+        it avoids is the dominant positional cost — a 2M-id collect is
+        16 MB while the skipped position streams are GBs).  Non-empty
+        candidate sets return as a sorted numpy int64 array (Arrow-collected
+        — no per-row Python)."""
+        import numpy as np
+
+        from whoosh_spark.config import (
+            PAIR_GATE_BENEFIT_RATIO,
+            PAIR_GATE_MAX_DF,
+            PAIR_GATE_MAX_FRAC,
+            PHRASE_PRUNE_MAX_DF,
+        )
 
         ixf = self._ixf(fk)
         pairs_ix = getattr(ixf, "pairs", None)
@@ -849,16 +861,20 @@ class Evaluator:
             return []
         rarest = min(pair_terms, key=lambda p: int(pstats[p]["df"]))
         rarest_df = int(pstats[rarest]["df"])
-        if rarest_df > PHRASE_PRUNE_MAX_DF:
+        n_docs, _ = ixf.global_stats()
+        dfs = [self._stats[(fk, w)]["df"] for w in set(words)]
+        if (rarest_df > PAIR_GATE_MAX_DF
+                or rarest_df > PAIR_GATE_MAX_FRAC * float(n_docs)
+                or rarest_df > PAIR_GATE_BENEFIT_RATIO * max(dfs)):
             return None
         # df(pair) <= min df of ITS constituents, but a cold word outside
         # every indexable pair can still be rarer — defer to the rare-slot
         # gate when its set would be strictly smaller and collectable
-        min_word_df = min(self._stats[(fk, w)]["df"] for w in set(words))
+        min_word_df = min(dfs)
         if min_word_df < rarest_df and min_word_df <= PHRASE_PRUNE_MAX_DF:
             return None
-        return [r[0] for r in
-                pairs_ix.postings([rarest]).select("doc_id").collect()]
+        pdf = pairs_ix.postings([rarest]).select("doc_id").toPandas()
+        return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
 
     def _eval_phrase_paired(self, q: Q.Phrase, words, uniq, fk):
         """Nextword-index fast path for two-word slop-1 Phrases (Williams,
@@ -961,7 +977,7 @@ class Evaluator:
         # pair's doc set — dominates the rare-slot gate when eligible since
         # df(pair) <= min constituent df), else the rare-slot gate
         cand = self._pair_candidates(words, fk) if q.slop == 1 else None
-        if cand == []:
+        if cand is not None and len(cand) == 0:
             return self._empty()  # an adjacency is absent corpus-wide
         if cand is None:
             cand = self._phrase_candidates(uniq, fk)

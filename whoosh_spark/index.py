@@ -294,7 +294,9 @@ class InvertedIndex:
 
             import numpy as np
 
-            arr = np.sort(np.asarray(list(candidate_ids), dtype=np.int64))
+            arr = (candidate_ids if isinstance(candidate_ids, np.ndarray)
+                   else np.asarray(list(candidate_ids), dtype=np.int64))
+            arr = np.sort(arr.astype(np.int64, copy=False))
             if arr.size == 0:
                 return self.spark.createDataFrame([], schema)
             # LRU-cache the broadcast per candidate set: repeated queries

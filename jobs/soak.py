@@ -339,7 +339,11 @@ def main() -> None:
     spark = _session()
     try:
         runs = []
-        for n in (args.baseline_docs, args.docs):
+        # equal sizes = single-leg mode (e.g. re-running just the 10M leg
+        # at its own core/batch config without rebuilding the baseline)
+        sizes = ((args.docs,) if args.baseline_docs == args.docs
+                 else (args.baseline_docs, args.docs))
+        for n in sizes:
             corpus = _ensure_corpus(spark, n)
             r = _build(spark, corpus, n)
             r["queries"] = _queries(spark, r["ix_dir"])

@@ -30,6 +30,8 @@ GERMAN_VECTORS = {
     "orders": "ord",              # s after s-ending r, then step2 'er'
     "the": "the",                 # 'e' not in R1 (R1 floor = 3)
     "aalgleichen": "aalgleich",   # step1 'en' in R1
+    "bauern": "bau",              # intervocalic u marked consonant -> R1=3
+    "feuern": "feu",              # same marking, step1 'ern'
     "ß": "ss",                    # ß fold, nothing else fires
 }
 

@@ -568,10 +568,14 @@ def register_analyzer(name: str, fn) -> None:
     ANALYZERS[name] = fn
 
 
-_BUILTIN_ANALYZERS = frozenset(ANALYZERS)
-
 # per-language chains (lang_de/fr/es + the stemmer registry) self-register
 # on import; imported HERE so a persisted manifest naming lang_<code>
 # resolves in any fresh process without a side-effect import at the call
 # site (safe: ANALYZERS and the tokenizer symbols above already exist)
 from whoosh_spark.analysis import snowball as _snowball  # noqa: E402,F401
+
+# snapshot AFTER the snowball import so the shipped lang_* chains count as
+# built-ins — register_analyzer must refuse to shadow any chain a
+# persisted manifest can reference by name (register_language remains the
+# supported way to swap a language's stopwords/stemmer)
+_BUILTIN_ANALYZERS = frozenset(ANALYZERS)

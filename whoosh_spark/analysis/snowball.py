@@ -54,13 +54,15 @@ def german_stem(word: str) -> str:
     unmark; fold umlauts.
     """
     w = word.replace("ß", "ss")
-    # mark u/y between vowels as consonants (upper case = marker)
+    # mark u/y between vowels as consonants (upper case = marker): the
+    # regions MUST be computed over the marked string (U/Y ∉ _VOWELS), or
+    # the marking is dead and e.g. 'bauern' keeps R1 past its 'ern'
     chars = list(w)
     for i in range(1, len(chars) - 1):
         if chars[i] in "uy" and chars[i - 1] in _VOWELS and chars[i + 1] in _VOWELS:
             chars[i] = chars[i].upper()
     w = "".join(chars)
-    r1, r2 = _regions(w.lower())
+    r1, r2 = _regions(w)
 
     def in_r1(suffix_start: int) -> bool:
         return suffix_start >= r1

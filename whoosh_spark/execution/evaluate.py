@@ -691,16 +691,14 @@ class Evaluator:
                     paired = paired.withColumn(
                         "score", F.col("score") * q.boost)
                 return paired
-        # same gate cascade as Phrase: pair chain (all-single-term slots at
-        # slop 1), else rare-slot.  Multiterm slots can't use the pair
-        # index (a slot's pairs would be the cross product of its terms)
-        cand = None
-        if q.slop == 1 and all(len(s) == 1 for s in slots):
+        # same gate cascade as Phrase: rare-slot first, else the pair chain
+        # (all-single-term slots at slop 1 only — a multiterm slot's pairs
+        # would be the cross product of its terms)
+        cand = self._phrase_candidates(slots, fk)
+        if cand is None and q.slop == 1 and all(len(s) == 1 for s in slots):
             cand = self._pair_candidates([s[0] for s in slots], fk)
             if cand is not None and len(cand) == 0:
                 return self._empty()
-        if cand is None:
-            cand = self._phrase_candidates(slots, fk)
         pos = ixf.postings(
             all_terms, with_positions=True,
             candidate_ids=cand).select(
@@ -840,7 +838,6 @@ class Evaluator:
             PAIR_GATE_BENEFIT_RATIO,
             PAIR_GATE_MAX_DF,
             PAIR_GATE_MAX_FRAC,
-            PHRASE_PRUNE_MAX_DF,
         )
 
         ixf = self._ixf(fk)
@@ -866,12 +863,6 @@ class Evaluator:
         if (rarest_df > PAIR_GATE_MAX_DF
                 or rarest_df > PAIR_GATE_MAX_FRAC * float(n_docs)
                 or rarest_df > PAIR_GATE_BENEFIT_RATIO * max(dfs)):
-            return None
-        # df(pair) <= min df of ITS constituents, but a cold word outside
-        # every indexable pair can still be rarer — defer to the rare-slot
-        # gate when its set would be strictly smaller and collectable
-        min_word_df = min(dfs)
-        if min_word_df < rarest_df and min_word_df <= PHRASE_PRUNE_MAX_DF:
             return None
         pdf = pairs_ix.postings([rarest]).select("doc_id").toPandas()
         return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
@@ -973,14 +964,15 @@ class Evaluator:
             if q.boost != 1.0:
                 paired = paired.withColumn("score", F.col("score") * q.boost)
             return paired
-        # candidate gate: the adjacent-pair chain (k-word slop-1, rarest
-        # pair's doc set — dominates the rare-slot gate when eligible since
-        # df(pair) <= min constituent df), else the rare-slot gate
-        cand = self._pair_candidates(words, fk) if q.slop == 1 else None
-        if cand is not None and len(cand) == 0:
-            return self._empty()  # an adjacency is absent corpus-wide
-        if cand is None:
-            cand = self._phrase_candidates(uniq, fk)
+        # candidate gate cascade: rare-slot first (when it fires its set is
+        # tiny and costs one small collect), else the adjacent-pair chain
+        # (k-word slop-1 — covers the all-hot case the rare-slot gate
+        # declines by design, and any case its 4x ratio condition rejects)
+        cand = self._phrase_candidates(uniq, fk)
+        if cand is None and q.slop == 1:
+            cand = self._pair_candidates(words, fk)
+            if cand is not None and len(cand) == 0:
+                return self._empty()  # an adjacency is absent corpus-wide
         # ONE positions decode feeds BOTH the adjacency fold and the BM25
         # scoring pass; one groupBy(doc_id) computes every slot's positions
         # AND the doc score (no per-slot join chain, no second decode scan)

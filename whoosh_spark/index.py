@@ -156,7 +156,10 @@ class InvertedIndex:
                 hot = frozenset(
                     r["term"] for r in tstats.where(
                         F.col("df") >= pair_min_df).select("term").collect())
-                # broadcast, not closure capture (see store._hot_pairs_fn)
+                # broadcast, not closure capture (see store._hot_pairs_fn).
+                # NOT unpersisted here: the in-memory pair tables are lazy
+                # DataFrames that re-run the extractor on every evaluation —
+                # the broadcast must stay resolvable for the index's lifetime
                 hot_bc = docs.sparkSession.sparkContext.broadcast(hot)
                 pair_an = _adocs(docs, id_col, text_col,
                                  format="frequency",

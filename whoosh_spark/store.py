@@ -188,9 +188,15 @@ def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     unfiltered bigram dictionary is ~an order of magnitude bigger than the
     unigram one (measured: pair merge 11× the main merge at 1M docs);
     rare-constituent phrases never route here, so indexing their pairs buys
-    nothing."""
+    nothing.
+
+    Returns ``(fn, broadcast_or_None)`` — the caller unpersists the
+    broadcast once the pair segment is materialized (executor copies are
+    dropped; a re-executed plan lazily re-broadcasts from the driver), so
+    a long-lived session building many indexes doesn't accumulate
+    executor-side hot-set copies."""
     if pair_min_df <= 0:
-        return None  # registry "adjacent_pairs" chain (all pairs)
+        return None, None  # registry "adjacent_pairs" chain (all pairs)
     from whoosh_spark.analysis.analyzers import make_hot_pairs_fn
 
     ts = spark.read.parquet(FS.join(path, "term_stats"))
@@ -200,7 +206,8 @@ def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     # ship via torrent broadcast, not closure pickling: a pathological
     # threshold can make this set huge, and a closure copy would be
     # re-serialized into every task (driver memory × task dispatch cost)
-    return make_hot_pairs_fn(spark.sparkContext.broadcast(hot))
+    bc = spark.sparkContext.broadcast(hot)
+    return make_hot_pairs_fn(bc), bc
 
 
 def _drop_pair_index(path: str, reason: str) -> None:
@@ -521,13 +528,16 @@ def write_index(
                              " standard chain's token/ordinal stream")
         pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
         _prepare_pair_dir(path, pair_min_df)
+        hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
         write_index(docs.select(F.col(id_col), F.col(text_col)),
                     FS.join(path, PAIR_DIR), id_col=id_col,
                     text_col=text_col, field=field, chunk_bits=chunk_bits,
                     chunks_per_commit=chunks_per_commit,
                     analyzer="adjacent_pairs", format="frequency",
                     write_stored=False,
-                    _analyzer_fn=_hot_pairs_fn(spark, path, pair_min_df))
+                    _analyzer_fn=hot_fn)
+        if hot_bc is not None:
+            hot_bc.unpersist()
     else:
         # same staleness rule as char_offsets/boosts: a previous generation
         # at this path may have opted in — its pairs describe the OLD corpus
@@ -595,12 +605,15 @@ def build_pair_segment(spark: SparkSession, path: str,
         id_col = manifest.get("id_col", "doc_id")
     pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
     _prepare_pair_dir(path, pair_min_df)
+    hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
     write_index(docs.select(F.col(id_col), F.col(text_col)),
                 FS.join(path, PAIR_DIR), id_col=id_col, text_col=text_col,
                 field=manifest.get("field", TEXT_FIELD),
                 analyzer="adjacent_pairs", format="frequency",
                 write_stored=False,
-                _analyzer_fn=_hot_pairs_fn(spark, path, pair_min_df))
+                _analyzer_fn=hot_fn)
+    if hot_bc is not None:
+        hot_bc.unpersist()
     manifest["phrase_pairs"] = True
     manifest["pair_min_df"] = int(pair_min_df)
     manifest["generation"] = _next_generation(path)
@@ -1068,8 +1081,13 @@ def commit_segments(spark: SparkSession, path: str, field: str = TEXT_FIELD,
 
     if store_docs is not None:
         raw0 = FS.read_text(FS.join(path, MANIFEST))
-        txt = (json.loads(raw0).get("text_col", "text") if raw0 else "text")
-        _drop_unstorable(store_docs.drop(txt)).write.mode("append").parquet(
+        m0 = json.loads(raw0) if raw0 else {}
+        txt = m0.get("text_col", "text")
+        # a store_text=True index keeps the text column in docs/ — dropping
+        # it here would give writer-added docs null stored text while
+        # pre-existing docs still return theirs
+        keep = store_docs if m0.get("store_text") else store_docs.drop(txt)
+        _drop_unstorable(keep).write.mode("append").parquet(
             FS.join(path, "docs"))
 
     _append_log(path, {"phase": "commit", "batches": list(pending),

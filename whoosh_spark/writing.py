@@ -127,7 +127,12 @@ class IndexWriter:
         if self._adds:
             rows = self._assign_ids(self._adds)
             docs = self._rows_df(rows)
-            bid = f"writer-{int(time.time() * 1000)}"
+            # uuid suffix: two commits in the same millisecond (AsyncWriter
+            # overlap) must not share a batch dir — overwrite would silently
+            # drop the first commit's documents
+            import uuid
+
+            bid = f"writer-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
             analyzed = B.analyzed_docs(
                 docs, "doc_id", self.text_col,
                 analyzer=self.manifest.get("analyzer", "standard"),
@@ -156,12 +161,25 @@ class IndexWriter:
 
     # ---- helpers -----------------------------------------------------------
     def _assign_ids(self, rows: list[dict]) -> list[dict]:
+        """Sequential ids above the corpus max — INCLUDING docs sitting in
+        pending (merge=False) micro-segments, which are not in doc_lengths
+        yet but will fold into the same id space.  Like upstream, writers
+        are single-writer-at-a-time: two commits racing this read need
+        external coordination (upstream's index lock analog)."""
         need = [r for r in rows if "doc_id" not in r]
         if need:
             mx = self.spark.read.parquet(
                 FS.join(self.path, "doc_lengths")).agg(
                 F.max("doc_id")).collect()[0][0]
-            nxt = int(mx or -1) + 1
+            mx = int(mx if mx is not None else -1)
+            for b in store.uncommitted_batches(self.path):
+                seg = FS.join(self.path, "analyzed", f"batch={b}")
+                if FS.isdir_nonempty(seg):
+                    bmx = self.spark.read.parquet(seg).agg(
+                        F.max("doc_id")).collect()[0][0]
+                    if bmx is not None:
+                        mx = max(mx, int(bmx))
+            nxt = mx + 1
             for r in need:
                 r["doc_id"] = nxt
                 nxt += 1
@@ -204,24 +222,33 @@ class AsyncWriter(IndexWriter):
         super().__init__(spark, path, key)
         self._thread: threading.Thread | None = None
         self.result: dict | None = None
+        self.error: BaseException | None = None
 
     def commit(self, optimize: bool = False, merge: bool = True) -> None:  # type: ignore[override]
         self._check_open()
 
         def run(adds=self._adds[:], updates=self._updates[:],
                 deletes=self._deletes[:], dq=self._delete_queries[:]):
-            w = IndexWriter(self.spark, self.path, self.key)
-            w._adds, w._updates, w._deletes, w._delete_queries = (
-                adds, updates, deletes, dq)
-            self.result = w.commit(optimize=optimize, merge=merge)
+            try:
+                w = IndexWriter(self.spark, self.path, self.key)
+                w._adds, w._updates, w._deletes, w._delete_queries = (
+                    adds, updates, deletes, dq)
+                self.result = w.commit(optimize=optimize, merge=merge)
+            except BaseException as exc:  # surfaced by join(), never lost
+                self.error = exc
 
         self._closed = True
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
     def join(self, timeout: float | None = None) -> dict | None:
+        """Wait for the background commit; re-raises any exception it hit
+        (a silently-lost commit is indistinguishable from a slow one
+        otherwise).  Returns None only on a genuine timeout."""
         if self._thread is not None:
             self._thread.join(timeout)
+        if self.error is not None:
+            raise self.error
         return self.result
 
 

@@ -856,16 +856,33 @@ class Evaluator:
         pstats = pairs_ix.stats_for_terms(pair_terms)
         if any(p not in pstats for p in pair_terms):
             return []
-        rarest = min(pair_terms, key=lambda p: int(pstats[p]["df"]))
-        rarest_df = int(pstats[rarest]["df"])
+        by_df = sorted(pair_terms, key=lambda p: (int(pstats[p]["df"]), p))
+        rarest_df = int(pstats[by_df[0]]["df"])
         n_docs, _ = ixf.global_stats()
         dfs = [self._stats[(fk, w)]["df"] for w in set(words)]
         if (rarest_df > PAIR_GATE_MAX_DF
                 or rarest_df > PAIR_GATE_MAX_FRAC * float(n_docs)
                 or rarest_df > PAIR_GATE_BENEFIT_RATIO * max(dfs)):
             return None
-        pdf = pairs_ix.postings([rarest]).select("doc_id").toPandas()
-        return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
+        # intersect the two rarest eligible pairs (both are supersets of
+        # the match set, so the intersection still is — exactness holds):
+        # for hot k>=3 phrases the pairs' sets overlap far less than either
+        # alone, shrinking the decode multiplicatively for one extra thin
+        # frequency-postings scan.  Only when the second pair also clears
+        # the caps — a near-corpus-wide second pair shrinks nothing.
+        probe = [by_df[0]]
+        if (len(by_df) > 1
+                and int(pstats[by_df[1]]["df"]) <= PAIR_GATE_MAX_DF
+                and int(pstats[by_df[1]]["df"])
+                <= PAIR_GATE_MAX_FRAC * float(n_docs)):
+            probe.append(by_df[1])
+        cand = None
+        for p in probe:
+            pdf = pairs_ix.postings([p]).select("doc_id").toPandas()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True)
+        return np.sort(cand)
 
     def _eval_phrase_paired(self, q: Q.Phrase, words, uniq, fk):
         """Nextword-index fast path for two-word slop-1 Phrases (Williams,

@@ -593,9 +593,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = parse_query("orders", analyzer="lang_de")
         return _topk(s.ev.evaluate(q))
 
+    def _lang_term(lang: str, word: str):
+        # round-5: French + Spanish snowball stemmers (clean-room from the
+        # published algorithm descriptions, analysis/snowball.py) behind
+        # the same registry route as lang_de — index the <lang> sub-corpus
+        # with the full stop+stem chain, tee the query through it, oracle
+        # embeds the same stemmer's vocab map
+        def run(spark, sf_dir):
+            import whoosh_spark.analysis.snowball  # noqa: F401
+            from whoosh_spark.query.parser import parse_query
+
+            key = (f"lang_{lang}", id(spark), sf_dir)
+            if key not in _CACHE:
+                docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                        .where(F.col("lang") == lang))
+                _CACHE[key] = Searcher(
+                    InvertedIndex.build(docs, analyzer=f"lang_{lang}"))
+            s = _CACHE[key]
+            q = parse_query(word, analyzer=f"lang_{lang}")
+            return _topk(s.ev.evaluate(q))
+
+        return run
+
     out.update(fielded_and=fielded_and, multifield_or=multifield_or,
                glob_fielded_and=glob_fielded_and, charset_term=charset_term,
-               lang_de_term=lang_de_term)
+               lang_de_term=lang_de_term,
+               # "tables" stems to "tabl" under BOTH chains (fr: step-4
+               # s-removal + final e; es: step-2b 'es') — matching the
+               # indexed stem of corpus word "table"
+               lang_fr_term=_lang_term("fr", "tables"),
+               lang_es_term=_lang_term("es", "tables"))
 
     # ---- per-posting boost weights (PositionBoosts overlay) --------------
     def boosted_term(spark, sf_dir):
@@ -1187,6 +1214,8 @@ def oracle_sql() -> dict[str, str]:
             [("text", "data"), ("lang", "en")], MF_FIELDS),
         "charset_term": OSQL.term_sql("data"),
         "lang_de_term": OSQL.lang_term_sql("orders", "de"),
+        "lang_fr_term": OSQL.lang_term_sql("tables", "fr"),
+        "lang_es_term": OSQL.lang_term_sql("tables", "es"),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),
         "weighted_subtree": OSQL.weighted_and_sql("pl2", "data", "vector"),

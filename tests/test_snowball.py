@@ -9,10 +9,12 @@ import pytest
 from whoosh_spark.analysis.snowball import (
     LANG_STOPWORDS,
     STEMMERS,
+    french_stem,
     german_stem,
     make_language_analyzer,
     register_language,
     register_stemmer,
+    spanish_stem,
 )
 
 # algorithm-derived vectors (worked by hand from the published spec's
@@ -41,6 +43,81 @@ def test_german_vectors(word, expected):
     assert german_stem(word) == expected
 
 
+# algorithm-derived vectors for the French stemmer (each comment names the
+# rule that fires; worked by hand from the published spec)
+FRENCH_VECTORS = {
+    "continuité": "continu",      # step1 'ité' in R2
+    "majestueusement": "majestu",  # step1 'ement' in RV, then 'eus' in R2
+    "montrerez": "montr",         # step2b 'erez' in RV
+    "animaux": "animal",          # step1 'aux' -> 'al' in R1
+    "nationaux": "national",      # same
+    "yeux": "yeux",               # y marked Y -> R2 past end, nothing fires
+    "voix": "voix",               # no suffix matches anywhere
+    "documents": "docu",          # step1 'ments' after vowel in RV
+    "principalement": "principal",  # step1 'ement' in RV
+    "consciences": "conscienc",   # 'ences' not in R2; step4 s + final e
+    "recherches": "recherch",     # step4 s-removal + final e in RV
+    "important": "import",        # step2b 'ant' in RV
+    "continuera": "continu",      # step2b 'era' in RV
+    "tables": "tabl",             # step4: s after e, then final e
+    "data": "dat",                # step2b a-group 'a' in RV
+}
+
+# algorithm-derived vectors for the Spanish stemmer
+SPANISH_VECTORS = {
+    "generosas": "gener",         # step1 'osas' in R2
+    "bebiendo": "beb",            # step2b 'iendo' in RV
+    "canciones": "cancion",       # step2b 'es' in RV
+    "diciéndoselo": "dic",        # step0 pronoun 'selo' after 'iéndo',
+                                  # un-accent, then step2b 'iendo'
+    "felizmente": "feliz",        # step1 'mente' in R2
+    "capacidades": "capac",       # step1 'idades' in R2, 'ac' survives
+    "rápidamente": "rapid",       # step1 'amente' in R1, accent folded
+    "trabajando": "trabaj",       # step2b 'ando' in RV
+    "llegue": "lleg",             # step3 'e' in RV + gu -> g undouble
+    "guerra": "guerr",            # step3 'a' in RV
+    "orders": "orders",           # ends 'rs': no Spanish suffix matches
+    "tables": "tabl",             # step2b 'es' in RV
+    "nacionales": "nacional",     # step2b 'es' in RV
+}
+
+
+@pytest.mark.parametrize("word,expected", sorted(FRENCH_VECTORS.items()))
+def test_french_vectors(word, expected):
+    assert french_stem(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", sorted(SPANISH_VECTORS.items()))
+def test_spanish_vectors(word, expected):
+    assert spanish_stem(word) == expected
+
+
+def test_french_spanish_registered():
+    # round-5: fr/es are full chains now (stop + stem), not stopword-only
+    assert STEMMERS["fr"] is french_stem
+    assert STEMMERS["es"] is spanish_stem
+    from whoosh_spark.analysis.analyzers import ANALYZERS
+
+    toks, _ = ANALYZERS["lang_fr"]("le chat continuera")
+    assert toks == ["chat", "continu"]
+    toks, _ = ANALYZERS["lang_es"]("el gato bebiendo")
+    assert toks == ["gat", "beb"]  # step3 'o' in RV
+
+
+def test_french_markers_never_leak():
+    for w in ("yeux", "payer", "inquiétude", "aiguë", "qualité"):
+        out = french_stem(w)
+        assert out == out.lower(), (w, out)
+
+
+def test_stemmers_idempotent_on_stems():
+    # a stem re-stemmed must be stable for the vocab we publish vectors for
+    for m, fn in ((FRENCH_VECTORS, french_stem),
+                  (SPANISH_VECTORS, spanish_stem)):
+        for stem in m.values():
+            assert fn(fn(stem)) == fn(stem)
+
+
 def test_german_idempotent_on_short_words():
     for w in ("ab", "im", "zu", "ei"):
         assert german_stem(w) == w
@@ -62,9 +139,10 @@ def test_language_chain_stops_and_stems():
 
 
 def test_language_chain_identity_without_stemmer():
-    fn = make_language_analyzer("fr")
-    toks, _ = fn("le chat noir")
-    assert toks == ["chat", "noir"]  # 'le' stopped, no stemmer -> identity
+    register_language("nl", stopwords=["de", "het"])  # no stemmer plugged
+    fn = make_language_analyzer("nl")
+    toks, _ = fn("de kat het huis")
+    assert toks == ["kat", "huis"]  # stopped, no stemmer -> identity
 
 
 def test_registry_pluggable():

@@ -12,8 +12,9 @@ implementations of:
     published algorithm description (M.F. Porter, snowballstem.org, "German
     stemming algorithm" — the classic revision, not the 2021 additions)
 
-plus stopword-only light chains for fr/es (no published-algorithm stemmer
-re-implemented yet — the registry makes adding one a one-liner).
+  * French  — the Snowball French stemming algorithm (classic revision),
+    implemented from the published algorithm description
+  * Spanish — the Snowball Spanish stemming algorithm, same provenance
 
 Chains register into ``ANALYZERS`` as ``lang_<code>`` so they work
 everywhere a chain name does: ``write_index(analyzer="lang_de")`` (persisted
@@ -151,6 +152,519 @@ def german_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# French (Snowball French stemming algorithm, classic revision — clean-room
+# from the published algorithm description, snowballstem.org "French stemming
+# algorithm"; upstream surface: src/whoosh/lang/snowball/french.py ≈L1)
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = set("aeiouyâàëéêèïîôûù")
+
+
+def _std_regions(w: str, vowels: set) -> tuple[int, int]:
+    """Standard snowball R1/R2 (no German floor): R1 = after the first
+    non-vowel following a vowel; R2 = same, computed inside R1."""
+    def after_vc(start: int) -> int:
+        i, n = start, len(w)
+        while i < n and w[i] not in vowels:
+            i += 1
+        while i < n and w[i] in vowels:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    r1 = after_vc(0)
+    return r1, after_vc(r1)
+
+
+def _longest(w: str, sufs) -> str | None:
+    """Longest listed suffix matching ``w`` (snowball longest-match: the
+    winner's condition failing means NO action — shorter candidates are
+    not retried)."""
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def _fr_mark(w: str) -> str:
+    """Pre-pass: u/i between vowels -> U/I, y next to a vowel -> Y, u after
+    q -> U (uppercase = 'treat as consonant' marker)."""
+    chars = list(w)
+    n = len(chars)
+    out = chars[:]
+    for i, c in enumerate(chars):
+        prev = chars[i - 1] if i > 0 else ""
+        nxt = chars[i + 1] if i < n - 1 else ""
+        if c in "ui" and prev in _FR_VOWELS and nxt in _FR_VOWELS:
+            out[i] = c.upper()
+        elif c == "y" and (prev in _FR_VOWELS or nxt in _FR_VOWELS):
+            out[i] = "Y"
+        elif c == "u" and prev == "q":
+            out[i] = "U"
+    return "".join(out)
+
+
+def _fr_rv(w: str) -> int:
+    """RV: after the 3rd letter when the word starts with two vowels or
+    with par/col/tap; else after the first vowel not at position 0; else
+    the end."""
+    n = len(w)
+    if w[:3] in ("par", "col", "tap"):
+        return min(3, n)
+    if n >= 2 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return min(3, n)
+    for i in range(1, n):
+        if w[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+# step-1 suffix pool: suffix -> action group (searched longest-first; the
+# longest match's group alone decides)
+_FR_S1 = {}
+for _s in ("ance iqUe isme able iste eux "
+           "ances iqUes ismes ables istes").split():
+    _FR_S1[_s] = "del_r2"
+for _s in "atrice ateur ation atrices ateurs ations".split():
+    _FR_S1[_s] = "ateur"
+for _s in ("logie", "logies"):
+    _FR_S1[_s] = "log"
+for _s in ("usion", "ution", "usions", "utions"):
+    _FR_S1[_s] = "u"
+for _s in ("ence", "ences"):
+    _FR_S1[_s] = "ent"
+for _s in ("ement", "ements"):
+    _FR_S1[_s] = "ement"
+for _s in ("ité", "ités"):
+    _FR_S1[_s] = "ite"
+for _s in ("if", "ive", "ifs", "ives"):
+    _FR_S1[_s] = "if"
+_FR_S1["eaux"] = "eaux"
+_FR_S1["aux"] = "aux"
+for _s in ("euse", "euses"):
+    _FR_S1[_s] = "euse"
+for _s in ("issement", "issements"):
+    _FR_S1[_s] = "issement"
+_FR_S1["amment"] = "amment"
+_FR_S1["emment"] = "emment"
+for _s in ("ment", "ments"):
+    _FR_S1[_s] = "ment"
+
+_FR_S2A = ("îmes ît îtes i ie ies ir ira irai iraIent irais irait iras "
+           "irent irez iriez irions irons iront is issaIent issais issait "
+           "issant issante issantes issants isse issent isses issez issiez "
+           "issions issons it").split()
+
+_FR_S2B_ER = ("é ée ées és èrent er era erai eraIent erais erait eras erez "
+              "eriez erions erons eront ez iez").split()
+_FR_S2B_A = ("âmes ât âtes a ai aIent ais ait ant ante antes ants as asse "
+             "assent asses assiez assions").split()
+
+
+def french_stem(word: str) -> str:
+    """Snowball French stemmer (clean-room from the published algorithm
+    description).  Lowercase input expected."""
+    w = _fr_mark(word)
+    rv = _fr_rv(w)
+    r1, r2 = _std_regions(w, _FR_VOWELS)
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    def in_rv(i):
+        return i >= rv
+
+    # ---- step 1: standard suffix removal ---------------------------------
+    changed1 = False
+    ment_removed = False
+    suf = _longest(w, _FR_S1)
+    if suf is not None:
+        g = _FR_S1[suf]
+        i = len(w) - len(suf)
+        if g == "del_r2":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+        elif g == "ateur":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif g == "log":
+            if in_r2(i):
+                w = w[:i] + "log"
+                changed1 = True
+        elif g == "u":
+            if in_r2(i):
+                w = w[:i] + "u"
+                changed1 = True
+        elif g == "ent":
+            if in_r2(i):
+                w = w[:i] + "ent"
+                changed1 = True
+        elif g == "ement":
+            if in_rv(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r2(len(w) - 3):
+                        w = w[:-3]
+                    elif in_r1(len(w) - 3):
+                        w = w[:-3] + "eux"
+                elif (w.endswith("abl") and in_r2(len(w) - 3)) \
+                        or (w.endswith("iqU") and in_r2(len(w) - 3)):
+                    w = w[:-3]
+                elif (w.endswith("ièr") or w.endswith("Ièr")) \
+                        and in_rv(len(w) - 3):
+                    w = w[:-3] + "i"
+        elif g == "ite":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("abil"):
+                    if in_r2(len(w) - 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif g == "if":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r2(len(w) - 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif g == "eaux":
+            w = w[:i] + "eau"
+            changed1 = True
+        elif g == "aux":
+            if in_r1(i):
+                w = w[:i] + "al"
+                changed1 = True
+        elif g == "euse":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+            elif in_r1(i):
+                w = w[:i] + "eux"
+                changed1 = True
+        elif g == "issement":
+            if in_r1(i) and i > 0 and w[i - 1] not in _FR_VOWELS:
+                w = w[:i]
+                changed1 = True
+        elif g == "amment":
+            if in_rv(i):
+                w = w[:i] + "ant"
+                changed1 = True
+                ment_removed = True
+        elif g == "emment":
+            if in_rv(i):
+                w = w[:i] + "ent"
+                changed1 = True
+                ment_removed = True
+        elif g == "ment":
+            # delete when preceded by a vowel which is itself in RV
+            if i > 0 and w[i - 1] in _FR_VOWELS and in_rv(i - 1):
+                w = w[:i]
+                changed1 = True
+                ment_removed = True
+
+    # ---- steps 2a/2b: verb suffixes (confined to RV) ---------------------
+    did2a = did2b = False
+    changed2a = changed2b = False
+    if (not changed1) or ment_removed:
+        did2a = True
+        suf = _longest(w, _FR_S2A)
+        if suf is not None:
+            i = len(w) - len(suf)
+            if in_rv(i) and i > 0 and w[i - 1] not in _FR_VOWELS \
+                    and in_rv(i - 1):
+                w = w[:i]
+                changed2a = True
+        if not changed2a:
+            did2b = True
+            suf = _longest(w, ["ions"] + _FR_S2B_ER + _FR_S2B_A)
+            if suf is not None:
+                i = len(w) - len(suf)
+                if suf == "ions":
+                    if in_rv(i) and in_r2(i):
+                        w = w[:i]
+                        changed2b = True
+                elif suf in _FR_S2B_ER:
+                    if in_rv(i):
+                        w = w[:i]
+                        changed2b = True
+                else:  # the a-group
+                    if in_rv(i):
+                        w = w[:i]
+                        changed2b = True
+                        if w.endswith("e") and in_rv(len(w) - 1):
+                            w = w[:-1]
+
+    # ---- step 3 / step 4 -------------------------------------------------
+    last_changed = changed2b if did2b else (changed2a if did2a else changed1)
+    if last_changed:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4: final s not preceded by a/i/o/u/è/s
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            w = w[:-1]
+        suf = _longest(w, ("ion", "ier", "ière", "Ier", "Ière", "e", "ë"))
+        if suf is not None:
+            i = len(w) - len(suf)
+            if suf == "ion":
+                if in_rv(i) and in_r2(i) and i > 0 and w[i - 1] in "st" \
+                        and in_rv(i - 1):
+                    w = w[:i]
+            elif suf in ("ier", "ière", "Ier", "Ière"):
+                if in_rv(i):
+                    w = w[:i] + "i"
+            elif suf == "e":
+                if in_rv(i):
+                    w = w[:i]
+            else:  # ë
+                if in_rv(i) and w[:i].endswith("gu"):
+                    w = w[:i]
+
+    # ---- step 5: undouble ------------------------------------------------
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+    # ---- step 6: un-accent -----------------------------------------------
+    j = len(w) - 1
+    k = 0
+    while j >= 0 and w[j] not in _FR_VOWELS:
+        j -= 1
+        k += 1
+    if k >= 1 and j >= 0 and w[j] in "éè":
+        w = w[:j] + "e" + w[j + 1:]
+    # ---- unmark ----------------------------------------------------------
+    return w.replace("U", "u").replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Spanish (Snowball Spanish stemming algorithm — clean-room from the
+# published algorithm description, snowballstem.org "Spanish stemming
+# algorithm"; upstream surface: src/whoosh/lang/snowball/spanish.py ≈L1)
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = set("aeiouáéíóúü")
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+_ES_PRONOUNS = ("me se sela selo selas selos la le lo las les los "
+                "nos").split()
+_ES_P_A = ("iéndo", "ándo", "ár", "ér", "ír")       # un-accent after delete
+_ES_P_B = ("ando", "iendo", "ar", "er", "ir")
+
+_ES_S1 = {}
+for _s in ("anza anzas ico ica icos icas ismo ismos able ables ible ibles "
+           "ista istas oso osa osos osas amiento amientos imiento "
+           "imientos").split():
+    _ES_S1[_s] = "del_r2"
+for _s in ("adora ador ación adoras adores aciones ante antes ancia "
+           "ancias").split():
+    _ES_S1[_s] = "ador"
+for _s in ("logía", "logías"):
+    _ES_S1[_s] = "log"
+for _s in ("ución", "uciones"):
+    _ES_S1[_s] = "u"
+for _s in ("encia", "encias"):
+    _ES_S1[_s] = "ente"
+_ES_S1["amente"] = "amente"
+_ES_S1["mente"] = "mente"
+for _s in ("idad", "idades"):
+    _ES_S1[_s] = "idad"
+for _s in ("iva", "ivo", "ivas", "ivos"):
+    _ES_S1[_s] = "iv"
+
+_ES_S2A = "ya ye yan yen yeron yendo yo yó yas yes yais yamos".split()
+_ES_S2B_GU = "en es éis emos".split()
+_ES_S2B = ("arían arías arán arás aríais aría aréis aríamos aremos ará aré "
+           "erían erías erán erás eríais ería eréis eríamos eremos erá eré "
+           "irían irías irán irás iríais iría iréis iríamos iremos irá iré "
+           "aba ada ida ía ara iera ad ed id ase iese aste iste an aban ían "
+           "aran ieran asen iesen aron ieron ado ido ando iendo ió ar er ir "
+           "as abas adas idas ías aras ieras ases ieses ís áis abais íais "
+           "arais ierais aseis ieseis asteis isteis ados idos amos ábamos "
+           "íamos imos áramos iéramos iésemos ásemos").split()
+_ES_S3_DEL = ("os", "a", "o", "á", "í", "ó")
+
+
+def _es_rv(w: str) -> int:
+    """RV: second letter a consonant -> after the next following vowel;
+    first two letters vowels -> after the next following consonant;
+    consonant+vowel -> after the third letter; else the end."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        for i in range(2, n):
+            if w[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _ES_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def spanish_stem(word: str) -> str:
+    """Snowball Spanish stemmer (clean-room from the published algorithm
+    description).  Lowercase input expected."""
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _std_regions(w, _ES_VOWELS)
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    def in_rv(i):
+        return i >= rv
+
+    # ---- step 0: attached pronoun ----------------------------------------
+    pron = _longest(w, _ES_PRONOUNS)
+    if pron is not None:
+        base = w[: len(w) - len(pron)]
+        end = _longest(base, _ES_P_A + _ES_P_B + ("yendo",))
+        if end is not None:
+            i = len(base) - len(end)
+            if end == "yendo":
+                if in_rv(i) and i > 0 and base[i - 1] == "u":
+                    w = base
+            elif end in _ES_P_A:
+                if in_rv(i):
+                    w = base[:i] + end.translate(_ES_UNACCENT)
+            else:
+                if in_rv(i):
+                    w = base
+        # regions were computed on entry and keep their offsets: pronoun
+        # removal only shortens the tail, never the region starts
+
+    # ---- step 1: standard suffix removal ---------------------------------
+    changed1 = False
+    suf = _longest(w, _ES_S1)
+    if suf is not None:
+        g = _ES_S1[suf]
+        i = len(w) - len(suf)
+        if g == "del_r2":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+        elif g == "ador":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif g == "log":
+            if in_r2(i):
+                w = w[:i] + "log"
+                changed1 = True
+        elif g == "u":
+            if in_r2(i):
+                w = w[:i] + "u"
+                changed1 = True
+        elif g == "ente":
+            if in_r2(i):
+                w = w[:i] + "ente"
+                changed1 = True
+        elif g == "amente":
+            if in_r1(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif (w.endswith(("os", "ic", "ad"))
+                      and in_r2(len(w) - 2)):
+                    w = w[:-2]
+        elif g == "mente":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+                if (w.endswith(("ante", "able", "ible"))
+                        and in_r2(len(w) - 4)):
+                    w = w[:-4]
+        elif g == "idad":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif (w.endswith(("ic", "iv")) and in_r2(len(w) - 2)):
+                    w = w[:-2]
+        elif g == "iv":
+            if in_r2(i):
+                w = w[:i]
+                changed1 = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+
+    # ---- step 2a: verb suffixes beginning y ------------------------------
+    changed2a = False
+    if not changed1:
+        suf = _longest(w, _ES_S2A)
+        if suf is not None:
+            i = len(w) - len(suf)
+            if in_rv(i) and i > 0 and w[i - 1] == "u":
+                w = w[:i]
+                changed2a = True
+        # ---- step 2b: other verb suffixes --------------------------------
+        if not changed2a:
+            suf = _longest(w, _ES_S2B_GU + _ES_S2B)
+            if suf is not None:
+                i = len(w) - len(suf)
+                if in_rv(i):
+                    w = w[:i]
+                    if suf in _ES_S2B_GU and w.endswith("gu"):
+                        w = w[:-1]
+
+    # ---- step 3: residual suffix -----------------------------------------
+    suf = _longest(w, _ES_S3_DEL + ("e", "é"))
+    if suf is not None:
+        i = len(w) - len(suf)
+        if suf in _ES_S3_DEL:
+            if in_rv(i):
+                w = w[:i]
+        else:  # e / é
+            if in_rv(i):
+                w = w[:i]
+                if w.endswith("gu") and in_rv(len(w) - 1):
+                    w = w[:-1]
+
+    return w.translate(_ES_UNACCENT)
+
+
+# ---------------------------------------------------------------------------
 # registry + chains
 # ---------------------------------------------------------------------------
 
@@ -160,7 +674,8 @@ def _porter(word: str) -> str:
     return stem(word)
 
 
-STEMMERS: dict[str, object] = {"en": _porter, "de": german_stem}
+STEMMERS: dict[str, object] = {"en": _porter, "de": german_stem,
+                               "fr": french_stem, "es": spanish_stem}
 
 # compact per-language stopword cores (public snowball lists, head subset;
 # the registry takes any iterable — swap in the full lists as needed)
@@ -174,13 +689,25 @@ LANG_STOPWORDS: dict[str, frozenset] = {
     "fr": frozenset("""au aux avec ce ces dans de des du elle en et eux il
         ils je la le les leur lui ma mais me même mes moi mon ne nos notre
         nous on ou par pas pour qu que qui sa se ses son sur ta te tes toi
-        ton tu un une vos votre vous""".split()),
+        ton tu un une vos votre vous été étée étées étés étant suis es est
+        sommes êtes sont serai seras sera serons serez seront serais serait
+        serions seriez seraient étais était étions étiez étaient fus fut
+        fûmes fûtes furent sois soit soyons soyez soient fusse fusses fût
+        fussions fussiez fussent ayant eu eue eues eus ai as avons avez ont
+        aurai auras aura aurons aurez auront aurais aurait aurions auriez
+        auraient avais avait avions aviez avaient eut eûmes eûtes eurent
+        aie aies ait ayons ayez aient eusse eusses eût eussions eussiez
+        eussent ceci cela celà cet cette ici là""".split()),
     "es": frozenset("""al algo ante antes como con contra cual cuando de
         del desde donde durante el ella ellas ellos en entre era erais es
         esa esas ese eso esos esta estas este esto estos fue ha hay la las
         le les lo los más mi mis mucho muy no nos nosotros o os otra otro
         para pero poco por porque que quien se sin sobre son su sus también
-        tanto te tu tus un una uno unos vosotros y ya yo""".split()),
+        tanto te tu tus un una uno unos vosotros y ya yo algunos algunas
+        cada desde donde ellas esos estos fueron había han he hemos hube
+        les me mía mías mío míos nada ni nuestra nuestras nuestro nuestros
+        os otras otros quienes qué sí somos soy suya suyas suyo suyos todo
+        todos tuya tuyo vuestra vuestras vuestro vuestros""".split()),
 }
 
 

@@ -225,3 +225,30 @@ def test_ordinal_adversarial():
     assert nl_span("august 2020", BASE) is not None
     # "of" inside a non-date phrase still unparsed
     assert nl_span("best of 2020", BASE) is None
+
+
+# ---- round-5 tail: colon modifiers, bare weekdays, invalid days ------------
+
+def test_colon_modifier_forms():
+    from whoosh_spark.query.dateparse import nl_span
+
+    assert nl_span("oct:25", BASE) == nl_span("25 october", BASE)
+    assert nl_span("oct:25:2005", BASE) == nl_span("25 october 2005", BASE)
+    assert nl_span("oct:2005", BASE) == nl_span("october 2005", BASE)
+    assert nl_span("october:25", BASE) == nl_span("25 october", BASE)
+    # non-month prefix stays unparsed (times keep their own grammar)
+    assert nl_span("fish:25", BASE) is None
+
+
+def test_bare_weekday_is_this_week():
+    from whoosh_spark.query.dateparse import nl_span
+
+    for d in ("monday", "friday", "fri", "sun"):
+        assert nl_span(d, BASE) == nl_span(f"this {d}", BASE), d
+
+
+def test_invalid_day_returns_none_not_crash():
+    from whoosh_spark.query.dateparse import nl_span
+
+    for v in ("feb 30", "45 october 2005", "oct:32", "2005 31 february"):
+        assert nl_span(v, BASE) is None, v

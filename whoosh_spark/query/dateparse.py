@@ -142,6 +142,12 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
             d = _add_months(base, off)
             return _month(d.year, d.month)
         return _year(base.year + off)
+    # bare weekday name ("friday", "fri"): that weekday inside the
+    # Mon-start week of base — same reading as "this friday" (the
+    # unmodified-weekday case of upstream's relative-day grammar)
+    if s in _WEEKDAYS:
+        d0 = base - timedelta(days=base.weekday())
+        return _day(d0 + timedelta(days=_WEEKDAYS[s]))
     m = re.match(r"^(this|last|next)\s+([a-z]+)$", s)
     if m and m.group(2) in _WEEKDAYS:
         rel, wd = m.group(1), _WEEKDAYS[m.group(2)]
@@ -175,6 +181,12 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
         return t, t + 1
     if re.match(r"^\d{4}$", s):
         return _year(int(s))
+    # colon-modifier spellings ("oct:25", "oct:25:2005", "oct:2005") fold
+    # to the space-separated bag order the month grammar below accepts —
+    # upstream's month:day modifier syntax (qparser/dateparse.py ≈L1-1000)
+    m = re.match(r"^([a-z]+):(\d{1,4})(?::(\d{4}))?$", s)
+    if m and m.group(1) in _MONTHS and (len(m.group(2)) != 3):
+        s = " ".join(p for p in (m.group(1), m.group(2), m.group(3)) if p)
     # upstream's looser day spellings fold into the canonical form before
     # the month grammar: ordinal suffixes ("25th") and the "of" connector
     # ("25th of october 2005" ≡ "25 october 2005")
@@ -188,7 +200,10 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
         year = int(m.group(4)) if m.group(4) else base.year
         month = _MONTHS[m.group(2)]
         if day:
-            return _day(datetime(year, month, int(day)))
+            try:
+                return _day(datetime(year, month, int(day)))
+            except ValueError:  # "feb 30": not a date, not a parse crash
+                return None
         return _month(year, month)
     # year-FIRST order ("2005 march", "2005 march 12", "2005 12 march") —
     # upstream's grammar accepts the parts in any order; the 4-digit year
@@ -199,7 +214,10 @@ def nl_span(text: str, base: datetime) -> tuple[int, int] | None:
         day = m.group(2) or m.group(4)
         year, month = int(m.group(1)), _MONTHS[m.group(3)]
         if day:
-            return _day(datetime(year, month, int(day)))
+            try:
+                return _day(datetime(year, month, int(day)))
+            except ValueError:
+                return None
         return _month(year, month)
     # time-of-day, optionally after a DAY-grain date phrase (+ optional "at"):
     # "3pm", "15:30", "noon", "tomorrow at 3pm", "next friday 16:20:11"

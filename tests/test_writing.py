@@ -133,3 +133,62 @@ def test_buffered_writer_autocommit_and_searcher(spark, base_ix):
     s = w.searcher()  # folds the straggler before searching
     assert len(_topk(s, Q.Term("bufferedterm"))) == 1
     w.close()
+
+
+def test_interleaved_writers_serialize_via_lock(spark, base_ix):
+    """Two writers committing concurrently on one path must serialize:
+    both documents present afterwards, distinct auto-ids, and no fold
+    loses the other's micro-segment (round-5 commit-lock regression)."""
+    wa = AsyncWriter(spark, base_ix)
+    wa.add_document(url="u-race-a", text="racing writer alpha zzzraceterm")
+    wb = IndexWriter(spark, base_ix)
+    wb.add_document(url="u-race-b", text="racing writer beta zzzraceterm")
+    wa.commit()       # background fold starts
+    wb.commit()       # must queue behind wa's lock, then fold on top
+    assert wa.join(timeout=300) is not None
+    s = Searcher(store.load_index(spark, base_ix))
+    hits = {d for d, _ in _topk(s, Q.Term("zzzraceterm"))}
+    assert len(hits) == 2  # both docs survived, under distinct ids
+    import json
+
+    urls = {r["url"] for r in spark.read.parquet(base_ix + "/docs")
+            .where(F.col("url").startswith("u-race")).collect()}
+    assert urls == {"u-race-a", "u-race-b"}
+    # the lock file is released after both commits
+    import os
+
+    assert not os.path.exists(base_ix + "/_writer.lock")
+
+
+def test_stale_lock_is_broken(spark, base_ix, tmp_path):
+    """A crashed writer's lock (old timestamp) must not wedge the index."""
+    import json
+    import time as _t
+
+    from whoosh_spark import fs as FS
+    from whoosh_spark.writing import LOCK_FILE
+
+    FS.create_exclusive(FS.join(base_ix, LOCK_FILE),
+                        json.dumps({"pid": 0, "ts": _t.time() - 10_000}))
+    w = IndexWriter(spark, base_ix)
+    w.add_document(url="u-after-crash", text="post crash data zzzcrash")
+    w.commit()  # breaks the stale lock instead of timing out
+    s = Searcher(store.load_index(spark, base_ix))
+    assert len(_topk(s, Q.Term("zzzcrash"))) == 1
+
+
+def test_busy_lock_times_out(spark, base_ix):
+    import json
+    import time as _t
+
+    import pytest as _pt
+
+    from whoosh_spark import fs as FS
+    from whoosh_spark.writing import LOCK_FILE, LockError, _commit_lock
+
+    FS.create_exclusive(FS.join(base_ix, LOCK_FILE),
+                        json.dumps({"pid": 1, "ts": _t.time()}))
+    with _pt.raises(LockError):
+        with _commit_lock(base_ix, timeout=0.5):
+            pass
+    FS.remove(FS.join(base_ix, LOCK_FILE))

@@ -99,6 +99,34 @@ def makedirs(path: str) -> None:
     fs.mkdirs(p)
 
 
+def create_exclusive(path: str, text: str = "") -> bool:
+    """Create ``path`` only if it does not exist (the lock primitive).
+
+    Atomic on POSIX local filesystems (O_CREAT|O_EXCL) and on
+    HDFS-semantics stores (``FileSystem.create(overwrite=False)`` raises on
+    an existing file); advisory-only on eventually-consistent object
+    stores.  Returns False when the file already exists."""
+    if not is_uri(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+    jvm, fs, p = _fs(path)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def read_text(path: str) -> str | None:
     """File contents, or None if absent."""
     if not is_uri(path):

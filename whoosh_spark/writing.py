@@ -23,8 +23,10 @@ O(delta) incremental commit.  ``merge=False`` leaves the segment pending
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +35,51 @@ from whoosh_spark import build as B
 from whoosh_spark import fs as FS
 from whoosh_spark import store
 from whoosh_spark.config import TEXT_FIELD
+
+LOCK_FILE = "_writer.lock"
+
+
+class LockError(TimeoutError):
+    """Could not acquire the per-index commit lock within the timeout."""
+
+
+@contextmanager
+def _commit_lock(path: str, timeout: float = 120.0,
+                 stale_after: float = 600.0):
+    """Per-index-path advisory commit lock (upstream's index-lock analog,
+    ``src/whoosh/index.py::FileIndex.lock ≈L430``).
+
+    Serializes writer commits against each other: the fold path is
+    crash-atomic (append-only analyze log + atomic manifest swap), but two
+    INTERLEAVED folds could each merge a table set missing the other's
+    just-written micro-segment and the later manifest would win — the lock
+    makes commits sequential, so every fold sees every earlier batch.
+    Locks from crashed writers are broken after ``stale_after`` seconds
+    (the payload records owner pid + timestamp)."""
+    lock = FS.join(path, LOCK_FILE)
+    deadline = time.monotonic() + timeout
+    while True:
+        if FS.create_exclusive(
+                lock, json.dumps({"pid": os.getpid(), "ts": time.time()})):
+            break
+        raw = FS.read_text(lock)
+        try:
+            ts = json.loads(raw).get("ts", 0) if raw else 0
+        except (ValueError, AttributeError):
+            ts = 0
+        if not ts or time.time() - ts > stale_after:
+            FS.remove(lock)  # dead (or unreadable) owner: break the lock
+            continue
+        if time.monotonic() > deadline:
+            raise LockError(
+                f"commit lock busy for {timeout:.0f}s: {lock} (held by "
+                f"{raw}); a crashed holder is broken automatically after "
+                f"{stale_after:.0f}s")
+        time.sleep(0.2)
+    try:
+        yield
+    finally:
+        FS.remove(lock)
 
 
 class IndexWriter:
@@ -111,9 +158,27 @@ class IndexWriter:
         """Apply deletes → updates → adds, then fold (O(delta) incremental
         commit).  ``optimize=True`` runs the full OPTIMIZE compaction after;
         ``merge=False`` leaves the new micro-segment pending (searchable
-        only after a later commit/compaction — Whoosh's NO_MERGE policy)."""
+        only after a later commit/compaction — Whoosh's NO_MERGE policy).
+
+        Commits on the same path serialize through the per-index lock
+        (``_commit_lock``) — a writer whose commit races another (e.g. an
+        ``AsyncWriter`` still folding) WAITS, then re-reads the manifest so
+        its fold runs against the generation the earlier commit produced
+        (the generation-check-and-retry upstream's AsyncWriter does with
+        the index lock)."""
         self._check_open()
+        with _commit_lock(self.path):
+            return self._commit_locked(optimize, merge)
+
+    def _commit_locked(self, optimize: bool, merge: bool) -> dict:
         spark = self.spark
+        # refresh the manifest under the lock: a commit that queued behind
+        # another writer must fold against the NEW generation's config
+        raw = FS.read_text(FS.join(self.path, store.MANIFEST))
+        if raw is not None:
+            self.manifest = json.loads(raw)
+            self.text_col = self.manifest.get("text_col", "text")
+            self.field = self.manifest.get("field", TEXT_FIELD)
         out: dict = {"adds": len(self._adds), "updates": len(self._updates),
                      "deletes": len(self._deletes) + len(self._delete_queries)}
         for q in self._delete_queries:
@@ -163,9 +228,9 @@ class IndexWriter:
     def _assign_ids(self, rows: list[dict]) -> list[dict]:
         """Sequential ids above the corpus max — INCLUDING docs sitting in
         pending (merge=False) micro-segments, which are not in doc_lengths
-        yet but will fold into the same id space.  Like upstream, writers
-        are single-writer-at-a-time: two commits racing this read need
-        external coordination (upstream's index lock analog)."""
+        yet but will fold into the same id space.  Runs inside the commit
+        lock, so two writers' interleaved commits read this max
+        sequentially and never hand out the same id."""
         need = [r for r in rows if "doc_id" not in r]
         if need:
             mx = self.spark.read.parquet(
@@ -214,9 +279,12 @@ class IndexWriter:
 
 class AsyncWriter(IndexWriter):
     """``writing.py::AsyncWriter ≈L950``: ``commit()`` returns immediately
-    and folds on a background thread; ``join()`` waits.  (Upstream's
-    lock-retry dance is unnecessary — the fold path is already
-    crash-atomic via the append-only log + atomic table swaps.)"""
+    and folds on a background thread; ``join()`` waits.  The background
+    commit takes the same per-index lock every commit does, so an
+    AsyncWriter racing a plain writer (or another AsyncWriter) on one path
+    serializes instead of interleaving folds — upstream's lock-retry
+    semantics, with crash-atomicity from the append-only log + atomic
+    manifest swap."""
 
     def __init__(self, spark: SparkSession, path: str, key: str = "url"):
         super().__init__(spark, path, key)

@@ -149,57 +149,200 @@ def make_analyze_batches(analyze_fn=None):
                 term_offsets.append(len(all_terms))
                 len_raws.append(n)
 
-            # ---- vectorized varint encode of ALL entries at once ----
-            counts = np.asarray(entry_counts, dtype=np.int64)
-            flat = np.asarray(flat_pos, dtype=np.int64)
-            starts = np.cumsum(counts) - counts
-            deltas = np.diff(flat, prepend=0)
-            nz = counts > 0
-            deltas[starts[nz]] = flat[starts[nz]]
-            # interleave: [count, d1..dk] per entry
-            n_ent = counts.size
-            stream = np.empty(n_ent + flat.size, dtype=np.uint64)
-            cnt_idx = np.arange(n_ent) + starts
-            stream[cnt_idx] = counts.astype(np.uint64)
-            mask = np.ones(stream.size, dtype=bool)
-            mask[cnt_idx] = False
-            stream[mask] = deltas.astype(np.uint64)
-            data = varint_encode(stream)
-            # per-value byte widths → per-entry blob byte lengths →
-            # offsets — the codec's OWN width table, so the two can never
-            # desynchronize (blob offsets derive from these widths)
-            from whoosh_spark.codec.blocks import _varint_lens
-
-            val_bounds = np.concatenate(([0], np.cumsum(_varint_lens(stream))))
-            ent_val_starts = cnt_idx  # index of each entry's first value (its count)
-            ent_byte_off = np.empty(n_ent + 1, dtype=np.int32)
-            ent_byte_off[:-1] = val_bounds[ent_val_starts]
-            ent_byte_off[-1] = val_bounds[-1]
-            blobs = pa.BinaryArray.from_buffers(
-                pa.binary(), n_ent,
-                [None, pa.py_buffer(ent_byte_off.tobytes()), pa.py_buffer(data)],
-            )
-
-            len_arr = np.asarray(len_raws, dtype=np.int32)
-            dl_arr = quantize_len_np(len_arr).astype(np.int32)
-            t_off = pa.array(term_offsets, type=pa.int32())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(doc_ids, type=pa.int64()),
-                    pa.array(len_arr),
-                    pa.array(dl_arr),
-                    pa.ListArray.from_arrays(t_off, pa.array(all_terms, type=pa.string())),
-                    pa.ListArray.from_arrays(t_off, pa.array(all_tfs, type=pa.int64())),
-                    pa.ListArray.from_arrays(t_off, blobs),
-                ],
-                names=["doc_id", "len_raw", "dl", "terms", "tfs", "pos_blobs"],
-            )
+            yield _assemble_analyzed_batch(
+                doc_ids, len_raws, all_terms, all_tfs, entry_counts,
+                flat_pos, term_offsets)
 
     return run
 
 
+def _assemble_analyzed_batch(doc_ids, len_raws, all_terms, all_tfs,
+                             entry_counts, flat_pos, term_offsets):
+    """Flat per-batch analysis buffers → one ANALYZED_SCHEMA RecordBatch
+    (shared by the raw-text analyze kernel and the pair-derivation kernel,
+    so both produce byte-identical output for the same token stream)."""
+    import pyarrow as pa
+
+    from whoosh_spark.codec.blocks import varint_encode
+
+    # ---- vectorized varint encode of ALL entries at once ----
+    counts = np.asarray(entry_counts, dtype=np.int64)
+    flat = np.asarray(flat_pos, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    deltas = np.diff(flat, prepend=0)
+    nz = counts > 0
+    deltas[starts[nz]] = flat[starts[nz]]
+    # interleave: [count, d1..dk] per entry
+    n_ent = counts.size
+    stream = np.empty(n_ent + flat.size, dtype=np.uint64)
+    cnt_idx = np.arange(n_ent) + starts
+    stream[cnt_idx] = counts.astype(np.uint64)
+    mask = np.ones(stream.size, dtype=bool)
+    mask[cnt_idx] = False
+    stream[mask] = deltas.astype(np.uint64)
+    data = varint_encode(stream)
+    # per-value byte widths → per-entry blob byte lengths →
+    # offsets — the codec's OWN width table, so the two can never
+    # desynchronize (blob offsets derive from these widths)
+    from whoosh_spark.codec.blocks import _varint_lens
+
+    val_bounds = np.concatenate(([0], np.cumsum(_varint_lens(stream))))
+    ent_val_starts = cnt_idx  # index of each entry's first value (its count)
+    ent_byte_off = np.empty(n_ent + 1, dtype=np.int32)
+    ent_byte_off[:-1] = val_bounds[ent_val_starts]
+    ent_byte_off[-1] = val_bounds[-1]
+    blobs = pa.BinaryArray.from_buffers(
+        pa.binary(), n_ent,
+        [None, pa.py_buffer(ent_byte_off.tobytes()), pa.py_buffer(data)],
+    )
+
+    len_arr = np.asarray(len_raws, dtype=np.int32)
+    dl_arr = quantize_len_np(len_arr).astype(np.int32)
+    t_off = pa.array(term_offsets, type=pa.int32())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.int64()),
+            pa.array(len_arr),
+            pa.array(dl_arr),
+            pa.ListArray.from_arrays(t_off, pa.array(all_terms, type=pa.string())),
+            pa.ListArray.from_arrays(t_off, pa.array(all_tfs, type=pa.int64())),
+            pa.ListArray.from_arrays(t_off, blobs),
+        ],
+        names=["doc_id", "len_raw", "dl", "terms", "tfs", "pos_blobs"],
+    )
+
+
 # default StandardAnalyzer kernel (the name the build path imports)
 analyze_batches_arrow = make_analyze_batches()
+
+
+def make_pairs_from_analyzed(hot=None):
+    """mapInArrow kernel: parent ANALYZED rows (positions format) → the
+    adjacent-pair ANALYZED rows, WITHOUT re-tokenizing the raw corpus.
+
+    The persisted ``analyzed/`` segment already holds every (term,
+    positions) entry per doc, so the pair stream ("a b" wherever
+    ``pos(b) == pos(a)+1``, both constituents in ``hot`` when a threshold
+    is set) is derivable by inverting positions → tokens — skipping the
+    regex tokenize + lowercase + stop pass over raw web-page text that
+    made the pair build cost ≈the main build (measured 0.92-1.0×; the
+    round-4 scale-soak watch item).  Decode and re-encode are vectorized
+    (the codec's own varint/segmented-cumsum kernels); only pair-string
+    assembly loops in Python, over matched adjacencies.
+
+    Output is byte-identical to running ``make_analyze_batches(
+    make_hot_pairs_fn(hot))`` over the raw text: entries appear in
+    first-occurrence order of the pair stream because positions are
+    iterated ascending, exactly like the text-path loop (pinned by
+    tests/test_pairs_from_analyzed.py)."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        from whoosh_spark.codec.blocks import (
+            _binary_column_buffers,
+            _segmented_cumsum,
+            varint_decode,
+        )
+
+        hs = hot
+        for batch in batches:
+            if hs is not None and hasattr(hs, "value"):
+                hs = hs.value  # pyspark Broadcast → resolve once
+            n_docs = batch.num_rows
+            doc_ids = batch.column(0).to_pylist()
+            terms_col = batch.column(3)
+            terms_col = (terms_col.combine_chunks()
+                         if hasattr(terms_col, "combine_chunks") else terms_col)
+            t_off = np.frombuffer(
+                terms_col.buffers()[1], dtype=np.int32,
+                count=n_docs + 1,
+                offset=terms_col.offset * 4).astype(np.int64)
+            terms_flat = terms_col.flatten().to_pylist()
+            tfs_col = batch.column(4)
+            tfs_col = (tfs_col.combine_chunks()
+                       if hasattr(tfs_col, "combine_chunks") else tfs_col)
+            tfs_flat = tfs_col.flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            blob_col = batch.column(5)
+            blob_col = (blob_col.combine_chunks()
+                        if hasattr(blob_col, "combine_chunks") else blob_col)
+            blob_flat, _blob_lens = _binary_column_buffers(blob_col.flatten())
+
+            n_ent = tfs_flat.size
+            # interleaved [count, d1..dk] per entry → absolute positions
+            vals = varint_decode(blob_flat)
+            cnt_idx = (np.arange(n_ent, dtype=np.int64)
+                       + (np.cumsum(tfs_flat) - tfs_flat))
+            if vals.size != n_ent + int(tfs_flat.sum()) or (
+                    n_ent and not np.array_equal(
+                        vals[cnt_idx].astype(np.int64), tfs_flat)):
+                raise ValueError(
+                    "pair derivation needs the positions posting format — "
+                    "this analyzed segment's payload does not carry one "
+                    "position per occurrence (rebuild with "
+                    "format='positions' or pass the raw corpus)")
+            dmask = np.ones(vals.size, dtype=bool)
+            dmask[cnt_idx] = False
+            pos_flat = _segmented_cumsum(
+                vals[dmask].astype(np.int64), tfs_flat)
+
+            ent_per_doc = np.diff(t_off)
+            doc_of_ent = np.repeat(
+                np.arange(n_docs, dtype=np.int64), ent_per_doc)
+            ent_of_pos = np.repeat(
+                np.arange(n_ent, dtype=np.int64), tfs_flat)
+            doc_of_pos = doc_of_ent[ent_of_pos]
+            order = np.lexsort((pos_flat, doc_of_pos))
+            sp = pos_flat[order]
+            sd = doc_of_pos[order]
+            se = ent_of_pos[order]
+            if sp.size:
+                adj = (sd[1:] == sd[:-1]) & (sp[1:] == sp[:-1] + 1)
+                if hs is not None:
+                    hot_ent = np.fromiter(
+                        (t in hs for t in terms_flat),
+                        dtype=bool, count=n_ent)
+                    adj &= hot_ent[se[:-1]] & hot_ent[se[1:]]
+                matched = np.nonzero(adj)[0]
+            else:
+                matched = np.empty(0, dtype=np.int64)
+
+            len_raws: list[int] = []
+            all_terms: list[str] = []
+            all_tfs: list[int] = []
+            flat_pos: list[int] = []
+            entry_counts: list[int] = []
+            term_offsets = [0]
+            mi, m_n = 0, matched.size
+            for di in range(n_docs):
+                d: dict[str, list[int]] = {}
+                n = 0
+                while mi < m_n:
+                    j = matched[mi]
+                    if sd[j] != di:
+                        break
+                    pair = f"{terms_flat[se[j]]} {terms_flat[se[j + 1]]}"
+                    lst = d.get(pair)
+                    if lst is None:
+                        d[pair] = [int(sp[j])]
+                    else:
+                        lst.append(int(sp[j]))
+                    n += 1
+                    mi += 1
+                for t, plist in d.items():
+                    all_terms.append(t)
+                    all_tfs.append(len(plist))
+                    entry_counts.append(len(plist))
+                    flat_pos.extend(plist)
+                term_offsets.append(len(all_terms))
+                len_raws.append(n)
+
+            yield _assemble_analyzed_batch(
+                doc_ids, len_raws, all_terms, all_tfs, entry_counts,
+                flat_pos, term_offsets)
+
+    return run
 
 
 def quantize_length_py(n: int) -> int:

@@ -528,16 +528,30 @@ def write_index(
                              " standard chain's token/ordinal stream")
         pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
         _prepare_pair_dir(path, pair_min_df)
-        hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
-        write_index(docs.select(F.col(id_col), F.col(text_col)),
-                    FS.join(path, PAIR_DIR), id_col=id_col,
-                    text_col=text_col, field=field, chunk_bits=chunk_bits,
-                    chunks_per_commit=chunks_per_commit,
-                    analyzer="adjacent_pairs", format="frequency",
-                    write_stored=False,
-                    _analyzer_fn=hot_fn)
-        if hot_bc is not None:
-            hot_bc.unpersist()
+        if format == "positions" and _derive_pair_analyzed(
+                spark, path, pair_min_df, chunk_bits):
+            # round-5: pair stream derived from the just-written analyzed
+            # token segment — skips the second full tokenize pass over the
+            # raw corpus (the 0.92-1.0x build surcharge)
+            write_index(docs.select(F.col(id_col), F.col(text_col)),
+                        FS.join(path, PAIR_DIR), id_col=id_col,
+                        text_col=text_col, field=field,
+                        chunk_bits=chunk_bits,
+                        chunks_per_commit=chunks_per_commit,
+                        analyzer="adjacent_pairs", format="frequency",
+                        write_stored=False)
+        else:
+            hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
+            write_index(docs.select(F.col(id_col), F.col(text_col)),
+                        FS.join(path, PAIR_DIR), id_col=id_col,
+                        text_col=text_col, field=field,
+                        chunk_bits=chunk_bits,
+                        chunks_per_commit=chunks_per_commit,
+                        analyzer="adjacent_pairs", format="frequency",
+                        write_stored=False,
+                        _analyzer_fn=hot_fn)
+            if hot_bc is not None:
+                hot_bc.unpersist()
     else:
         # same staleness rule as char_offsets/boosts: a previous generation
         # at this path may have opted in — its pairs describe the OLD corpus
@@ -567,6 +581,84 @@ def write_index(
     return manifest
 
 
+def _derive_pair_analyzed(spark: SparkSession, path: str,
+                          pair_min_df: int, chunk_bits: int) -> bool:
+    """Round-5 pair-build fast path: materialize the adjacent-pair analyzed
+    segment for ``<path>/pairs`` by INVERTING the parent's persisted
+    ``analyzed/`` token stream (positions → adjacencies,
+    ``analysis/udfs.py::make_pairs_from_analyzed``) instead of re-running
+    the full tokenize pass over the raw corpus.  The re-analysis was the
+    dominant pair-build cost (measured 0.92-1.0× the MAIN build's wall at
+    1M-10M docs — the round-4 scale-soak watch item); the derivation reads
+    the ~10×-compressed token segment and never touches raw text.
+
+    Writes ``pairs/analyzed/batch=0`` + the analyze log record, so the
+    subsequent ``write_index`` call sees every chunk checkpointed and
+    resumes straight into the merge phase.  Returns False when the parent
+    segment can't support derivation (no analyzed/ checkpoints, or a
+    non-positions posting format) — callers fall back to the raw-text
+    analyze path.  Output is bit-identical to that path (pinned by
+    tests/test_pairs_from_analyzed.py)."""
+    an_dir = FS.join(path, "analyzed")
+    if not FS.isdir_nonempty(an_dir):
+        return False
+    raw = FS.read_text(FS.join(path, MANIFEST))
+    man = json.loads(raw) if raw else {}
+    if man.get("posting_format", "positions") != "positions":
+        return False
+    from whoosh_spark.analysis.udfs import (
+        ANALYZED_SCHEMA,
+        make_pairs_from_analyzed,
+    )
+    from whoosh_spark.formats import get_format
+
+    hot_bc = None
+    if pair_min_df > 0:
+        ts = spark.read.parquet(FS.join(path, "term_stats"))
+        hot = frozenset(
+            r["term"] for r in
+            ts.where(F.col("df") >= pair_min_df).select("term").collect())
+        hot_bc = spark.sparkContext.broadcast(hot)
+    pair_dir = FS.join(path, PAIR_DIR)
+    # a same-threshold partial TEXT-path build may have left analyze
+    # checkpoints behind; the derivation rewrites the whole stream in one
+    # job, so stale batches (which would double-count their chunks next to
+    # the derived batch=0) are dropped first
+    if FS.isdir_nonempty(FS.join(pair_dir, "analyzed")):
+        FS.rmtree(FS.join(pair_dir, "analyzed"))
+    FS.remove(FS.join(pair_dir, BUILD_LOG))
+    t0 = time.perf_counter()
+    parent = (spark.read.parquet(an_dir)
+              .select("doc_id", "len_raw", "dl", "terms", "tfs",
+                      "pos_blobs"))
+    derived = parent.mapInArrow(
+        make_pairs_from_analyzed(hot_bc), schema=ANALYZED_SCHEMA)
+    derived = get_format("frequency").apply(derived).withColumn(
+        "chunk", F.shiftright(F.col("doc_id"), chunk_bits))
+    batch_dir = FS.join(pair_dir, "analyzed", "batch=0")
+    derived.write.mode("overwrite").parquet(batch_dir)
+    just = spark.read.parquet(batch_dir)
+    counters = {
+        int(r["chunk"]): {"n_docs": int(r["n"]), "n_tokens": int(r["t"])}
+        for r in just.groupBy("chunk")
+        .agg(F.count("*").alias("n"), F.sum("len_raw").alias("t"))
+        .collect()
+    }
+    _append_log(pair_dir, {
+        "phase": "analyze", "batch": 0,
+        "chunks": sorted(counters),
+        "counters": counters,
+        "analyzer": "adjacent_pairs",
+        "posting_format": "frequency",
+        "derived_from": "parent-analyzed",
+        "wall_ms": int(1000 * (time.perf_counter() - t0)),
+        "ts": time.time(),
+    })
+    if hot_bc is not None:
+        hot_bc.unpersist()
+    return True
+
+
 def build_pair_segment(spark: SparkSession, path: str,
                        docs: DataFrame | None = None,
                        pair_min_df: float = 0,
@@ -575,9 +667,12 @@ def build_pair_segment(spark: SparkSession, path: str,
     without rebuilding it (the OPTIMIZE-style upgrade path; equivalent to
     having passed ``phrase_pairs=True`` to write_index).
 
-    ``docs``: the corpus (id + text).  Defaults to the stored docs table,
-    which only carries text when the index was built with
-    ``store_text=True`` — pass the original corpus otherwise.  ``id_col``
+    When the index carries its ``analyzed/`` checkpoints in the positions
+    format (the default build), the pair stream is DERIVED from them
+    (``_derive_pair_analyzed``) and ``docs`` is not needed at all — no
+    raw-text re-analysis.  Otherwise ``docs`` supplies the corpus (id +
+    text); it defaults to the stored docs table, which only carries text
+    when the index was built with ``store_text=True``.  ``id_col``
     defaults to the id column the manifest records (stored docs always use
     the renamed ``doc_id``); pass it only to override for a corpus whose
     id column differs from the build-time one.
@@ -593,27 +688,43 @@ def build_pair_segment(spark: SparkSession, path: str,
                          "standard chain; this index was built with "
                          f"analyzer={manifest.get('analyzer')!r}")
     text_col = manifest.get("text_col", "text")
-    if docs is None:
-        docs = spark.read.parquet(FS.join(path, "docs"))
-        id_col = "doc_id"  # stored docs are always renamed to doc_id
-        if text_col not in docs.columns:
-            raise ValueError(
-                f"stored docs carry no {text_col!r} column (index built "
-                "without store_text=True) — pass the original corpus as "
-                "docs=")
-    elif id_col is None:
-        id_col = manifest.get("id_col", "doc_id")
+    chunk_bits = int(manifest.get("chunk_bits", DEFAULT_CHUNK_BITS))
     pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
     _prepare_pair_dir(path, pair_min_df)
-    hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
-    write_index(docs.select(F.col(id_col), F.col(text_col)),
-                FS.join(path, PAIR_DIR), id_col=id_col, text_col=text_col,
-                field=manifest.get("field", TEXT_FIELD),
-                analyzer="adjacent_pairs", format="frequency",
-                write_stored=False,
-                _analyzer_fn=hot_fn)
-    if hot_bc is not None:
-        hot_bc.unpersist()
+    if _derive_pair_analyzed(spark, path, pair_min_df, chunk_bits):
+        # analyze phase derived from the parent's token stream (no raw
+        # text needed): the ids frame below only drives write_index's
+        # chunk bookkeeping, every chunk is already checkpointed
+        ids = (spark.read.parquet(FS.join(path, "analyzed"))
+               .select(F.col("doc_id"), F.lit("").alias(text_col)))
+        write_index(ids, FS.join(path, PAIR_DIR), id_col="doc_id",
+                    text_col=text_col,
+                    field=manifest.get("field", TEXT_FIELD),
+                    chunk_bits=chunk_bits,
+                    analyzer="adjacent_pairs", format="frequency",
+                    write_stored=False)
+    else:
+        if docs is None:
+            docs = spark.read.parquet(FS.join(path, "docs"))
+            id_col = "doc_id"  # stored docs are always renamed to doc_id
+            if text_col not in docs.columns:
+                raise ValueError(
+                    f"stored docs carry no {text_col!r} column (index "
+                    "built without store_text=True) — pass the original "
+                    "corpus as docs=")
+        elif id_col is None:
+            id_col = manifest.get("id_col", "doc_id")
+        hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
+        write_index(docs.select(F.col(id_col), F.col(text_col)),
+                    FS.join(path, PAIR_DIR), id_col=id_col,
+                    text_col=text_col,
+                    field=manifest.get("field", TEXT_FIELD),
+                    chunk_bits=chunk_bits,
+                    analyzer="adjacent_pairs", format="frequency",
+                    write_stored=False,
+                    _analyzer_fn=hot_fn)
+        if hot_bc is not None:
+            hot_bc.unpersist()
     manifest["phrase_pairs"] = True
     manifest["pair_min_df"] = int(pair_min_df)
     manifest["generation"] = _next_generation(path)

@@ -793,6 +793,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             basedate=datetime(2020, 1, 13, 9, 0, 0))
         return _topk(s.ev.evaluate(q))
 
+    def parsed_nl_date_4_q(spark, sf_dir):
+        # round-5 dateparse tail: colon-modifier spellings ("oct:5:2020")
+        # and bare weekday names ("friday" = that weekday in base's week)
+        from datetime import datetime
+
+        from whoosh_spark.query.parser import parse_query
+
+        s = _ts_searcher(spark, sf_dir)
+        q = parse_query(
+            "data AND warc_ts:[oct:5:2020 TO friday]",
+            datetime_fields=["warc_ts"],
+            basedate=datetime(2020, 10, 13, 9, 0, 0))
+        return _topk(s.ev.evaluate(q))
+
     def parsed_field_group_q(spark, sf_dir):
         # FieldsPlugin group syntax: the field prefix distributes over the
         # whole parenthesized group (qparser/plugins.py::FieldsPlugin ≈L300)
@@ -878,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parsed_nl_date=parsed_nl_date_q,
         parsed_nl_date_2=parsed_nl_date_2_q,
         parsed_nl_date_3=parsed_nl_date_3_q,
+        parsed_nl_date_4=parsed_nl_date_4_q,
         parsed_dismax=parsed_dismax_q,
         parsed_field_group=parsed_field_group_q,
         parsed_field_alias=parsed_field_alias_q,
@@ -1040,19 +1055,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("s_start", "event_type"),
     )
     # Driver-sample rotation manifest: the driver's correctness gate samples
-    # the FIRST ~50 keys, so ordering IS coverage policy.  Tiered rotation,
-    # weakest-evidence-first:
-    #   tier 0 — keys the driver has NEVER hash-sampled in any round
-    #            (r01∪r02∪r03 miss) — the 22-entry evidence gap VERDICT r03
-    #            flags; sampling these closes 132/132 hard driver coverage;
-    #   tier 1 — keys hash-green only in r01 (oldest evidence; impls may
-    #            have evolved since, e.g. dedup_embedding's bucketed swap);
-    #   tier 2 — keys hash-green in r02 (not re-sampled since);
-    #   tier 3 — the 50 keys hash-green in r03, rotated to the back.
-    # After each round, fold that round's sampled keys into the manifest
-    # below so the front stays weakest-evidence-first until every entry has
-    # hard driver evidence.
+    # the FIRST ~50 keys, so ordering IS coverage policy.  Round 5:
+    # every entry now has hard driver evidence (136/136 cumulative after
+    # r04), so the policy shifts from never-sampled-first to
+    # STALENESS-ordered — each key's tier is the LATEST round that
+    # hash-verified it, oldest evidence first:
+    #   tier 0 — brand-new entries (no round yet: the r05 additions);
+    #   tier 1 — last verified in r01;  tier 2 — r02;  tier 3 — r03;
+    #   tier 4 — r04 (freshest, rotated to the back).
+    # After each round, fold that round's sampled keys into the newest
+    # frozenset below so the front stays oldest-evidence-first.
     def _tier(k: str) -> int:
+        if k in _R04_GREEN:
+            return 4
         if k in _R03_GREEN:
             return 3
         if k in _R02_GREEN:
@@ -1111,6 +1126,25 @@ _R03_GREEN = frozenset([
     "span_not", "span_or", "text_winnow", "variations", "weighted_subtree",
     "weighting_dfree", "weighting_frequency", "weighting_pl2",
     "weighting_reverse", "weighting_tfidf",
+])
+
+
+# keys hash-verified by the driver in CORRECTNESS_r04 (all 50 green there)
+_R04_GREEN = frozenset([
+    "and_hot_hot", "and_hot_rare", "andmaybe", "andnot_hot_rare",
+    "corpus_sample", "decontaminate", "dedup_components", "dedup_embedding",
+    "dedup_embedding_exact", "dedup_exact", "dedup_lines",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_substring_spans",
+    "dismax", "html_extract", "lang_de_term", "or_hot_rare", "or_minmatch",
+    "pack_sequences", "paging_page2", "parsed_copyfield", "parsed_every",
+    "parsed_field_alias", "parsed_fuzzy_prefix", "parsed_nl_date_3",
+    "phrase_2", "phrase_3_pair", "phrase_3_pair_freq", "phrase_freq",
+    "phrase_slop2", "pii_redact", "pipeline_prep", "prefix",
+    "sequence_prefix", "sim_cosine_topk", "sim_ivf_topk",
+    "stream_session_counts", "stream_windowed_counts", "term_hot",
+    "term_rare", "text_fingerprint", "text_lang_id", "text_quality",
+    "text_repetition", "text_token_counts", "unicode_normalize",
+    "url_canonical", "url_dedup", "url_host_stats",
 ])
 
 
@@ -1268,6 +1302,10 @@ def oracle_sql() -> dict[str, str]:
         "parsed_nl_date_3": OSQL.date_range_iso_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,
             1578182400, 1579996800, incl_hi=False),
+        # [oct:5:2020 TO friday] @ 2020-10-13: 2020-10-05 .. <2020-10-17
+        "parsed_nl_date_4": OSQL.date_range_iso_and_sql(
+            "data", WARC_EPOCH0, WARC_STEP,
+            1601856000, 1602892800, incl_hi=False),
         "parsed_dismax": OSQL.multifield_dismax_sql(
             "data", {"text": 2.0, "lang": 1.0}, MF_FIELDS),
         # pipeline ops — every entry has a full value oracle (round 2: the

@@ -378,6 +378,16 @@ def main() -> int:
 
         config.PHRASE_PRUNE_MAX_DF = 10**9
         config.PHRASE_PRUNE_RATIO = 0
+    if pairs:
+        # round-5 payoff model: at fuzz-corpus scale the estimated decode
+        # savings never clear the fixed-cost threshold, so the chained
+        # k-word gate would silently decline — zero the thresholds so the
+        # GATED plan is what gets fuzzed
+        from whoosh_spark import config
+
+        config.PAIR_GATE_MIN_SAVED_ROWS = 0
+        config.PAIR_GATE_MIN_SAVED_FRAC = 0.0
+        config.PAIR_GATE_MAX_CAND_FRAC = 1.0
     n = int(argv[0]) if len(argv) > 0 else 500
     seed = int(argv[1]) if len(argv) > 1 else random.randrange(2**31)
     rng = random.Random(seed)

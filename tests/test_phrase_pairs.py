@@ -188,17 +188,16 @@ def test_build_pair_segment_upgrades_existing_index(spark, tmp_path,
     docs = sf0001_documents.select("doc_id", "text")
     store.write_index(docs, path)
     assert store.load_index(spark, path).pairs is None
-    # stored docs carry no text (store_text=False) -> must demand the corpus
-    with pytest.raises(ValueError, match="store_text"):
-        store.build_pair_segment(spark, path)
-    store.build_pair_segment(spark, path, docs=docs)
+    # round-5: no docs needed — the pair stream derives from the index's
+    # own analyzed/ token segment (store_text=False is fine)
+    store.build_pair_segment(spark, path)
     ix = store.load_index(spark, path)
     assert ix.pairs is not None
     s0 = Searcher(InvertedIndex.build(sf0001_documents))
     assert _topk(Searcher(ix), Q.Phrase(["big", "data"])) == \
         _topk(s0, Q.Phrase(["big", "data"]))
     # idempotent: second call is a no-op, not a rebuild
-    m = store.build_pair_segment(spark, path, docs=docs)
+    m = store.build_pair_segment(spark, path)
     assert m["phrase_pairs"] is True
 
 
@@ -385,6 +384,19 @@ def test_sequence_routes_only_plain_two_term(pair_searcher, monkeypatch):
 
 # ---- chained pair-candidate gate (k-word slop-1, round 4) ------------------
 
+@pytest.fixture()
+def gate_on(monkeypatch):
+    """Round-5 payoff model: at test-corpus scale the estimated decode
+    savings never cover the gate's fixed cost, so the gate correctly
+    declines.  These tests exercise the GATED plan's semantics, so they
+    zero the payoff thresholds (the collect bound stays)."""
+    import whoosh_spark.config as C
+
+    monkeypatch.setattr(C, "PAIR_GATE_MIN_SAVED_ROWS", 0)
+    monkeypatch.setattr(C, "PAIR_GATE_MIN_SAVED_FRAC", 0.0)
+    monkeypatch.setattr(C, "PAIR_GATE_MAX_CAND_FRAC", 1.0)
+
+
 PHRASES_3 = [
     Q.Phrase(["big", "data", "query"]),
     Q.Phrase(["big", "data", "data"]),          # repeated word
@@ -398,11 +410,11 @@ PHRASES_3 = [
 @pytest.mark.parametrize("q", PHRASES_3,
                          ids=[" ".join(p.words) + getattr(p, "scoring", "")
                               for p in PHRASES_3])
-def test_three_word_pair_gate_matches_positional(searcher, pair_searcher, q):
+def test_three_word_pair_gate_matches_positional(searcher, pair_searcher, q, gate_on):
     assert _topk(pair_searcher, q) == _topk(searcher, q)
 
 
-def test_three_word_gate_fires_and_prunes(pair_searcher, monkeypatch):
+def test_three_word_gate_fires_and_prunes(pair_searcher, monkeypatch, gate_on):
     """The k-word path must actually route through _pair_candidates (not
     just fall back to the positional plan)."""
     ev = pair_searcher.ev
@@ -425,7 +437,7 @@ def test_three_word_gate_fires_and_prunes(pair_searcher, monkeypatch):
     assert all(int(r["doc_id"]) in set(got[0]) for r in rows)
 
 
-def test_three_word_sequence_gate(searcher, pair_searcher):
+def test_three_word_sequence_gate(searcher, pair_searcher, gate_on):
     q = Q.Sequence([Q.Term("big"), Q.Term("data"), Q.Term("query")])
     assert _topk(pair_searcher, q) == _topk(searcher, q)
 

@@ -82,17 +82,40 @@ PHRASE_PRUNE_MAX_DF = 200_000
 PHRASE_PRUNE_RATIO = 4  # rarest df must be <= hottest df / this
 
 # The adjacent-pair candidate gate (k-word slop-1 phrases through the pair
-# accelerator) gets its own, much larger caps: its payoff is skipping the
-# FULL positional decode of k hot terms (the worst query shape), so paying
-# a multi-MB id collect+broadcast is still a large net win — 2M ids are
-# 16 MB, while the decode they avoid is GBs of position streams.  Eligible
-# when the rarest indexable pair's df is (a) under the absolute cap,
-# (b) under MAX_FRAC of the corpus (a pair in most docs prunes nothing),
-# and (c) under BENEFIT_RATIO x the hottest constituent's df (the
-# restriction must actually shrink the decode).
-PAIR_GATE_MAX_DF = int(os.environ.get("WHOOSH_PAIR_GATE_MAX_DF", "5000000"))
-PAIR_GATE_MAX_FRAC = 0.3
-PAIR_GATE_BENEFIT_RATIO = 0.6
+# accelerator) gets its own payoff model.  Its benefit is skipping the
+# FULL positional decode of k hot terms (the worst query shape); its cost
+# is ONE pair-postings scan + id collect + broadcast, which round-5
+# isolated measurements showed is NOT thin when the pair is frequent:
+# scanning+collecting a 2.4-4.2M-row pair list cost 10-18 s cold and
+# ~1-3 s page-hot (the round-4 soak's 10M "win" — 26.1 s -> 16.1 s — was a
+# cache-ordering artifact: the pair blocks had just been written and were
+# page-hot while the positional leg ran cold; three fresh re-measurements
+# show the 24%-selective adversarial gate at parity-to-2x-SLOWER at
+# 1M/10M and winning only in one warm 5M session).  A second-rarest-pair
+# probe measured +16-47 s for zero candidate shrink and is gone.
+# The gate therefore fires only where the win is unambiguous — a
+# genuinely SELECTIVE pair (the nextword-index use case: a distinctive
+# bigram inside a hot phrase), where the probe is sub-second and the
+# decode collapses by orders of magnitude:
+#   saved = sum_w max(0, df(w) - rarest_pair_df)    [posting rows avoided]
+#   fire iff rarest_pair_df <= MAX_DF               [collect <= ~16 MB AND
+#                                                    the probe scan stays
+#                                                    small]
+#        and rarest_pair_df <= MAX_CAND_FRAC * N    [candidates must be a
+#                                                    sliver of the corpus;
+#                                                    a 24%-wide set saves
+#                                                    too little per probe]
+#        and saved >= MIN_SAVED_ROWS                [covers the gate's
+#                                                    fixed job overhead]
+#        and saved >= MIN_SAVED_FRAC * sum_w df(w)  [material shrink]
+# All env-tunable for other hardware/storage.
+PAIR_GATE_MAX_DF = int(os.environ.get("WHOOSH_PAIR_GATE_MAX_DF", "2000000"))
+PAIR_GATE_MAX_CAND_FRAC = float(os.environ.get(
+    "WHOOSH_PAIR_GATE_MAX_CAND_FRAC", "0.05"))
+PAIR_GATE_MIN_SAVED_ROWS = int(os.environ.get(
+    "WHOOSH_PAIR_GATE_MIN_SAVED_ROWS", "5000000"))
+PAIR_GATE_MIN_SAVED_FRAC = float(os.environ.get(
+    "WHOOSH_PAIR_GATE_MIN_SAVED_FRAC", "0.3"))
 
 # Deterministic doc-range bucketing: a posting-build group is
 # (field, term, doc_id >> DOC_BUCKET_BITS).  Group size is bounded by the

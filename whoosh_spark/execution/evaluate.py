@@ -825,20 +825,16 @@ class Evaluator:
         constituents are hot were indexed, so cold-constituent pairs are
         skipped: their absence proves nothing, and only indexed pairs may
         serve as candidates or absence proofs.  Returns None when no pair
-        segment is attached, no adjacent pair is indexable, or the rarest
-        indexable pair is too frequent to pay off (config.PAIR_GATE_*: the
-        gate's caps are far above the rare-slot gate's because the decode
-        it avoids is the dominant positional cost — a 2M-id collect is
-        16 MB while the skipped position streams are GBs).  Non-empty
+        segment is attached, no adjacent pair is indexable, or the
+        estimated decode savings don't cover the gate's own (roughly
+        fixed) cost — the saved-posting-rows payoff model, constants and
+        the 1M/5M/10M measurements behind them in config.py PAIR_GATE_*.
+        Non-empty
         candidate sets return as a sorted numpy int64 array (Arrow-collected
         — no per-row Python)."""
         import numpy as np
 
-        from whoosh_spark.config import (
-            PAIR_GATE_BENEFIT_RATIO,
-            PAIR_GATE_MAX_DF,
-            PAIR_GATE_MAX_FRAC,
-        )
+        import whoosh_spark.config as C
 
         ixf = self._ixf(fk)
         pairs_ix = getattr(ixf, "pairs", None)
@@ -860,29 +856,22 @@ class Evaluator:
         rarest_df = int(pstats[by_df[0]]["df"])
         n_docs, _ = ixf.global_stats()
         dfs = [self._stats[(fk, w)]["df"] for w in set(words)]
-        if (rarest_df > PAIR_GATE_MAX_DF
-                or rarest_df > PAIR_GATE_MAX_FRAC * float(n_docs)
-                or rarest_df > PAIR_GATE_BENEFIT_RATIO * max(dfs)):
+        # payoff model (round 5; config.py PAIR_GATE_* has the
+        # measurements behind every constant): the probe scan+collect is
+        # NOT free — it scales with df(pair) and costs seconds per million
+        # rows on cold storage — so the gate fires only for a genuinely
+        # selective rarest pair, where the probe is sub-second and the
+        # decode savings are unambiguous.  A second-pair intersection
+        # probe was measured at +16-47 s for zero candidate shrink and
+        # was removed.
+        saved = sum(max(0, df - rarest_df) for df in dfs)
+        if (rarest_df > C.PAIR_GATE_MAX_DF
+                or rarest_df > C.PAIR_GATE_MAX_CAND_FRAC * float(n_docs)
+                or saved < C.PAIR_GATE_MIN_SAVED_ROWS
+                or saved < C.PAIR_GATE_MIN_SAVED_FRAC * sum(dfs)):
             return None
-        # intersect the two rarest eligible pairs (both are supersets of
-        # the match set, so the intersection still is — exactness holds):
-        # for hot k>=3 phrases the pairs' sets overlap far less than either
-        # alone, shrinking the decode multiplicatively for one extra thin
-        # frequency-postings scan.  Only when the second pair also clears
-        # the caps — a near-corpus-wide second pair shrinks nothing.
-        probe = [by_df[0]]
-        if (len(by_df) > 1
-                and int(pstats[by_df[1]]["df"]) <= PAIR_GATE_MAX_DF
-                and int(pstats[by_df[1]]["df"])
-                <= PAIR_GATE_MAX_FRAC * float(n_docs)):
-            probe.append(by_df[1])
-        cand = None
-        for p in probe:
-            pdf = pairs_ix.postings([p]).select("doc_id").toPandas()
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            cand = ids if cand is None else np.intersect1d(
-                cand, ids, assume_unique=True)
-        return np.sort(cand)
+        pdf = pairs_ix.postings([by_df[0]]).select("doc_id").toPandas()
+        return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
 
     def _eval_phrase_paired(self, q: Q.Phrase, words, uniq, fk):
         """Nextword-index fast path for two-word slop-1 Phrases (Williams,

@@ -262,34 +262,47 @@ def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
     # to the already-built index, then time the SAME hot-hot phrase through
     # the pair plan (positional timing is phrase_2 above)
     if os.environ.get("SOAK_PAIRS", "0") == "1":
-        corpus = spark.read.parquet(
-            os.path.join(REPO, ".benchdata",
-                         f"soak_pages{ix.manifest['n_docs']}_v{VOCAB_MULT}"
-                         ".parquet"))
         t0 = time.perf_counter()
         # hot-only pairs: constituents must clear PAIR_MIN_DF.  Default is
         # a FRACTION of the corpus (2% of docs) so the indexed head stays
-        # scale-stable; values >= 1 are absolute dfs
+        # scale-stable; values >= 1 are absolute dfs.  Round 5: the pair
+        # stream DERIVES from the index's persisted analyzed/ segment —
+        # no docs argument, no raw-text re-analysis
         min_df = float(os.environ.get("SOAK_PAIR_MIN_DF", "0.02"))
-        store.build_pair_segment(spark, ix_dir, docs=corpus,
-                                 pair_min_df=min_df)
+        store.build_pair_segment(spark, ix_dir, pair_min_df=min_df)
         out["pair_build_wall_s"] = round(time.perf_counter() - t0, 1)
         out["pair_min_df"] = min_df
         ixp = store.load_index(spark, ix_dir)
         sp = Searcher(ixp)
-        for name, q in (("phrase_2_pair", Q.Phrase(["web", "index"])),
-                        ("phrase_2_pair_freq",
-                         Q.Phrase(["web", "index"], scoring="freq")),
-                        # k-word chained pair-candidate gate (round 4):
-                        # same phrase as the positional phrase_3 above
-                        ("phrase_3_pair",
-                         Q.Phrase(["web", "index", "data"]))):
+        cases = [("phrase_2_pair", Q.Phrase(["web", "index"])),
+                 ("phrase_2_pair_freq",
+                  Q.Phrase(["web", "index"], scoring="freq")),
+                 # the ADVERSARIAL k-word shape (all three constituents
+                 # and both pairs near-corpus-wide): the round-5 payoff
+                 # gate must DECLINE here, so this leg should track the
+                 # positional phrase_3 above — never a net loss
+                 ("phrase_3_pair",
+                  Q.Phrase(["web", "index", "data"])),
+                 # the SELECTIVE k-word shape (rarest pair ~3% of docs):
+                 # the gate's intended use case — positional baseline
+                 # first, then the gated plan
+                 ("phrase_3_sel_pos",
+                  Q.Phrase(["spark", "crawl", "data"])),
+                 ("phrase_3_sel_gated",
+                  Q.Phrase(["spark", "crawl", "data"]))]
+        import whoosh_spark.config as C
+
+        for name, q in cases:
+            saved_cap = C.PAIR_GATE_MAX_DF
+            if name == "phrase_3_sel_pos":
+                C.PAIR_GATE_MAX_DF = 0  # force the positional plan
             sp.search(q, limit=10).collect()
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 sp.search(q, limit=10).collect()
                 times.append(time.perf_counter() - t0)
+            C.PAIR_GATE_MAX_DF = saved_cap
             out[name] = round(statistics.median(times), 3)
             log(f"query {name}: {out[name]}s")
     return out

@@ -57,7 +57,8 @@ def _commit_lock(path: str, timeout: float = 120.0,
     Locks from crashed writers are broken after ``stale_after`` seconds
     (the payload records owner pid + timestamp)."""
     lock = FS.join(path, LOCK_FILE)
-    deadline = time.monotonic() + timeout
+    t0 = time.monotonic()
+    deadline = t0 + timeout
     while True:
         if FS.create_exclusive(
                 lock, json.dumps({"pid": os.getpid(), "ts": time.time()})):
@@ -67,8 +68,16 @@ def _commit_lock(path: str, timeout: float = 120.0,
             ts = json.loads(raw).get("ts", 0) if raw else 0
         except (ValueError, AttributeError):
             ts = 0
-        if not ts or time.time() - ts > stale_after:
-            FS.remove(lock)  # dead (or unreadable) owner: break the lock
+        if ts and time.time() - ts > stale_after:
+            FS.remove(lock)  # dead owner: break the lock
+            continue
+        if not ts and time.monotonic() - t0 > stale_after:
+            # unreadable for the WHOLE grace period: break it.  An empty
+            # read can also be the holder's create->write window (the two
+            # file ops aren't one atomic step), so a fresh empty lock is
+            # treated as live and re-read on the next poll — breaking it
+            # immediately would let two commits fold concurrently
+            FS.remove(lock)
             continue
         if time.monotonic() > deadline:
             raise LockError(

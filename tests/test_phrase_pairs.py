@@ -475,3 +475,31 @@ def test_hot_only_segment_mixed_phrase_still_exact(spark, sf0001_documents):
     for q in (Q.Phrase(["big", "data", "dup"]),
               Q.Phrase(["dup", "big", "data"])):
         assert _topk(sh, q) == _topk(s0, q)
+
+
+def test_pair_gate_payoff_measured_scenarios():
+    """The round-5 payoff decision, pinned against the MEASURED scenarios
+    (BENCH.md round-5 section): the adversarial 24%-selective trigram must
+    decline at every scale; the selective ~3% pair fires at 5M+ and
+    declines at 1M (savings below the fixed cost)."""
+    from whoosh_spark.execution.evaluate import pair_gate_fires
+
+    # adversarial "web index data": rarest pair 24% of N, constituents ~N
+    assert not pair_gate_fires(240_090, [985_565, 957_348, 998_900],
+                               1_000_000)
+    assert not pair_gate_fires(1_200_620, [4_928_056, 4_785_533, 4_994_453],
+                               5_000_000)
+    assert not pair_gate_fires(2_401_940, [9_856_500, 9_570_181, 9_988_946],
+                               10_000_000)
+    # selective "spark crawl data": rarest pair ~3% of N
+    assert not pair_gate_fires(29_500, [877_708, 685_870, 998_894],
+                               1_000_000)   # saved ~2.5M < fixed cost
+    assert pair_gate_fires(147_500, [4_388_541, 3_429_350, 4_994_453],
+                           5_000_000)
+    assert pair_gate_fires(295_011, [8_777_083, 6_858_700, 9_988_946],
+                           10_000_000)
+    # a genuinely rare pair in a huge corpus: collect bound governs
+    assert not pair_gate_fires(2_100_000, [50_000_000, 60_000_000],
+                               100_000_000)  # > MAX_DF: collect too big
+    assert pair_gate_fires(1_900_000, [50_000_000, 60_000_000],
+                           100_000_000)

@@ -238,17 +238,22 @@ def make_pairs_from_analyzed(hot=None):
 
     def run(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from whoosh_spark.codec.blocks import (
             _binary_column_buffers,
+            _ragged_gather,
             _segmented_cumsum,
             varint_decode,
         )
 
         hs = hot
+        hot_arr = None  # pyarrow value_set, built once per task
         for batch in batches:
             if hs is not None and hasattr(hs, "value"):
                 hs = hs.value  # pyspark Broadcast → resolve once
+            if hs is not None and hot_arr is None:
+                hot_arr = pa.array(sorted(hs), type=pa.string())
             n_docs = batch.num_rows
             doc_ids = batch.column(0).to_pylist()
             terms_col = batch.column(3)
@@ -258,20 +263,46 @@ def make_pairs_from_analyzed(hot=None):
                 terms_col.buffers()[1], dtype=np.int32,
                 count=n_docs + 1,
                 offset=terms_col.offset * 4).astype(np.int64)
-            terms_flat = terms_col.flatten().to_pylist()
+            terms_arr = terms_col.flatten()
             tfs_col = batch.column(4)
             tfs_col = (tfs_col.combine_chunks()
                        if hasattr(tfs_col, "combine_chunks") else tfs_col)
-            tfs_flat = tfs_col.flatten().to_numpy(
+            tfs_all = tfs_col.flatten().to_numpy(
                 zero_copy_only=False).astype(np.int64)
             blob_col = batch.column(5)
             blob_col = (blob_col.combine_chunks()
                         if hasattr(blob_col, "combine_chunks") else blob_col)
-            blob_flat, _blob_lens = _binary_column_buffers(blob_col.flatten())
+            blob_flat, blob_lens = _binary_column_buffers(blob_col.flatten())
 
-            n_ent = tfs_flat.size
-            # interleaved [count, d1..dk] per entry → absolute positions
-            vals = varint_decode(blob_flat)
+            n_ent_all = tfs_all.size
+            ent_per_doc = np.diff(t_off)
+            doc_of_ent_all = np.repeat(
+                np.arange(n_docs, dtype=np.int64), ent_per_doc)
+
+            # hot filter FIRST, vectorized in Arrow C++ (pc.is_in): only
+            # hot-term entries can contribute a pair, and a dropped
+            # neighbor leaves a position GAP, which is exactly the
+            # no-adjacency outcome its pairs must have — so decode, sort,
+            # and string materialization all shrink to the hot share
+            if hot_arr is not None and n_ent_all:
+                hot_mask = pc.is_in(terms_arr, value_set=hot_arr) \
+                    .to_numpy(zero_copy_only=False)
+                hot_mask = np.asarray(hot_mask, dtype=bool)
+                kept = np.nonzero(hot_mask)[0]
+            else:
+                kept = np.arange(n_ent_all, dtype=np.int64)
+            n_ent = kept.size
+            tfs_flat = tfs_all[kept]
+            # decode ONLY the kept entries' blobs: ragged-gather their
+            # byte ranges into one stream, then one vectorized varint pass
+            byte_off = np.concatenate(
+                ([0], np.cumsum(blob_lens))).astype(np.int64)
+            if n_ent != n_ent_all:
+                blob_kept, _ = _ragged_gather(
+                    blob_flat, byte_off[:-1], blob_lens, kept)
+            else:
+                blob_kept = blob_flat
+            vals = varint_decode(blob_kept)
             cnt_idx = (np.arange(n_ent, dtype=np.int64)
                        + (np.cumsum(tfs_flat) - tfs_flat))
             if vals.size != n_ent + int(tfs_flat.sum()) or (
@@ -287,9 +318,11 @@ def make_pairs_from_analyzed(hot=None):
             pos_flat = _segmented_cumsum(
                 vals[dmask].astype(np.int64), tfs_flat)
 
-            ent_per_doc = np.diff(t_off)
-            doc_of_ent = np.repeat(
-                np.arange(n_docs, dtype=np.int64), ent_per_doc)
+            # strings only for the kept entries (the ~hot share), via one
+            # Arrow take — no full-batch to_pylist
+            terms_flat = (terms_arr.take(pa.array(kept)).to_pylist()
+                          if n_ent != n_ent_all else terms_arr.to_pylist())
+            doc_of_ent = doc_of_ent_all[kept]
             ent_of_pos = np.repeat(
                 np.arange(n_ent, dtype=np.int64), tfs_flat)
             doc_of_pos = doc_of_ent[ent_of_pos]
@@ -299,11 +332,6 @@ def make_pairs_from_analyzed(hot=None):
             se = ent_of_pos[order]
             if sp.size:
                 adj = (sd[1:] == sd[:-1]) & (sp[1:] == sp[:-1] + 1)
-                if hs is not None:
-                    hot_ent = np.fromiter(
-                        (t in hs for t in terms_flat),
-                        dtype=bool, count=n_ent)
-                    adj &= hot_ent[se[:-1]] & hot_ent[se[1:]]
                 matched = np.nonzero(adj)[0]
             else:
                 matched = np.empty(0, dtype=np.int64)

@@ -45,6 +45,27 @@ def _glob_to_rlike(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+def pair_gate_fires(rarest_df: int, dfs: list[int], n_docs: int) -> bool:
+    """The k-word chained-pair gate's payoff decision (round 5 — the
+    constants and the 1M/5M/10M measurements behind them are documented at
+    config.py PAIR_GATE_*).  Pure arithmetic over term stats so the
+    decision itself is unit-testable against the measured scenarios:
+
+      * benefit — posting rows the candidate filter keeps out of the
+        positional decode, estimated conservatively as
+        ``sum_w max(0, df(w) - rarest_pair_df)``;
+      * cost — the probe's scan+collect (scales with rarest_df) plus a
+        fixed job overhead, expressed as the four config thresholds.
+    """
+    import whoosh_spark.config as C
+
+    saved = sum(max(0, df - rarest_df) for df in dfs)
+    return not (rarest_df > C.PAIR_GATE_MAX_DF
+                or rarest_df > C.PAIR_GATE_MAX_CAND_FRAC * float(n_docs)
+                or saved < C.PAIR_GATE_MIN_SAVED_ROWS
+                or saved < C.PAIR_GATE_MIN_SAVED_FRAC * sum(dfs))
+
+
 class Evaluator:
     def __init__(self, ix: InvertedIndex, weighting: str = "bm25"):
         self.ix = ix
@@ -834,8 +855,6 @@ class Evaluator:
         — no per-row Python)."""
         import numpy as np
 
-        import whoosh_spark.config as C
-
         ixf = self._ixf(fk)
         pairs_ix = getattr(ixf, "pairs", None)
         if pairs_ix is None or len(words) < 2:
@@ -864,11 +883,7 @@ class Evaluator:
         # decode savings are unambiguous.  A second-pair intersection
         # probe was measured at +16-47 s for zero candidate shrink and
         # was removed.
-        saved = sum(max(0, df - rarest_df) for df in dfs)
-        if (rarest_df > C.PAIR_GATE_MAX_DF
-                or rarest_df > C.PAIR_GATE_MAX_CAND_FRAC * float(n_docs)
-                or saved < C.PAIR_GATE_MIN_SAVED_ROWS
-                or saved < C.PAIR_GATE_MIN_SAVED_FRAC * sum(dfs)):
+        if not pair_gate_fires(rarest_df, dfs, n_docs):
             return None
         pdf = pairs_ix.postings([by_df[0]]).select("doc_id").toPandas()
         return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))

@@ -593,12 +593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = parse_query("orders", analyzer="lang_de")
         return _topk(s.ev.evaluate(q))
 
-    def _lang_term(lang: str, word: str):
-        # round-5: French + Spanish snowball stemmers (clean-room from the
-        # published algorithm descriptions, analysis/snowball.py) behind
-        # the same registry route as lang_de — index the <lang> sub-corpus
-        # with the full stop+stem chain, tee the query through it, oracle
-        # embeds the same stemmer's vocab map
+    def _lang_term(lang: str, word: str, corpus_lang: str | None = None):
+        # round-5: the snowball family behind the registry route of
+        # lang_de — index a sub-corpus with the full stop+stem chain, tee
+        # the query through it, oracle embeds the same stemmer's vocab
+        # map.  Languages with no sub-corpus of their own (sv/no/da/nl/
+        # it/pt — testdata carries de/en/es/fr/zh) index a host
+        # sub-corpus (corpus_lang); the chain under test is theirs
         def run(spark, sf_dir):
             import whoosh_spark.analysis.snowball  # noqa: F401
             from whoosh_spark.query.parser import parse_query
@@ -606,7 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key = (f"lang_{lang}", id(spark), sf_dir)
             if key not in _CACHE:
                 docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-                        .where(F.col("lang") == lang))
+                        .where(F.col("lang") == (corpus_lang or lang)))
                 _CACHE[key] = Searcher(
                     InvertedIndex.build(docs, analyzer=f"lang_{lang}"))
             s = _CACHE[key]
@@ -622,7 +623,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # s-removal + final e; es: step-2b 'es') — matching the
                # indexed stem of corpus word "table"
                lang_fr_term=_lang_term("fr", "tables"),
-               lang_es_term=_lang_term("es", "tables"))
+               lang_es_term=_lang_term("es", "tables"),
+               # round-5 family extension — each query word's stem equals
+               # the indexed stem of a corpus word under that chain
+               # (sv/no/da: "tables"→tabl≡table; nl: "orders"→order;
+               # it: "dati"→dat≡data; pt: "datas"→dat≡data)
+               lang_sv_term=_lang_term("sv", "tables", corpus_lang="de"),
+               lang_no_term=_lang_term("no", "tables", corpus_lang="de"),
+               lang_da_term=_lang_term("da", "tables", corpus_lang="de"),
+               lang_nl_term=_lang_term("nl", "orders", corpus_lang="de"),
+               lang_it_term=_lang_term("it", "dati", corpus_lang="es"),
+               lang_pt_term=_lang_term("pt", "datas", corpus_lang="es"))
 
     # ---- per-posting boost weights (PositionBoosts overlay) --------------
     def boosted_term(spark, sf_dir):
@@ -1250,6 +1261,18 @@ def oracle_sql() -> dict[str, str]:
         "lang_de_term": OSQL.lang_term_sql("orders", "de"),
         "lang_fr_term": OSQL.lang_term_sql("tables", "fr"),
         "lang_es_term": OSQL.lang_term_sql("tables", "es"),
+        "lang_sv_term": OSQL.lang_term_sql("tables", "sv",
+                                           corpus_lang="de"),
+        "lang_no_term": OSQL.lang_term_sql("tables", "no",
+                                           corpus_lang="de"),
+        "lang_da_term": OSQL.lang_term_sql("tables", "da",
+                                           corpus_lang="de"),
+        "lang_nl_term": OSQL.lang_term_sql("orders", "nl",
+                                           corpus_lang="de"),
+        "lang_it_term": OSQL.lang_term_sql("dati", "it",
+                                           corpus_lang="es"),
+        "lang_pt_term": OSQL.lang_term_sql("datas", "pt",
+                                           corpus_lang="es"),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),
         "weighted_subtree": OSQL.weighted_and_sql("pl2", "data", "vector"),

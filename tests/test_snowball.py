@@ -92,6 +92,127 @@ def test_spanish_vectors(word, expected):
     assert spanish_stem(word) == expected
 
 
+# algorithm-derived vectors for the round-5 family extension (each comment
+# names the rule that fires; worked by hand from the published specs)
+SWEDISH_VECTORS = {
+    "jackorna": "jack",           # step1 'orna' in R1
+    "klubbarnas": "klubb",        # step1 'arnas'
+    "möjligheterna": "möj",       # step1 'heterna', step3 'lig'
+    "friskt": "frisk",            # step2 'kt' pair shortened
+    "betydelse": "betyd",         # step1 'e', step3 'els'
+    "verksamheten": "verksam",    # step1 'heten'
+    "skalle": "skall",            # step1 'e'; 'll' not a step2 pair
+    "tomten": "tomt",             # step1 'en'
+    "sist": "sist",               # nothing fires
+    "hands": "hand",              # s after valid s-ending 'd'
+}
+
+NORWEGIAN_VECTORS = {
+    "billige": "bil",             # step1 'e', step3 'lig'
+    "bilens": "bil",              # step1 'ens'
+    "forelskede": "forelsk",      # step1 'ede'
+    "verks": "verk",              # s after k not preceded by a vowel
+    "naturlig": "natur",          # step3 'lig'
+    "hetene": "hetene",           # longest match 'hetene' not in R1
+    "lekene": "lek",              # step1 'ene'
+}
+
+DANISH_VECTORS = {
+    "undersøgelse": "undersøg",   # step1 'e', step3 'els'
+    "indtagelsen": "indtag",      # step1 'en', step3 'els'
+    "overbevisende": "overbevis",  # step1 'ende'
+    "billigst": "bil",            # step3 'igst' -> st, then 'lig'
+    "spændende": "spænd",         # step1 'ende'
+    "forløst": "forløs",          # step3 'løst' -> 'løs' in R1
+    "hunds": "hund",              # s after valid s-ending 'd'
+    "glasset": "glas",            # step1 'et', step4 undouble 'ss'
+}
+
+DUTCH_VECTORS = {
+    "lichamelijkheden": "licham",  # heden->heid, 3a heid, 3b lijk + step2
+    "lichamelijk": "licham",      # 3b 'lijk', repeated step2 final e
+    "hoofden": "hoofd",           # step1 'en' after valid en-ending
+    "lopen": "lop",               # step1 'en' (no kk/dd/tt undouble)
+    "groot": "grot",              # step4 vowel undouble CVVC
+    "uitdrukkelijk": "uitdruk",   # 3b 'lijk', step2 e, undouble 'kk'
+    "eetbar": "eetbar",           # 'bar' needs a step-2 e removal first
+    "eetbare": "eetbar",          # step2 e; 'bar' then not in R2
+}
+
+ITALIAN_VECTORS = {
+    "abbandonata": "abbandon",    # step2 'ata' in RV
+    "pronomi": "pronom",          # step3a final 'i' in RV
+    "caratteristico": "caratterist",  # step1 'ico' in R2
+    "nazionali": "nazional",      # step3a final 'i'
+    "comodità": "comod",          # step1 'ità' in R2
+    "dicendogli": "dic",          # step0 pronoun 'gli' after 'endo'
+    "guardandola": "guard",       # step0 pronoun 'la', step2 'ando'
+    "psicologia": "psicolog",     # step3a 'a' then preceding 'i'
+    "velocemente": "veloc",       # step1 'mente' in R2, 3a final e
+    "rapidamente": "rapid",       # step1 'amente' in R1
+}
+
+PORTUGUESE_VECTORS = {
+    "quinzena": "quinzen",        # step4 residual 'a' in RV
+    "amoroso": "amor",            # step1 'oso' in R2
+    "bilhões": "bilhõ",           # nasal marker carried, step2 'es'
+    "nacionalidade": "nacional",  # step1 'idade' in R2
+    "comunicação": "comunic",     # step1 'aça~o' in R2
+    "falaremos": "fal",           # step2 'aremos' in RV
+    "magicamente": "magic",       # step1 'amente' in R1 ('ic' not in R2)
+    "chegue": "cheg",             # step5 final e + gu -> g
+}
+
+
+def _vector_params():
+    from whoosh_spark.analysis.snowball_nordic import (
+        danish_stem,
+        dutch_stem,
+        norwegian_stem,
+        swedish_stem,
+    )
+    from whoosh_spark.analysis.snowball_romance import (
+        italian_stem,
+        portuguese_stem,
+    )
+
+    pools = ((swedish_stem, SWEDISH_VECTORS),
+             (norwegian_stem, NORWEGIAN_VECTORS),
+             (danish_stem, DANISH_VECTORS),
+             (dutch_stem, DUTCH_VECTORS),
+             (italian_stem, ITALIAN_VECTORS),
+             (portuguese_stem, PORTUGUESE_VECTORS))
+    return [(fn, w, exp) for fn, m in pools for w, exp in sorted(m.items())]
+
+
+@pytest.mark.parametrize("fn,word,expected", _vector_params())
+def test_round5_family_vectors(fn, word, expected):
+    assert fn(word) == expected
+
+
+def test_round5_family_registered():
+    # all nine shipped languages are full chains in the built-in snapshot
+    from whoosh_spark.analysis.analyzers import _BUILTIN_ANALYZERS
+
+    for code in ("de", "fr", "es", "sv", "no", "da", "nl", "it", "pt"):
+        assert f"lang_{code}" in _BUILTIN_ANALYZERS
+        assert code in STEMMERS and code in LANG_STOPWORDS
+
+
+def test_round5_family_idempotent_and_unmarked():
+    # stems re-stem stably and consonant markers (U/I/Y, a~/o~) never leak
+    for fn, m in ((STEMMERS["sv"], SWEDISH_VECTORS),
+                  (STEMMERS["no"], NORWEGIAN_VECTORS),
+                  (STEMMERS["da"], DANISH_VECTORS),
+                  (STEMMERS["nl"], DUTCH_VECTORS),
+                  (STEMMERS["it"], ITALIAN_VECTORS),
+                  (STEMMERS["pt"], PORTUGUESE_VECTORS)):
+        for stem in m.values():
+            assert fn(fn(stem)) == fn(stem)
+            out = fn(stem)
+            assert out == out.lower() and "~" not in out
+
+
 def test_french_spanish_registered():
     # round-5: fr/es are full chains now (stop + stem), not stopword-only
     assert STEMMERS["fr"] is french_stem
@@ -139,10 +260,12 @@ def test_language_chain_stops_and_stems():
 
 
 def test_language_chain_identity_without_stemmer():
-    register_language("nl", stopwords=["de", "het"])  # no stemmer plugged
-    fn = make_language_analyzer("nl")
-    toks, _ = fn("de kat het huis")
-    assert toks == ["kat", "huis"]  # stopped, no stemmer -> identity
+    # a code with no shipped stemmer ("nl" became a full chain in round 5,
+    # so use a fresh one): stopped, no stemmer -> identity
+    register_language("zz", stopwords=["dix", "het"])
+    fn = make_language_analyzer("zz")
+    toks, _ = fn("dix kat het huis")
+    assert toks == ["kat", "huis"]
 
 
 def test_registry_pluggable():

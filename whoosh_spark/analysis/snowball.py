@@ -15,6 +15,9 @@ implementations of:
   * French  — the Snowball French stemming algorithm (classic revision),
     implemented from the published algorithm description
   * Spanish — the Snowball Spanish stemming algorithm, same provenance
+  * Italian / Portuguese — same provenance (analysis/snowball_romance.py)
+  * Swedish / Norwegian / Danish / Dutch — same provenance
+    (analysis/snowball_nordic.py)
 
 Chains register into ``ANALYZERS`` as ``lang_<code>`` so they work
 everywhere a chain name does: ``write_index(analyzer="lang_de")`` (persisted
@@ -513,21 +516,24 @@ _ES_S2B = ("arían arías arán arás aríais aría aréis aríamos aremos ará 
 _ES_S3_DEL = ("os", "a", "o", "á", "í", "ó")
 
 
-def _es_rv(w: str) -> int:
+def _es_rv(w: str, vowels: set | None = None) -> int:
     """RV: second letter a consonant -> after the next following vowel;
     first two letters vowels -> after the next following consonant;
-    consonant+vowel -> after the third letter; else the end."""
+    consonant+vowel -> after the third letter; else the end.  (The shared
+    Spanish/Italian/Portuguese RV definition — pass the language's vowel
+    set.)"""
+    vowels = _ES_VOWELS if vowels is None else vowels
     n = len(w)
     if n < 3:
         return n
-    if w[1] not in _ES_VOWELS:
+    if w[1] not in vowels:
         for i in range(2, n):
-            if w[i] in _ES_VOWELS:
+            if w[i] in vowels:
                 return i + 1
         return n
-    if w[0] in _ES_VOWELS:
+    if w[0] in vowels:
         for i in range(2, n):
-            if w[i] not in _ES_VOWELS:
+            if w[i] not in vowels:
                 return i + 1
         return n
     return 3
@@ -758,5 +764,76 @@ def register_language(lang: str, stopwords=None, stemmer=None) -> None:
     ANALYZERS[f"lang_{lang}"] = make_language_analyzer(lang)
 
 
-for _lang in ("de", "fr", "es"):
+# round-5 family extension: Italian/Portuguese (romance skeleton) and
+# Swedish/Norwegian/Danish/Dutch (nordic skeleton) — imported at the bottom
+# so the helpers above exist when these modules import them back
+from whoosh_spark.analysis.snowball_nordic import (  # noqa: E402
+    danish_stem,
+    dutch_stem,
+    norwegian_stem,
+    swedish_stem,
+)
+from whoosh_spark.analysis.snowball_romance import (  # noqa: E402
+    italian_stem,
+    portuguese_stem,
+)
+
+STEMMERS.update({"sv": swedish_stem, "no": norwegian_stem,
+                 "da": danish_stem, "nl": dutch_stem,
+                 "it": italian_stem, "pt": portuguese_stem})
+
+LANG_STOPWORDS.update({
+    "sv": frozenset("""och det att i en jag hon som han på den med var sig
+        för så till är men ett om hade de av icke mig du henne då sin nu
+        har inte hans honom skulle hennes där min man ej vid kunde något
+        från ut när efter upp vi dem vara vad över än dig kan sina här ha
+        mot alla under någon eller allt mycket sedan ju denna själv detta
+        åt utan varit hur ingen mitt ni bli blev oss din dessa några deras
+        blir mina samma vilken er sådan vår blivit dess inom mellan sådant
+        varför varje vilka ditt vem vilket sådana vart dina vars vårt våra
+        ert era vilkas""".split()),
+    "no": frozenset("""og i jeg det at en et den til er som på de med han
+        av ikke ikkje der så var meg seg men ett har om vi min mitt ha
+        hadde hun nå over da ved fra du ut sin dem oss opp man kan hans
+        hvor eller hva skal selv sjøl her alle vil bli ble blei blitt
+        kunne inn når være kom noen noe ville dere som deres kun ja etter
+        ned skulle denne for deg si sine sitt mot å meget hvorfor dette
+        disse uten hvordan ingen din ditt blir samme hvilken hvilke sånn
+        inni mellom vår hver hvem vors hvis både bare enn fordi før mange
+        også slik vært båe begge siden henne hennar hennes""".split()),
+    "da": frozenset("""og i jeg det at en den til er som på de med han af
+        ikke der så var mig sig men et har om vi min havde ham hun nu over
+        da fra du ud sin dem os op man hans hvor eller hvad skal selv her
+        alle vil blev kunne ind når være dog noget ville jo deres efter
+        ned skulle denne end dette mit også under have dig anden hende
+        mine alt meget sit sine vor mod disse hvis din nogle hos blive
+        mange ad bliver hendes været thi jer sådan""".split()),
+    "nl": frozenset("""de en van ik te dat die in een hij het niet zijn is
+        was op aan met als voor had er maar om hem dan zou of wat mijn men
+        dit zo door over ze zich bij ook tot je mij uit der daar haar naar
+        heb hoe heeft hebben deze u want nog zal me zij nu ge geen omdat
+        iets worden toch al waren veel meer doen toen moet ben zonder kan
+        hun dus alles onder ja eens hier wie werd altijd doch wordt wezen
+        kunnen ons zelf tegen na reeds wil kon niets uw iemand geweest
+        andere""".split()),
+    "it": frozenset("""ad al allo ai agli all agl alla alle con col coi da
+        dal dallo dai dagli dall dagl dalla dalle di del dello dei degli
+        dell degl della delle in nel nello nei negli nell negl nella nelle
+        su sul sullo sui sugli sull sugl sulla sulle per tra contro io tu
+        lui lei noi voi loro mio mia miei mie tuo tua tuoi tue suo sua
+        suoi sue nostro nostra nostri nostre vostro vostra vostri vostre
+        mi ti ci vi lo la li le gli ne il un uno una ma ed se perché anche
+        come dov dove che chi cui non più quale quanto quanti quanta
+        quante quello quelli quella quelle questo questi questa queste si
+        tutto tutti a c e i l o ho hai ha abbiamo avete hanno""".split()),
+    "pt": frozenset("""de a o que e do da em um para é com não uma os no
+        se na por mais as dos como mas foi ao ele das tem à seu sua ou ser
+        quando muito há nos já está eu também só pelo pela até isso ela
+        entre era depois sem mesmo aos ter seus quem nas me esse eles
+        estão você tinha foram essa num nem suas meu às minha têm numa
+        pelos elas havia seja qual será nós tenho lhe deles essas esses
+        pelas este fosse dele""".split()),
+})
+
+for _lang in ("de", "fr", "es", "sv", "no", "da", "nl", "it", "pt"):
     register_language(_lang)

@@ -148,7 +148,8 @@ def term_sql(term: str, k: int = 10) -> str:
 def lang_term_sql(term: str, lang: str, k: int = 10,
                   sf_dirs: tuple[str, ...] = ("/root/testdata/sf0.001",
                                               "/root/testdata/sf0.01",
-                                              "/root/testdata/sf0.1")) -> str:
+                                              "/root/testdata/sf0.1"),
+                  corpus_lang: str | None = None) -> str:
     """Term query against a per-language sub-corpus index built with the
     ``lang_<code>`` chain (tokenize → stop(lang) → snowball stem): the
     stemmer is not SQL-expressible, so the oracle embeds a (word, stem)
@@ -186,7 +187,11 @@ def lang_term_sql(term: str, lang: str, k: int = 10,
     else:
         map_cte, stem_expr, map_join = "", "t.word", ""
     stops_sql = ", ".join(f"'{w}'" for w in sorted(stops)) or "''"
-    docs = f"(SELECT * FROM documents WHERE lang = '{lang}')"
+    # languages without their own sub-corpus in the testdata index a host
+    # sub-corpus (corpus_lang) through the lang_<code> chain — the chain
+    # under test is the stemmer's, the rows are the host language's
+    docs = (f"(SELECT * FROM documents "
+            f"WHERE lang = '{corpus_lang or lang}')")
     tok_ctes = _raw_tok("word", docs=docs) + f""",
 {map_cte}
 tokf AS (

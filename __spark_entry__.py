@@ -624,6 +624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # indexed stem of corpus word "table"
                lang_fr_term=_lang_term("fr", "tables"),
                lang_es_term=_lang_term("es", "tables"),
+               # round-5: Snowball English (Porter2) — query "queries"
+               # stems to queri ≡ corpus word "query" (step 1c) under the
+               # full en stop+stem chain over the en sub-corpus
+               lang_en_term=_lang_term("en", "queries"),
                # round-5 family extension — each query word's stem equals
                # the indexed stem of a corpus word under that chain
                # (sv/no/da: "tables"→tabl≡table; nl: "orders"→order;
@@ -1258,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         "glob_fielded_and": OSQL.fielded_and_sql(
             [("text", "data"), ("lang", "en")], MF_FIELDS),
         "charset_term": OSQL.term_sql("data"),
+        "lang_en_term": OSQL.lang_term_sql("queries", "en"),
         "lang_de_term": OSQL.lang_term_sql("orders", "de"),
         "lang_fr_term": OSQL.lang_term_sql("tables", "fr"),
         "lang_es_term": OSQL.lang_term_sql("tables", "es"),

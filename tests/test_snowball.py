@@ -94,6 +94,37 @@ def test_spanish_vectors(word, expected):
 
 # algorithm-derived vectors for the round-5 family extension (each comment
 # names the rule that fires; worked by hand from the published specs)
+ENGLISH_VECTORS = {
+    "caresses": "caress",         # 1a 'sses'
+    "flies": "fli",               # 1a 'ies' after >1 letter
+    "ties": "tie",                # 1a 'ies' after 1 letter
+    "gaps": "gap",                # 1a 's' (vowel not just before s)
+    "gas": "gas",                 # 1a 's' blocked (vowel just before)
+    "dying": "die",               # exceptional form
+    "news": "news",               # invariant exceptional form
+    "inning": "inning",           # post-1a invariant
+    "agreed": "agre",             # 1b 'eed'→ee, step5 e after non-short
+    "feed": "feed",               # 'eed' not in R1
+    "hopping": "hop",             # 1b undouble 'pp'
+    "hoping": "hope",             # 1b short word +e
+    "sing": "sing",               # 1b blocked: no vowel in stem
+    "conflated": "conflat",       # 1b 'at'+e, step5 e in R2
+    "happy": "happi",             # 1c y→i after consonant
+    "saying": "say",              # y marked as consonant after vowel
+    "relational": "relat",        # step2 'ational'→ate, step5
+    "conditional": "condit",      # step2 'tional'→tion, step4 ion/t
+    "rapidly": "rapid",           # 1c then step2 'li' after valid d
+    "nationally": "nation",       # step2 'alli'→al, step4 'al'
+    "generously": "generous",     # 'gener' R1 override, step2 'ousli'
+    "communities": "communiti",   # 'commun' override; 'iti' not in R2
+    "abilities": "abil",          # 1a ies, step4 'iti' in R2
+    "luxuriated": "luxuri",       # 1b 'at'+e, step4 'ate' in R2
+    "hopeful": "hope",            # step3 'ful', step5 keeps e (short)
+    "controlling": "control",     # 1b ing, undouble 'll'
+    "queries": "queri",           # 1a 'ies' — matches corpus 'query' (1c)
+    "orders": "order",            # 1a 's'
+}
+
 SWEDISH_VECTORS = {
     "jackorna": "jack",           # step1 'orna' in R1
     "klubbarnas": "klubb",        # step1 'arnas'
@@ -165,6 +196,7 @@ PORTUGUESE_VECTORS = {
 
 
 def _vector_params():
+    from whoosh_spark.analysis.snowball_english import english_stem
     from whoosh_spark.analysis.snowball_nordic import (
         danish_stem,
         dutch_stem,
@@ -176,7 +208,8 @@ def _vector_params():
         portuguese_stem,
     )
 
-    pools = ((swedish_stem, SWEDISH_VECTORS),
+    pools = ((english_stem, ENGLISH_VECTORS),
+             (swedish_stem, SWEDISH_VECTORS),
              (norwegian_stem, NORWEGIAN_VECTORS),
              (danish_stem, DANISH_VECTORS),
              (dutch_stem, DUTCH_VECTORS),
@@ -194,14 +227,16 @@ def test_round5_family_registered():
     # all nine shipped languages are full chains in the built-in snapshot
     from whoosh_spark.analysis.analyzers import _BUILTIN_ANALYZERS
 
-    for code in ("de", "fr", "es", "sv", "no", "da", "nl", "it", "pt"):
+    for code in ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it",
+                 "pt"):
         assert f"lang_{code}" in _BUILTIN_ANALYZERS
         assert code in STEMMERS and code in LANG_STOPWORDS
 
 
 def test_round5_family_idempotent_and_unmarked():
     # stems re-stem stably and consonant markers (U/I/Y, a~/o~) never leak
-    for fn, m in ((STEMMERS["sv"], SWEDISH_VECTORS),
+    for fn, m in ((STEMMERS["en"], ENGLISH_VECTORS),
+                  (STEMMERS["sv"], SWEDISH_VECTORS),
                   (STEMMERS["no"], NORWEGIAN_VECTORS),
                   (STEMMERS["da"], DANISH_VECTORS),
                   (STEMMERS["nl"], DUTCH_VECTORS),

@@ -7,7 +7,9 @@ ships the REGISTRY (so any language plugs in as ``register_stemmer(lang,
 fn)`` + ``register_language(lang, stopwords)``) with clean-room
 implementations of:
 
-  * English — Porter (analysis/porter.py, already shipped)
+  * English — Snowball English / "Porter2" (analysis/snowball_english.py;
+    the original 1980 Porter ships separately as analysis/porter.py and
+    backs StemmingAnalyzer, matching upstream's split)
   * German  — the Snowball German stemming algorithm, implemented from the
     published algorithm description (M.F. Porter, snowballstem.org, "German
     stemming algorithm" — the classic revision, not the 2021 additions)
@@ -674,13 +676,13 @@ def spanish_stem(word: str) -> str:
 # registry + chains
 # ---------------------------------------------------------------------------
 
-def _porter(word: str) -> str:
-    from whoosh_spark.analysis.porter import stem
+def _porter2(word: str) -> str:
+    from whoosh_spark.analysis.snowball_english import english_stem
 
-    return stem(word)
+    return english_stem(word)
 
 
-STEMMERS: dict[str, object] = {"en": _porter, "de": german_stem,
+STEMMERS: dict[str, object] = {"en": _porter2, "de": german_stem,
                                "fr": french_stem, "es": spanish_stem}
 
 # compact per-language stopword cores (public snowball lists, head subset;
@@ -783,6 +785,16 @@ STEMMERS.update({"sv": swedish_stem, "no": norwegian_stem,
                  "it": italian_stem, "pt": portuguese_stem})
 
 LANG_STOPWORDS.update({
+    "en": frozenset("""i me my myself we our ours ourselves you your yours
+        yourself yourselves he him his himself she her hers herself it its
+        itself they them their theirs themselves what which who whom this
+        that these those am is are was were be been being have has had
+        having do does did doing a an the and but if or because as until
+        while of at by for with about against between into through during
+        before after above below to from up down in out on off over under
+        again further then once here there when where why how all any both
+        each few more most other some such no nor not only own same so
+        than too very s t can will just don should now""".split()),
     "sv": frozenset("""och det att i en jag hon som han på den med var sig
         för så till är men ett om hade de av icke mig du henne då sin nu
         har inte hans honom skulle hennes där min man ej vid kunde något
@@ -835,5 +847,5 @@ LANG_STOPWORDS.update({
         pelas este fosse dele""".split()),
 })
 
-for _lang in ("de", "fr", "es", "sv", "no", "da", "nl", "it", "pt"):
+for _lang in ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt"):
     register_language(_lang)

@@ -616,6 +616,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    def _routed_term(word: str, query_lang: str):
+        def run(spark, sf_dir):
+            import whoosh_spark.analysis.snowball  # noqa: F401
+            from whoosh_spark.query.parser import parse_query
+
+            key = ("lang_routed", id(spark), sf_dir)
+            if key not in _CACHE:
+                docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+                _CACHE[key] = Searcher(InvertedIndex.build(
+                    docs, analyzer="lang_routed", lang_col="lang"))
+            s = _CACHE[key]
+            q = parse_query(word, analyzer=f"lang_{query_lang}")
+            return _topk(s.ev.evaluate(q))
+
+        return run
+
     out.update(fielded_and=fielded_and, multifield_or=multifield_or,
                glob_fielded_and=glob_fielded_and, charset_term=charset_term,
                lang_de_term=lang_de_term,
@@ -637,7 +653,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                lang_da_term=_lang_term("da", "tables", corpus_lang="de"),
                lang_nl_term=_lang_term("nl", "orders", corpus_lang="de"),
                lang_it_term=_lang_term("it", "dati", corpus_lang="es"),
-               lang_pt_term=_lang_term("pt", "datas", corpus_lang="es"))
+               lang_pt_term=_lang_term("pt", "datas", corpus_lang="es"),
+               # round-5: per-row language-ROUTED index over the WHOLE
+               # multilingual corpus (analyzer="lang_routed") — each doc
+               # analyzed by its own lang chain in the one analyze pass,
+               # query through lang_de ("orders"→"ord" hits only docs
+               # whose chain produced that stem)
+               lang_routed_term=_routed_term("orders", "de"))
 
     # ---- per-posting boost weights (PositionBoosts overlay) --------------
     def boosted_term(spark, sf_dir):
@@ -1278,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
                                            corpus_lang="es"),
         "lang_pt_term": OSQL.lang_term_sql("datas", "pt",
                                            corpus_lang="es"),
+        "lang_routed_term": OSQL.lang_routed_term_sql("orders", "de"),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),
         "weighted_subtree": OSQL.weighted_and_sql("pl2", "data", "vector"),

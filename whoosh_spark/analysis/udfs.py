@@ -156,6 +156,73 @@ def make_analyze_batches(analyze_fn=None):
     return run
 
 
+def make_routed_analyze_batches(routes: dict):
+    """Per-row language-routed analyze kernel (mapInArrow over batches of
+    ``(doc_id, text, lang)``): each document is analyzed by the chain
+    registered for ITS language (``routes[lang]``), falling back to the
+    inlined StandardAnalyzer loop for unrouted codes — upstream's
+    per-language ``LanguageAnalyzer`` made corpus-shaped (the input_hint
+    table carries a ``lang`` column; a 10^12-doc crawl is multilingual, so
+    routing must happen inside the ONE analyze pass, not as one job per
+    language)."""
+
+    def run(batches):
+        from whoosh_spark.analysis.analyzers import _TOKEN_RE_NC
+        from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
+
+        stop = STOP_WORDS
+        minsize = MIN_WORD_SIZE
+        findall = _TOKEN_RE_NC.findall
+
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            langs = batch.column(2).to_pylist()
+
+            len_raws: list[int] = []
+            all_terms: list[str] = []
+            all_tfs: list[int] = []
+            flat_pos: list[int] = []
+            entry_counts: list[int] = []
+            term_offsets = [0]
+
+            for text, lang in zip(texts, langs):
+                d: dict[str, list[int]] = {}
+                fn = routes.get(lang) if lang is not None else None
+                if text and fn is None:
+                    for pos, t in enumerate(findall(text)):
+                        t = t.lower()
+                        if len(t) >= minsize and t not in stop:
+                            lst = d.get(t)
+                            if lst is None:
+                                d[t] = [pos]
+                            else:
+                                lst.append(pos)
+                elif text:
+                    toks, poss = fn(text)
+                    for t, pos in zip(toks, poss):
+                        lst = d.get(t)
+                        if lst is None:
+                            d[t] = [pos]
+                        else:
+                            lst.append(pos)
+                n = 0
+                for t, plist in d.items():
+                    all_terms.append(t)
+                    all_tfs.append(len(plist))
+                    entry_counts.append(len(plist))
+                    flat_pos.extend(plist)
+                    n += len(plist)
+                term_offsets.append(len(all_terms))
+                len_raws.append(n)
+
+            yield _assemble_analyzed_batch(
+                doc_ids, len_raws, all_terms, all_tfs, entry_counts,
+                flat_pos, term_offsets)
+
+    return run
+
+
 def _assemble_analyzed_batch(doc_ids, len_raws, all_terms, all_tfs,
                              entry_counts, flat_pos, term_offsets):
     """Flat per-batch analysis buffers → one ANALYZED_SCHEMA RecordBatch

@@ -49,10 +49,21 @@ RUNS_SCHEMA = T.StructType(
 )
 
 
+def routed_language_chains() -> dict:
+    """``{lang_code: chain_fn}`` for every registered ``lang_<code>``
+    analyzer (snowball registry import triggers the built-in family)."""
+    import whoosh_spark.analysis.snowball  # noqa: F401  (registers chains)
+    from whoosh_spark.analysis.analyzers import ANALYZERS
+
+    return {name[5:]: fn for name, fn in ANALYZERS.items()
+            if name.startswith("lang_")}
+
+
 def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   analyzer: str = "standard",
                   format: str = "positions",
-                  analyzer_fn=None) -> DataFrame:
+                  analyzer_fn=None,
+                  lang_col: str | None = None) -> DataFrame:
     """(doc_id, len_raw, dl, terms, tfs, positions) — one row per input doc.
 
     ``terms`` are the doc's distinct post-analysis tokens (first-occurrence
@@ -63,6 +74,24 @@ def analyzed_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     ``format`` names a posting Format (``formats.py``) deciding the per-
     posting payload (positions | frequency | existence | ... ).
     """
+    if analyzer == "lang_routed":
+        # per-row language routing (see udfs.make_routed_analyze_batches):
+        # one analyze pass over the whole multilingual corpus, each doc
+        # through its own lang_<code> chain, standard chain for unrouted
+        # codes.  Query side picks a concrete chain per query
+        # (parse_query(analyzer="lang_de") etc.)
+        from whoosh_spark.analysis.udfs import make_routed_analyze_batches
+
+        src = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            F.col(lang_col or "lang").alias("_lang"),
+        )
+        out = src.mapInArrow(make_routed_analyze_batches(
+            routed_language_chains()), schema=ANALYZED_SCHEMA)
+        from whoosh_spark.formats import get_format
+
+        return get_format(format).apply(out)
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
     )

@@ -108,9 +108,10 @@ class InvertedIndex:
         format: str = "positions",
         phrase_pairs: bool = False,
         pair_min_df: float = 0,
+        lang_col: str | None = None,
     ) -> "InvertedIndex":
         analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer,
-                                   format=format)
+                                   format=format, lang_col=lang_col)
         if cache:
             analyzed = analyzed.cache()
         lengths = B.doc_lengths(analyzed)

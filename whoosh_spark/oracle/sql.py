@@ -204,6 +204,83 @@ tokf AS (
         f"SELECT doc_id, score FROM sc WHERE term = '{qterm}'", k)
 
 
+def lang_routed_term_sql(term: str, query_lang: str, k: int = 10,
+                         sf_dirs: tuple[str, ...] = (
+                             "/root/testdata/sf0.001",
+                             "/root/testdata/sf0.01",
+                             "/root/testdata/sf0.1")) -> str:
+    """Term query against a per-row language-ROUTED index over the whole
+    multilingual corpus (``analyzer="lang_routed"``): every document is
+    analyzed by its own ``lang_<code>`` chain (standard chain for unrouted
+    codes), the query by ``lang_<query_lang>``.  The oracle restates the
+    routing as lang-keyed stem/stop maps over the corpus vocabulary,
+    computed by the SAME Python stemmers."""
+    import os
+
+    import duckdb
+
+    from whoosh_spark.analysis.snowball import LANG_STOPWORDS, STEMMERS
+    from whoosh_spark.build import routed_language_chains
+    from whoosh_spark.config import STOP_WORDS
+
+    routed = set(routed_language_chains())
+    vocab: set[str] = set()
+    corpus_langs: set[str] = set()
+    for d in sf_dirs:
+        p = os.path.join(d, "documents.parquet")
+        if os.path.exists(p):
+            vocab |= {
+                r[0] for r in duckdb.sql(
+                    f"SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                    f" '{TOKEN_PATTERN_RE2_UNI}')) FROM read_parquet('{p}')"
+                ).fetchall()
+            }
+            corpus_langs |= {
+                r[0] for r in duckdb.sql(
+                    f"SELECT DISTINCT lang FROM read_parquet('{p}')"
+                ).fetchall() if r[0] is not None
+            }
+
+    stem_rows: list[tuple[str, str, str]] = []
+    stop_rows: list[tuple[str, str]] = []
+    for lg in sorted(corpus_langs):
+        if lg in routed:
+            stem = STEMMERS.get(lg)
+            stops = LANG_STOPWORDS.get(lg, frozenset())
+        else:
+            stem, stops = None, STOP_WORDS
+        if stem is not None:
+            stem_rows += [(lg, w, stem(w)) for w in sorted(vocab)
+                          if stem(w) != w]
+        stop_rows += [(lg, w) for w in sorted(stops)]
+
+    stem_vals = ",".join(f"('{lg}','{w}','{s}')" for lg, w, s in stem_rows) \
+        or "('','','')"
+    stop_vals = ",".join(f"('{lg}','{w}')" for lg, w in stop_rows) \
+        or "('','')"
+    tok_ctes = f"""tok AS (
+  SELECT doc_id, lang, lower(toks[i]) AS word, i - 1 AS pos
+  FROM (SELECT doc_id, lang, regexp_extract_all(text,
+        '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+stem_map(slang, sword, stem) AS
+  (SELECT * FROM (VALUES {stem_vals}) v(slang, sword, stem)),
+stop_map(xlang, xword) AS
+  (SELECT * FROM (VALUES {stop_vals}) v(xlang, xword)),
+tokf AS (
+  SELECT t.doc_id, COALESCE(m.stem, t.word) AS term, t.pos
+  FROM tok t
+  LEFT JOIN stem_map m ON m.slang = t.lang AND m.sword = t.word
+  LEFT JOIN stop_map s ON s.xlang = t.lang AND s.xword = t.word
+  WHERE length(t.word) >= 2 AND s.xword IS NULL
+)"""
+    qstem = STEMMERS.get(query_lang) if query_lang in routed else None
+    qterm = qstem(term.lower()) if qstem is not None else term.lower()
+    return _scoring_ctes(tok_ctes) + topk(
+        f"SELECT doc_id, score FROM sc WHERE term = '{qterm}'", k)
+
+
 def and_sql(terms: list[str], k: int = 10) -> str:
     """Inner join of children; sum in ascending-df order (engine join order).
     Two-term sums are FP-commutative so order only matters for 3+ terms."""

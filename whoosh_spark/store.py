@@ -283,6 +283,7 @@ def write_index(
     pair_min_df: float = 0,
     write_stored: bool = True,
     _analyzer_fn=None,
+    lang_col: str | None = None,
 ) -> dict:
     """Build + persist the index; resumable.  Returns the manifest dict.
 
@@ -367,7 +368,8 @@ def write_index(
         analyzed = B.analyzed_docs(part, id_col, text_col,
                                    analyzer=analyzer,
                                    format=format,
-                                   analyzer_fn=_analyzer_fn).withColumn(
+                                   analyzer_fn=_analyzer_fn,
+                                   lang_col=lang_col).withColumn(
             "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
         )
         batch_dir = FS.join(path, "analyzed", f"batch={bid}")
@@ -570,6 +572,8 @@ def write_index(
         "n_blocks": counts["n_blocks"],
         "store_text": store_text,
         "analyzer": analyzer,
+        "lang_col": (lang_col or "lang") if analyzer == "lang_routed"
+        else None,
         "text_col": text_col,
         "id_col": id_col,
         "posting_format": format,
@@ -1389,9 +1393,11 @@ def upsert_documents(spark: SparkSession, path: str, new_docs: DataFrame,
     w = Window.orderBy(key)
     renumbered = new_docs.withColumn(
         "doc_id", (F.lit(int(max_id)) + F.row_number().over(w)).cast("long"))
+    _man = json.loads(FS.read_text(FS.join(path, MANIFEST)) or "{}")
     analyzed = B.analyzed_docs(renumbered, "doc_id", text_col,
                                analyzer=manifest_analyzer(path),
-                               format=manifest_posting_format(path)
+                               format=manifest_posting_format(path),
+                               lang_col=_man.get("lang_col"),
                                ).withColumn("chunk", F.lit(-1))
     offsets_dir = FS.join(path, "char_offsets")
     if FS.isdir_nonempty(offsets_dir):

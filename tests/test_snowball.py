@@ -248,6 +248,38 @@ def test_round5_family_idempotent_and_unmarked():
             assert out == out.lower() and "~" not in out
 
 
+def _all_stemmers():
+    from whoosh_spark.analysis.snowball import STEMMERS
+
+    return [(code, STEMMERS[code]) for code in
+            ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt")]
+
+
+@pytest.mark.parametrize("code,fn", _all_stemmers())
+def test_stemmer_total_on_random_unicode(code, fn):
+    # robustness property (derandomized): every shipped stemmer is total —
+    # no exception, never lengthens beyond bound, marker-free output —
+    # over adversarial short/long/unicode/edge inputs
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40))
+    def check(w):
+        w = w.lower()
+        out = fn(w)
+        assert isinstance(out, str)
+        assert len(out) <= len(w) + 2  # +e/+ee style appends only
+        if "~" not in w:  # marker leak check (pt a~/o~), not passthrough
+            assert "~" not in out
+        # idempotent on its own output
+        assert fn(out) == fn(fn(out))
+
+    check()
+
+
 def test_french_spanish_registered():
     # round-5: fr/es are full chains now (stop + stem), not stopword-only
     assert STEMMERS["fr"] is french_stem

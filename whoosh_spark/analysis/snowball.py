@@ -739,6 +739,12 @@ def make_language_analyzer(lang: str):
 
     stops = LANG_STOPWORDS.get(lang, frozenset())
     stem = STEMMERS.get(lang)
+    # worker-lifetime stem memo: corpus vocabulary is Zipf-bounded, so at
+    # scale nearly every token is a repeat — the per-token cost becomes one
+    # dict hit instead of the full suffix machinery.  Capped so adversarial
+    # (unbounded-vocab) input can't grow executor memory without limit.
+    cache: dict[str, str] = {}
+    cache_cap = 1 << 20
 
     def fn(text: str) -> tuple[list[str], list[int]]:
         tokens: list[str] = []
@@ -746,7 +752,15 @@ def make_language_analyzer(lang: str):
         for pos, t in enumerate(_TOKEN_RE_NC.findall(text)):
             t = t.lower()
             if len(t) >= MIN_WORD_SIZE and t not in stops:
-                tokens.append(stem(t) if stem else t)
+                if stem is not None:
+                    s = cache.get(t)
+                    if s is None:
+                        s = stem(t)
+                        if len(cache) < cache_cap:
+                            cache[t] = s
+                    tokens.append(s)
+                else:
+                    tokens.append(t)
                 positions.append(pos)
         return tokens, positions
 

@@ -654,6 +654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                lang_nl_term=_lang_term("nl", "orders", corpus_lang="de"),
                lang_it_term=_lang_term("it", "dati", corpus_lang="es"),
                lang_pt_term=_lang_term("pt", "datas", corpus_lang="es"),
+               # ru: Cyrillic rules are identity on the Latin host corpus,
+               # so this entry pins the chain WIRING (stop list + registry
+               # + tee); the stemmer itself is pinned by the Cyrillic
+               # vector + chain suites in test_snowball.py
+               lang_ru_term=_lang_term("ru", "order", corpus_lang="en"),
                # round-5: per-row language-ROUTED index over the WHOLE
                # multilingual corpus (analyzer="lang_routed") — each doc
                # analyzed by its own lang chain in the one analyze pass,
@@ -1300,6 +1305,8 @@ def oracle_sql() -> dict[str, str]:
                                            corpus_lang="es"),
         "lang_pt_term": OSQL.lang_term_sql("datas", "pt",
                                            corpus_lang="es"),
+        "lang_ru_term": OSQL.lang_term_sql("order", "ru",
+                                           corpus_lang="en"),
         "lang_routed_term": OSQL.lang_routed_term_sql("orders", "de"),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),

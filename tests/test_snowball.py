@@ -183,6 +183,24 @@ ITALIAN_VECTORS = {
     "rapidamente": "rapid",       # step1 'amente' in R1
 }
 
+RUSSIAN_VECTORS = {
+    "книгами": "книг",            # noun 'ами' in RV
+    "красивый": "красив",         # adjective 'ый'
+    "читала": "чита",             # verb group-1 'ла' after а
+    "прочитавши": "прочита",      # perfective gerund 'вши' after а
+    "возможность": "возможн",     # noun 'ь', derivational 'ост' in R2
+    "новейший": "нов",            # adjective 'ий', superlative 'ейш'
+    "бессмысленно": "бессмыслен",  # noun 'о', step4 undouble 'нн'
+    "которая": "котор",           # adjective 'ая'
+    "находиться": "наход",        # reflexive 'ся' then verb 'ить'
+    "читаются": "чита",           # reflexive 'ся' then group-1 'ют'
+    "окно": "окн",                # group-1 'но' blocked (no а/я), noun 'о'
+    "пример": "пример",           # no ending in RV
+    "рисует": "рис",              # verb group-2 'ует'
+    "пишет": "пишет",             # group-1 'ет' blocked (no а/я)
+    "london": "london",           # non-Cyrillic passes through
+}
+
 PORTUGUESE_VECTORS = {
     "quinzena": "quinzen",        # step4 residual 'a' in RV
     "amoroso": "amor",            # step1 'oso' in R2
@@ -207,8 +225,10 @@ def _vector_params():
         italian_stem,
         portuguese_stem,
     )
+    from whoosh_spark.analysis.snowball_russian import russian_stem
 
     pools = ((english_stem, ENGLISH_VECTORS),
+             (russian_stem, RUSSIAN_VECTORS),
              (swedish_stem, SWEDISH_VECTORS),
              (norwegian_stem, NORWEGIAN_VECTORS),
              (danish_stem, DANISH_VECTORS),
@@ -228,13 +248,17 @@ def test_round5_family_registered():
     from whoosh_spark.analysis.analyzers import _BUILTIN_ANALYZERS
 
     for code in ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it",
-                 "pt"):
+                 "pt", "ru"):
         assert f"lang_{code}" in _BUILTIN_ANALYZERS
         assert code in STEMMERS and code in LANG_STOPWORDS
 
 
 def test_round5_family_idempotent_and_unmarked():
-    # stems re-stem stably and consonant markers (U/I/Y, a~/o~) never leak
+    # stems re-stem stably and consonant markers (U/I/Y, a~/o~) never leak.
+    # Russian is excluded from the stability leg: the algorithm is
+    # genuinely non-idempotent (removing a noun ending can expose a
+    # verb-shaped one, e.g. прочита→прочит→проч), which is fine — the
+    # index and the query tee always apply the chain exactly once
     for fn, m in ((STEMMERS["en"], ENGLISH_VECTORS),
                   (STEMMERS["sv"], SWEDISH_VECTORS),
                   (STEMMERS["no"], NORWEGIAN_VECTORS),
@@ -246,13 +270,17 @@ def test_round5_family_idempotent_and_unmarked():
             assert fn(fn(stem)) == fn(stem)
             out = fn(stem)
             assert out == out.lower() and "~" not in out
+    for stem in RUSSIAN_VECTORS.values():
+        out = STEMMERS["ru"](stem)
+        assert out == out.lower() and "~" not in out
 
 
 def _all_stemmers():
     from whoosh_spark.analysis.snowball import STEMMERS
 
     return [(code, STEMMERS[code]) for code in
-            ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt")]
+            ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt",
+             "ru")]
 
 
 @pytest.mark.parametrize("code,fn", _all_stemmers())
@@ -274,10 +302,20 @@ def test_stemmer_total_on_random_unicode(code, fn):
         assert len(out) <= len(w) + 2  # +e/+ee style appends only
         if "~" not in w:  # marker leak check (pt a~/o~), not passthrough
             assert "~" not in out
-        # idempotent on its own output
-        assert fn(out) == fn(fn(out))
+        if code != "ru":  # ru is genuinely non-idempotent (see below)
+            # idempotent on its own output
+            assert fn(out) == fn(fn(out))
 
     check()
+
+
+def test_russian_chain_cyrillic_end_to_end():
+    # the full lang_ru chain over Cyrillic text: unicode tokenize, Russian
+    # stop filter (и/в/на dropped, gaps kept), snowball stem
+    fn = make_language_analyzer("ru")
+    toks, poss = fn("Она читала книгами и пример в окно")
+    assert toks == ["чита", "книг", "пример", "окн"]
+    assert poss == [1, 2, 4, 6]  # stop-gap ordinals preserved
 
 
 def test_french_spanish_registered():

@@ -20,6 +20,8 @@ implementations of:
   * Italian / Portuguese — same provenance (analysis/snowball_romance.py)
   * Swedish / Norwegian / Danish / Dutch — same provenance
     (analysis/snowball_nordic.py)
+  * Russian — same provenance (analysis/snowball_russian.py; Cyrillic,
+    exercises the unicode tokenizer path)
 
 Chains register into ``ANALYZERS`` as ``lang_<code>`` so they work
 everywhere a chain name does: ``write_index(analyzer="lang_de")`` (persisted
@@ -793,10 +795,12 @@ from whoosh_spark.analysis.snowball_romance import (  # noqa: E402
     italian_stem,
     portuguese_stem,
 )
+from whoosh_spark.analysis.snowball_russian import russian_stem  # noqa: E402
 
 STEMMERS.update({"sv": swedish_stem, "no": norwegian_stem,
                  "da": danish_stem, "nl": dutch_stem,
-                 "it": italian_stem, "pt": portuguese_stem})
+                 "it": italian_stem, "pt": portuguese_stem,
+                 "ru": russian_stem})
 
 LANG_STOPWORDS.update({
     "en": frozenset("""i me my myself we our ours ourselves you your yours
@@ -852,6 +856,18 @@ LANG_STOPWORDS.update({
         come dov dove che chi cui non più quale quanto quanti quanta
         quante quello quelli quella quelle questo questi questa queste si
         tutto tutti a c e i l o ho hai ha abbiamo avete hanno""".split()),
+    "ru": frozenset("""и в во не что он на я с со как а то все она так его
+        но да ты к у же вы за бы по только ее мне было вот от меня еще нет
+        о из ему теперь когда даже ну вдруг ли если уже или ни быть был
+        него до вас нибудь опять уж вам ведь там потом себя ничего ей
+        может они тут где есть надо ней для мы тебя их чем была сам чтоб
+        без будто чего раз тоже себе под будет ж тогда кто этот того
+        потому этого какой совсем ним здесь этом один почти мой тем чтобы
+        нее сейчас были куда зачем всех никогда можно при наконец два об
+        другой хоть после над больше тот через эти нас про всего них какая
+        много разве три эту моя впрочем хорошо свою этой перед иногда
+        лучше чуть том нельзя такой им более всегда конечно всю между""".
+        split()),
     "pt": frozenset("""de a o que e do da em um para é com não uma os no
         se na por mais as dos como mas foi ao ele das tem à seu sua ou ser
         quando muito há nos já está eu também só pelo pela até isso ela
@@ -861,5 +877,6 @@ LANG_STOPWORDS.update({
         pelas este fosse dele""".split()),
 })
 
-for _lang in ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt"):
+for _lang in ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt",
+              "ru"):
     register_language(_lang)

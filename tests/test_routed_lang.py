@@ -60,6 +60,28 @@ def test_routed_query_hits_only_matching_stems(spark, sf0001_documents):
     assert langs == {"de"}
 
 
+def test_routed_lang_col_survives_compact_and_upsert(spark,
+                                                     sf0001_documents,
+                                                     tmp_path):
+    # review regression: compact_index used to drop the manifest's
+    # lang_col, breaking later upserts/writer commits on routed indexes
+    import json
+
+    from whoosh_spark import store
+
+    path = str(tmp_path / "routed_compact")
+    store.write_index(sf0001_documents.limit(200), path,
+                      analyzer="lang_routed", lang_col="lang")
+    store.compact_index(spark, path)
+    man = json.loads(open(f"{path}/manifest.json").read())
+    assert man["analyzer"] == "lang_routed" and man["lang_col"] == "lang"
+    new = sf0001_documents.where(F.col("doc_id") >= 400).limit(20)
+    store.upsert_documents(spark, path, new, key="doc_id")
+    s = Searcher(store.load_index(spark, path))
+    assert s.search(parse_query("order", analyzer="lang_de"),
+                    limit=5).count() > 0
+
+
 def test_routed_persisted_roundtrip(spark, sf0001_documents, tmp_path):
     from whoosh_spark import store
 

@@ -136,6 +136,7 @@ SWEDISH_VECTORS = {
     "tomten": "tomt",             # step1 'en'
     "sist": "sist",               # nothing fires
     "hands": "hand",              # s after valid s-ending 'd'
+    "sett": "sett",               # 'tt' pair straddles R1 — kept
 }
 
 NORWEGIAN_VECTORS = {
@@ -146,6 +147,7 @@ NORWEGIAN_VECTORS = {
     "naturlig": "natur",          # step3 'lig'
     "hetene": "hetene",           # longest match 'hetene' not in R1
     "lekene": "lek",              # step1 'ene'
+    "godt": "godt",               # 'dt' pair straddles R1 — kept
 }
 
 DANISH_VECTORS = {
@@ -156,7 +158,9 @@ DANISH_VECTORS = {
     "spændende": "spænd",         # step1 'ende'
     "forløst": "forløs",          # step3 'løst' -> 'løs' in R1
     "hunds": "hund",              # s after valid s-ending 'd'
-    "glasset": "glas",            # step1 'et', step4 undouble 'ss'
+    "glasset": "glass",           # step1 'et'; 'ss' straddles R1 — kept
+    "sagt": "sagt",               # 'gt' pair straddles R1 — kept
+    "kaldte": "kald",             # step1 'e'; 'dt' wholly in R1 — shortened
 }
 
 DUTCH_VECTORS = {

@@ -67,7 +67,7 @@ def swedish_stem(word: str) -> str:
             and in_r1(len(w) - 1):
         w = w[:-1]
     # ---- step 2: shorten a final consonant pair ---------------------------
-    if w.endswith(_SV_PAIRS) and in_r1(len(w) - 1):
+    if w.endswith(_SV_PAIRS) and in_r1(len(w) - 2):
         w = w[:-1]
     # ---- step 3 -----------------------------------------------------------
     suf = _longest(w, ("lig", "ig", "els", "löst", "fullt"))
@@ -117,7 +117,7 @@ def norwegian_stem(word: str) -> str:
         else:
             w = w[: -len(suf)]
     # ---- step 2: dt / vt -> drop the t ------------------------------------
-    if w.endswith(("dt", "vt")) and in_r1(len(w) - 1):
+    if w.endswith(("dt", "vt")) and in_r1(len(w) - 2):
         w = w[:-1]
     # ---- step 3 -----------------------------------------------------------
     suf = _longest(w, _NO_S3)
@@ -148,7 +148,7 @@ def danish_stem(word: str) -> str:
         return i >= r1
 
     def step2(w: str) -> str:
-        if w.endswith(_DA_PAIRS) and in_r1(len(w) - 1):
+        if w.endswith(_DA_PAIRS) and in_r1(len(w) - 2):
             return w[:-1]
         return w
 
@@ -163,7 +163,9 @@ def danish_stem(word: str) -> str:
     # ---- step 2: shorten a final consonant pair ---------------------------
     w = step2(w)
     # ---- step 3 -----------------------------------------------------------
-    if w.endswith("igst") and in_r1(len(w) - 2):
+    # "first, if the word ends igst, remove the final st" — the spec puts
+    # NO region condition on this one
+    if w.endswith("igst"):
         w = w[:-2]
     suf = _longest(w, ("ig", "lig", "elig", "els", "løst"))
     if suf is not None and in_r1(len(w) - len(suf)):
@@ -172,9 +174,10 @@ def danish_stem(word: str) -> str:
         else:
             w = w[: -len(suf)]
             w = step2(w)        # the deletion re-exposes a pair
-    # ---- step 4: undouble a final identical consonant pair ----------------
+    # ---- step 4: undouble a final identical consonant pair (whole pair
+    # inside R1 — snowball setlimit semantics) ------------------------------
     if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
-            and in_r1(len(w) - 1):
+            and in_r1(len(w) - 2):
         w = w[:-1]
     return w
 

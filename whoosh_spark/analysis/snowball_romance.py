@@ -169,7 +169,7 @@ def italian_stem(word: str) -> str:
         if w.endswith("i") and in_rv(len(w) - 1):
             w = w[:-1]
     # ---- step 3b: ch/gh -> c/g in RV --------------------------------------
-    if w.endswith(("ch", "gh")) and in_rv(len(w) - 1):
+    if w.endswith(("ch", "gh")) and in_rv(len(w) - 2):
         w = w[:-1]
     # ---- unmark -----------------------------------------------------------
     return w.replace("U", "u").replace("I", "i").lower()

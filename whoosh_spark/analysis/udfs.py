@@ -90,6 +90,61 @@ ANALYZED_SCHEMA = T.StructType(
 )
 
 
+def _analyze_rows(texts, fn_for_row):
+    """Shared per-batch accumulation loop for every analyze kernel.
+
+    ``fn_for_row(i) -> analyze_fn | None`` picks the chain for row i; None
+    runs the inlined StandardAnalyzer loop (fast path, identical output to
+    ``analyzers.analyze_text``).  One implementation on purpose: the routed
+    kernel's contract is byte-identical output to the dedicated-chain
+    kernel for the same (text, chain) pairs."""
+    from whoosh_spark.analysis.analyzers import _TOKEN_RE_NC
+    from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
+
+    stop = STOP_WORDS
+    minsize = MIN_WORD_SIZE
+    findall = _TOKEN_RE_NC.findall
+
+    len_raws: list[int] = []
+    all_terms: list[str] = []
+    all_tfs: list[int] = []
+    flat_pos: list[int] = []
+    entry_counts: list[int] = []  # positions per term-entry
+    term_offsets = [0]            # per doc -> into all_terms
+
+    for i, text in enumerate(texts):
+        d: dict[str, list[int]] = {}
+        fn = fn_for_row(i)
+        if text and fn is None:
+            for pos, t in enumerate(findall(text)):
+                t = t.lower()
+                if len(t) >= minsize and t not in stop:
+                    lst = d.get(t)
+                    if lst is None:
+                        d[t] = [pos]
+                    else:
+                        lst.append(pos)
+        elif text:
+            toks, poss = fn(text)
+            for t, pos in zip(toks, poss):
+                lst = d.get(t)
+                if lst is None:
+                    d[t] = [pos]
+                else:
+                    lst.append(pos)
+        n = 0
+        for t, plist in d.items():
+            all_terms.append(t)
+            all_tfs.append(len(plist))
+            entry_counts.append(len(plist))
+            flat_pos.extend(plist)
+            n += len(plist)
+        term_offsets.append(len(all_terms))
+        len_raws.append(n)
+
+    return len_raws, all_terms, all_tfs, entry_counts, flat_pos, term_offsets
+
+
 def make_analyze_batches(analyze_fn=None):
     """Factory for the mapInArrow analyze kernel.
 
@@ -99,59 +154,11 @@ def make_analyze_batches(analyze_fn=None):
     to ``analyzers.analyze_text``)."""
 
     def run(batches):
-        import pyarrow as pa
-
-        from whoosh_spark.analysis.analyzers import _TOKEN_RE_NC
-        from whoosh_spark.codec.blocks import varint_encode
-        from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
-
-        stop = STOP_WORDS
-        minsize = MIN_WORD_SIZE
-        findall = _TOKEN_RE_NC.findall
-
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
-
-            len_raws: list[int] = []
-            all_terms: list[str] = []
-            all_tfs: list[int] = []
-            flat_pos: list[int] = []
-            entry_counts: list[int] = []  # positions per term-entry
-            term_offsets = [0]            # per doc → into all_terms
-
-            for text in texts:
-                d: dict[str, list[int]] = {}
-                if text and analyze_fn is None:
-                    for pos, t in enumerate(findall(text)):
-                        t = t.lower()
-                        if len(t) >= minsize and t not in stop:
-                            lst = d.get(t)
-                            if lst is None:
-                                d[t] = [pos]
-                            else:
-                                lst.append(pos)
-                elif text:
-                    toks, poss = analyze_fn(text)
-                    for t, pos in zip(toks, poss):
-                        lst = d.get(t)
-                        if lst is None:
-                            d[t] = [pos]
-                        else:
-                            lst.append(pos)
-                n = 0
-                for t, plist in d.items():
-                    all_terms.append(t)
-                    all_tfs.append(len(plist))
-                    entry_counts.append(len(plist))
-                    flat_pos.extend(plist)
-                    n += len(plist)
-                term_offsets.append(len(all_terms))
-                len_raws.append(n)
-
-            yield _assemble_analyzed_batch(
-                doc_ids, len_raws, all_terms, all_tfs, entry_counts,
-                flat_pos, term_offsets)
+            bufs = _analyze_rows(texts, lambda i: analyze_fn)
+            yield _assemble_analyzed_batch(doc_ids, *bufs)
 
     return run
 
@@ -167,58 +174,14 @@ def make_routed_analyze_batches(routes: dict):
     language)."""
 
     def run(batches):
-        from whoosh_spark.analysis.analyzers import _TOKEN_RE_NC
-        from whoosh_spark.config import MIN_WORD_SIZE, STOP_WORDS
-
-        stop = STOP_WORDS
-        minsize = MIN_WORD_SIZE
-        findall = _TOKEN_RE_NC.findall
-
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
             langs = batch.column(2).to_pylist()
-
-            len_raws: list[int] = []
-            all_terms: list[str] = []
-            all_tfs: list[int] = []
-            flat_pos: list[int] = []
-            entry_counts: list[int] = []
-            term_offsets = [0]
-
-            for text, lang in zip(texts, langs):
-                d: dict[str, list[int]] = {}
-                fn = routes.get(lang) if lang is not None else None
-                if text and fn is None:
-                    for pos, t in enumerate(findall(text)):
-                        t = t.lower()
-                        if len(t) >= minsize and t not in stop:
-                            lst = d.get(t)
-                            if lst is None:
-                                d[t] = [pos]
-                            else:
-                                lst.append(pos)
-                elif text:
-                    toks, poss = fn(text)
-                    for t, pos in zip(toks, poss):
-                        lst = d.get(t)
-                        if lst is None:
-                            d[t] = [pos]
-                        else:
-                            lst.append(pos)
-                n = 0
-                for t, plist in d.items():
-                    all_terms.append(t)
-                    all_tfs.append(len(plist))
-                    entry_counts.append(len(plist))
-                    flat_pos.extend(plist)
-                    n += len(plist)
-                term_offsets.append(len(all_terms))
-                len_raws.append(n)
-
-            yield _assemble_analyzed_batch(
-                doc_ids, len_raws, all_terms, all_tfs, entry_counts,
-                flat_pos, term_offsets)
+            fns = [routes.get(lang) if lang is not None else None
+                   for lang in langs]
+            bufs = _analyze_rows(texts, fns.__getitem__)
+            yield _assemble_analyzed_batch(doc_ids, *bufs)
 
     return run
 

@@ -243,15 +243,19 @@ def lang_routed_term_sql(term: str, query_lang: str, k: int = 10,
 
     stem_rows: list[tuple[str, str, str]] = []
     stop_rows: list[tuple[str, str]] = []
-    for lg in sorted(corpus_langs):
+    # '' is the NULL-lang bucket (tok COALESCEs lang to '') — the engine's
+    # routed kernel treats a NULL lang as unrouted, i.e. the standard chain
+    for lg in sorted(corpus_langs) + [""]:
         if lg in routed:
             stem = STEMMERS.get(lg)
             stops = LANG_STOPWORDS.get(lg, frozenset())
         else:
             stem, stops = None, STOP_WORDS
         if stem is not None:
-            stem_rows += [(lg, w, stem(w)) for w in sorted(vocab)
-                          if stem(w) != w]
+            for w in sorted(vocab):
+                s = stem(w)
+                if s != w:
+                    stem_rows.append((lg, w, s))
         stop_rows += [(lg, w) for w in sorted(stops)]
 
     stem_vals = ",".join(f"('{lg}','{w}','{s}')" for lg, w, s in stem_rows) \
@@ -259,7 +263,8 @@ def lang_routed_term_sql(term: str, query_lang: str, k: int = 10,
     stop_vals = ",".join(f"('{lg}','{w}')" for lg, w in stop_rows) \
         or "('','')"
     tok_ctes = f"""tok AS (
-  SELECT doc_id, lang, lower(toks[i]) AS word, i - 1 AS pos
+  SELECT doc_id, COALESCE(lang, '') AS lang, lower(toks[i]) AS word,
+         i - 1 AS pos
   FROM (SELECT doc_id, lang, regexp_extract_all(text,
         '{TOKEN_PATTERN_RE2_UNI}') AS toks FROM documents),
        UNNEST(generate_series(1, len(toks))) AS u(i)

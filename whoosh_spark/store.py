@@ -1076,6 +1076,7 @@ def merge_indexes(spark: SparkSession, src_paths: list[str], dst_path: str,
         FS.join(dst_path, MANIFEST),
         json.dumps({"format": "whoosh-spark/1", "field": field,
                     "analyzer": an0, "posting_format": fmt0,
+                    "lang_col": manifests[0].get("lang_col"),
                     "text_col": txt0, "n_docs": 0, "total_len": 0}))
     manifest = compact_index(spark, dst_path, field=field,
                              store_docs=merged_docs, text_col=txt0)
@@ -1252,6 +1253,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     _prev = json.loads(_raw) if _raw else {}
     prev_text_col = _prev.get("text_col", "text")
     prev_id_col = _prev.get("id_col", "doc_id")
+    prev_lang_col = _prev.get("lang_col")
     if uncommitted_batches(path):
         # this compaction folds streamed micro-segments the pair
         # accelerator has never seen — a "doc-set-preserving" compaction
@@ -1351,6 +1353,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "n_blocks": blocks_r.count(),
         "store_text": False,
         "analyzer": prev_analyzer,
+        "lang_col": prev_lang_col,
         "text_col": prev_text_col,
         "id_col": prev_id_col,
         "posting_format": prev_fmt,

@@ -32,12 +32,14 @@ from whoosh_spark.config import TEXT_FIELD
 
 
 def _ingest_batch(path: str, id_col: str, text_col: str, run_id: str,
-                  analyzer: str = "standard", format: str = "positions"):
+                  analyzer: str = "standard", format: str = "positions",
+                  lang_col: str | None = None):
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.perf_counter()
         analyzed = B.analyzed_docs(batch_df, id_col, text_col,
                                    analyzer=analyzer,
-                                   format=format).withColumn(
+                                   format=format,
+                                   lang_col=lang_col).withColumn(
             "chunk", F.lit(-1)
         )
         out = FS.join(path, "analyzed", f"batch=stream-{run_id}-{epoch_id}")
@@ -94,9 +96,12 @@ def stream_index(stream_df: DataFrame, path: str, checkpoint: str,
     # the index declares
     analyzer = store.manifest_analyzer(path)
     fmt = store.manifest_posting_format(path)
+    _raw = FS.read_text(FS.join(path, store.MANIFEST))
+    lang_col = (json.loads(_raw) or {}).get("lang_col") if _raw else None
     writer = (
         stream_df.writeStream.foreachBatch(
-            _ingest_batch(path, id_col, text_col, run_id, analyzer, fmt))
+            _ingest_batch(path, id_col, text_col, run_id, analyzer, fmt,
+                          lang_col))
         .option("checkpointLocation", checkpoint)
     )
     if trigger_once:

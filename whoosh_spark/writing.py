@@ -211,6 +211,7 @@ class IndexWriter:
                 docs, "doc_id", self.text_col,
                 analyzer=self.manifest.get("analyzer", "standard"),
                 format=self.manifest.get("posting_format", "positions"),
+                lang_col=self.manifest.get("lang_col"),
             ).withColumn("chunk", F.lit(-1))
             seg_dir = FS.join(self.path, "analyzed", f"batch={bid}")
             analyzed.write.mode("overwrite").parquet(seg_dir)

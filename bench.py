@@ -439,7 +439,20 @@ def main() -> None:
         n_docs = docs.count()
         build_secs = _build_median(spark, docs, ix_path)
         ix = store.load_index(spark, ix_path)  # query the PERSISTED index
-        queries = {"build": round(build_secs, 3)}
+        # language-routed multilingual build (every doc through its own
+        # lang_<code> stop+stem chain) — measured against the same corpus
+        # so the routing+stemming surcharge is tracked per round
+        import shutil
+
+        routed_path = os.path.join(REPO, ".benchdata", "ix_routed")
+        shutil.rmtree(routed_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        store.write_index(docs, routed_path, analyzer="lang_routed",
+                          lang_col="lang")
+        routed_secs = time.perf_counter() - t0
+        shutil.rmtree(routed_path, ignore_errors=True)
+        queries = {"build": round(build_secs, 3),
+                   "build_routed": round(routed_secs, 3)}
         queries.update(_bench_queries(ix))
         queries.update(_bench_pipeline(spark))
         ann = (_bench_ann_recall(spark)

@@ -82,6 +82,24 @@ def test_routed_lang_col_survives_compact_and_upsert(spark,
                     limit=5).count() > 0
 
 
+def test_routed_fieldspec_multifield(spark, sf0001_documents):
+    # FieldSpec(analyzer="lang_routed") routes per-row via the default
+    # "lang" column — schema-declared multilingual fields, upstream's
+    # per-field analyzer declaration composed with per-row routing
+    from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
+
+    mf = MultiFieldIndex.build(
+        sf0001_documents,
+        fields={"text": FieldSpec(source="text", analyzer="lang_routed")})
+    q = parse_query("orders", analyzer="lang_de", fields=["text"])
+    hits = [r["doc_id"]
+            for r in Searcher(mf).search(q, limit=20).collect()]
+    assert hits
+    langs = {r["lang"] for r in sf0001_documents.where(
+        F.col("doc_id").isin(hits)).select("lang").collect()}
+    assert langs == {"de"}
+
+
 def test_routed_persisted_roundtrip(spark, sf0001_documents, tmp_path):
     from whoosh_spark import store
 

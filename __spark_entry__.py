@@ -117,6 +117,28 @@ def _pair_q(query: Q.Query, k: int = 10) -> Callable[[SparkSession, str], DataFr
     return run
 
 
+def _trigram_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with BOTH nextword accelerators (hot pair + hot trigram
+    segments, shared hot gate): 3-word slop-1 all-hot Phrases resolve
+    their match set from one trigram term lookup — no position decode at
+    all (evaluate._eval_phrase_paired, round-5 extension)."""
+    key = ("trigrams", id(spark), sf_dir)
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _CACHE[key] = Searcher(InvertedIndex.build(
+            docs, phrase_pairs=True, pair_min_df=0.02,
+            phrase_trigrams=True))
+    return _CACHE[key]
+
+
+def _tri_q(query: Q.Query, k: int = 10) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _trigram_searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(query), k)
+
+    return run
+
+
 def _ngram_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built with the NGRAMWORDS chain (substring search)."""
     key = ("ngram", id(spark), sf_dir)
@@ -215,6 +237,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_3_pair": _pair_q(Q.Phrase(["big", "order", "scan"])),
         "phrase_3_pair_freq": _pair_q(Q.Phrase(["big", "order", "scan"],
                                                scoring="freq")),
+        # 3-word slop-1 all-hot phrase THROUGH the hot-TRIGRAM segment
+        # (round 5): one "a b c" term lookup, zero position decode; the
+        # oracle twin is the plain positional phrase SQL
+        "phrase_3_trigram": _tri_q(Q.Phrase(["big", "order", "scan"])),
+        "phrase_3_trigram_freq": _tri_q(Q.Phrase(["big", "order", "scan"],
+                                                 scoring="freq")),
         # two single-term slots at slop 1 ≡ the Phrase plan — routed
         # through the same pair segment, same DuckDB twin
         "sequence_pair_accel": _pair_q(
@@ -1212,6 +1240,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_pair_freq": OSQL.phrase_freq_sql(["big", "data"]),
         "phrase_3_pair": OSQL.phrase_sql(["big", "order", "scan"]),
         "phrase_3_pair_freq": OSQL.phrase_freq_sql(["big", "order", "scan"]),
+        "phrase_3_trigram": OSQL.phrase_sql(["big", "order", "scan"]),
+        "phrase_3_trigram_freq":
+            OSQL.phrase_freq_sql(["big", "order", "scan"]),
         "sequence_pair_accel": OSQL.phrase_sql(["big", "data"]),
         "phrase_rare_pruned": OSQL.phrase_sql(["big", "dup"]),
         "phrase_slop2": OSQL.phrase_sql(["big", "data"], slop=2),

@@ -305,6 +305,30 @@ def _queries(spark, ix_dir: str, reps: int = 3) -> dict:
             C.PAIR_GATE_MAX_DF = saved_cap
             out[name] = round(statistics.median(times), 3)
             log(f"query {name}: {out[name]}s")
+        # optional hot-trigram leg (round 5): the ADVERSARIAL 3-word shape
+        # through one "a b c" term lookup — the exact case the payoff gate
+        # declines.  Requires the pair leg (shared hot set)
+        if os.environ.get("SOAK_TRIGRAMS", "0") == "1":
+            t0 = time.perf_counter()
+            store.build_pair_segment(spark, ix_dir, pair_min_df=min_df,
+                                     phrase_trigrams=True)
+            out["trigram_build_wall_s"] = round(
+                time.perf_counter() - t0, 1)
+            ixt = store.load_index(spark, ix_dir)
+            st = Searcher(ixt)
+            for name, q in (
+                    ("phrase_3_trigram",
+                     Q.Phrase(["web", "index", "data"])),
+                    ("phrase_3_trigram_freq",
+                     Q.Phrase(["web", "index", "data"], scoring="freq"))):
+                st.search(q, limit=10).collect()
+                times = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    st.search(q, limit=10).collect()
+                    times.append(time.perf_counter() - t0)
+                out[name] = round(statistics.median(times), 3)
+                log(f"query {name}: {out[name]}s")
     return out
 
 

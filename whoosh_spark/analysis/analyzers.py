@@ -446,6 +446,49 @@ def make_hot_pairs_fn(hot):
     return fn
 
 
+def analyze_text_adjacent_trigrams(text: str) -> tuple[list[str], list[int]]:
+    """Ungated adjacent-trigram extractor — the registry fallback for the
+    trigram sub-build's resume path.  Production builds always pass the
+    hot-gated ``make_hot_trigrams_fn`` (an ungated trigram dictionary is
+    unbounded); see that function for semantics."""
+    toks, poss = analyze_text(text)
+    tris: list[str] = []
+    tpos: list[int] = []
+    for i in range(len(toks) - 2):
+        if poss[i + 1] == poss[i] + 1 and poss[i + 2] == poss[i] + 2:
+            tris.append(f"{toks[i]} {toks[i+1]} {toks[i+2]}")
+            tpos.append(poss[i])
+    return tris, tpos
+
+
+def make_hot_trigrams_fn(hot):
+    """Hot-constituent adjacent-TRIGRAM extractor: emit "a b c" when the
+    three standard-chain tokens sit at consecutive ordinals and ALL three
+    are in ``hot`` — the 3-word extension of :func:`make_hot_pairs_fn`
+    (same nextword-index design source, Williams/Zobel/Bahle TOIS 2004
+    §combined indexes).  A trigram posting is an exact certificate for a
+    3-word slop-1 Phrase match (doc set AND per-doc occurrence count), so
+    the query router answers all-hot trigram phrases with one term lookup
+    instead of three fat position decodes — the one phrase shape the pair
+    segment still had to verify positionally.  ``hot`` may be a frozenset
+    or a Broadcast of one (resolved lazily, see make_hot_pairs_fn)."""
+    def fn(text: str) -> tuple[list[str], list[int]]:
+        nonlocal hot
+        if hasattr(hot, "value"):
+            hot = hot.value
+        toks, poss = analyze_text(text)
+        tris: list[str] = []
+        tpos: list[int] = []
+        for i in range(len(toks) - 2):
+            if (poss[i + 1] == poss[i] + 1 and poss[i + 2] == poss[i] + 2
+                    and toks[i] in hot and toks[i + 1] in hot
+                    and toks[i + 2] in hot):
+                tris.append(f"{toks[i]} {toks[i+1]} {toks[i+2]}")
+                tpos.append(poss[i])
+        return tris, tpos
+    return fn
+
+
 def compound_split(token: str, wordset: frozenset | set,
                    keep_original: bool = True) -> list[str]:
     """CompoundWordFilter (``analysis/intraword.py::CompoundWordFilter
@@ -533,6 +576,7 @@ ANALYZERS: dict[str, object] = {
     "ngram": analyze_text_ngram,
     "charset": analyze_text_charset,
     "adjacent_pairs": analyze_text_adjacent_pairs,
+    "adjacent_trigrams": analyze_text_adjacent_trigrams,
 }
 
 

@@ -246,9 +246,10 @@ def _assemble_analyzed_batch(doc_ids, len_raws, all_terms, all_tfs,
 analyze_batches_arrow = make_analyze_batches()
 
 
-def make_pairs_from_analyzed(hot=None):
+def make_pairs_from_analyzed(hot=None, k: int = 2):
     """mapInArrow kernel: parent ANALYZED rows (positions format) → the
-    adjacent-pair ANALYZED rows, WITHOUT re-tokenizing the raw corpus.
+    adjacent-k-gram ANALYZED rows (k=2 pairs, k=3 trigrams), WITHOUT
+    re-tokenizing the raw corpus.
 
     The persisted ``analyzed/`` segment already holds every (term,
     positions) entry per doc, so the pair stream ("a b" wherever
@@ -360,9 +361,13 @@ def make_pairs_from_analyzed(hot=None):
             sp = pos_flat[order]
             sd = doc_of_pos[order]
             se = ent_of_pos[order]
-            if sp.size:
+            if sp.size >= k:
                 adj = (sd[1:] == sd[:-1]) & (sp[1:] == sp[:-1] + 1)
-                matched = np.nonzero(adj)[0]
+                # a k-gram at j needs k-1 consecutive adjacencies
+                good = adj if k == 2 else adj[: adj.size - (k - 2)].copy()
+                for step in range(1, k - 1):
+                    good = good & adj[step: step + good.size]
+                matched = np.nonzero(good)[0]
             else:
                 matched = np.empty(0, dtype=np.int64)
 
@@ -380,7 +385,7 @@ def make_pairs_from_analyzed(hot=None):
                     j = matched[mi]
                     if sd[j] != di:
                         break
-                    pair = f"{terms_flat[se[j]]} {terms_flat[se[j + 1]]}"
+                    pair = " ".join(terms_flat[se[j + t]] for t in range(k))
                     lst = d.get(pair)
                     if lst is None:
                         d[pair] = [int(sp[j])]

@@ -696,14 +696,14 @@ class Evaluator:
         all_terms = sorted(wmap)
         self._stats.update(
             {(fk, t): v for t, v in ixf.stats_for_terms(all_terms).items()})
-        # two single-term slots at slop 1 with no gates/boosts have exactly
-        # Phrase's match set and terms scoring — route through the
-        # adjacent-pair accelerator when one is attached (saves BOTH decode
-        # scans this plan would otherwise run: positions + scoring)
-        if (q.slop == 1 and len(slots) == 2 and not gates
+        # two/three single-term slots at slop 1 with no gates/boosts have
+        # exactly Phrase's match set and terms scoring — route through the
+        # adjacent pair/trigram accelerator when one is attached (saves
+        # BOTH decode scans this plan would otherwise run)
+        if (q.slop == 1 and len(slots) in (2, 3) and not gates
                 and all(len(s) == 1 for s in slots)
                 and all(w == 1.0 for w in wmap.values())):
-            words = [slots[0][0], slots[1][0]]
+            words = [s[0] for s in slots]
             paired = self._eval_phrase_paired(
                 Q.Phrase(words, 1, analyzed=True),
                 words, sorted(set(words)), fk)
@@ -889,25 +889,36 @@ class Evaluator:
         return np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
 
     def _eval_phrase_paired(self, q: Q.Phrase, words, uniq, fk):
-        """Nextword-index fast path for two-word slop-1 Phrases (Williams,
-        Zobel & Bahle, ACM TOIS 2004): the adjacent-pair sub-index
-        (``InvertedIndex.pairs``, built by ``analyze_text_adjacent_pairs``)
-        stores one frequency posting per doc per "a b" adjacency, so the
-        phrase MATCH SET — and for scoring='freq' the phrase tf — comes
-        from a single cheap term lookup.  The constituents' fat position
-        streams are never decoded, never cross Python→JVM, and the blocks
-        scan never reads the positions column; that decode is the dominant
-        query cost for hot-hot phrases, where the rare-slot candidate gate
-        (``_phrase_candidates``) cannot fire by design.
+        """Nextword-index fast path for two-word (pair segment) and
+        three-word (trigram segment) slop-1 Phrases (Williams, Zobel &
+        Bahle, ACM TOIS 2004): the adjacent-k-gram sub-index
+        (``InvertedIndex.pairs`` / ``.trigrams``) stores one frequency
+        posting per doc per "a b"/"a b c" adjacency, so the phrase MATCH
+        SET — and for scoring='freq' the phrase tf — comes from a single
+        cheap term lookup.  The constituents' fat position streams are
+        never decoded, never cross Python→JVM, and the blocks scan never
+        reads the positions column; that decode is the dominant query cost
+        for all-hot phrases, where the rare-slot candidate gate
+        (``_phrase_candidates``) cannot fire by design — and for trigrams
+        it is exactly the adversarial case the chained pair gate declines
+        on payoff grounds.
 
-        Returns None when the path doesn't apply (no pair index attached,
-        >2 words, slop>1) — the caller falls through to the positional
-        plan.  Results are rank-identical either way (pinned by tests)."""
+        Returns None when the path doesn't apply (no matching segment
+        attached, word count not 2/3, slop>1, a constituent below the hot
+        threshold) — the caller falls through to the positional plan.
+        Results are rank-identical either way (pinned by tests)."""
         ixf = self._ixf(fk)
-        pairs_ix = getattr(ixf, "pairs", None)
-        if pairs_ix is None or len(words) != 2 or q.slop != 1:
+        if q.slop != 1:
             return None
-        # hot-only pair segment (pair_min_df > 0): pairs with a below-
+        if len(words) == 2:
+            pairs_ix = getattr(ixf, "pairs", None)
+        elif len(words) == 3:
+            pairs_ix = getattr(ixf, "trigrams", None)
+        else:
+            pairs_ix = None
+        if pairs_ix is None:
+            return None
+        # hot-only segment (pair_min_df > 0): k-grams with a below-
         # threshold constituent were never indexed — those phrases take the
         # positional plan, where the rare-slot gate usually fires anyway
         thr = getattr(ixf, "pair_min_df", 0)
@@ -915,7 +926,7 @@ class Evaluator:
             return None
         from whoosh_spark.config import PHRASE_PRUNE_MAX_DF
 
-        pair = f"{words[0]} {words[1]}"
+        pair = " ".join(words)
         pstats = pairs_ix.stats_for_terms([pair])
         if pair not in pstats:
             return self._empty()  # no adjacency anywhere in the corpus

@@ -108,6 +108,7 @@ class InvertedIndex:
         format: str = "positions",
         phrase_pairs: bool = False,
         pair_min_df: float = 0,
+        phrase_trigrams: bool = False,
         lang_col: str | None = None,
     ) -> "InvertedIndex":
         analyzed = B.analyzed_docs(docs, id_col, text_col, analyzer=analyzer,
@@ -180,11 +181,49 @@ class InvertedIndex:
                 sub.posting_format = "frequency"
                 ix.pairs = sub
                 ix.pair_min_df = int(pair_min_df)
+                if phrase_trigrams:
+                    # hot-trigram (3-word nextword) accelerator: one term
+                    # lookup answers all-hot 3-word slop-1 Phrases exactly
+                    # — the shape the pair segment still had to verify
+                    # positionally (the chained gate's adversarial case).
+                    # Same hot set, so dictionary growth is bounded by the
+                    # frequent head's adjacency combinatorics, and the
+                    # router's eligibility check (all dfs >= pair_min_df)
+                    # matches the build filter exactly
+                    from whoosh_spark.analysis.analyzers import (
+                        make_hot_trigrams_fn,
+                    )
+
+                    tri_an = _adocs(docs, id_col, text_col,
+                                    format="frequency",
+                                    analyzer_fn=make_hot_trigrams_fn(hot_bc))
+                    if cache:
+                        tri_an = tri_an.cache()
+                    tblocks = B.posting_blocks_from_analyzed(tri_an, field)
+                    if cache:
+                        tblocks = tblocks.cache()
+                    ttstats = B.term_stats(tblocks)
+                    tlengths = B.doc_lengths(tri_an)
+                    tsub = cls(docs.sparkSession, tblocks,
+                               ttstats.cache() if cache else ttstats,
+                               B.field_stats(tlengths, field),
+                               tlengths, field=field)
+                    tsub.analyzer = "adjacent_trigrams"
+                    tsub.posting_format = "frequency"
+                    ix.trigrams = tsub
             else:
+                if phrase_trigrams:
+                    raise ValueError(
+                        "phrase_trigrams=True requires pair_min_df > 0 — "
+                        "an ungated trigram dictionary is unbounded "
+                        "(~every distinct word triple in the corpus)")
                 ix.pairs = cls.build(docs, id_col, text_col, field,
                                      cache=cache,
                                      analyzer="adjacent_pairs",
                                      format="frequency")
+        elif phrase_trigrams:
+            raise ValueError("phrase_trigrams=True requires "
+                             "phrase_pairs=True (shared hot-term gate)")
         return ix
 
     # ------------------------------------------------------------------

@@ -54,6 +54,7 @@ from whoosh_spark.index import InvertedIndex
 
 MANIFEST = "manifest.json"
 PAIR_DIR = "pair_index"  # adjacent-pair (nextword) phrase accelerator
+TRI_DIR = "trigram_index"  # hot-trigram (3-word nextword) accelerator
 
 
 def manifest_analyzer(path: str) -> str:
@@ -150,38 +151,42 @@ def _resolve_pair_min_df(spark: SparkSession, path: str,
     return int(pair_min_df)
 
 
-def _prepare_pair_dir(path: str, pair_min_df: int) -> None:
-    """The pair build's resume guard covers analyzer/format but not the hot
-    set — checkpoints extracted under a DIFFERENT threshold pair different
-    tokens, so reusing them records the new threshold over old pairs (the
-    router would then return wrong empties).  A meta file inside the pair
-    dir pins the threshold; a mismatch wipes the dir before the build."""
-    meta_path = FS.join(path, PAIR_DIR, "_pair_meta.json")
+def _prepare_pair_dir(path: str, pair_min_df: int,
+                      subdir: str = PAIR_DIR) -> None:
+    """The pair/trigram build's resume guard covers analyzer/format but not
+    the hot set — checkpoints extracted under a DIFFERENT threshold pair
+    different tokens, so reusing them records the new threshold over old
+    grams (the router would then return wrong empties).  A meta file inside
+    the segment dir pins the threshold; a mismatch wipes the dir before the
+    build."""
+    meta_path = FS.join(path, subdir, "_pair_meta.json")
     raw = FS.read_text(meta_path)
     if raw is not None and json.loads(raw).get("pair_min_df") == pair_min_df:
         return
-    if FS.isdir_nonempty(FS.join(path, PAIR_DIR)):
-        FS.rmtree(FS.join(path, PAIR_DIR))
-    FS.makedirs(FS.join(path, PAIR_DIR))
+    if FS.isdir_nonempty(FS.join(path, subdir)):
+        FS.rmtree(FS.join(path, subdir))
+    FS.makedirs(FS.join(path, subdir))
     FS.write_text_atomic(meta_path,
                          json.dumps({"pair_min_df": pair_min_df}))
 
 
-def _pair_segment_min_df(path: str) -> int | None:
-    """Threshold of a COMPLETE pair segment, from the segment's own records
-    (inner manifest proves completion, ``_pair_meta.json`` carries the df
-    the hot set was actually extracted at).  ``None`` = no usable segment.
-    The OUTER manifest is deliberately not consulted: it can lag the pair
-    dir (crash between inner build and outer commit) and would mis-vouch."""
-    if FS.read_text(FS.join(path, PAIR_DIR, MANIFEST)) is None:
+def _pair_segment_min_df(path: str, subdir: str = PAIR_DIR) -> int | None:
+    """Threshold of a COMPLETE pair/trigram segment, from the segment's own
+    records (inner manifest proves completion, ``_pair_meta.json`` carries
+    the df the hot set was actually extracted at).  ``None`` = no usable
+    segment.  The OUTER manifest is deliberately not consulted: it can lag
+    the segment dir (crash between inner build and outer commit) and would
+    mis-vouch."""
+    if FS.read_text(FS.join(path, subdir, MANIFEST)) is None:
         return None
-    meta = FS.read_text(FS.join(path, PAIR_DIR, "_pair_meta.json"))
+    meta = FS.read_text(FS.join(path, subdir, "_pair_meta.json"))
     if meta is None:
         return None
     return int(json.loads(meta)["pair_min_df"])
 
 
-def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
+def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int,
+                  k: int = 2):
     """Pair extractor for the accel build: full bigrams at threshold 0,
     else only hot×hot pairs (constituent df ≥ pair_min_df, taken from the
     MAIN index's term_stats — the same stats the query router checks).  The
@@ -197,7 +202,10 @@ def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     executor-side hot-set copies."""
     if pair_min_df <= 0:
         return None, None  # registry "adjacent_pairs" chain (all pairs)
-    from whoosh_spark.analysis.analyzers import make_hot_pairs_fn
+    from whoosh_spark.analysis.analyzers import (
+        make_hot_pairs_fn,
+        make_hot_trigrams_fn,
+    )
 
     ts = spark.read.parquet(FS.join(path, "term_stats"))
     hot = frozenset(
@@ -207,7 +215,8 @@ def _hot_pairs_fn(spark: SparkSession, path: str, pair_min_df: int):
     # threshold can make this set huge, and a closure copy would be
     # re-serialized into every task (driver memory × task dispatch cost)
     bc = spark.sparkContext.broadcast(hot)
-    return make_hot_pairs_fn(bc), bc
+    maker = make_hot_pairs_fn if k == 2 else make_hot_trigrams_fn
+    return maker(bc), bc
 
 
 def _drop_pair_index(path: str, reason: str) -> None:
@@ -218,14 +227,20 @@ def _drop_pair_index(path: str, reason: str) -> None:
     dropped (and the manifest flag cleared) rather than served stale;
     rebuild with ``write_index(..., phrase_pairs=True)`` /
     ``compact_index``."""
-    d = FS.join(path, PAIR_DIR)
-    if not FS.isdir_nonempty(d):
+    dropped = False
+    for subdir in (PAIR_DIR, TRI_DIR):
+        d = FS.join(path, subdir)
+        if FS.isdir_nonempty(d):
+            FS.rmtree(d)
+            dropped = True
+    if not dropped:
         return
-    FS.rmtree(d)
     raw = FS.read_text(FS.join(path, MANIFEST))
     if raw is not None:
         manifest = json.loads(raw)
-        if manifest.pop("phrase_pairs", None):
+        had_pairs = manifest.pop("phrase_pairs", None)
+        had_tris = manifest.pop("phrase_trigrams", None)
+        if had_pairs or had_tris:
             FS.write_text_atomic(FS.join(path, MANIFEST),
                                  json.dumps(manifest, indent=1))
     _append_log(path, {"phase": "pair_drop", "reason": reason,
@@ -281,6 +296,7 @@ def write_index(
     format: str = "positions",
     phrase_pairs: bool = False,
     pair_min_df: float = 0,
+    phrase_trigrams: bool = False,
     write_stored: bool = True,
     _analyzer_fn=None,
     lang_col: str | None = None,
@@ -554,7 +570,41 @@ def write_index(
                         _analyzer_fn=hot_fn)
             if hot_bc is not None:
                 hot_bc.unpersist()
+        if phrase_trigrams:
+            # hot-trigram accelerator (3-word nextword): same hot gate as
+            # the pair segment, its own resumable sub-build under TRI_DIR
+            if pair_min_df <= 0:
+                raise ValueError(
+                    "phrase_trigrams=True requires pair_min_df > 0 — an "
+                    "ungated trigram dictionary is unbounded")
+            _prepare_pair_dir(path, pair_min_df, TRI_DIR)
+            if format == "positions" and _derive_pair_analyzed(
+                    spark, path, pair_min_df, chunk_bits, k=3,
+                    subdir=TRI_DIR):
+                write_index(docs.select(F.col(id_col), F.col(text_col)),
+                            FS.join(path, TRI_DIR), id_col=id_col,
+                            text_col=text_col, field=field,
+                            chunk_bits=chunk_bits,
+                            chunks_per_commit=chunks_per_commit,
+                            analyzer="adjacent_trigrams",
+                            format="frequency", write_stored=False)
+            else:
+                tri_fn, tri_bc = _hot_pairs_fn(spark, path, pair_min_df,
+                                               k=3)
+                write_index(docs.select(F.col(id_col), F.col(text_col)),
+                            FS.join(path, TRI_DIR), id_col=id_col,
+                            text_col=text_col, field=field,
+                            chunk_bits=chunk_bits,
+                            chunks_per_commit=chunks_per_commit,
+                            analyzer="adjacent_trigrams",
+                            format="frequency", write_stored=False,
+                            _analyzer_fn=tri_fn)
+                if tri_bc is not None:
+                    tri_bc.unpersist()
     else:
+        if phrase_trigrams:
+            raise ValueError("phrase_trigrams=True requires "
+                             "phrase_pairs=True (shared hot-term gate)")
         # same staleness rule as char_offsets/boosts: a previous generation
         # at this path may have opted in — its pairs describe the OLD corpus
         _drop_pair_index(path, "rebuild without phrase_pairs")
@@ -579,6 +629,7 @@ def write_index(
         "posting_format": format,
         "phrase_pairs": phrase_pairs,
         "pair_min_df": int(pair_min_df) if phrase_pairs else 0,
+        "phrase_trigrams": bool(phrase_pairs and phrase_trigrams),
         "build_wall_s": round(time.perf_counter() - t_start, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
@@ -586,7 +637,8 @@ def write_index(
 
 
 def _derive_pair_analyzed(spark: SparkSession, path: str,
-                          pair_min_df: int, chunk_bits: int) -> bool:
+                          pair_min_df: int, chunk_bits: int,
+                          k: int = 2, subdir: str = PAIR_DIR) -> bool:
     """Round-5 pair-build fast path: materialize the adjacent-pair analyzed
     segment for ``<path>/pairs`` by INVERTING the parent's persisted
     ``analyzed/`` token stream (positions → adjacencies,
@@ -623,7 +675,7 @@ def _derive_pair_analyzed(spark: SparkSession, path: str,
             r["term"] for r in
             ts.where(F.col("df") >= pair_min_df).select("term").collect())
         hot_bc = spark.sparkContext.broadcast(hot)
-    pair_dir = FS.join(path, PAIR_DIR)
+    pair_dir = FS.join(path, subdir)
     # a same-threshold partial TEXT-path build may have left analyze
     # checkpoints behind; the derivation rewrites the whole stream in one
     # job, so stale batches (which would double-count their chunks next to
@@ -636,7 +688,7 @@ def _derive_pair_analyzed(spark: SparkSession, path: str,
               .select("doc_id", "len_raw", "dl", "terms", "tfs",
                       "pos_blobs"))
     derived = parent.mapInArrow(
-        make_pairs_from_analyzed(hot_bc), schema=ANALYZED_SCHEMA)
+        make_pairs_from_analyzed(hot_bc, k=k), schema=ANALYZED_SCHEMA)
     derived = get_format("frequency").apply(derived).withColumn(
         "chunk", F.shiftright(F.col("doc_id"), chunk_bits))
     batch_dir = FS.join(pair_dir, "analyzed", "batch=0")
@@ -652,7 +704,7 @@ def _derive_pair_analyzed(spark: SparkSession, path: str,
         "phase": "analyze", "batch": 0,
         "chunks": sorted(counters),
         "counters": counters,
-        "analyzer": "adjacent_pairs",
+        "analyzer": "adjacent_pairs" if k == 2 else "adjacent_trigrams",
         "posting_format": "frequency",
         "derived_from": "parent-analyzed",
         "wall_ms": int(1000 * (time.perf_counter() - t0)),
@@ -666,7 +718,8 @@ def _derive_pair_analyzed(spark: SparkSession, path: str,
 def build_pair_segment(spark: SparkSession, path: str,
                        docs: DataFrame | None = None,
                        pair_min_df: float = 0,
-                       id_col: str | None = None) -> dict:
+                       id_col: str | None = None,
+                       phrase_trigrams: bool = False) -> dict:
     """Attach the adjacent-pair phrase accelerator to an EXISTING index
     without rebuilding it (the OPTIMIZE-style upgrade path; equivalent to
     having passed ``phrase_pairs=True`` to write_index).
@@ -685,8 +738,13 @@ def build_pair_segment(spark: SparkSession, path: str,
     if raw is None:
         raise FileNotFoundError(f"no {MANIFEST} under {path!r}")
     manifest = json.loads(raw)
-    if manifest.get("phrase_pairs"):
+    if manifest.get("phrase_pairs") and (
+            not phrase_trigrams or manifest.get("phrase_trigrams")):
         return manifest
+    if manifest.get("phrase_pairs"):
+        # pairs already attached — honor the recorded threshold so the two
+        # segments share one hot set (the router checks a single value)
+        pair_min_df = int(manifest.get("pair_min_df", 0))
     if manifest.get("analyzer", "standard") != "standard":
         raise ValueError("the pair certificate is defined against the "
                          "standard chain; this index was built with "
@@ -729,8 +787,39 @@ def build_pair_segment(spark: SparkSession, path: str,
                     _analyzer_fn=hot_fn)
         if hot_bc is not None:
             hot_bc.unpersist()
+    if phrase_trigrams:
+        if pair_min_df <= 0:
+            raise ValueError("phrase_trigrams=True requires pair_min_df > 0")
+        _prepare_pair_dir(path, pair_min_df, TRI_DIR)
+        if _derive_pair_analyzed(spark, path, pair_min_df, chunk_bits,
+                                 k=3, subdir=TRI_DIR):
+            ids = (spark.read.parquet(FS.join(path, "analyzed"))
+                   .select(F.col("doc_id"), F.lit("").alias(text_col)))
+            write_index(ids, FS.join(path, TRI_DIR), id_col="doc_id",
+                        text_col=text_col,
+                        field=manifest.get("field", TEXT_FIELD),
+                        chunk_bits=chunk_bits,
+                        analyzer="adjacent_trigrams", format="frequency",
+                        write_stored=False)
+        else:
+            if docs is None:
+                docs = spark.read.parquet(FS.join(path, "docs"))
+                id_col = "doc_id"
+            elif id_col is None:
+                id_col = manifest.get("id_col", "doc_id")
+            tri_fn, tri_bc = _hot_pairs_fn(spark, path, pair_min_df, k=3)
+            write_index(docs.select(F.col(id_col), F.col(text_col)),
+                        FS.join(path, TRI_DIR), id_col=id_col,
+                        text_col=text_col,
+                        field=manifest.get("field", TEXT_FIELD),
+                        chunk_bits=chunk_bits,
+                        analyzer="adjacent_trigrams", format="frequency",
+                        write_stored=False, _analyzer_fn=tri_fn)
+            if tri_bc is not None:
+                tri_bc.unpersist()
     manifest["phrase_pairs"] = True
     manifest["pair_min_df"] = int(pair_min_df)
+    manifest["phrase_trigrams"] = bool(phrase_trigrams)
     manifest["generation"] = _next_generation(path)
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))
     return manifest
@@ -870,6 +959,11 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         # it; a crashed pair build leaves no inner manifest)
         ix.pairs = load_index(spark, pair_dir)
         ix.pair_min_df = int(manifest.get("pair_min_df", 0))
+    tri_dir = FS.join(path, TRI_DIR)
+    if (manifest.get("phrase_trigrams")
+            and FS.read_text(FS.join(tri_dir, MANIFEST)) is not None):
+        # same double-vouch rule as the pair segment
+        ix.trigrams = load_index(spark, tri_dir)
     return ix
 
 
@@ -1342,6 +1436,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
     # pair_min_df=0 for a hot-only segment, and re-vouching that would
     # route rare-constituent phrases into the accelerator to a silent empty
     pair_df = _pair_segment_min_df(path)
+    tri_df = _pair_segment_min_df(path, TRI_DIR)
     manifest = {
         "format": "whoosh-spark/1",
         "generation": _next_generation(path),
@@ -1359,6 +1454,7 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "posting_format": prev_fmt,
         "phrase_pairs": pair_df is not None,
         "pair_min_df": pair_df if pair_df is not None else 0,
+        "phrase_trigrams": tri_df is not None,
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))

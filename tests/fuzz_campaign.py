@@ -2,7 +2,7 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings] [--roundtrip] [--pairs]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings] [--roundtrip] [--pairs] [--trigrams]
 
 ``--pairs`` builds the index with the adjacent-pair accelerator
 (``phrase_pairs=True``) so every random two-word slop-1 phrase runs the
@@ -314,9 +314,16 @@ def roundtrip_campaign(n: int, rng: random.Random,
     return fails
 
 
-def _build_single(spark, pairs: bool = False):
+def _build_single(spark, pairs: bool = False, trigrams: bool = False):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    searcher = Searcher(InvertedIndex.build(docs, phrase_pairs=pairs))
+    if trigrams:
+        # hot pair + trigram segments: every random 2-word slop-1 phrase
+        # takes the pair plan, every all-hot 3-word one the trigram plan
+        ix = InvertedIndex.build(docs, phrase_pairs=True, pair_min_df=0.02,
+                                 phrase_trigrams=True)
+    else:
+        ix = InvertedIndex.build(docs, phrase_pairs=pairs)
+    searcher = Searcher(ix)
     rows = docs.select("doc_id", "text").collect()
     py = PyIndex([(int(r["doc_id"]), r["text"]) for r in rows])
     return searcher, py, [None]
@@ -366,6 +373,7 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     fielded = "--fields" in sys.argv[1:]
     pairs = "--pairs" in sys.argv[1:]
+    trigrams = "--trigrams" in sys.argv[1:]
     many = "--many" in sys.argv[1:]
     spans = "--spans" in sys.argv[1:]
     prune = "--prune" in sys.argv[1:]
@@ -393,7 +401,8 @@ def main() -> int:
     rng = random.Random(seed)
     print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many} "
           f"spans={spans} prune={prune} strings={strings} "
-          f"roundtrip={roundtrip} pairs={pairs}", flush=True)
+          f"roundtrip={roundtrip} pairs={pairs} trigrams={trigrams}",
+          flush=True)
 
     if roundtrip:
         fnames = ["title", "body"] if fielded else []
@@ -402,7 +411,8 @@ def main() -> int:
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")
     searcher, py, fields = (_build_fielded(spark) if fielded
-                            else _build_single(spark, pairs=pairs))
+                            else _build_single(spark, pairs=pairs,
+                                               trigrams=trigrams))
 
     def _string_gen():
         from whoosh_spark.query.ast import NullQuery as _NQ

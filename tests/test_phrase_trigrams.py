@@ -172,6 +172,52 @@ def test_build_pair_segment_trigram_upgrade(spark, sf0001_documents,
     assert _topk(Searcher(ix), q) == _topk(plain_searcher, q)
 
 
+def test_rebuild_without_trigrams_drops_stale_segment(spark,
+                                                      sf0001_documents,
+                                                      tmp_path):
+    # review round-5: a pairs-only rebuild must drop a previous
+    # generation's trigram segment, and compaction must not resurrect it
+    import json
+    import os
+
+    from whoosh_spark import store
+
+    path = str(tmp_path / "six")
+    store.write_index(sf0001_documents, path, phrase_pairs=True,
+                      pair_min_df=0.02, phrase_trigrams=True)
+    assert os.path.isdir(f"{path}/trigram_index")
+    store.write_index(sf0001_documents, path, phrase_pairs=True,
+                      pair_min_df=0.02)
+    assert not os.path.isdir(f"{path}/trigram_index")
+    man = json.loads(open(f"{path}/manifest.json").read())
+    assert man["phrase_pairs"] and not man.get("phrase_trigrams")
+    store.compact_index(spark, path)
+    man2 = json.loads(open(f"{path}/manifest.json").read())
+    assert man2["phrase_pairs"] and not man2.get("phrase_trigrams")
+
+
+def test_trigram_upgrade_skips_complete_pair_segment(spark,
+                                                     sf0001_documents,
+                                                     tmp_path):
+    # review round-5: the trigram upgrade used to rebuild the whole pair
+    # segment; with a complete same-threshold segment it must be reused
+    from whoosh_spark import store
+    from whoosh_spark import fs as FS
+
+    path = str(tmp_path / "uix2")
+    store.write_index(sf0001_documents, path)
+    store.build_pair_segment(spark, path, pair_min_df=0.02)
+    pair_log_before = FS.read_text(f"{path}/pair_index/_build_log.jsonl")
+    man = store.build_pair_segment(spark, path, pair_min_df=0.02,
+                                   phrase_trigrams=True)
+    assert man["phrase_trigrams"]
+    # the pair segment was not touched (same build log byte-for-byte)
+    assert FS.read_text(f"{path}/pair_index/_build_log.jsonl") \
+        == pair_log_before
+    assert getattr(store.load_index(spark, path), "trigrams", None) \
+        is not None
+
+
 def test_trigram_join_variant_matches(plain_searcher, tri_searcher,
                                       monkeypatch):
     # force the large-match-set equi-join branch

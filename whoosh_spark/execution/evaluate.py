@@ -922,6 +922,10 @@ class Evaluator:
         # threshold constituent were never indexed — those phrases take the
         # positional plan, where the rare-slot gate usually fires anyway
         thr = getattr(ixf, "pair_min_df", 0)
+        if len(words) == 3 and thr <= 0:
+            # trigram segments are ALWAYS hot-gated; thr==0 here means an
+            # inconsistent attach — decline rather than claim absence
+            return None
         if thr and min(self._stats[(fk, w)]["df"] for w in uniq) < thr:
             return None
         from whoosh_spark.config import PHRASE_PRUNE_MAX_DF

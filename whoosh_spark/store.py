@@ -280,6 +280,59 @@ def _rebalance(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df
 
 
+
+def _build_accel_segment(spark: SparkSession, path: str, pair_min_df: int,
+                         chunk_bits: int, k: int, subdir: str,
+                         analyzer_name: str, format: str = "positions",
+                         docs: DataFrame | None = None,
+                         id_col: str | None = None,
+                         text_col: str = "text", field: str = TEXT_FIELD,
+                         chunks_per_commit: int = 16) -> None:
+    """Build ONE nextword accel sub-index (k=2 pairs / k=3 trigrams) under
+    ``<path>/<subdir>`` — the single implementation behind write_index's
+    opt-ins and build_pair_segment's upgrade path (review round-5: the
+    four near-verbatim copies had already drifted).
+
+    Prefers deriving the k-gram stream from the parent's persisted
+    ``analyzed/`` checkpoints; the follow-up inner write_index then runs
+    over an EMPTY-text ids frame, so a chunk that legitimately produced
+    zero hot k-grams re-analyzes to nothing instead of being re-extracted
+    UNGATED from raw text (the hot-gate invariant).  Falls back to the
+    raw-text extractor (hot-gated via ``_hot_pairs_fn``) when derivation
+    isn't possible; ``docs=None`` then means the stored docs table, which
+    only carries text when the index was built with store_text=True."""
+    _prepare_pair_dir(path, pair_min_df, subdir)
+    if format == "positions" and _derive_pair_analyzed(
+            spark, path, pair_min_df, chunk_bits, k=k, subdir=subdir):
+        ids = (spark.read.parquet(FS.join(path, "analyzed"))
+               .select(F.col("doc_id"), F.lit("").alias(text_col)))
+        write_index(ids, FS.join(path, subdir), id_col="doc_id",
+                    text_col=text_col, field=field, chunk_bits=chunk_bits,
+                    chunks_per_commit=chunks_per_commit,
+                    analyzer=analyzer_name, format="frequency",
+                    write_stored=False)
+        return
+    if docs is None:
+        docs = spark.read.parquet(FS.join(path, "docs"))
+        id_col = "doc_id"  # stored docs are always renamed to doc_id
+        if text_col not in docs.columns:
+            raise ValueError(
+                f"stored docs carry no {text_col!r} column (index built "
+                "without store_text=True) — pass the original corpus as "
+                "docs=")
+    elif id_col is None:
+        id_col = "doc_id"
+    fn, bc = _hot_pairs_fn(spark, path, pair_min_df, k=k)
+    write_index(docs.select(F.col(id_col), F.col(text_col)),
+                FS.join(path, subdir), id_col=id_col, text_col=text_col,
+                field=field, chunk_bits=chunk_bits,
+                chunks_per_commit=chunks_per_commit,
+                analyzer=analyzer_name, format="frequency",
+                write_stored=False, _analyzer_fn=fn)
+    if bc is not None:
+        bc.unpersist()
+
+
 def write_index(
     docs: DataFrame,
     path: str,
@@ -545,31 +598,12 @@ def write_index(
                              " — the pair certificate is defined against the"
                              " standard chain's token/ordinal stream")
         pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
-        _prepare_pair_dir(path, pair_min_df)
-        if format == "positions" and _derive_pair_analyzed(
-                spark, path, pair_min_df, chunk_bits):
-            # round-5: pair stream derived from the just-written analyzed
-            # token segment — skips the second full tokenize pass over the
-            # raw corpus (the 0.92-1.0x build surcharge)
-            write_index(docs.select(F.col(id_col), F.col(text_col)),
-                        FS.join(path, PAIR_DIR), id_col=id_col,
-                        text_col=text_col, field=field,
-                        chunk_bits=chunk_bits,
-                        chunks_per_commit=chunks_per_commit,
-                        analyzer="adjacent_pairs", format="frequency",
-                        write_stored=False)
-        else:
-            hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
-            write_index(docs.select(F.col(id_col), F.col(text_col)),
-                        FS.join(path, PAIR_DIR), id_col=id_col,
-                        text_col=text_col, field=field,
-                        chunk_bits=chunk_bits,
-                        chunks_per_commit=chunks_per_commit,
-                        analyzer="adjacent_pairs", format="frequency",
-                        write_stored=False,
-                        _analyzer_fn=hot_fn)
-            if hot_bc is not None:
-                hot_bc.unpersist()
+        _build_accel_segment(spark, path, pair_min_df, chunk_bits,
+                             k=2, subdir=PAIR_DIR,
+                             analyzer_name="adjacent_pairs", format=format,
+                             docs=docs, id_col=id_col, text_col=text_col,
+                             field=field,
+                             chunks_per_commit=chunks_per_commit)
         if phrase_trigrams:
             # hot-trigram accelerator (3-word nextword): same hot gate as
             # the pair segment, its own resumable sub-build under TRI_DIR
@@ -577,30 +611,18 @@ def write_index(
                 raise ValueError(
                     "phrase_trigrams=True requires pair_min_df > 0 — an "
                     "ungated trigram dictionary is unbounded")
-            _prepare_pair_dir(path, pair_min_df, TRI_DIR)
-            if format == "positions" and _derive_pair_analyzed(
-                    spark, path, pair_min_df, chunk_bits, k=3,
-                    subdir=TRI_DIR):
-                write_index(docs.select(F.col(id_col), F.col(text_col)),
-                            FS.join(path, TRI_DIR), id_col=id_col,
-                            text_col=text_col, field=field,
-                            chunk_bits=chunk_bits,
-                            chunks_per_commit=chunks_per_commit,
-                            analyzer="adjacent_trigrams",
-                            format="frequency", write_stored=False)
-            else:
-                tri_fn, tri_bc = _hot_pairs_fn(spark, path, pair_min_df,
-                                               k=3)
-                write_index(docs.select(F.col(id_col), F.col(text_col)),
-                            FS.join(path, TRI_DIR), id_col=id_col,
-                            text_col=text_col, field=field,
-                            chunk_bits=chunk_bits,
-                            chunks_per_commit=chunks_per_commit,
-                            analyzer="adjacent_trigrams",
-                            format="frequency", write_stored=False,
-                            _analyzer_fn=tri_fn)
-                if tri_bc is not None:
-                    tri_bc.unpersist()
+            _build_accel_segment(spark, path, pair_min_df, chunk_bits,
+                                 k=3, subdir=TRI_DIR,
+                                 analyzer_name="adjacent_trigrams",
+                                 format=format, docs=docs, id_col=id_col,
+                                 text_col=text_col, field=field,
+                                 chunks_per_commit=chunks_per_commit)
+        elif FS.isdir_nonempty(FS.join(path, TRI_DIR)):
+            # staleness rule (same as char_offsets/boosts/pairs): a
+            # previous generation's trigram segment describes the OLD
+            # corpus/threshold — drop it so the compact-time inner-record
+            # vouch can never resurrect it
+            FS.rmtree(FS.join(path, TRI_DIR))
     else:
         if phrase_trigrams:
             raise ValueError("phrase_trigrams=True requires "
@@ -751,72 +773,29 @@ def build_pair_segment(spark: SparkSession, path: str,
                          f"analyzer={manifest.get('analyzer')!r}")
     text_col = manifest.get("text_col", "text")
     chunk_bits = int(manifest.get("chunk_bits", DEFAULT_CHUNK_BITS))
+    fmt = manifest.get("posting_format", "positions")
+    field = manifest.get("field", TEXT_FIELD)
+    if id_col is None and docs is not None:
+        id_col = manifest.get("id_col", "doc_id")
     pair_min_df = _resolve_pair_min_df(spark, path, pair_min_df)
-    _prepare_pair_dir(path, pair_min_df)
-    if _derive_pair_analyzed(spark, path, pair_min_df, chunk_bits):
-        # analyze phase derived from the parent's token stream (no raw
-        # text needed): the ids frame below only drives write_index's
-        # chunk bookkeeping, every chunk is already checkpointed
-        ids = (spark.read.parquet(FS.join(path, "analyzed"))
-               .select(F.col("doc_id"), F.lit("").alias(text_col)))
-        write_index(ids, FS.join(path, PAIR_DIR), id_col="doc_id",
-                    text_col=text_col,
-                    field=manifest.get("field", TEXT_FIELD),
-                    chunk_bits=chunk_bits,
-                    analyzer="adjacent_pairs", format="frequency",
-                    write_stored=False)
-    else:
-        if docs is None:
-            docs = spark.read.parquet(FS.join(path, "docs"))
-            id_col = "doc_id"  # stored docs are always renamed to doc_id
-            if text_col not in docs.columns:
-                raise ValueError(
-                    f"stored docs carry no {text_col!r} column (index "
-                    "built without store_text=True) — pass the original "
-                    "corpus as docs=")
-        elif id_col is None:
-            id_col = manifest.get("id_col", "doc_id")
-        hot_fn, hot_bc = _hot_pairs_fn(spark, path, pair_min_df)
-        write_index(docs.select(F.col(id_col), F.col(text_col)),
-                    FS.join(path, PAIR_DIR), id_col=id_col,
-                    text_col=text_col,
-                    field=manifest.get("field", TEXT_FIELD),
-                    chunk_bits=chunk_bits,
-                    analyzer="adjacent_pairs", format="frequency",
-                    write_stored=False,
-                    _analyzer_fn=hot_fn)
-        if hot_bc is not None:
-            hot_bc.unpersist()
+    # skip the pair build when a COMPLETE same-threshold segment already
+    # exists (review round-5: the trigram upgrade used to rebuild the
+    # entire pair segment byte-identically before touching trigrams)
+    if not (manifest.get("phrase_pairs")
+            and _pair_segment_min_df(path) == pair_min_df):
+        _build_accel_segment(spark, path, pair_min_df, chunk_bits,
+                             k=2, subdir=PAIR_DIR,
+                             analyzer_name="adjacent_pairs", format=fmt,
+                             docs=docs, id_col=id_col, text_col=text_col,
+                             field=field)
     if phrase_trigrams:
         if pair_min_df <= 0:
             raise ValueError("phrase_trigrams=True requires pair_min_df > 0")
-        _prepare_pair_dir(path, pair_min_df, TRI_DIR)
-        if _derive_pair_analyzed(spark, path, pair_min_df, chunk_bits,
-                                 k=3, subdir=TRI_DIR):
-            ids = (spark.read.parquet(FS.join(path, "analyzed"))
-                   .select(F.col("doc_id"), F.lit("").alias(text_col)))
-            write_index(ids, FS.join(path, TRI_DIR), id_col="doc_id",
-                        text_col=text_col,
-                        field=manifest.get("field", TEXT_FIELD),
-                        chunk_bits=chunk_bits,
-                        analyzer="adjacent_trigrams", format="frequency",
-                        write_stored=False)
-        else:
-            if docs is None:
-                docs = spark.read.parquet(FS.join(path, "docs"))
-                id_col = "doc_id"
-            elif id_col is None:
-                id_col = manifest.get("id_col", "doc_id")
-            tri_fn, tri_bc = _hot_pairs_fn(spark, path, pair_min_df, k=3)
-            write_index(docs.select(F.col(id_col), F.col(text_col)),
-                        FS.join(path, TRI_DIR), id_col=id_col,
-                        text_col=text_col,
-                        field=manifest.get("field", TEXT_FIELD),
-                        chunk_bits=chunk_bits,
-                        analyzer="adjacent_trigrams", format="frequency",
-                        write_stored=False, _analyzer_fn=tri_fn)
-            if tri_bc is not None:
-                tri_bc.unpersist()
+        _build_accel_segment(spark, path, pair_min_df, chunk_bits,
+                             k=3, subdir=TRI_DIR,
+                             analyzer_name="adjacent_trigrams", format=fmt,
+                             docs=docs, id_col=id_col, text_col=text_col,
+                             field=field)
     manifest["phrase_pairs"] = True
     manifest["pair_min_df"] = int(pair_min_df)
     manifest["phrase_trigrams"] = bool(phrase_trigrams)
@@ -961,8 +940,12 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
         ix.pair_min_df = int(manifest.get("pair_min_df", 0))
     tri_dir = FS.join(path, TRI_DIR)
     if (manifest.get("phrase_trigrams")
+            and getattr(ix, "pairs", None) is not None
             and FS.read_text(FS.join(tri_dir, MANIFEST)) is not None):
-        # same double-vouch rule as the pair segment
+        # double-vouch rule PLUS an attached pair segment: the trigram
+        # router's hot-eligibility gate reads ix.pair_min_df, which only
+        # the pair attach sets — a trigram segment without it would claim
+        # absence-proofs for never-indexed cold trigrams
         ix.trigrams = load_index(spark, tri_dir)
     return ix
 
@@ -1454,7 +1437,11 @@ def compact_index(spark: SparkSession, path: str, field: str = TEXT_FIELD,
         "posting_format": prev_fmt,
         "phrase_pairs": pair_df is not None,
         "pair_min_df": pair_df if pair_df is not None else 0,
-        "phrase_trigrams": tri_df is not None,
+        # trigrams are only servable next to a SAME-threshold pair segment
+        # (the router's eligibility check reads one pair_min_df); a
+        # mismatched or orphaned TRI_DIR must not be resurrected
+        "phrase_trigrams": (tri_df is not None and pair_df is not None
+                            and tri_df == pair_df),
         "build_wall_s": round(time.perf_counter() - t0, 3),
     }
     FS.write_text_atomic(FS.join(path, MANIFEST), json.dumps(manifest, indent=1))

@@ -687,6 +687,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # + tee); the stemmer itself is pinned by the Cyrillic
                # vector + chain suites in test_snowball.py
                lang_ru_term=_lang_term("ru", "order", corpus_lang="en"),
+               # round-5 session 2: the last four of upstream's fifteen
+               # snowball languages (whoosh.lang.languages) — each query
+               # word's stem equals the indexed stem of a corpus word
+               # under that chain (fi: "tablet"→table≡table via plural-t;
+               # hu: "tablet"→tabl≡table; ro: "datele"→dat≡data via
+               # ele→e + final-vowel; tr: "tableler"→table≡table via
+               # harmony-gated plural -ler)
+               lang_fi_term=_lang_term("fi", "tablet", corpus_lang="en"),
+               lang_hu_term=_lang_term("hu", "tablet", corpus_lang="de"),
+               lang_ro_term=_lang_term("ro", "datele", corpus_lang="es"),
+               lang_tr_term=_lang_term("tr", "tableler", corpus_lang="fr"),
                # round-5: per-row language-ROUTED index over the WHOLE
                # multilingual corpus (analyzer="lang_routed") — each doc
                # analyzed by its own lang chain in the one analyze pass,
@@ -1338,6 +1349,14 @@ def oracle_sql() -> dict[str, str]:
                                            corpus_lang="es"),
         "lang_ru_term": OSQL.lang_term_sql("order", "ru",
                                            corpus_lang="en"),
+        "lang_fi_term": OSQL.lang_term_sql("tablet", "fi",
+                                           corpus_lang="en"),
+        "lang_hu_term": OSQL.lang_term_sql("tablet", "hu",
+                                           corpus_lang="de"),
+        "lang_ro_term": OSQL.lang_term_sql("datele", "ro",
+                                           corpus_lang="es"),
+        "lang_tr_term": OSQL.lang_term_sql("tableler", "tr",
+                                           corpus_lang="fr"),
         "lang_routed_term": OSQL.lang_routed_term_sql("orders", "de"),
         # round-2: regex/variations/dates/spans/nested/DFR
         "boosted_term": OSQL.boosted_term_sql("boostterm", 3),

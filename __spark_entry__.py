@@ -694,6 +694,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # hu: "tablet"→tabl≡table; ro: "datele"→dat≡data via
                # ele→e + final-vowel; tr: "tableler"→table≡table via
                # harmony-gated plural -ler)
+               # Paice-Husk/Lancaster chain (upstream lang/paicehusk.py
+               # via StemmingAnalyzer(stemfn=...)): "ordering"→ord equals
+               # the indexed stem of corpus "order"/"orders"
+               lancaster_term=_lang_term("lancaster", "ordering",
+                                         corpus_lang="en"),
                lang_fi_term=_lang_term("fi", "tablet", corpus_lang="en"),
                lang_hu_term=_lang_term("hu", "tablet", corpus_lang="de"),
                lang_ro_term=_lang_term("ro", "datele", corpus_lang="es"),
@@ -1367,6 +1372,8 @@ def oracle_sql() -> dict[str, str]:
                                            corpus_lang="es"),
         "lang_ru_term": OSQL.lang_term_sql("order", "ru",
                                            corpus_lang="en"),
+        "lancaster_term": OSQL.lang_term_sql("ordering", "lancaster",
+                                             corpus_lang="en"),
         "lang_fi_term": OSQL.lang_term_sql("tablet", "fi",
                                            corpus_lang="en"),
         "lang_hu_term": OSQL.lang_term_sql("tablet", "hu",

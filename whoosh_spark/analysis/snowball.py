@@ -923,3 +923,13 @@ LANG_STOPWORDS.update({
 for _lang in ("en", "de", "fr", "es", "sv", "no", "da", "nl", "it", "pt",
               "ru", "ro", "fi", "hu", "tr"):
     register_language(_lang)
+
+# Paice-Husk / Lancaster through the same registry route — the analog of
+# upstream's ``StemmingAnalyzer(stemfn=paicehusk.stem)``: the STANDARD
+# chain's stop set with the Lancaster stemmer swapped in, reachable as
+# analyzer name "lang_lancaster" everywhere an analyzer name is accepted
+from whoosh_spark.analysis.paicehusk import paicehusk_stem  # noqa: E402
+from whoosh_spark.config import STOP_WORDS as _STD_STOPS  # noqa: E402
+
+register_language("lancaster", stopwords=_STD_STOPS,
+                  stemmer=paicehusk_stem)

@@ -760,6 +760,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _q(t.query("data"))(spark, sf_dir)
 
     out["thesaurus_expand"] = thesaurus_expand
+
+    # ---- round-5 session 2: PseudoFieldPlugin route ----------------------
+    def parsed_pseudo_field(spark, sf_dir):
+        # "syn:data" is not a real field — the registered function maps it
+        # to an Or over a fixed expansion; oracle embeds the same set
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        q = parse_query("syn:data", pseudo_fields={
+            "syn": lambda t: Q.Or([Q.Term(t), Q.Term("value"),
+                                   Q.Term("vector")])})
+        return _topk(s.ev.evaluate(q))
+
+    out["parsed_pseudo_field"] = parsed_pseudo_field
     out["span_first"] = _q(Q.SpanFirst(Q.Term("data"), limit=3))
     out["span_near_unordered"] = _q(
         Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=3, ordered=False))
@@ -1389,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "regex": OSQL.regex_sql("^d.t.$"),
         "variations": OSQL.variations_sql(_variation_forms("query")),
         "thesaurus_expand": OSQL.or_sql(["data", "information", "value"]),
+        "parsed_pseudo_field": OSQL.or_sql(["data", "value", "vector"]),
         "date_range": OSQL.date_range_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,
             WARC_EPOCH0 + 10 * 3600, WARC_EPOCH0 + 300 * 3600),

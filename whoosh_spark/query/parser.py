@@ -27,7 +27,8 @@ from datetime import datetime, timezone
 from whoosh_spark.analysis.analyzers import analyze_text
 from whoosh_spark.query.ast import (
     And, AndMaybe, AndNot, DateRange, DisMax, Every, Fuzzy, Not, NullQuery,
-    Or, Phrase, Prefix, Query, Regex, Require, Term, TermRange, Wildcard,
+    Or, Phrase, Prefix, Query, Regex, Require, Term, TermRange, Weighted,
+    Wildcard,
 )
 
 _DAY = 86400
@@ -112,12 +113,28 @@ def _resolve_analyzer(analyzer):
 
 
 def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
-          analyzer=None) -> Query:
+          analyzer=None, pseudo=None) -> Query:
     boost = 1.0
     m = re.search(r"\^(\d+(\.\d+)?)$", text)
     if m:
         boost = float(m.group(1))
         text = text[: m.start()]
+    # PseudoFieldPlugin (``qparser/plugins.py::PseudoFieldPlugin ≈L330``):
+    # a prefix registered in ``pseudo`` is not a real field — the mapped
+    # function receives the remaining text and returns a Query node (or
+    # None to drop the leaf).  Checked before real-field routing so a
+    # pseudo name shadows a schema field of the same name, as upstream
+    if pseudo:
+        pm = _FIELD_PREFIX_RE.match(text)
+        if pm and pm.group(1) in pseudo and not text.startswith('"'):
+            node = pseudo[pm.group(1)](pm.group(2))
+            if node is None:
+                return NullQuery
+            if not isinstance(node, Query):
+                raise TypeError(
+                    f"pseudo field {pm.group(1)!r} returned {node!r}, "
+                    "expected a Query or None")
+            return Weighted(node, boost=boost) if boost != 1.0 else node
     # field prefix (``qparser/plugins.py::FieldsPlugin ≈L300``): a known
     # schema field routes the leaf; an unknown prefix is stripped (legacy
     # single-field behavior — upstream treats unknown fieldnames as text).
@@ -311,12 +328,13 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
 
 class _Parser:
     def __init__(self, toks, fields=None, dt_fields=None, basedate=None,
-                 analyzer=None):
+                 analyzer=None, pseudo=None):
         self.toks = toks
         self.fields = fields
         self.dt_fields = dt_fields
         self.basedate = basedate
         self.analyzer = analyzer
+        self.pseudo = pseudo
         self.i = 0
 
     def peek(self):
@@ -425,7 +443,7 @@ class _Parser:
         if kind in ("WORD", "PHRASE", "RANGE", "SQUOTE"):
             self.next()
             return _leaf(text, self.fields, self.dt_fields, self.basedate,
-                         self.analyzer)
+                         self.analyzer, pseudo=self.pseudo)
         return NullQuery
 
 
@@ -503,7 +521,8 @@ def _apply_copyfields(q: Query, copymap: dict[str, str]) -> Query:
 def parse_query(s: str, fields=None, multifield: list[str] | None = None,
                 datetime_fields=None, basedate=None, analyzer=None,
                 aliases: dict[str, str] | None = None,
-                copyfields: dict[str, str] | None = None) -> Query:
+                copyfields: dict[str, str] | None = None,
+                pseudo_fields: dict | None = None) -> Query:
     """Parse a query string.
 
     ``fields`` — known schema field names: enables ``field:term`` routing
@@ -523,6 +542,11 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     real field (token-level rewrite, so groups/ranges/dates all follow).
     ``copyfields`` — {field: copy field} (CopyFieldPlugin ≈L400): a leaf
     fielded on the key also searches the value, Or-grouped.
+    ``pseudo_fields`` — {name: fn} (PseudoFieldPlugin ≈L330): ``name:text``
+    is not a real field — ``fn(text)`` returns the Query node to use (or
+    None to drop the leaf); a trailing ``^boost`` wraps the result.
+    Checked before schema-field routing, so a pseudo name shadows a real
+    field of the same name.
     """
     toks = _lex(s)
     if not toks:
@@ -539,7 +563,8 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
                 else (k, t) for k, t in toks]
     p = _Parser(toks, fields=set(fields) if fields else None,
                 dt_fields=set(datetime_fields) if datetime_fields else None,
-                basedate=basedate, analyzer=analyzer)
+                basedate=basedate, analyzer=analyzer,
+                pseudo=dict(pseudo_fields) if pseudo_fields else None)
     parts = [p.parse_or()]
     # a stray ')' used to stop the parse silently, discarding the rest of
     # the query string; skip it and keep parsing (implicit And)

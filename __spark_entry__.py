@@ -690,7 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                # round-5 session 2: the last four of upstream's fifteen
                # snowball languages (whoosh.lang.languages) — each query
                # word's stem equals the indexed stem of a corpus word
-               # under that chain (fi: "tablet"→table≡table via plural-t;
+               # under that chain (fi: "tablet"→tabl≡table via plural-t + tidy;
                # hu: "tablet"→tabl≡table; ro: "datele"→dat≡data via
                # ele→e + final-vowel; tr: "tableler"→table≡table via
                # harmony-gated plural -ler)
@@ -769,7 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         s = _searcher(spark, sf_dir)
         q = parse_query("syn:data", pseudo_fields={
-            "syn": lambda t: Q.Or([Q.Term(t), Q.Term("value"),
+            "syn": lambda n: Q.Or([n, Q.Term("value"),
                                    Q.Term("vector")])})
         return _topk(s.ev.evaluate(q))
 

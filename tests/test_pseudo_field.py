@@ -8,9 +8,10 @@ from whoosh_spark.query import ast as Q
 from whoosh_spark.query.parser import parse_query
 
 PS = {
-    "syn": lambda text: Q.Or([Q.Term(text), Q.Term(text + "s")]),
-    "rev": lambda text: Q.Term(text[::-1]),
-    "drop": lambda text: None,
+    # fn receives the PARSED node (upstream fn-over-node contract)
+    "syn": lambda n: Q.Or([n, Q.Term(n.text + "s")]),
+    "rev": lambda n: Q.Term(n.text[::-1]),
+    "drop": lambda n: None,
 }
 
 
@@ -30,9 +31,28 @@ def test_pseudo_none_drops_leaf():
     assert parse_query("drop:x", pseudo_fields=PS) is Q.NullQuery
 
 
-def test_pseudo_boost_wraps():
+def test_pseudo_boost_wraps_model_preserving():
     q = parse_query("syn:data^2", pseudo_fields=PS)
     assert isinstance(q, Q.Weighted) and q.boost == 2.0
+    # weighting=None: the boost wrapper must NOT swap the searcher's
+    # scoring model for the subtree
+    assert q.weighting is None
+
+
+def test_pseudo_receives_parsed_node_not_markup():
+    # phrases/fuzzies parse BEFORE the function sees them — no quote or
+    # tilde markup leaks into user code
+    seen = []
+
+    def capture(n):
+        seen.append(n)
+        return n
+
+    q = parse_query('cap:"big data"~2', pseudo_fields={"cap": capture})
+    assert isinstance(seen[0], Q.Phrase) and seen[0].slop == 2
+    assert q == seen[0]
+    parse_query("cap:word~1", pseudo_fields={"cap": capture})
+    assert isinstance(seen[1], Q.Fuzzy)
 
 
 def test_pseudo_shadows_real_field():

@@ -23,14 +23,16 @@ FINNISH_VECTORS = {
     "talot": "talo",             # step5 't' after vowel
     "talo": "talo",              # no ending
     "kirjastoissa": "kirjasto",  # step3 'ssa' + step5 'i'
-    "tablet": "table",           # step5 plural 't' (r1 starts at 'l')
-    "järjestelmässä": "järjestelmä",   # step3 'ssä'
-    "tietokoneen": "tietokone",  # step3 'n' (no LV/ie shortening)
-    "ystäväni": "ystävä",        # step2 possessive 'ni'
-    "ystävänsä": "ystävä",       # step2 possessive 'nsä'
-    "suurimmat": "suurima",      # step5 't', 'imma' not in R2, undouble
+    "tablet": "tabl",            # step5 plural 't', step6b final cons+e
+    "table": "tabl",             # step6b — same class as "tablet"
+    "järjestelmässä": "järjestelm",   # step3 'ssä', step6b
+    "tietokoneen": "tietokon",   # step3 'n', LV shorten, step6b
+    "ystäväni": "ystäv",         # step2 possessive 'ni', step6b
+    "ystävänsä": "ystäv",        # step2 possessive 'nsä', step6b
+    "suurimmat": "suurim",       # step5 't', step6b 'a', undouble mm
     "kaupunkiin": "kaupunk",     # step3 hXn family 'hin'≡'iin' Vi rule
-    "puhelimella": "puhelime",   # step3 'lla'
+    "puhelimella": "puhelim",    # step3 'lla', step6b final cons+e
+    "ajo": "ajo",                # step6d guard: R1 must hold ALL of 'jo'
 }
 
 HUNGARIAN_VECTORS = {
@@ -142,7 +144,7 @@ def test_family2_chains_stop_and_stem():
     assert toks == ["ev", "table", "table"]
     assert pos == [0, 1, 4]  # 've'/'bir' stopped, gaps preserved
     toks, _ = ANALYZERS["lang_fi"]("tablet ja table on talossa")
-    assert toks == ["table", "table", "talo"]
+    assert toks == ["tabl", "tabl", "talo"]
     toks, _ = ANALYZERS["lang_hu"]("a tablet és az asztalok")
     assert toks == ["tabl", "asztal"]
     toks, _ = ANALYZERS["lang_ro"]("datele și data din tabelul")

@@ -96,9 +96,10 @@ def paicehusk_stem(word: str, rules=None) -> str:
             if not w.endswith(ending) or num > len(w):
                 continue
             cand = w[: len(w) - num] + append
-            if num == 0:
-                # protect rule: matches and stops (or continues) without
-                # changing the word — no acceptability check needed
+            if cand == w:
+                # protect rule (delete 0, no append): matches and stops
+                # (or continues) without changing the word — no
+                # acceptability check, and the word STAYS intact
                 applied = (w, cont)
                 break
             if _acceptable(cand):
@@ -106,8 +107,13 @@ def paicehusk_stem(word: str, rules=None) -> str:
                 break
         if applied is None:
             break
-        w, cont = applied
+        new_w, cont = applied
+        if new_w == w:
+            # an unchanged word can't make progress — a continuing protect
+            # rule in a custom table would otherwise loop forever
+            break
         intact = False
+        w = new_w
         if not cont:
             break
     return w

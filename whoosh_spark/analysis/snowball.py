@@ -794,8 +794,6 @@ from whoosh_spark.analysis.snowball_nordic import (  # noqa: E402
 from whoosh_spark.analysis.snowball_romance import (  # noqa: E402
     italian_stem,
     portuguese_stem,
-)
-from whoosh_spark.analysis.snowball_romance import (  # noqa: E402
     romanian_stem,
 )
 from whoosh_spark.analysis.snowball_russian import russian_stem  # noqa: E402

@@ -365,6 +365,10 @@ _RO_S2_DEL = ("at ata ată ati ate ut uta ută uti ute it ita ită iti ite "
               "os osi oși ant anta ante anti antă ator atori itate itati "
               "ități").split()
 _RO_S2_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă", "iști")
+# full step-2 longest-match pool, built once (hot path: one call per new
+# vocabulary token).  'ibilitate' is NOT here — the step-1 repeat loop
+# ('ibilitate'→'ibil' in R1 ⊇ R2) always consumes it first
+_RO_S2_ALL = tuple(_RO_S2_DEL) + _RO_S2_IST + ("iune", "iuni")
 
 # step 3: verb suffixes in RV.  Group A needs a consonant or 'u' before
 # the suffix; group B deletes unconditionally (regular-conjugation pool of
@@ -378,6 +382,8 @@ _RO_VERB_B = ("am ai au eai eau iai iau ui âi ași arăm arăți ară asem "
               "useși use userăm userăți useră ăm ați em eți im iți âm "
               "âți sei se sesem seseși sese seserăm seserăți seseră "
               "seși serăm serăți seră").split()
+_RO_VERB_ALL = tuple(_RO_VERB_A) + tuple(_RO_VERB_B)
+_RO_VERB_A_SET = frozenset(_RO_VERB_A)
 
 
 def romanian_stem(word: str) -> str:
@@ -425,8 +431,7 @@ def romanian_stem(word: str) -> str:
         w = w[: len(w) - len(suf)] + _RO_S1[suf]
         removed_std = True
     # ---- step 2: standard suffixes in R2 ----------------------------------
-    suf = _longest(w, _RO_S2_DEL + list(_RO_S2_IST)
-                   + ["iune", "iuni", "ibilitate"])
+    suf = _longest(w, _RO_S2_ALL)
     if suf is not None and in_r2(len(w) - len(suf)):
         i = len(w) - len(suf)
         if suf in ("iune", "iuni"):
@@ -441,10 +446,10 @@ def romanian_stem(word: str) -> str:
             removed_std = True
     # ---- step 3: verb suffixes in RV (only when 1/2 did nothing) ----------
     if not removed_std:
-        suf = _longest(w, _RO_VERB_A + _RO_VERB_B)
+        suf = _longest(w, _RO_VERB_ALL)
         if suf is not None and in_rv(len(w) - len(suf)):
             i = len(w) - len(suf)
-            if suf in _RO_VERB_A:
+            if suf in _RO_VERB_A_SET:
                 # needs a consonant or 'u' immediately before, inside RV
                 if i > rv and (w[i - 1] not in _RO_VOWELS
                                or w[i - 1] == "u"):

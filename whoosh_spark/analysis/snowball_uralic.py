@@ -21,7 +21,7 @@ consonant for the R1 boundary).
 
 from __future__ import annotations
 
-from whoosh_spark.analysis.snowball import _longest
+from whoosh_spark.analysis.snowball import _longest, _std_regions
 
 # ---------------------------------------------------------------------------
 # Finnish
@@ -42,16 +42,9 @@ _FI_STEP4_MP = ("impi", "impa", "impä", "immi", "imma", "immä",
 
 
 def _fi_regions(w: str) -> tuple[int, int]:
-    def after_vc(start: int) -> int:
-        i, n = start, len(w)
-        while i < n and w[i] not in _FI_VOWELS:
-            i += 1
-        while i < n and w[i] in _FI_VOWELS:
-            i += 1
-        return min(i + 1, n) if i < n else n
-
-    r1 = after_vc(0)
-    return r1, after_vc(r1)
+    # identical to the shared snowball R1/R2 definition — delegate so the
+    # boundary semantics live in one place
+    return _std_regions(w, _FI_VOWELS)
 
 
 def finnish_stem(word: str) -> str:
@@ -151,12 +144,17 @@ def finnish_stem(word: str) -> str:
                     w = base
 
     # ---- step 6: tidying (r1/r2 are offsets on the original word; the
-    # steps only ever shorten from the right, so they remain valid) --------
+    # steps only ever shorten from the right, so they remain valid).  Each
+    # two-letter condition requires the WHOLE ending inside R1, matching
+    # the published "R1 ends with ..." wording ------------------------------
     if w.endswith(_FI_LONG) and len(w) - 2 >= r1:
         w = w[:-1]
-    if w.endswith(("oj", "uj")) and len(w) - 1 >= r1:
+    if len(w) >= 2 and w[-1] in ("a", "ä", "e", "i") \
+            and w[-2] in _FI_CONS and len(w) - 2 >= r1:
         w = w[:-1]
-    if w.endswith("jo") and len(w) - 1 >= r1:
+    if w.endswith(("oj", "uj")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 2 >= r1:
         w = w[:-1]
     # final double consonant (followed only by vowels) → undouble
     i = len(w) - 1

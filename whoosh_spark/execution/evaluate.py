@@ -585,7 +585,7 @@ class Evaluator:
         (the returned DataFrame is lazy but its columns are fixed), so a
         scoped swap of self.weighting is sound."""
         saved = self.weighting
-        self.weighting = q.weighting
+        self.weighting = q.weighting if q.weighting is not None else saved
         try:
             child = self._eval(q.child)
         finally:

@@ -198,7 +198,8 @@ class PyIndex:
         targets = self._weighting_targets()
         saved = [(t, t.weighting) for t in targets]
         for t in targets:
-            t.weighting = q.weighting
+            t.weighting = q.weighting if q.weighting is not None \
+                else t.weighting
         try:
             out = self._eval(q.child)
         finally:

@@ -388,10 +388,12 @@ class Constant(Query):
 class Weighted(Query):
     """``wrappers.py::WeightingQuery (≈L160)``: score the subtree with a
     DIFFERENT weighting model than the searcher's (e.g. one branch PL2,
-    the rest BM25); matches are unchanged."""
+    the rest BM25); matches are unchanged.  ``weighting=None`` keeps the
+    searcher's model and only applies the boost — the generic wrapper for
+    boosting an arbitrary subtree (parser pseudo-field ``^boost``)."""
 
     child: Query
-    weighting: str = "bm25"
+    weighting: str | None = "bm25"
     boost: float = 1.0
 
     def normalize(self) -> Query:

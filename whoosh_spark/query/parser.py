@@ -120,21 +120,29 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
         boost = float(m.group(1))
         text = text[: m.start()]
     # PseudoFieldPlugin (``qparser/plugins.py::PseudoFieldPlugin ≈L330``):
-    # a prefix registered in ``pseudo`` is not a real field — the mapped
-    # function receives the remaining text and returns a Query node (or
-    # None to drop the leaf).  Checked before real-field routing so a
-    # pseudo name shadows a schema field of the same name, as upstream
+    # a prefix registered in ``pseudo`` is not a real field — the rest of
+    # the leaf parses NORMALLY (word/phrase/range/fuzzy, prefix stripped)
+    # and the mapped function receives the parsed NODE, returning a Query
+    # (or None to drop the leaf) — upstream's fn-over-node contract, so no
+    # query markup (quotes, ~slop, brackets) ever leaks into user code.
+    # Checked before real-field routing so a pseudo name shadows a schema
+    # field of the same name, as upstream
     if pseudo:
         pm = _FIELD_PREFIX_RE.match(text)
         if pm and pm.group(1) in pseudo and not text.startswith('"'):
-            node = pseudo[pm.group(1)](pm.group(2))
+            inner = _leaf(pm.group(2), fields, dt_fields, basedate,
+                          analyzer)
+            node = pseudo[pm.group(1)](inner)
             if node is None:
                 return NullQuery
             if not isinstance(node, Query):
                 raise TypeError(
                     f"pseudo field {pm.group(1)!r} returned {node!r}, "
                     "expected a Query or None")
-            return Weighted(node, boost=boost) if boost != 1.0 else node
+            # boost without hijacking the scoring model: weighting=None
+            # keeps the searcher's weighting for the subtree
+            return (Weighted(node, weighting=None, boost=boost)
+                    if boost != 1.0 else node)
     # field prefix (``qparser/plugins.py::FieldsPlugin ≈L300``): a known
     # schema field routes the leaf; an unknown prefix is stripped (legacy
     # single-field behavior — upstream treats unknown fieldnames as text).
@@ -542,11 +550,13 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     real field (token-level rewrite, so groups/ranges/dates all follow).
     ``copyfields`` — {field: copy field} (CopyFieldPlugin ≈L400): a leaf
     fielded on the key also searches the value, Or-grouped.
-    ``pseudo_fields`` — {name: fn} (PseudoFieldPlugin ≈L330): ``name:text``
-    is not a real field — ``fn(text)`` returns the Query node to use (or
-    None to drop the leaf); a trailing ``^boost`` wraps the result.
-    Checked before schema-field routing, so a pseudo name shadows a real
-    field of the same name.
+    ``pseudo_fields`` — {name: fn} (PseudoFieldPlugin ≈L330): ``name:x``
+    is not a real field — the remainder parses normally (word, phrase,
+    range, fuzzy, …) and ``fn(parsed_node)`` returns the Query node to
+    use (or None to drop the leaf); a trailing ``^boost`` wraps the
+    result in a model-preserving Weighted(weighting=None).  Checked
+    before schema-field routing, so a pseudo name shadows a real field
+    of the same name.
     """
     toks = _lex(s)
     if not toks:

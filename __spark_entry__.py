@@ -774,6 +774,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(s.ev.evaluate(q))
 
     out["parsed_pseudo_field"] = parsed_pseudo_field
+
+    def parsed_orgroup(spark, sf_dir):
+        # default-operator switch (QueryParser(group=OrGroup)): bare
+        # juxtaposition unions instead of intersecting
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        return _topk(s.ev.evaluate(
+            parse_query("big data query", group="or")))
+
+    out["parsed_orgroup"] = parsed_orgroup
     out["span_first"] = _q(Q.SpanFirst(Q.Term("data"), limit=3))
     out["span_near_unordered"] = _q(
         Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=3, ordered=False))
@@ -1404,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "variations": OSQL.variations_sql(_variation_forms("query")),
         "thesaurus_expand": OSQL.or_sql(["data", "information", "value"]),
         "parsed_pseudo_field": OSQL.or_sql(["data", "value", "vector"]),
+        "parsed_orgroup": OSQL.or_sql(["big", "data", "query"]),
         "date_range": OSQL.date_range_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,
             WARC_EPOCH0 + 10 * 3600, WARC_EPOCH0 + 300 * 3600),

@@ -336,13 +336,14 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
 
 class _Parser:
     def __init__(self, toks, fields=None, dt_fields=None, basedate=None,
-                 analyzer=None, pseudo=None):
+                 analyzer=None, pseudo=None, default_or=False):
         self.toks = toks
         self.fields = fields
         self.dt_fields = dt_fields
         self.basedate = basedate
         self.analyzer = analyzer
         self.pseudo = pseudo
+        self.default_or = default_or
         self.i = 0
 
     def peek(self):
@@ -354,12 +355,28 @@ class _Parser:
         return t
 
     def parse_or(self) -> Query:
-        left = self.parse_and()
+        left = self.parse_juxta()
         while self.peek()[0] == "OR":
             self.next()
-            right = self.parse_and()
+            right = self.parse_juxta()
             left = Or([left, right])
         return left
+
+    def parse_juxta(self) -> Query:
+        """Juxtaposed units bind with the DEFAULT group (upstream
+        ``QueryParser(group=OrGroup)``): with default_or, "a AND b c"
+        parses as Or(And(a, b), c) — explicit AND still binds its own
+        operands; plain juxtaposition falls to the default operator."""
+        if not self.default_or:
+            return self.parse_and()
+        parts = [self.parse_and()]
+        while self.peek()[0] in ("PHRASE", "RANGE", "WORD", "REGEX",
+                                 "LPAREN", "NOT"):
+            parts.append(self.parse_and())
+        parts = [x for x in parts if x is not NullQuery]
+        if not parts:
+            return NullQuery
+        return Or(parts) if len(parts) > 1 else parts[0]
 
     def parse_and(self) -> Query:
         parts = [self.parse_unary()]
@@ -374,6 +391,8 @@ class _Parser:
                 left = And(parts) if len(parts) > 1 else parts[0]
                 parts = [AndNot(left, right) if op == "ANDNOT" else AndMaybe(left, right)]
             elif kind in ("PHRASE", "RANGE", "WORD", "REGEX", "LPAREN", "NOT"):
+                if self.default_or:
+                    break  # juxtaposition binds at the Or level instead
                 parts.append(self.parse_unary())  # implicit And
             else:
                 break
@@ -530,7 +549,8 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
                 datetime_fields=None, basedate=None, analyzer=None,
                 aliases: dict[str, str] | None = None,
                 copyfields: dict[str, str] | None = None,
-                pseudo_fields: dict | None = None) -> Query:
+                pseudo_fields: dict | None = None,
+                group: str = "and") -> Query:
     """Parse a query string.
 
     ``fields`` — known schema field names: enables ``field:term`` routing
@@ -557,7 +577,12 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     result in a model-preserving Weighted(weighting=None).  Checked
     before schema-field routing, so a pseudo name shadows a real field
     of the same name.
+    ``group`` — the default operator for juxtaposed terms (upstream
+    ``QueryParser(group=AndGroup|OrGroup)``): ``"and"`` (default) or
+    ``"or"``.  Explicit AND/OR/NOT/ANDNOT/ANDMAYBE are unaffected.
     """
+    if group not in ("and", "or"):
+        raise ValueError(f"group must be 'and' or 'or', got {group!r}")
     toks = _lex(s)
     if not toks:
         return NullQuery
@@ -574,7 +599,8 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     p = _Parser(toks, fields=set(fields) if fields else None,
                 dt_fields=set(datetime_fields) if datetime_fields else None,
                 basedate=basedate, analyzer=analyzer,
-                pseudo=dict(pseudo_fields) if pseudo_fields else None)
+                pseudo=dict(pseudo_fields) if pseudo_fields else None,
+                default_or=group == "or")
     parts = [p.parse_or()]
     # a stray ')' used to stop the parse silently, discarding the rest of
     # the query string; skip it and keep parsing (implicit And)
@@ -587,8 +613,9 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
         if p.i == before:  # defensive: never loop without progress
             p.next()
     parts = [x for x in parts if x is not NullQuery]
+    joiner = Or if group == "or" else And
     q = (NullQuery if not parts
-         else parts[0] if len(parts) == 1 else And(parts))
+         else parts[0] if len(parts) == 1 else joiner(parts))
     if copyfields:
         q = _apply_copyfields(q, dict(copyfields))
     if multifield:

@@ -4,6 +4,7 @@ shuffle-based dataflow.  See SURVEY.md for the structural blueprint and
 README.md for architecture.
 """
 
+from whoosh_spark.analysis.wordnet import Thesaurus
 from whoosh_spark.index import InvertedIndex
 from whoosh_spark.multifield import FieldSpec, MultiFieldIndex
 from whoosh_spark.reader import IndexReader, TermInfo
@@ -13,5 +14,5 @@ from whoosh_spark.writing import AsyncWriter, BufferedWriter, IndexWriter
 
 __all__ = ["InvertedIndex", "MultiFieldIndex", "FieldSpec", "Searcher",
            "Results", "Hit", "IndexReader", "TermInfo", "IndexWriter",
-           "AsyncWriter", "BufferedWriter"]
+           "AsyncWriter", "BufferedWriter", "Thesaurus"]
 __version__ = "0.1.0"

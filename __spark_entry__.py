@@ -785,6 +785,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parse_query("big data query", group="or")))
 
     out["parsed_orgroup"] = parsed_orgroup
+
+    # ---- round-5 session 3: OperatorsPlugin / FunctionPlugin routes ------
+    def parsed_custom_ops(spark, sf_dir):
+        # OperatorsPlugin(And=r"&&", Or=r"\|\|"): custom spellings replace
+        # the English defaults; "big && data || vector" = Or(And(big,
+        # data), vector) with additive Or scoring
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        q = parse_query(r"big && data || vector",
+                        ops={"and": r"&&", "or": r"\|\|"})
+        return _topk(s.ev.evaluate(q))
+
+    out["parsed_custom_ops"] = parsed_custom_ops
+
+    def parsed_function_macro(spark, sf_dir):
+        # FunctionPlugin: #near[a, b, slop=n] → a registered factory builds
+        # the Phrase node from string args/kwargs
+        from whoosh_spark.query.parser import parse_query
+
+        s = _searcher(spark, sf_dir)
+        q = parse_query("#near[big, data, slop=2]", functions={
+            "near": lambda a, b, slop="1": Q.Phrase([a, b], slop=int(slop))})
+        return _topk(s.ev.evaluate(q))
+
+    out["parsed_function_macro"] = parsed_function_macro
     out["span_first"] = _q(Q.SpanFirst(Q.Term("data"), limit=3))
     out["span_near_unordered"] = _q(
         Q.SpanNear(Q.Term("big"), Q.Term("data"), slop=3, ordered=False))
@@ -1415,6 +1441,8 @@ def oracle_sql() -> dict[str, str]:
         "variations": OSQL.variations_sql(_variation_forms("query")),
         "thesaurus_expand": OSQL.or_sql(["data", "information", "value"]),
         "parsed_pseudo_field": OSQL.or_sql(["data", "value", "vector"]),
+        "parsed_custom_ops": OSQL.or_of_and_sql(["big", "data"], "vector"),
+        "parsed_function_macro": OSQL.phrase_sql(["big", "data"], slop=2),
         "parsed_orgroup": OSQL.or_sql(["big", "data", "query"]),
         "date_range": OSQL.date_range_and_sql(
             "data", WARC_EPOCH0, WARC_STEP,

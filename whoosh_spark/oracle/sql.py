@@ -321,6 +321,21 @@ def or_sql(terms: list[str], minmatch: int = 0, k: int = 10) -> str:
     return base_ctes() + topk(sel, k)
 
 
+def or_of_and_sql(and_terms: list[str], or_term: str, k: int = 10) -> str:
+    """Or(And(and_terms), Term(or_term)) — additive Or scoring: docs with
+    ALL of ``and_terms`` contribute their sum, docs with ``or_term``
+    contribute its score, either side qualifies a doc."""
+    both = " AND ".join(
+        f"doc_id IN (SELECT doc_id FROM sc WHERE term = '{t}')"
+        for t in and_terms)
+    sel = (
+        f"SELECT doc_id, sum(score) AS score FROM sc "
+        f"WHERE (term IN ({_terms_in(and_terms)}) AND {both}) "
+        f"OR term = '{or_term}' GROUP BY doc_id"
+    )
+    return base_ctes() + topk(sel, k)
+
+
 def andnot_sql(a: str, b: str, k: int = 10) -> str:
     sel = (
         f"SELECT doc_id, score FROM sc WHERE term = '{a}' AND doc_id NOT IN "

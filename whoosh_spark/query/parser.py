@@ -63,7 +63,7 @@ def _nl(s: str, basedate):
     raise ValueError(f"unparseable date {s!r}")
 
 
-_TOKEN_SPEC = [
+_TOKEN_SPEC_PRE = [
     ("LPAREN", r"\("),
     ("RPAREN", r"\)"),
     ("REGEX", r'(\w+:)?r"[^"]*"'),
@@ -75,24 +75,71 @@ _TOKEN_SPEC = [
     # leading apostrophe in one word never pairs with one in a later word
     # ("'90s hits '80s" stays four WORDs, upstream-SingleQuotes behavior)
     ("SQUOTE", r"(\w+:)?(>=|<=|>|<)?'[^']*'(\^\d+(\.\d+)?)?(?=[\s)]|$)"),
-    ("AND", r"AND\b"),
-    ("OR", r"OR\b"),
-    ("NOT", r"NOT\b"),
-    ("ANDNOT", r"ANDNOT\b"),
-    ("ANDMAYBE", r"ANDMAYBE\b"),
-    ("WORD", r'[^\s()"]+'),
 ]
-_TOKEN_RE = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
+
+# OperatorsPlugin default spellings (``qparser/plugins.py::OperatorsPlugin
+# ≈L250``): six infix/prefix operators, each a regex.  ``parse_query(ops=)``
+# REPLACES a spelling per operator (upstream passes And=r"&" etc. to the
+# plugin constructor), so the canonical English word for a replaced operator
+# degrades to an ordinary term, exactly as upstream.
+_DEFAULT_OPS = {
+    "andnot": r"ANDNOT\b",
+    "andmaybe": r"ANDMAYBE\b",
+    "require": r"REQUIRE\b",
+    "and": r"AND\b",
+    "or": r"OR\b",
+    "not": r"NOT\b",
+}
+_OP_ORDER = ("andnot", "andmaybe", "require", "and", "or", "not")
+
+# FunctionPlugin macro token (``qparser/plugins.py::FunctionPlugin ≈L550``):
+# #name[arg, arg, key=value] with optional trailing ^boost.  Only active
+# when parse_query(functions=) is passed — otherwise '#name' stays a WORD
+# and analyzes like any other text (legacy behavior preserved).
+_FUNC_PAT = r"#[A-Za-z_][\w.]*(\[[^\]]*\])?(\^\d+(\.\d+)?)?"
+
+_WORD_SPEC = ("WORD", r'[^\s()"]+')
+
+
+def _token_re(ops: dict | None = None, ops_clean: bool = False,
+              functions: bool = False):
+    specs = list(_TOKEN_SPEC_PRE)
+    opmap = dict(_DEFAULT_OPS)
+    if ops:
+        unknown = set(ops) - set(_DEFAULT_OPS)
+        if unknown:
+            raise ValueError(
+                f"unknown operator names {sorted(unknown)!r}; "
+                f"expected a subset of {sorted(_DEFAULT_OPS)}")
+        opmap = dict(ops) if ops_clean else {**_DEFAULT_OPS, **ops}
+    for name in _OP_ORDER:
+        if name in opmap:
+            specs.append((name.upper(), opmap[name]))
+    if functions:
+        specs.append(("FUNC", _FUNC_PAT))
+    specs.append(_WORD_SPEC)
+    return re.compile("|".join(f"(?P<{n}>{p})" for n, p in specs)), opmap
+
+
+_TOKEN_RE, _ = _token_re()
 
 _FIELD_PREFIX_RE = re.compile(r"^(\w+):(.+)$", re.S)
 
 
-def _lex(s: str) -> list[tuple[str, str]]:
+def _lex(s: str, token_re=None, opmap: dict | None = None
+         ) -> list[tuple[str, str]]:
+    token_re = token_re or _TOKEN_RE
+    opmap = opmap if opmap is not None else _DEFAULT_OPS
+    # canonical English spellings still active under replace-semantics —
+    # a WORD that IS such a spelling reclassifies (guards token shapes the
+    # alternation reaches via the WORD branch)
+    active_words = {name.upper(): name.upper() for name in _OP_ORDER
+                    if opmap.get(name) == _DEFAULT_OPS[name]}
     out = []
-    for m in _TOKEN_RE.finditer(s):
+    for m in token_re.finditer(s):
         kind = m.lastgroup
-        if kind == "WORD" and m.group(0) in ("ANDNOT", "ANDMAYBE", "AND", "OR", "NOT"):
-            kind = m.group(0)
+        if kind == "WORD" and m.group(0) in active_words:
+            kind = active_words[m.group(0)]
         out.append((kind, m.group(0)))
     return out
 
@@ -336,7 +383,8 @@ def _leaf(text: str, fields=None, dt_fields=None, basedate=None,
 
 class _Parser:
     def __init__(self, toks, fields=None, dt_fields=None, basedate=None,
-                 analyzer=None, pseudo=None, default_or=False):
+                 analyzer=None, pseudo=None, default_or=False,
+                 functions=None):
         self.toks = toks
         self.fields = fields
         self.dt_fields = dt_fields
@@ -344,6 +392,7 @@ class _Parser:
         self.analyzer = analyzer
         self.pseudo = pseudo
         self.default_or = default_or
+        self.functions = functions
         self.i = 0
 
     def peek(self):
@@ -371,7 +420,7 @@ class _Parser:
             return self.parse_and()
         parts = [self.parse_and()]
         while self.peek()[0] in ("PHRASE", "RANGE", "WORD", "REGEX",
-                                 "LPAREN", "NOT"):
+                                 "LPAREN", "NOT", "FUNC"):
             parts.append(self.parse_and())
         parts = [x for x in parts if x is not NullQuery]
         if not parts:
@@ -385,12 +434,17 @@ class _Parser:
             if kind == "AND":
                 self.next()
                 parts.append(self.parse_unary())
-            elif kind in ("ANDNOT", "ANDMAYBE"):
+            elif kind in ("ANDNOT", "ANDMAYBE", "REQUIRE"):
+                # REQUIRE infix (OperatorsPlugin ≈L250): a REQUIRE b — both
+                # must match, score only from a (``compound.py::Require``)
                 op = self.next()[0]
                 right = self.parse_unary()
                 left = And(parts) if len(parts) > 1 else parts[0]
-                parts = [AndNot(left, right) if op == "ANDNOT" else AndMaybe(left, right)]
-            elif kind in ("PHRASE", "RANGE", "WORD", "REGEX", "LPAREN", "NOT"):
+                parts = [AndNot(left, right) if op == "ANDNOT"
+                         else AndMaybe(left, right) if op == "ANDMAYBE"
+                         else Require(left, right)]
+            elif kind in ("PHRASE", "RANGE", "WORD", "REGEX", "LPAREN",
+                          "NOT", "FUNC"):
                 if self.default_or:
                     break  # juxtaposition binds at the Or level instead
                 parts.append(self.parse_unary())  # implicit And
@@ -447,6 +501,41 @@ class _Parser:
                         self.toks[j] = (k2, f"{name}:{t2}")
                     j += 1
             return self.parse_unary()
+        if kind == "FUNC":
+            # FunctionPlugin (``qparser/plugins.py::FunctionPlugin ≈L550``):
+            # #name[arg, arg, key=value] calls the registered factory with
+            # string args/kwargs; it returns a Query node (None drops the
+            # leaf).  A trailing ^boost wraps in a model-preserving
+            # Weighted(weighting=None), same as the pseudo-field route.
+            self.next()
+            fm = re.match(
+                r"^#([A-Za-z_][\w.]*)(?:\[([^\]]*)\])?"
+                r"(?:\^(\d+(?:\.\d+)?))?$", text)
+            name = fm.group(1)
+            if name not in self.functions:
+                raise ValueError(
+                    f"unknown query function {name!r}; registered: "
+                    f"{sorted(self.functions)}")
+            args, kwargs = [], {}
+            argstr = fm.group(2)
+            if argstr and argstr.strip():
+                for part in argstr.split(","):
+                    part = part.strip()
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        kwargs[k.strip()] = v.strip()
+                    else:
+                        args.append(part)
+            node = self.functions[name](*args, **kwargs)
+            if node is None:
+                return NullQuery
+            if not isinstance(node, Query):
+                raise TypeError(
+                    f"query function {name!r} returned {node!r}, "
+                    "expected a Query or None")
+            boost = float(fm.group(3)) if fm.group(3) else 1.0
+            return (Weighted(node, weighting=None, boost=boost)
+                    if boost != 1.0 else node)
         if kind == "NOT":
             self.next()
             return Not(self.parse_unary())
@@ -550,7 +639,10 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
                 aliases: dict[str, str] | None = None,
                 copyfields: dict[str, str] | None = None,
                 pseudo_fields: dict | None = None,
-                group: str = "and") -> Query:
+                group: str = "and",
+                ops: dict[str, str] | None = None,
+                ops_clean: bool = False,
+                functions: dict | None = None) -> Query:
     """Parse a query string.
 
     ``fields`` — known schema field names: enables ``field:term`` routing
@@ -580,10 +672,29 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     ``group`` — the default operator for juxtaposed terms (upstream
     ``QueryParser(group=AndGroup|OrGroup)``): ``"and"`` (default) or
     ``"or"``.  Explicit AND/OR/NOT/ANDNOT/ANDMAYBE are unaffected.
+    ``ops`` — custom operator spellings (``qparser/plugins.py::
+    OperatorsPlugin ≈L250``): {name: regex} over a subset of
+    {"and","or","not","andnot","andmaybe","require"}.  A provided pattern
+    REPLACES that operator's default English spelling (the word then
+    parses as an ordinary term, as upstream); with ``ops_clean=True`` only
+    the operators named in ``ops`` exist at all (the plugin's
+    ``clean=True``).  Patterns are regexes — escape regex metachars
+    (``{"or": r"\\|\\|"}``) — and match whitespace-separated tokens.  The
+    default grammar also carries upstream's ``REQUIRE`` infix: ``a
+    REQUIRE b`` matches where both match but scores only from ``a``.
+    ``functions`` — {name: callable} (FunctionPlugin ≈L550): the macro
+    ``#name[arg, arg, key=value]`` calls the factory with string
+    args/kwargs and splices the returned Query into the tree (None drops
+    it); ``#name`` alone calls it with no args; a trailing ``^boost``
+    wraps the result in Weighted(weighting=None).
     """
     if group not in ("and", "or"):
         raise ValueError(f"group must be 'and' or 'or', got {group!r}")
-    toks = _lex(s)
+    if ops or functions:
+        token_re, opmap = _token_re(ops, ops_clean, functions is not None)
+        toks = _lex(s, token_re, opmap)
+    else:
+        toks = _lex(s)
     if not toks:
         return NullQuery
     if aliases:
@@ -600,7 +711,8 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
                 dt_fields=set(datetime_fields) if datetime_fields else None,
                 basedate=basedate, analyzer=analyzer,
                 pseudo=dict(pseudo_fields) if pseudo_fields else None,
-                default_or=group == "or")
+                default_or=group == "or",
+                functions=dict(functions) if functions else None)
     parts = [p.parse_or()]
     # a stray ')' used to stop the parse silently, discarding the rest of
     # the query string; skip it and keep parsing (implicit And)

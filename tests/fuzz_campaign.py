@@ -2,7 +2,7 @@
 
 NOT collected by pytest (no test_ prefix): run manually —
 
-    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings] [--roundtrip] [--pairs] [--trigrams]
+    python tests/fuzz_campaign.py [n_queries] [seed] [--fields] [--many] [--spans] [--prune] [--strings] [--roundtrip [--ops]] [--pairs] [--trigrams]
 
 ``--pairs`` builds the index with the adjacent-pair accelerator
 (``phrase_pairs=True``) so every random two-word slop-1 phrase runs the
@@ -288,16 +288,26 @@ def rand_qpair(rng: random.Random, fieldnames: list[str],
 
 
 def roundtrip_campaign(n: int, rng: random.Random,
-                       fieldnames: list[str]) -> int:
+                       fieldnames: list[str], ops_mode: bool = False) -> int:
     """parse(render(q)) ≡ q.normalize() over random ASTs — pure Python,
-    no Spark.  Returns the failure count."""
+    no Spark.  Returns the failure count.  With ``ops_mode`` the rendered
+    string swaps every operator for a custom spelling (&&, ||, !) and the
+    parse runs under the matching ``ops=`` map (OperatorsPlugin
+    replace-semantics), so the whole random grammar exercises the custom
+    lexer path against the same expected AST."""
     from whoosh_spark.query.parser import parse_query
 
+    custom = {"and": r"&&", "or": r"\|\|", "not": r"!"}
     fails = 0
     for i in range(n):
         ast, s = rand_qpair(rng, fieldnames)
+        kw = {}
+        if ops_mode:
+            s = (s.replace(" AND ", " && ").replace(" OR ", " || ")
+                 .replace("NOT (", "! ("))
+            kw["ops"] = custom
         try:
-            got = parse_query(s, fields=set(fieldnames) or None)
+            got = parse_query(s, fields=set(fieldnames) or None, **kw)
         except Exception as e:  # noqa: BLE001
             fails += 1
             print(f"\nFAIL (exception) s={s!r} expected={ast!r}\n"
@@ -379,6 +389,7 @@ def main() -> int:
     prune = "--prune" in sys.argv[1:]
     strings = "--strings" in sys.argv[1:]
     roundtrip = "--roundtrip" in sys.argv[1:]
+    ops_mode = "--ops" in sys.argv[1:]
     if prune:
         # force the rare-slot candidate gate OPEN so every positional
         # query runs the in-decoder pruned plan against the oracle
@@ -401,12 +412,13 @@ def main() -> int:
     rng = random.Random(seed)
     print(f"fuzz campaign: n={n} seed={seed} fielded={fielded} many={many} "
           f"spans={spans} prune={prune} strings={strings} "
-          f"roundtrip={roundtrip} pairs={pairs} trigrams={trigrams}",
+          f"roundtrip={roundtrip} ops={ops_mode} pairs={pairs} "
+          f"trigrams={trigrams}",
           flush=True)
 
     if roundtrip:
         fnames = ["title", "body"] if fielded else []
-        return 1 if roundtrip_campaign(n, rng, fnames) else 0
+        return 1 if roundtrip_campaign(n, rng, fnames, ops_mode) else 0
 
     spark = get_spark(master="local[4]", shuffle_partitions=4,
                       app="whoosh_spark_fuzz")

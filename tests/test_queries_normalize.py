@@ -161,3 +161,46 @@ def test_boost_type_validated_at_construction():
     # numeric boosts (int or float) and the full signature stay fine
     assert Q.Term("data", 2, "text").boost == 2
     assert Q.Wildcard("qu*", 1.5).boost == 1.5
+
+
+class TestAcceptReplace:
+    """qcore.py::Query.accept ≈L230 / Query.replace ≈L260 — bottom-up
+    rebuild and the spelling-correction text-rewrite primitive."""
+
+    def test_accept_visits_every_node(self):
+        from whoosh_spark.query import ast as Q
+        q = Q.AndNot(Q.And([Q.Term("a"), Q.Not(Q.Term("b"))]),
+                     Q.SpanNear(Q.Term("c"), Q.Term("d"), slop=2,
+                                ordered=True))
+        seen = []
+        out = q.accept(lambda n: (seen.append(type(n).__name__), n)[1])
+        assert out == q  # identity fn -> equal tree
+        assert sorted(set(seen)) == ["And", "AndNot", "Not", "SpanNear",
+                                     "Term"]
+        assert seen.count("Term") == 4
+
+    def test_accept_rebuilds_copy(self):
+        from dataclasses import replace as _rep
+        from whoosh_spark.query import ast as Q
+        q = Q.Or([Q.Term("a"), Q.Term("b")])
+        out = q.accept(lambda n: _rep(n, boost=2.0)
+                       if isinstance(n, Q.Term) else n)
+        assert all(c.boost == 2.0 for c in out.children)
+        assert all(c.boost == 1.0 for c in q.children)  # original untouched
+
+    def test_replace_text_and_words(self):
+        from whoosh_spark.query import ast as Q
+        q = Q.And([Q.Term("alfa"), Q.Phrase(["alfa", "bravo"]),
+                   Q.Fuzzy("alfa", maxdist=1), Q.Prefix("alfa")])
+        r = q.replace(None, "alfa", "delta")
+        assert "alfa" not in repr(r) and "alfa" in repr(q)
+
+    def test_replace_respects_field(self):
+        from whoosh_spark.query import ast as Q
+        q = Q.And([Q.Term("alfa", fieldname="title"), Q.Term("alfa")])
+        r = q.replace("title", "alfa", "echo")
+        assert r.children[0].text == "echo"
+        assert r.children[1].text == "alfa"
+        r2 = q.replace(None, "alfa", "echo")
+        assert r2.children[0].text == "alfa"
+        assert r2.children[1].text == "echo"

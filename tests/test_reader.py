@@ -143,3 +143,15 @@ def test_reader_multifield(spark):
     assert r.field_length() == r.field_length("body")
     # Searcher.reader() round-trip
     assert Searcher(mix).reader().doc_count() == 3
+
+
+def test_existing_terms(rdr):
+    # qcore.py::Query.existing_terms ≈L240 — leaf pairs present in the index
+    q = Q.And([Q.Term("data"), Q.Term("zzzabsent"),
+               Q.Or([Q.Phrase(["big", "zzzgone"]), Q.Fuzzy("query")])])
+    got = rdr.existing_terms(q)
+    assert (None, "data") in got
+    assert (None, "big") in got
+    # pattern leaves (Fuzzy/Wildcard/...) contribute no exact terms —
+    # upstream existing_terms(expand=False) semantics
+    assert all(t not in ("zzzabsent", "zzzgone", "query") for _, t in got)

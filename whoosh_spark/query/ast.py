@@ -54,6 +54,61 @@ class Query:
     def phrase_terms(self) -> list[str]:
         return []
 
+    def accept(self, fn) -> "Query":
+        """Bottom-up tree rebuild (``qcore.py::Query.accept ≈L230``):
+        every child subtree is rebuilt through ``accept`` first, then
+        ``fn(node)`` is applied to the (possibly rebuilt) node and its
+        return value takes the node's place.  Nodes are frozen
+        dataclasses, so this always returns a copy-on-change and never
+        mutates the original.  Works generically over every node shape:
+        any dataclass field holding a Query (``child``, ``a``/``b``) or a
+        tuple of Queries (``children``) recurses; leaves pass straight to
+        ``fn``."""
+        import dataclasses
+
+        if dataclasses.is_dataclass(self):
+            changes = {}
+            for f in dataclasses.fields(self):
+                v = getattr(self, f.name)
+                if isinstance(v, Query):
+                    nv = v.accept(fn)
+                    if nv is not v:
+                        changes[f.name] = nv
+                elif (isinstance(v, tuple) and v
+                      and all(isinstance(x, Query) for x in v)):
+                    nv = tuple(x.accept(fn) for x in v)
+                    if nv != v:
+                        changes[f.name] = nv
+            node = dataclasses.replace(self, **changes) if changes else self
+        else:
+            node = self
+        return fn(node)
+
+    def replace(self, fieldname: str | None, oldtext: str,
+                newtext: str) -> "Query":
+        """Copy of this query with every occurrence of ``oldtext`` in the
+        given field replaced by ``newtext`` (``qcore.py::Query.replace
+        ≈L260`` — upstream's spelling-correction rewrite primitive).
+        ``fieldname=None`` targets unfielded leaves (the index default
+        field).  Applies to Term-like leaves (any node with a ``text``
+        attribute: Term, Prefix, Wildcard, Fuzzy, Variations, Regex) and
+        to Phrase/Sequence word slots.  Never mutates; returns a copy."""
+        import dataclasses
+
+        def rw(node: "Query") -> "Query":
+            if getattr(node, "fieldname", None) != fieldname:
+                return node
+            if getattr(node, "text", None) == oldtext:
+                return dataclasses.replace(node, text=newtext)
+            words = getattr(node, "words", None)
+            if words and oldtext in words:
+                return dataclasses.replace(
+                    node, words=tuple(newtext if w == oldtext else w
+                                      for w in words))
+            return node
+
+        return self.accept(rw)
+
 
 class _Null(Query):
     def __repr__(self):

@@ -131,6 +131,21 @@ class IndexReader:
         st = self._sub(fieldname).stats_for_terms([text]).get(text)
         return int(st["df"]) if st else 0
 
+    def existing_terms(self, q) -> set[tuple[str | None, str]]:
+        """The (fieldname, text) leaf pairs of ``q`` that actually exist
+        in the index (``qcore.py::Query.existing_terms ≈L240`` — upstream
+        walks the query against an IndexReader; here the reader walks the
+        query).  One batched term_stats probe per distinct field, not one
+        Spark job per term."""
+        by_field: dict[str | None, set[str]] = {}
+        for f, t in set(q.field_terms()):
+            by_field.setdefault(f, set()).add(t)
+        out: set[tuple[str | None, str]] = set()
+        for f, texts in by_field.items():
+            stats = self._sub(f).stats_for_terms(sorted(texts))
+            out |= {(f, t) for t in texts if stats.get(t)}
+        return out
+
     def frequency(self, text: str, fieldname: str | None = None) -> int:
         """Total occurrences of the term (cf; ``≈L405``)."""
         st = self._sub(fieldname).stats_for_terms([text]).get(text)

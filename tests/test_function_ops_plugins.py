@@ -126,3 +126,45 @@ def test_function_composes_with_operators():
     q = parse_query("#near[big, data] OR vector", functions=_fns())
     assert isinstance(q, Q.Or)
     assert isinstance(q.children[0], Q.Phrase)
+
+
+class TestReviewRegressions:
+    """Round-5 session-3 review findings on the new parser/AST code."""
+
+    def test_squote_stays_inside_group(self):
+        # a single-quoted token after another unit must not escape its
+        # enclosing paren/NOT group (SQUOTE was missing from the
+        # juxtaposition-continuation token lists)
+        q = parse_query("big OR (data 'c d')")
+        assert isinstance(q, Q.Or)
+        inner = q.children[1]
+        assert isinstance(inner, Q.And)
+        assert any(getattr(c, "text", None) == "c d" for c in inner.children)
+        q2 = parse_query("NOT (big 'x y')")
+        assert isinstance(q2, Q.Not) and isinstance(q2.child, Q.And)
+
+    def test_ops_clean_without_ops_disables_all(self):
+        # OperatorsPlugin(clean=True) with no replacements: no operator
+        # spellings at all — AND becomes a stopword-dropped term
+        q = parse_query("big AND data", ops_clean=True)
+        assert isinstance(q, Q.And) and len(q.children) == 2
+        assert {c.text for c in q.children} == {"big", "data"}
+        q2 = parse_query("big ANDNOT data", ops_clean=True)
+        assert {c.text for c in q2.children} == {"big", "andnot", "data"}
+
+    def test_replace_rewrites_pattern_leaves(self):
+        # Wildcard/Regex store the string as `pattern`; upstream keeps it
+        # in `text` and Query.replace covers it
+        w = Q.Wildcard("alf*a").replace(None, "alf*a", "x*")
+        assert w.pattern == "x*"
+        r = Q.Regex("^d.t.$").replace(None, "^d.t.$", "^x$")
+        assert r.pattern == "^x$"
+
+    def test_orgroup_infix_binding_documented(self):
+        # under group="or" the infix takes the immediately preceding unit
+        q = parse_query("big data ANDNOT vector", group="or")
+        assert isinstance(q, Q.Or)
+        assert isinstance(q.children[1], Q.AndNot)
+        # and parens widen the left side
+        q2 = parse_query("(big data) ANDNOT vector", group="or")
+        assert isinstance(q2, Q.AndNot)

@@ -155,3 +155,11 @@ def test_existing_terms(rdr):
     # pattern leaves (Fuzzy/Wildcard/...) contribute no exact terms —
     # upstream existing_terms(expand=False) semantics
     assert all(t not in ("zzzabsent", "zzzgone", "query") for _, t in got)
+
+
+def test_existing_terms_unknown_field(rdr):
+    # leaves on a field the index doesn't have are absent, not an error
+    q = Q.And([Q.Term("data"), Q.Term("x", fieldname="zzznofield")])
+    got = rdr.existing_terms(q)
+    assert (None, "data") in got
+    assert all(f != "zzznofield" for f, _ in got)

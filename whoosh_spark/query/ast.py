@@ -90,9 +90,11 @@ class Query:
         given field replaced by ``newtext`` (``qcore.py::Query.replace
         ≈L260`` — upstream's spelling-correction rewrite primitive).
         ``fieldname=None`` targets unfielded leaves (the index default
-        field).  Applies to Term-like leaves (any node with a ``text``
-        attribute: Term, Prefix, Wildcard, Fuzzy, Variations, Regex) and
-        to Phrase/Sequence word slots.  Never mutates; returns a copy."""
+        field).  Applies to text leaves (Term/Prefix/Fuzzy/Variations,
+        any node with a ``text`` attribute), pattern leaves
+        (Wildcard/Regex store the string as ``pattern`` — upstream keeps
+        both in ``text``, so replace covers them too), and Phrase/
+        Sequence word slots.  Never mutates; returns a copy."""
         import dataclasses
 
         def rw(node: "Query") -> "Query":
@@ -100,6 +102,8 @@ class Query:
                 return node
             if getattr(node, "text", None) == oldtext:
                 return dataclasses.replace(node, text=newtext)
+            if getattr(node, "pattern", None) == oldtext:
+                return dataclasses.replace(node, pattern=newtext)
             words = getattr(node, "words", None)
             if words and oldtext in words:
                 return dataclasses.replace(

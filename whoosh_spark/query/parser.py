@@ -105,13 +105,16 @@ def _token_re(ops: dict | None = None, ops_clean: bool = False,
               functions: bool = False):
     specs = list(_TOKEN_SPEC_PRE)
     opmap = dict(_DEFAULT_OPS)
-    if ops:
-        unknown = set(ops) - set(_DEFAULT_OPS)
+    if ops or ops_clean:
+        unknown = set(ops or {}) - set(_DEFAULT_OPS)
         if unknown:
             raise ValueError(
                 f"unknown operator names {sorted(unknown)!r}; "
                 f"expected a subset of {sorted(_DEFAULT_OPS)}")
-        opmap = dict(ops) if ops_clean else {**_DEFAULT_OPS, **ops}
+        # clean=True with no ops disables every operator spelling
+        # (OperatorsPlugin(clean=True) with no replacement args)
+        opmap = (dict(ops or {}) if ops_clean
+                 else {**_DEFAULT_OPS, **(ops or {})})
     for name in _OP_ORDER:
         if name in opmap:
             specs.append((name.upper(), opmap[name]))
@@ -420,7 +423,7 @@ class _Parser:
             return self.parse_and()
         parts = [self.parse_and()]
         while self.peek()[0] in ("PHRASE", "RANGE", "WORD", "REGEX",
-                                 "LPAREN", "NOT", "FUNC"):
+                                 "LPAREN", "NOT", "FUNC", "SQUOTE"):
             parts.append(self.parse_and())
         parts = [x for x in parts if x is not NullQuery]
         if not parts:
@@ -444,7 +447,7 @@ class _Parser:
                          else AndMaybe(left, right) if op == "ANDMAYBE"
                          else Require(left, right)]
             elif kind in ("PHRASE", "RANGE", "WORD", "REGEX", "LPAREN",
-                          "NOT", "FUNC"):
+                          "NOT", "FUNC", "SQUOTE"):
                 if self.default_or:
                     break  # juxtaposition binds at the Or level instead
                 parts.append(self.parse_unary())  # implicit And
@@ -578,8 +581,12 @@ def _apply_multifield(q: Query, mfields: list[str]) -> Query:
 
 def _map_leaves(q: Query, leaf_fn) -> Query:
     """Rebuild ``q`` with ``leaf_fn`` applied to every fieldable leaf
-    (shared walker for the MultifieldParser and CopyFieldPlugin rewrites —
-    one traversal to keep in sync with the AST's node set)."""
+    (shared walker for the MultifieldParser and CopyFieldPlugin rewrites).
+    Scope: PARSER-PRODUCED node types only — parse_query never emits
+    Span*/Nested nodes, so this intentionally passes them through
+    unchanged (Or-expanding a Term inside a SpanNear would break span
+    evaluation; use SpanOr explicitly for that).  For generic tree
+    rewrites over the full node set use ``Query.accept``."""
     from whoosh_spark.query.ast import (
         AndMaybe as _AM, AndNot as _AN, Constant as _C, DisMax as _DM,
         Not as _N, Otherwise as _OW, Require as _RQ, Sequence as _SQ,
@@ -671,7 +678,12 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     of the same name.
     ``group`` — the default operator for juxtaposed terms (upstream
     ``QueryParser(group=AndGroup|OrGroup)``): ``"and"`` (default) or
-    ``"or"``.  Explicit AND/OR/NOT/ANDNOT/ANDMAYBE are unaffected.
+    ``"or"``.  Explicit AND/OR/NOT spellings keep their meaning under
+    either group.  Infix ANDNOT/ANDMAYBE/REQUIRE bind the accumulated
+    left-hand run under ``"and"`` (``a b ANDNOT c`` = AndNot(And(a, b),
+    c)); under ``"or"`` juxtaposition binds at the Or level, so the
+    infix takes only the immediately preceding unit (``a b ANDNOT c`` =
+    Or(a, AndNot(b, c)) — parenthesize to bind a wider left side).
     ``ops`` — custom operator spellings (``qparser/plugins.py::
     OperatorsPlugin ≈L250``): {name: regex} over a subset of
     {"and","or","not","andnot","andmaybe","require"}.  A provided pattern
@@ -690,7 +702,7 @@ def parse_query(s: str, fields=None, multifield: list[str] | None = None,
     """
     if group not in ("and", "or"):
         raise ValueError(f"group must be 'and' or 'or', got {group!r}")
-    if ops or functions:
+    if ops or ops_clean or functions:
         token_re, opmap = _token_re(ops, ops_clean, functions is not None)
         toks = _lex(s, token_re, opmap)
     else:

@@ -142,7 +142,11 @@ class IndexReader:
             by_field.setdefault(f, set()).add(t)
         out: set[tuple[str | None, str]] = set()
         for f, texts in by_field.items():
-            stats = self._sub(f).stats_for_terms(sorted(texts))
+            try:
+                sub = self._sub(f)
+            except KeyError:
+                continue  # unknown field = no existing terms, as upstream
+            stats = sub.stats_for_terms(sorted(texts))
             out |= {(f, t) for t in texts if stats.get(t)}
         return out
 
